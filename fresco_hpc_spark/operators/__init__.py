@@ -1,0 +1,30 @@
+from fresco_hpc_spark.operators.stats import (  # noqa: F401
+    availability,
+    column_stats,
+    time_extent,
+)
+from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
+    hourly_agg,
+    profile_agg,
+    time_bound,
+    time_bucket_agg,
+)
+from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
+    global_percentiles,
+    iqr_trim,
+    percentile_trim,
+    percentile_trimmed_hourly_agg,
+)
+from fresco_hpc_spark.operators.topn import (  # noqa: F401
+    category_counts,
+    topn_others,
+)
+from fresco_hpc_spark.operators.histogram import (  # noqa: F401
+    histogram_bin_index,
+    histogram_range_join,
+)
+from fresco_hpc_spark.operators.projections import (  # noqa: F401
+    cast_double_view,
+    scaled_view,
+    zero_fill_missing,
+)

@@ -1,0 +1,107 @@
+"""Time-series operators: the flagship time-bound + time-bucket aggregations
+(SURVEY.md §2.2 P2, §2.4 A2/A4).
+
+A2 (hourly AVG/MIN/MAX/COUNT, DatabaseQueries.ts:119-143) is the core
+line-plot operator; A4 (multi-granularity profile with stddev + exact
+quartiles, databaseOptimization.ts:138-180) is its heavyweight sibling.
+
+Scale notes: ``date_trunc`` group keys have low cardinality (hours in a
+window), so the aggregation is one shuffle over few keys with map-side
+combine; the time filter is a plain column predicate, so Catalyst pushes it
+into the parquet scan and prunes hive partitions (replacing the reference's
+manifest-driven chunk pruning, lambda_handler.py:298-373).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ROUND = 6  # aggregate rounding applied on both engine and oracle sides
+
+
+def time_bound(df: DataFrame, start: str, end: str, time_col: str = "time") -> DataFrame:
+    """P2: THE canonical filter — ``time BETWEEN start AND end`` (inclusive),
+    schema.ts:132-145 / query_builder.tsx:268. Unlike the reference's
+    planner (which ships whole boundary hours unfiltered, SURVEY.md §3.1
+    note), the exact predicate is applied — Catalyst does both the partition
+    pruning and the residual filter."""
+    return df.filter(F.col(time_col).between(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")))
+
+
+def time_bucket_agg(
+    df: DataFrame,
+    value_col: str,
+    granularity: str = "hour",
+    time_col: str = "time",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """A2 generalized: ``date_trunc(granularity) -> AVG/MIN/MAX/COUNT``
+    (DatabaseQueries.ts:119-143; vgplot.tsx:223-243).
+
+    Null-guards on time and value first (P3), mirroring the reference views.
+    """
+    keys = [F.date_trunc(granularity, F.col(time_col)).alias("bucket")]
+    if group_cols:
+        keys += [F.col(c) for c in group_cols]
+    return (
+        df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.round(F.avg(value_col), _ROUND).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.count(F.lit(1)).alias("count_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def hourly_agg(df: DataFrame, value_col: str, time_col: str = "time") -> DataFrame:
+    """A2 exactly as the reference's standard hourly view."""
+    return time_bucket_agg(df, value_col, "hour", time_col)
+
+
+def profile_agg(
+    df: DataFrame,
+    value_col: str,
+    granularity: str = "hour",
+    time_col: str = "time",
+) -> DataFrame:
+    """A4: multi-granularity profile — AVG/MIN/MAX/STDDEV/SUM + exact
+    quartiles per bucket (databaseOptimization.ts:138-180).
+
+    Uses Spark's exact interpolating ``percentile`` (not approx) for
+    PERCENTILE_CONT oracle parity (SURVEY.md §7.4 trap 1). granularity in
+    {'minute','hour','day'} like the reference.
+    """
+    return (
+        df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.date_trunc(granularity, F.col(time_col)).alias("bucket"))
+        .agg(
+            F.round(F.avg(value_col), _ROUND).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.round(F.stddev(value_col), _ROUND).alias("stddev_value"),
+            F.round(F.sum(value_col), _ROUND).alias("sum_value"),
+            F.round(F.percentile(value_col, F.lit(0.25)), _ROUND).alias("q25"),
+            F.round(F.percentile(value_col, F.lit(0.5)), _ROUND).alias("median"),
+            F.round(F.percentile(value_col, F.lit(0.75)), _ROUND).alias("q75"),
+            F.count(F.lit(1)).alias("count_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def duration_seconds(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    out_col: str = "duration_seconds",
+) -> DataFrame:
+    """Scalar-function operator: ``EXTRACT(EPOCH FROM (end - start))``
+    (schema.ts:319-325) as a unix_timestamp difference."""
+    return df.withColumn(
+        out_col,
+        (F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))).cast("bigint"),
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Mirrors the reference's per-connection session setup (``LOAD icu; SET
+TimeZone=...`` + memory/thread pragmas — web/src/util/client.ts:45-46,
+web/src/context/DuckDBContext.tsx:82-91) as Spark session confs.
+
+The session timezone defaults to UTC so that ``date_trunc`` bucketing of
+naive parquet timestamps matches a DuckDB oracle reading the same files
+(SURVEY.md §7.4 trap 2). Pass ``timezone="America/New_York"`` to reproduce
+the reference's production setting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs chosen for scale-out behavior, not just local tests:
+#  - AQE handles runtime coalescing / skew-join splitting at 100 TB.
+#  - shuffle.partitions is a default; AQE coalesces small ones.
+#  - Arrow execution accelerates any pandas interop (vector ops, tests).
+_BASE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # exact ANSI interval/overflow behavior is not needed; keep permissive
+    # semantics so null-on-malformed casts match the reference's
+    # strict=False Polars casts (SURVEY.md §7.4 trap 8).
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "fresco-hpc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    timezone: str = "UTC",
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    for tests; on a real cluster pass ``None`` with a spark-submit-provided
+    master and these confs still apply.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(_BASE_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    confs["spark.sql.session.timeZone"] = timezone
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

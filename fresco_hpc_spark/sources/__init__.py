@@ -1,0 +1,11 @@
+from fresco_hpc_spark.sources.readers import (  # noqa: F401
+    load_tables,
+    read_csv_tolerant,
+    read_parquet,
+    table,
+)
+from fresco_hpc_spark.sources.writers import (  # noqa: F401
+    export_csv,
+    write_chunked_parquet,
+    validate_output,
+)

@@ -1,0 +1,99 @@
+"""Sources: parquet / CSV scans (SURVEY.md §2.1 S1-S7).
+
+The reference's download-buffer-insert dance (client.ts:100-163) and
+ThreadPool HTTP ingest (http_extractor.py) collapse into plain
+``spark.read`` calls — Spark tasks provide the parallelism, and the
+DataSource V2 parquet reader pushes filters/projections into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """S1/S2: parquet scan. Accepts a file, directory, glob, or list of
+    paths (the pruned-partition-list form the Lambda planner produced,
+    lambda_handler.py:313-373 — here Catalyst prunes instead)."""
+    if isinstance(path, list):
+        return spark.read.parquet(*path)
+    return spark.read.parquet(path)
+
+
+def read_csv_tolerant(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | None = None,
+    encoding: str = "UTF-8",
+    header: bool = True,
+) -> DataFrame:
+    """S3: tolerant CSV scan — PERMISSIVE mode keeps malformed rows with
+    nulls, reproducing Polars ``ignore_errors=True`` + encoding fallback
+    (core/pipeline.py:223-240). Charset is explicit; Spark's reader handles
+    latin-1/cp1252 via the ``encoding`` option rather than retry loops."""
+    reader = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("encoding", encoding)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    if isinstance(path, list):
+        return reader.csv(path)
+    return reader.csv(path)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
+    natively. Footer-only check (no data read)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:  # noqa: BLE001 — non-parquet / remote path: assume none
+        return []
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table from ``{sf_dir}/{name}.parquet``.
+
+    Parquet nanosecond timestamps are read as raw int64 (legacy conf) and
+    truncated to microsecond timestamps — lossless for micro-precision data,
+    and the same unit DuckDB's TIMESTAMP uses, so oracles agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load testdata tables and register each as a temp view (the
+    reference's composition unit — SURVEY.md §1.1)."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TESTDATA_TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
