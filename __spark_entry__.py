@@ -16,6 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fresco_hpc_spark import operators as ops
+from fresco_hpc_spark.etl import (
+    block_io_rates,
+    cpu_user_percent,
+    memory_metrics,
+    nfs_rates,
+)
+from fresco_hpc_spark.etl.synthetic_raw import (
+    raw_block_from_events,
+    raw_cpu_from_events,
+    raw_llite_from_events,
+    raw_mem_from_events,
+)
 from fresco_hpc_spark.sources import table
 
 Query = Callable[[SparkSession, str], DataFrame]
@@ -95,6 +107,26 @@ def q_histogram_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.histogram_range_join(table(spark, sf_dir, "lineitem"), "l_extendedprice", bins=50)
 
 
+def q_etl_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = raw_block_from_events(table(spark, sf_dir, "events"))
+    return block_io_rates(raw).withColumn("Value", F.round("Value", 6))
+
+
+def q_etl_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = raw_cpu_from_events(table(spark, sf_dir, "events"))
+    return cpu_user_percent(raw).withColumn("Value", F.round("Value", 6))
+
+
+def q_etl_mem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = raw_mem_from_events(table(spark, sf_dir, "events"))
+    return memory_metrics(raw).withColumn("Value", F.round("Value", 6))
+
+
+def q_etl_nfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = raw_llite_from_events(table(spark, sf_dir, "events"))
+    return nfs_rates(raw).withColumn("Value", F.round("Value", 6))
+
+
 def queries() -> dict[str, Query]:
     return {
         "hourly_agg": q_hourly_agg,
@@ -110,10 +142,37 @@ def queries() -> dict[str, Query]:
         "topn_others": q_topn_others,
         "histogram_bin_index": q_histogram_bin_index,
         "histogram_range_join": q_histogram_range_join,
+        "etl_block_rates": q_etl_block,
+        "etl_cpu_percent": q_etl_cpu,
+        "etl_mem_metrics": q_etl_mem,
+        "etl_nfs_rates": q_etl_nfs,
     }
 
 
 # --- DuckDB oracles --------------------------------------------------------
+
+# Shared fragments for the ETL-oracle derivations (mirror of
+# fresco_hpc_spark/etl/synthetic_raw.py in DuckDB SQL).
+_RAW_KEYS = """
+           'jobID' || CAST(user_id % 50 AS VARCHAR) AS jobID,
+           'node' || CAST(user_id AS VARCHAR) AS node
+"""
+
+
+def _raw_ts(seconds_expr: str) -> str:
+    return f"""
+           CASE WHEN event_id % 89 = 0 THEN 'not a date'
+                ELSE strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + INTERVAL (CAST({seconds_expr} AS INT)) SECOND,
+                              '%m/%d/%Y %H:%M:%S') END AS ts_str
+"""
+
+
+def _raw_counter(scale: str, bad: bool = False) -> str:
+    base = f"CAST(CAST(round(value * {scale}) AS BIGINT) AS VARCHAR)"
+    if bad:
+        return f"CASE WHEN event_id % 97 = 0 THEN 'garbage' ELSE {base} END"
+    return base
 
 
 def oracle_sql() -> dict[str, str]:
@@ -275,5 +334,186 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.l_extendedprice IS NOT NULL OR b.bin_index = 49
             GROUP BY b.bin_index, b.bin_start, b.bin_end
             ORDER BY b.bin_start
+        """,
+        "etl_block_rates": f"""
+            WITH raw AS (
+                SELECT {_RAW_KEYS},
+                       'dev' || CAST(event_id % 4 AS VARCHAR) AS device,
+                       {_raw_ts('event_id // 4')},
+                       {_raw_counter('100', bad=True)} AS rd_sectors,
+                       {_raw_counter('50')} AS wr_sectors
+                FROM events
+            ), casted AS (
+                SELECT COALESCE(jobID, 'unknown') AS jobID,
+                       COALESCE(node, 'unknown') AS node,
+                       COALESCE(device, 'unknown') AS device,
+                       TRY_CAST(rd_sectors AS DOUBLE) AS rd,
+                       TRY_CAST(wr_sectors AS DOUBLE) AS wr, ts_str
+                FROM raw
+            ), parsed AS (
+                SELECT regexp_replace(jobID, 'jobID', 'JOB', 'g') AS jobID,
+                       node, device, rd + wr AS total_sectors,
+                       try_strptime(ts_str, '%m/%d/%Y %H:%M:%S') AS ts
+                FROM casted WHERE rd IS NOT NULL AND wr IS NOT NULL
+            ), valid AS (SELECT * FROM parsed WHERE ts IS NOT NULL),
+            deltas AS (
+                SELECT jobID, node, ts,
+                       epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w AS tds,
+                       total_sectors - lag(total_sectors) OVER w AS sd
+                FROM valid
+                WINDOW w AS (PARTITION BY jobID, node, device ORDER BY ts)
+            ), rates AS (
+                SELECT jobID, node, ts,
+                       CASE WHEN tds IS NOT NULL AND tds >= 0.1
+                                 AND sd IS NOT NULL AND sd >= 0
+                            THEN sd * (512 * (1.0/1073741824)) / tds
+                            ELSE 0.0 END AS rate
+                FROM deltas
+            )
+            SELECT jobID AS "Job Id", node AS "Host", 'block' AS "Event",
+                   ROUND(SUM(rate), 6) AS "Value", 'GB/s' AS "Units",
+                   ts AS "Timestamp"
+            FROM rates GROUP BY jobID, node, ts
+        """,
+        "etl_cpu_percent": f"""
+            WITH raw AS (
+                SELECT {_RAW_KEYS},
+                       'cpu' || CAST(event_id % 4 AS VARCHAR) AS device,
+                       {_raw_ts('event_id // 4')},
+                       {_raw_counter('10', bad=True)} AS "user",
+                       {_raw_counter('5')} AS nice,
+                       {_raw_counter('3')} AS system,
+                       {_raw_counter('20')} AS idle,
+                       {_raw_counter('2')} AS iowait,
+                       {_raw_counter('1')} AS irq,
+                       {_raw_counter('0.5')} AS softirq
+                FROM events
+            ), casted AS (
+                SELECT COALESCE(jobID, 'unknown') AS jobID,
+                       COALESCE(node, 'unknown') AS node,
+                       COALESCE(device, 'unknown') AS device,
+                       TRY_CAST("user" AS DOUBLE) AS u, TRY_CAST(nice AS DOUBLE) AS n,
+                       TRY_CAST(system AS DOUBLE) AS s, TRY_CAST(idle AS DOUBLE) AS i,
+                       TRY_CAST(iowait AS DOUBLE) AS io, TRY_CAST(irq AS DOUBLE) AS ir,
+                       TRY_CAST(softirq AS DOUBLE) AS si, ts_str
+                FROM raw
+            ), parsed AS (
+                SELECT regexp_replace(jobID, 'jobID', 'JOB', 'g') AS jobID,
+                       node, device, u, n,
+                       u + n + s + i + io + ir + si AS total_jiffies,
+                       try_strptime(ts_str, '%m/%d/%Y %H:%M:%S') AS ts
+                FROM casted
+                WHERE u IS NOT NULL AND n IS NOT NULL AND s IS NOT NULL
+                  AND i IS NOT NULL AND io IS NOT NULL AND ir IS NOT NULL
+                  AND si IS NOT NULL
+            ), valid AS (SELECT * FROM parsed WHERE ts IS NOT NULL),
+            deltas AS (
+                SELECT jobID, node, ts,
+                       u - lag(u) OVER w AS user_delta,
+                       n - lag(n) OVER w AS nice_delta,
+                       total_jiffies - lag(total_jiffies) OVER w AS total_delta
+                FROM valid
+                WINDOW w AS (PARTITION BY jobID, node, device ORDER BY ts)
+            ), filtered AS (
+                SELECT * FROM deltas
+                WHERE total_delta IS NOT NULL AND total_delta > 0
+                  AND user_delta IS NOT NULL AND nice_delta IS NOT NULL
+                  AND user_delta >= 0 AND nice_delta >= 0
+            ), agg AS (
+                SELECT jobID, node, ts,
+                       SUM(user_delta) AS uds, SUM(nice_delta) AS nds,
+                       SUM(total_delta) AS tds
+                FROM filtered GROUP BY jobID, node, ts
+            )
+            SELECT jobID AS "Job Id", node AS "Host", 'cpuuser' AS "Event",
+                   ROUND(LEAST(GREATEST(
+                       CASE WHEN tds > 0 THEN (uds + nds) / tds * 100.0 ELSE 0.0 END,
+                       0.0), 100.0), 6) AS "Value",
+                   'CPU %' AS "Units", ts AS "Timestamp"
+            FROM agg
+        """,
+        "etl_mem_metrics": f"""
+            WITH raw AS (
+                SELECT {_RAW_KEYS},
+                       {_raw_ts('event_id')},
+                       {_raw_counter('1000000', bad=True)} AS MemTotal,
+                       CAST(CAST(round(value * (CASE WHEN event_id % 5 = 0
+                                THEN 1200000.0 ELSE 700000.0 END) - 50000)
+                            AS BIGINT) AS VARCHAR) AS MemFree,
+                       CAST(CAST(round(value * (CASE WHEN event_id % 3 = 0
+                                THEN 900000.0 ELSE 200000.0 END))
+                            AS BIGINT) AS VARCHAR) AS FilePages
+                FROM events
+            ), casted AS (
+                SELECT COALESCE(jobID, 'unknown') AS jobID,
+                       COALESCE(node, 'unknown') AS node,
+                       TRY_CAST(MemTotal AS DOUBLE) AS mt,
+                       TRY_CAST(MemFree AS DOUBLE) AS mf,
+                       TRY_CAST(FilePages AS DOUBLE) AS fp, ts_str
+                FROM raw
+            ), parsed AS (
+                SELECT regexp_replace(jobID, 'jobID', 'JOB', 'g') AS jobID,
+                       node, mt, mf, fp,
+                       try_strptime(ts_str, '%m/%d/%Y %H:%M:%S') AS ts
+                FROM casted
+                WHERE mt IS NOT NULL AND mf IS NOT NULL AND fp IS NOT NULL
+            ), valid AS (SELECT * FROM parsed WHERE ts IS NOT NULL),
+            repaired AS (
+                SELECT jobID, node, ts, mt2 AS mt,
+                       LEAST(mf2, mt2) AS mf, fp2,
+                       mt2 - LEAST(mf2, mt2) AS memory_used
+                FROM (SELECT jobID, node, ts,
+                             GREATEST(mt, 0.0) AS mt2, GREATEST(mf, 0.0) AS mf2,
+                             GREATEST(fp, 0.0) AS fp2
+                      FROM valid)
+            ), final AS (
+                SELECT jobID, node, ts,
+                       memory_used * (1.0/1073741824) AS memused_value,
+                       (memory_used - LEAST(fp2, mt, memory_used))
+                           * (1.0/1073741824) AS minus_value
+                FROM repaired
+            )
+            SELECT jobID AS "Job Id", node AS "Host", 'memused' AS "Event",
+                   ROUND(memused_value, 6) AS "Value", 'GB' AS "Units",
+                   ts AS "Timestamp"
+            FROM final
+            UNION ALL
+            SELECT jobID, node, 'memused_minus_diskcache',
+                   ROUND(minus_value, 6), 'GB', ts
+            FROM final
+        """,
+        "etl_nfs_rates": f"""
+            WITH raw AS (
+                SELECT {_RAW_KEYS},
+                       {_raw_ts('event_id')},
+                       {_raw_counter('1000000', bad=True)} AS read_bytes,
+                       {_raw_counter('500000')} AS write_bytes
+                FROM events
+            ), casted AS (
+                SELECT COALESCE(jobID, 'unknown') AS jobID,
+                       COALESCE(node, 'unknown') AS node,
+                       TRY_CAST(read_bytes AS DOUBLE) AS rb,
+                       TRY_CAST(write_bytes AS DOUBLE) AS wb, ts_str
+                FROM raw
+            ), parsed AS (
+                SELECT regexp_replace(jobID, 'jobID', 'JOB', 'g') AS jobID,
+                       node, rb + wb AS total_bytes,
+                       try_strptime(ts_str, '%m/%d/%Y %H:%M:%S') AS ts
+                FROM casted WHERE rb IS NOT NULL AND wb IS NOT NULL
+            ), valid AS (SELECT * FROM parsed WHERE ts IS NOT NULL),
+            deltas AS (
+                SELECT jobID, node, ts,
+                       epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w AS tds,
+                       total_bytes - lag(total_bytes) OVER w AS bd
+                FROM valid
+                WINDOW w AS (PARTITION BY jobID, node ORDER BY ts)
+            )
+            SELECT jobID AS "Job Id", node AS "Host", 'nfs' AS "Event",
+                   ROUND(CASE WHEN tds IS NOT NULL AND tds >= 0.1
+                                   AND bd IS NOT NULL AND bd >= 0
+                              THEN bd * (1.0/1048576) / tds
+                              ELSE 0.0 END, 6) AS "Value",
+                   'MB/s' AS "Units", ts AS "Timestamp"
+            FROM deltas WHERE tds IS NOT NULL
         """,
     }

@@ -1,0 +1,16 @@
+from fresco_hpc_spark.etl.transformers import (  # noqa: F401
+    block_io_rates,
+    cpu_user_percent,
+    memory_metrics,
+    nfs_rates,
+    transformer_for_filename,
+)
+from fresco_hpc_spark.etl.generic import (  # noqa: F401
+    CompositeTransformer,
+    add_unit_column,
+    column_reorder,
+    normalize_timestamps,
+    schema_standardize,
+    string_normalize,
+    suffix_transform,
+)
