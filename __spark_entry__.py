@@ -28,6 +28,16 @@ from fresco_hpc_spark.etl.synthetic_raw import (
     raw_llite_from_events,
     raw_mem_from_events,
 )
+from fresco_hpc_spark.functions import (
+    brute_force_knn,
+    exact_dedup,
+    language_id,
+    lsh_ann_topk,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+    text_stats,
+)
 from fresco_hpc_spark.sources import table
 
 Query = Callable[[SparkSession, str], DataFrame]
@@ -127,6 +137,83 @@ def q_etl_nfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfs_rates(raw).withColumn("Value", F.round("Value", 6))
 
 
+# --- LLM-data-pipeline operators ------------------------------------------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id%10==0, +1e6 ids) ∪ near copies
+    (doc_id%7==0, +2e6 ids, three words appended) — deterministic dup
+    structure for the dedup oracles (testdata texts are all distinct)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended extra tokens")).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_DOCS_WITH_DUPS_SQL = """
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text || ' appended extra tokens'
+            FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(table(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word 3-gram shingles: near-unique on natural text, so candidate pairs
+    # stay linear in the number of true near-dups (unigrams on a small
+    # shared vocabulary would make nearly every pair a candidate)
+    return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dup_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_knn(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, _query_vector(spark, sf_dir), k=10, num_planes=6, probe_hamming=2
+    )
+
+
 def queries() -> dict[str, Query]:
     return {
         "hourly_agg": q_hourly_agg,
@@ -146,6 +233,14 @@ def queries() -> dict[str, Query]:
         "etl_cpu_percent": q_etl_cpu,
         "etl_mem_metrics": q_etl_mem,
         "etl_nfs_rates": q_etl_nfs,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_dup_pairs": q_minhash_dups,
+        "simhash_dup_pairs": q_simhash_dups,
+        "embedding_knn": q_embedding_knn,
+        "embedding_ann_lsh": q_embedding_ann,
     }
 
 
@@ -515,5 +610,112 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS "Value",
                    'MB/s' AS "Units", ts AS "Timestamp"
             FROM deltas WHERE tds IS NOT NULL
+        """,
+        "text_stats": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+                       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_count,
+                       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and|is|in|that|it|for|on|with|as|at|by)\\b'))
+                            AS BIGINT) AS stop
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_words,
+                   ROUND(non_ws / CAST(GREATEST(n_words, 1) AS DOUBLE), 6) AS avg_word_len,
+                   punct_count, digit_count,
+                   ROUND(punct_count / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+                   ROUND(stop / CAST(GREATEST(n_words, 1) AS DOUBLE), 6) AS stopword_ratio,
+                   ROUND(0.4 * LEAST(n_words / 50.0, 1.0)
+                       + 0.3 * (1.0 - LEAST(punct_count / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10, 1.0))
+                       + 0.3 * LEAST(stop / CAST(GREATEST(n_words, 1) AS DOUBLE) * 5, 1.0),
+                       6) AS quality_score
+            FROM s
+        """,
+        "lang_id": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and|is|in|that|it|for)\\b')) AS BIGINT) AS score_en,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(el|la|de|que|y|en|un|una|por|con)\\b')) AS BIGINT) AS score_es,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(le|la|de|et|les|des|un|une|dans|pour)\\b')) AS BIGINT) AS score_fr,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(der|die|das|und|ist|von|mit|den|für|auf)\\b')) AS BIGINT) AS score_de
+                FROM documents
+            )
+            SELECT doc_id, score_en, score_es, score_fr, score_de,
+                   CASE WHEN GREATEST(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                        WHEN score_en = GREATEST(score_en, score_es, score_fr, score_de) THEN 'en'
+                        WHEN score_es = GREATEST(score_en, score_es, score_fr, score_de) THEN 'es'
+                        WHEN score_fr = GREATEST(score_en, score_es, score_fr, score_de) THEN 'fr'
+                        ELSE 'de' END AS predicted_lang
+            FROM s
+        """,
+        "exact_dedup": f"""
+            WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+            fp AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+                FROM docs
+            )
+            SELECT fingerprint, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_copies
+            FROM fp GROUP BY fingerprint ORDER BY canonical_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+            words AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM docs
+            ),
+            toks AS (
+                SELECT DISTINCT doc, token FROM (
+                    SELECT doc_id AS doc,
+                           unnest(list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS token
+                    FROM words
+                )
+            ),
+            sizes AS (SELECT doc, COUNT(*) AS n FROM toks GROUP BY doc),
+            freq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+            rare AS (
+                SELECT t.doc, t.token FROM toks t
+                JOIN freq f ON t.token = f.token WHERE f.df <= 1000
+            ),
+            inter AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+                FROM rare a JOIN rare b
+                  ON a.token = b.token AND a.doc < b.doc
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "embedding_knn": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ), e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT vec_id,
+                   ROUND(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                         6) AS cosine_sim
+            FROM e, q
+            ORDER BY cosine_sim DESC, vec_id ASC
+            LIMIT 10
         """,
     }

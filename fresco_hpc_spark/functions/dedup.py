@@ -1,0 +1,277 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these at 100 TB):
+  * exact dedup — one hash-groupBy on a fingerprint; map-side combine.
+  * n-gram Jaccard — explode tokens → self-join on token → pair counts.
+    The token join is the classic candidate-generation shuffle; frequent
+    tokens are capped (``max_token_freq``) to avoid quadratic hot keys —
+    the same document-frequency pruning used by production near-dup
+    pipelines.
+  * MinHash+LSH — k permutations via (a·h + b) mod p over a base 64-bit
+    token hash, banded into b bands of r rows; candidate pairs only join
+    within identical (band, band-signature) buckets, so the shuffle is
+    proportional to collisions, not to n².
+  * SimHash — 64-bit sign-aggregated token hashes; candidates = identical
+    16-bit chunks (Hamming ≤ 3 guarantee by pigeonhole over 4 chunks).
+
+All Catalyst-native expressions (xxhash64, explode, window, groupBy) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fresco_hpc_spark.functions.text import document_fingerprint
+
+_P = 2_147_483_647  # Mersenne prime 2^31−1: (a·h+b) mod p stays in 63 bits
+
+
+def _perm_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k hash permutations (LCG-derived,
+    no RNG state so resume/replay is stable)."""
+    out = []
+    x = seed
+    for _ in range(k):
+        x = (x * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+        a = (x % (_P - 2)) + 1
+        x = (x * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+        b = x % _P
+        out.append((a, b))
+    return out
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
+    """Distinct word n-gram shingles per document (lower-cased)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        tok = F.explode(words).alias("token")
+        return df.select(F.col(id_col).alias("doc"), tok).distinct()
+    # n-gram shingles: join n consecutive words via transform over 1-based
+    # indices; guarded so short documents yield an empty list (sequence()
+    # would otherwise produce a DESCENDING range when size < n).
+    words_expr = f"split(trim(lower({text_col})), '\\\\s+')"
+    ngrams = F.expr(
+        f"CASE WHEN size({words_expr}) >= {n} THEN "
+        f"transform(sequence(1, size({words_expr}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({words_expr}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(ngrams).alias("token")
+    ).distinct()
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups on the normalized-content fingerprint: one row
+    per distinct content with the canonical (min) id and duplicate count."""
+    fp = document_fingerprint(df, text_col, id_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+    max_token_freq: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-shingle Jaccard similarity.
+
+    Candidate generation: self-join the exploded (doc, token) relation on
+    token. Document-frequency pruning drops tokens appearing in more than
+    ``max_token_freq`` docs (they generate O(freq²) candidate pairs while
+    carrying almost no similarity signal).
+    """
+    toks = _tokens(df, text_col, id_col, n)
+    doc_sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    tok_freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rare = toks.join(
+        F.broadcast(tok_freq.filter(F.col("df") <= max_token_freq)), "token"
+    ).select("doc", "token")
+
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = doc_sizes.select(F.col("doc").alias("doc_a"), F.col("n_tokens").alias("size_a"))
+    sb = doc_sizes.select(F.col("doc").alias("doc_b"), F.col("n_tokens").alias("size_b"))
+    jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: min over shingles of
+    (aᵢ·h(shingle) + bᵢ) mod p for each of ``num_hashes`` permutations.
+    One explode + one groupBy with k min-aggregates — fully map-side
+    combinable."""
+    toks = _tokens(df, text_col, id_col, n=shingle_n)
+    # base hash reduced mod p so a·h stays within 63 bits (ANSI-safe)
+    h = F.pmod(F.xxhash64("token"), F.lit(_P))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes))
+    ]
+    return toks.groupBy(F.col("doc")).agg(*aggs)
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with estimated Jaccard.
+
+    Bands of r = num_hashes/bands rows; a pair becomes a candidate when any
+    band signature matches; the estimate is the fraction of agreeing
+    minhashes over the full signature.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+
+    band_rows = []
+    for band in range(bands):
+        cols = [F.col(f"mh_{band * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                "doc",
+                F.lit(band).alias("band"),
+                F.xxhash64(*cols).alias("band_sig"),
+            )
+        )
+    banded = band_rows[0]
+    for other in band_rows[1:]:
+        banded = banded.unionByName(other)
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit sum of ±1
+    contributions from each distinct token's xxhash64."""
+    toks = _tokens(df, text_col, id_col, n=1)
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*bit_sums)
+    # reassemble as four 16-bit chunks (used directly for LSH banding;
+    # avoids signed-overflow on bit 63)
+    chunks = []
+    for c in range(4):
+        expr = F.lit(0).cast("bigint")
+        for j in range(16):
+            i = c * 16 + j
+            bit = F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            expr = expr + F.shiftleft(bit, j)
+        chunks.append(expr.alias(f"chunk_{c}"))
+    return agg.select("doc", *chunks)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share at least one of the
+    four 16-bit chunks (pigeonhole: any pair within Hamming distance 3 must
+    agree on a full chunk), then exact Hamming distance filters."""
+    sig = simhash_signatures(df, text_col, id_col).cache()
+    banded = None
+    for c in range(4):
+        part = sig.select(
+            "doc", F.lit(c).alias("band"), F.col(f"chunk_{c}").alias("band_val")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    hamming = sum(
+        F.bit_count(F.col(f"sa.chunk_{c}").bitwiseXOR(F.col(f"sb.chunk_{c}")))
+        for c in range(4)
+    )
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

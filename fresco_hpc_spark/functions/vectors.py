@@ -1,0 +1,126 @@
+"""Similarity search over an embedding column (``array<float>``):
+brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the scale path.
+
+All vector math uses higher-order functions (``zip_with``/``aggregate``) on
+double-cast arrays — JVM-side, no Python UDFs, deterministic left-to-right
+summation (which is what makes the DuckDB oracle hash-match).
+
+Scale notes: brute force is one broadcast of the query vector and a full
+scan — correct baseline, O(n·d). The LSH variant buckets vectors by the
+sign pattern of ``num_planes`` fixed random hyperplanes; the probe only
+scans matching buckets (multi-probe over Hamming-1 neighbors keeps recall
+up). At 100 TB the bucketed table would be written out partitioned by
+bucket so probes prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ROUND = 6
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with deterministic left-to-right accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array columns (cast to double)."""
+    da, db = _as_double(a), _as_double(b)
+    return _dot(da, db) / (F.sqrt(_dot(da, da)) * F.sqrt(_dot(db, db)))
+
+
+def brute_force_knn(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector is a literal array (broadcast in the plan); similarity
+    is computed map-side; the top-k is a single ordered limit. Similarity
+    is rounded before ranking so rank boundaries are stable across
+    engines/summation strategies; ties break on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine_similarity_col(F.col(vec_col), q), _ROUND)
+    scored = embeddings.select(F.col(id_col), sim.alias("cosine_sim"))
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def _plane_constants(num_planes: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane normals (LCG; values in
+    [-1, 1]); fixed so signatures are reproducible across runs."""
+    planes: list[list[float]] = []
+    x = seed
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            x = (x * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (2**63)
+            row.append((x / float(2**63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = integer from sign bits of plane dot products."""
+    v = _as_double(vec_col)
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(_dot(v, p) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: scan only vectors whose hyperplane-sign
+    bucket is within ``probe_hamming`` bits of the query's bucket
+    (multi-probe LSH). Fraction of data scanned ≈ Σ C(planes, h)/2^planes
+    for h ≤ probe_hamming — the recall/cost knob."""
+    dim = len(query_vec)
+    planes = _plane_constants(num_planes, dim)
+    bucketed = embeddings.withColumn("_bucket", lsh_signature(F.col(vec_col), planes))
+
+    # query bucket computed driver-side (tiny, pure python — not a collect)
+    def dot(p: list[float]) -> float:
+        return sum(px * qx for px, qx in zip(p, query_vec))
+
+    qsig = sum((1 << i) for i, p in enumerate(planes) if dot(p) >= 0)
+    probes = {qsig}
+    frontier = {qsig}
+    for _ in range(probe_hamming):
+        frontier = {s ^ (1 << i) for s in frontier for i in range(num_planes)}
+        probes |= frontier
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine_similarity_col(F.col(vec_col), q), _ROUND)
+    return (
+        bucketed.filter(F.col("_bucket").isin(list(probes)))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

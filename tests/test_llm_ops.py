@@ -1,0 +1,96 @@
+"""Tests for the LLM-data-pipeline operators: dedup recall/precision vs
+exact Jaccard, SimHash near-dup detection, ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from fresco_hpc_spark.functions import (
+    brute_force_knn,
+    lsh_ann_topk,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+    token_count,
+)
+from fresco_hpc_spark.functions.text import text_stats
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    return entrymod._docs_with_dups(spark, SF_SMALL).cache()
+
+
+def test_minhash_finds_true_near_dups(spark, docs_with_dups):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.7).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dup_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain true near-dup pairs"
+    recall = len(exact & est) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} too low"
+
+
+def test_minhash_estimates_close_to_true_jaccard(spark, docs_with_dups):
+    true_j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.3).collect()
+    }
+    est_j = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_dup_pairs(docs_with_dups, threshold=0.3).collect()
+    }
+    common = set(true_j) & set(est_j)
+    assert common
+    errs = [abs(true_j[p] - est_j[p]) for p in common]
+    assert sum(errs) / len(errs) < 0.15  # 64 hashes → stderr ≈ 1/√64 ≈ 0.125
+
+
+def test_simhash_finds_exact_dups(spark, docs_with_dups):
+    # exact copies have identical simhash (hamming 0) and must all appear
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_dup_pairs(docs_with_dups).collect()
+    }
+    base_ids = {r.doc_id for r in docs_with_dups.filter("doc_id < 1000000").collect()}
+    expected = {(i, i + 1000000) for i in base_ids if i % 10 == 0}
+    missing = expected - set(pairs)
+    assert not missing, f"simhash missed exact dups: {sorted(missing)[:5]}"
+    assert all(pairs[p] == 0 for p in expected)
+
+
+def test_ann_recall_vs_brute_force(spark):
+    from fresco_hpc_spark.sources import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = [r.vec_id for r in brute_force_knn(emb, qv, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in lsh_ann_topk(emb, qv, k=10, num_planes=6, probe_hamming=2).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert exact[0] == 0  # the query vector itself is its own top hit
+    # testdata embeddings are near-orthogonal (top cosine ≈ 0.33), the
+    # worst case for hyperplane LSH; 0.4 is the honest deterministic floor
+    assert recall >= 0.4, f"ANN recall {recall} too low"
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two words",), ("a  b   c",)], "text string"
+    )
+    out = [r[0] for r in df.select(token_count("text")).collect()]
+    assert out == [0, 0, 1, 2, 3]
+
+
+def test_text_stats_empty_doc(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+    r = text_stats(df).collect()[0]
+    assert r.n_words == 0 and r.n_chars == 0 and r.quality_score is not None
