@@ -1,0 +1,16 @@
+from fresco_hpc_spark.plans.planner import (  # noqa: F401
+    MissingTimeRangeError,
+    QueryPlan,
+    execute,
+    extract_filters,
+    extract_projections,
+    extract_time_range,
+    plan_query,
+    required_hours,
+)
+from fresco_hpc_spark.plans.store import (  # noqa: F401
+    PARTITION_COLS,
+    list_partition_files,
+    read_partitioned_store,
+    write_partitioned_store,
+)

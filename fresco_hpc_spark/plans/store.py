@@ -1,0 +1,70 @@
+"""Hour-partitioned parquet store (SURVEY.md §1.1, §2.11 Q5).
+
+The reference keeps one parquet chunk per hour under
+``chunks/YYYY/MM/DD/HH.parquet`` plus a JSON manifest with per-chunk
+``timeRange``/``recordCount``/``sizeBytes`` (reference
+backend/lambda/lambda_handler.py:236-245, 80-95, 313-373). The Spark-first
+restatement is a Hive-partitioned layout ``year=/month=/day=/hour=``: the
+manifest is subsumed by partition discovery plus parquet footer statistics,
+and Catalyst prunes partitions from the ``time BETWEEN`` predicate
+automatically — no custom FileIndex needed (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COLS = ["year", "month", "day", "hour"]
+
+
+def write_partitioned_store(
+    df: DataFrame,
+    path: str,
+    time_col: str = "time",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` hour-partitioned by ``time_col``.
+
+    Derived partition columns are regular Hive partition keys, so any
+    engine (Spark, DuckDB, Trino) can prune them; at 100 TB this gives
+    ~1 directory per hour exactly like the reference's chunk scheme, but
+    each hour may hold many files written in parallel by many tasks.
+    """
+    (
+        df.withColumn("year", F.year(time_col))
+        .withColumn("month", F.month(time_col))
+        .withColumn("day", F.dayofmonth(time_col))
+        .withColumn("hour", F.hour(time_col))
+        .write.mode(mode)
+        .partitionBy(*PARTITION_COLS)
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+
+
+def read_partitioned_store(spark: SparkSession, path: str) -> DataFrame:
+    """Open the store with partition discovery; the partition key columns
+    come back typed (int) and prunable. Drop them with ``.drop(*PARTITION_
+    COLS)`` if the caller wants the original shape."""
+    return spark.read.option("basePath", path).parquet(path)
+
+
+def list_partition_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(file, size) listing via the Hadoop FileSystem API — works on
+    hdfs:// and s3a:// the same as file://, unlike os.walk. Used only by
+    the planner facade for plan metadata, never on the query path."""
+    sc = spark.sparkContext
+    hadoop_conf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hadoop_conf)
+    out: list[tuple[str, int]] = []
+    if not fs.exists(jpath):
+        return out
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        if p.endswith(".parquet"):
+            out.append((p, int(status.getLen())))
+    return out

@@ -1,0 +1,125 @@
+"""Planner facade + hour-partitioned store (SURVEY.md §2.11 Q1-Q8, §7.4 #7).
+
+Parity targets: reference backend/lambda/lambda_handler.py —
+time-range extraction (155-176, error at 290-292), hour expansion
+(298-309, inclusive end hour), partition sizing (375-392), plan assembly
+(394-414). Pruning is verified physically via ``inputFiles()``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from fresco_hpc_spark.plans import (
+    MissingTimeRangeError,
+    execute,
+    extract_filters,
+    extract_projections,
+    extract_time_range,
+    plan_query,
+    required_hours,
+    write_partitioned_store,
+)
+from fresco_hpc_spark.sources import table
+from tests.conftest import SF_SMALL
+
+SQL = (
+    "SELECT * FROM s3_fresco WHERE time BETWEEN "
+    "'2024-01-02 01:30:00' AND '2024-01-02 03:10:00'"
+)
+
+
+def test_extract_time_range():
+    s, e = extract_time_range(SQL)
+    assert s == datetime(2024, 1, 2, 1, 30)
+    assert e == datetime(2024, 1, 2, 3, 10)
+
+
+def test_extract_time_range_required():
+    with pytest.raises(MissingTimeRangeError):
+        extract_time_range("SELECT * FROM s3_fresco")
+
+
+def test_required_hours_floor_and_inclusive_end():
+    hours = required_hours(datetime(2024, 1, 2, 1, 30), datetime(2024, 1, 2, 3, 10))
+    assert hours == [
+        datetime(2024, 1, 2, 1),
+        datetime(2024, 1, 2, 2),
+        datetime(2024, 1, 2, 3),
+    ]
+
+
+def test_required_hours_exact_hour_end():
+    # end exactly on the hour: that hour is still included (while cur <= end)
+    hours = required_hours(datetime(2024, 1, 2, 1, 0), datetime(2024, 1, 2, 2, 0))
+    assert hours == [datetime(2024, 1, 2, 1), datetime(2024, 1, 2, 2)]
+
+
+def test_extract_projections_and_filters():
+    sql = (
+        "SELECT time, value FROM s3_fresco WHERE time BETWEEN '2024-01-01' "
+        "AND '2024-01-02' AND event_type = 'click' AND value > 3 ORDER BY time"
+    )
+    assert extract_projections(sql) == ["time", "value"]
+    filters = extract_filters(sql)
+    assert any("event_type" in f for f in filters)
+    assert any("value > 3" in f for f in filters)
+    # the BETWEEN's AND must not split the range predicate
+    assert any("between" in f.lower() and "and" in f.lower() for f in filters)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "events_store")
+    events = table(spark, SF_SMALL, "events").withColumnRenamed("ts", "time")
+    write_partitioned_store(events, path, time_col="time")
+    return path
+
+
+def test_plan_prunes_to_required_hours(spark, store):
+    plan = plan_query(spark, SQL, store)
+    assert len(plan.hours) == 3
+    assert plan.chunks, "expected at least one chunk in the window"
+    for f in plan.chunks:
+        assert "year=2024/month=1/day=2/" in f
+        assert any(f"/hour={h}/" in f for h in (1, 2, 3))
+    assert plan.estimated_size_bytes > 0
+    assert 1 <= plan.partition_count <= 4
+
+
+def _formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_execute_prunes_and_matches_direct_filter(spark, store):
+    out = execute(spark, SQL, store)
+    # Physical pruning: the scan must carry the hour keys as
+    # PartitionFilters (inputFiles() can't show this — it lists the
+    # FileIndex before pruning) and push the exact BETWEEN into the scan.
+    plan = _formatted_plan(spark, out)
+    assert "PartitionFilters:" in plan
+    assert "(day" in plan and "= 2)" in plan
+    assert "IN (1,2,3)" in plan
+    assert "GreaterThanOrEqual(time" in plan and "LessThanOrEqual(time" in plan
+    # correctness: equals the exact predicate applied to the raw table
+    events = table(spark, SF_SMALL, "events").withColumnRenamed("ts", "time")
+    expected = events.filter(
+        "time BETWEEN '2024-01-02 01:30:00' AND '2024-01-02 03:10:00'"
+    )
+    assert out.count() == expected.count()
+    got_ids = {r.event_id for r in out.select("event_id").collect()}
+    want_ids = {r.event_id for r in expected.select("event_id").collect()}
+    assert got_ids == want_ids
+
+
+def test_execute_with_projection(spark, store):
+    sql = (
+        "SELECT event_type, COUNT(*) AS n FROM s3_fresco WHERE time BETWEEN "
+        "'2024-01-02 00:00:00' AND '2024-01-02 23:59:59' GROUP BY event_type"
+    )
+    out = execute(spark, sql, store)
+    assert set(out.columns) == {"event_type", "n"}
+    assert out.count() > 0
