@@ -1,0 +1,113 @@
+"""Structured Streaming replacement for the reference's file watcher
+(SURVEY.md §2.9 ST1-ST3).
+
+The reference watches a directory with watchdog: ``on_created`` → 10 s
+wait → size-stability check → run the batch pipeline on the new file,
+with 3 retries (reference data-pipeline/.../watchers/file_watcher.py:39-113;
+watch mode wiring run_pipeline.py:141-167). Spark-first restatement:
+
+  * file discovery/stability → the Structured Streaming file source
+    (exactly-once file tracking via the checkpoint; no sleep heuristics)
+  * ``file_patterns`` substring filter (file_watcher.py:61-67) →
+    ``pathGlobFilter`` (ST2)
+  * per-file processing → ``maxFilesPerTrigger=1`` + ``foreachBatch``
+    reusing the *batch* transformers unchanged — the reference transforms
+    each file independently, so per-file micro-batches reproduce its
+    window/lag semantics exactly (lag state never crosses files there
+    either)
+  * retries → Spark task retries; graceful stop (ST3) →
+    ``query.stop()`` / ``awaitTermination``
+
+Also provides the incremental form of the hourly aggregation (A2):
+watermark + 1-hour tumbling window, which the reference computes only as
+a batch ``date_trunc`` (SURVEY.md §2.9 closing note).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_csv_directory(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    pattern: str = "*.csv",
+    max_files_per_trigger: int = 1,
+    header: bool = True,
+) -> DataFrame:
+    """ST1+ST2: streaming CSV source over a watched directory."""
+    return (
+        spark.readStream.schema(schema)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("pathGlobFilter", pattern)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(input_dir)
+    )
+
+
+def start_etl_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    transformer: Callable[[DataFrame], DataFrame],
+    output_dir: str,
+    checkpoint_dir: str,
+    pattern: str = "*.csv",
+    max_files_per_trigger: int = 1,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The watch-mode pipeline: new file → batch transformer → parquet
+    append. ``available_now=True`` drains the backlog and stops (used by
+    tests and backfills); omit it for a long-running watcher."""
+    stream = stream_csv_directory(
+        spark, input_dir, schema, pattern=pattern,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        out = transformer(batch_df)
+        (
+            out.write.mode("append")
+            .option("compression", "snappy")
+            .parquet(output_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_hourly_agg(
+    stream_df: DataFrame,
+    value_col: str,
+    time_col: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental A2: watermarked 1-hour tumbling window with
+    AVG/MIN/MAX/COUNT — the streaming equivalent of the reference's
+    ``date_trunc('hour') → AVG/MIN/MAX/COUNT`` view
+    (web/src/components/charts/DatabaseQueries.ts:119-143). Late rows
+    beyond the watermark are dropped; state is bounded, so this runs
+    indefinitely at any scale."""
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, "1 hour").alias("w"))
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.count(value_col).alias("count_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "avg_value", "min_value", "max_value", "count_value")
+    )

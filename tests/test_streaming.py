@@ -1,0 +1,112 @@
+"""Structured Streaming watcher (SURVEY.md §2.9 ST1-ST3).
+
+Equivalence contract: the streaming path (file source → foreachBatch →
+batch transformer → parquet append) must produce exactly the rows the
+batch pipeline produces on the same files, because the reference's
+watcher feeds each new file through the identical batch code path
+(file_watcher.py:39-113 → pipeline.process_file).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fresco_hpc_spark.etl.synthetic_raw import raw_block_from_events
+from fresco_hpc_spark.etl.transformers import block_io_rates
+from fresco_hpc_spark.schema import RAW_BLOCK_SCHEMA
+from fresco_hpc_spark.sources import read_csv_tolerant, table
+from fresco_hpc_spark.streaming import start_etl_stream, streaming_hourly_agg
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def raw_csv_dir(spark, tmp_path_factory):
+    """Three raw block CSVs (plus one decoy .txt that the glob must skip)."""
+    base = tmp_path_factory.mktemp("raw_csvs")
+    events = table(spark, SF_SMALL, "events")
+    raw = raw_block_from_events(events).toPandas()
+    for i, part in enumerate(
+        (raw.iloc[:300], raw.iloc[300:600], raw.iloc[600:])
+    ):
+        part.to_csv(base / f"block_{i}.csv", index=False)
+    (base / "ignore_me.txt").write_text("jobID,node\nx,y\n")
+    return str(base)
+
+
+def test_stream_matches_batch(spark, raw_csv_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    q = start_etl_stream(
+        spark,
+        raw_csv_dir,
+        RAW_BLOCK_SCHEMA,
+        block_io_rates,
+        output_dir=out_dir,
+        checkpoint_dir=cp_dir,
+        pattern="*.csv",
+        max_files_per_trigger=1,  # reference: one file per watch event
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    streamed = spark.read.parquet(out_dir)
+    # The oracle is the reference's semantics: each file transformed
+    # INDEPENDENTLY (lag state never crosses files), then concatenated.
+    import glob
+
+    batch = None
+    for f in sorted(glob.glob(raw_csv_dir + "/*.csv")):
+        part = block_io_rates(read_csv_tolerant(spark, f, schema=RAW_BLOCK_SCHEMA))
+        batch = part if batch is None else batch.unionByName(part)
+    assert streamed.count() == batch.count()
+    # full-row equivalence, order-insensitive
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_pattern_filter_skips_non_matching(spark, raw_csv_dir, tmp_path):
+    out_dir = str(tmp_path / "out2")
+    cp_dir = str(tmp_path / "cp2")
+    q = start_etl_stream(
+        spark, raw_csv_dir, RAW_BLOCK_SCHEMA, lambda df: df,
+        output_dir=out_dir, checkpoint_dir=cp_dir,
+        pattern="block_0*.csv", max_files_per_trigger=10, available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 300  # only the first file's rows
+
+
+def test_streaming_hourly_agg_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    events_pq = str(tmp_path / "events_pq")
+    events = table(spark, SF_SMALL, "events").select(
+        F.col("ts").alias("time"), "value"
+    )
+    events.write.parquet(events_pq)
+
+    stream = spark.readStream.schema(events.schema).parquet(events_pq)
+    agg = streaming_hourly_agg(stream, "value")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("hourly_stream")
+    want = (
+        events.groupBy(F.date_trunc("hour", "time").alias("bucket"))
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count("value").alias("count_value"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
