@@ -129,10 +129,10 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: min over shingles of
-    (aᵢ·h(shingle) + bᵢ) mod p for each of ``num_hashes`` permutations.
-    One explode + one groupBy with k min-aggregates — fully map-side
-    combinable."""
+    """MinHash signature per document as one ``array<bigint>`` column
+    ``sig``: min over shingles of (aᵢ·h(shingle) + bᵢ) mod p for each of
+    ``num_hashes`` permutations. One explode + one groupBy with k
+    min-aggregates — fully map-side combinable."""
     toks = _tokens(df, text_col, id_col, n=shingle_n)
     # base hash reduced mod p so a·h stays within 63 bits (ANSI-safe)
     h = F.pmod(F.xxhash64("token"), F.lit(_P))
@@ -140,7 +140,10 @@ def minhash_signatures(
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes))
     ]
-    return toks.groupBy(F.col("doc")).agg(*aggs)
+    wide = toks.groupBy(F.col("doc")).agg(*aggs)
+    return wide.select(
+        "doc", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_dup_pairs(
@@ -157,51 +160,48 @@ def minhash_dup_pairs(
     Bands of r = num_hashes/bands rows; a pair becomes a candidate when any
     band signature matches; the estimate is the fraction of agreeing
     minhashes over the full signature.
+
+    Plan shape (scale rationale): banding is ONE ``posexplode`` pass over
+    the signature relation (not a bands-way union), and the full signature
+    array travels through the band join so the Jaccard estimate is computed
+    in-join — no distinct + two back-joins. Cost: the candidate shuffle
+    carries 8·num_hashes bytes per (doc, band) row; in exchange the whole
+    pipeline is two shuffles (band join, pair dedup) after the signature
+    aggregation. For corpora where the signature payload dominates the
+    shuffle, the alternative (shuffle band keys only, re-join signatures)
+    trades bandwidth for two extra shuffles.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
 
-    band_rows = []
-    for band in range(bands):
-        cols = [F.col(f"mh_{band * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                "doc",
-                F.lit(band).alias("band"),
-                F.xxhash64(*cols).alias("band_sig"),
-            )
-        )
-    banded = band_rows[0]
-    for other in band_rows[1:]:
-        banded = banded.unionByName(other)
+    band_sigs = F.array(
+        *[F.xxhash64(F.slice("sig", band * r + 1, r)) for band in range(bands)]
+    )
+    banded = sig.select(
+        "doc", "sig", F.posexplode(band_sigs).alias("band", "band_sig")
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
+    agree = F.aggregate(
+        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    agree = sum(
-        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    return (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
             F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
@@ -244,34 +244,35 @@ def simhash_dup_pairs(
     """Near-duplicate pairs by SimHash: candidates share at least one of the
     four 16-bit chunks (pigeonhole: any pair within Hamming distance 3 must
     agree on a full chunk), then exact Hamming distance filters."""
-    sig = simhash_signatures(df, text_col, id_col).cache()
-    banded = None
-    for c in range(4):
-        part = sig.select(
-            "doc", F.lit(c).alias("band"), F.col(f"chunk_{c}").alias("band_val")
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # Single posexplode pass for banding; the 4 chunks (32 bytes) travel
+    # through the band join so Hamming distance is computed in-join —
+    # two shuffles total instead of union + distinct + two back-joins.
+    sig = simhash_signatures(df, text_col, id_col)
+    chunks = F.array(*[F.col(f"chunk_{c}") for c in range(4)])
+    banded = sig.select(
+        "doc", chunks.alias("chunks"), F.posexplode(chunks).alias("band", "band_val")
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
+    hamming = sum(
+        F.bit_count(
+            F.col("a.chunks").getItem(c).bitwiseXOR(F.col("b.chunks").getItem(c))
+        )
+        for c in range(4)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    hamming = sum(
-        F.bit_count(F.col(f"sa.chunk_{c}").bitwiseXOR(F.col(f"sb.chunk_{c}")))
-        for c in range(4)
-    )
-    return (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
