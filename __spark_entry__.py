@@ -30,15 +30,25 @@ from fresco_hpc_spark.etl.synthetic_raw import (
 )
 from fresco_hpc_spark.functions import (
     brute_force_knn,
+    decode_image_features,
+    embedding_near_dup_pairs,
     exact_dedup,
     language_id,
     lsh_ann_topk,
     minhash_dup_pairs,
     ngram_jaccard_pairs,
+    rolling_fingerprint,
+    sample_frames,
     simhash_dup_pairs,
+    synthetic_media,
     text_stats,
+    token_counts,
 )
-from fresco_hpc_spark.sources import table
+from fresco_hpc_spark.sources import (
+    SYNTHETIC_ORACLE_SQL_TEMPLATE,
+    synthetic_job_data,
+    table,
+)
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -214,6 +224,99 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(table(spark, sf_dir, "documents"))
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_fingerprint(table(spark, sf_dir, "documents"))
+
+
+def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ scaled copies (vec_id%10==0, +1e5 ids, ×0.5 — cosine
+    exactly 1.0). Natural pairwise cosine tops out far below the 0.999
+    threshold, so the injected copies are the full expected answer."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    return emb.unionByName(copies)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _embeddings_with_dups(spark, sf_dir), threshold=0.999, num_planes=8
+    )
+
+
+def q_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        ops.duration_seconds(agg, "first_ts", "last_ts")
+        .select("user_id", "first_ts", "last_ts", "n_events", "duration_seconds")
+        .orderBy("user_id")
+    )
+
+
+def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S13 grouping semantics: month key + quarter (generate_archives.py:79-98)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.quarter("ts").cast("bigint").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_cast_double_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P6: the bigint→double histogram-source view, exactly as the chart
+    # layer materializes it (single derived column + NOT NULL guard)
+    return ops.cast_double_view(table(spark, sf_dir, "events"), "user_id")
+
+
+def q_scaled_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P7: ×1e6 tiny-value view (IEEE multiply — deterministic, no rounding)
+    return ops.scaled_view(table(spark, sf_dir, "events"), "value")
+
+
+def q_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P8: schema healing — missing metric column added as 0.0
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    return ops.zero_fill_missing(ev, ["value_gpu"])
+
+
+def q_synthetic_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthetic_job_data(spark, 1000)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal plumbing: binary payload → mapInPandas feature extraction.
+    # Decode kernel is a deterministic stub (codecs absent); no SQL oracle —
+    # rows-only check. Features drop into embedding ops (knn/near-dup) as-is.
+    media = synthetic_media(spark, 200, modality="image")
+    return decode_image_features(media, dim=8).orderBy("media_id")
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame-sampling fan-out over binary video payloads (rows-only check).
+    video = synthetic_media(spark, 100, modality="video")
+    return sample_frames(video, frame_bytes=32, every_n=2).orderBy(
+        "media_id", "frame_index"
+    )
+
+
 def queries() -> dict[str, Query]:
     return {
         "hourly_agg": q_hourly_agg,
@@ -241,10 +344,25 @@ def queries() -> dict[str, Query]:
         "simhash_dup_pairs": q_simhash_dups,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann,
+        "token_counts": q_token_counts,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "embedding_near_dups": q_embedding_near_dups,
+        "session_duration": q_session_duration,
+        "monthly_rollup": q_monthly_rollup,
+        "cast_double_view": q_cast_double_view,
+        "scaled_view": q_scaled_view,
+        "zero_fill": q_zero_fill,
+        "synthetic_gen": q_synthetic_gen,
+        "media_features": q_media_features,
+        "video_frames": q_video_frames,
     }
 
 
 # --- DuckDB oracles --------------------------------------------------------
+
+_SYNTHETIC_GEN_SQL = SYNTHETIC_ORACLE_SQL_TEMPLATE.format(
+    start="2024-01-01 00:00:00", window_seconds=30 * 86400, n=1000
+)
 
 # Shared fragments for the ETL-oracle derivations (mirror of
 # fresco_hpc_spark/etl/synthetic_raw.py in DuckDB SQL).
@@ -718,4 +836,75 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine_sim DESC, vec_id ASC
             LIMIT 10
         """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+        "rolling_fingerprint": """
+            WITH words AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), vals AS (
+                SELECT doc_id, text,
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(w, x ->
+                               CAST(ascii(x[1:1]) AS BIGINT) * 256 + length(x))) AS v
+                FROM words
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE list_reduce(v, (acc, x) ->
+                             (acc * 1000003 + x) % 2147483647)
+                        END AS BIGINT) AS fingerprint
+            FROM vals
+        """,
+        "embedding_near_dups": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+                FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+                FROM base a JOIN base b ON a.vec_id < b.vec_id
+            ) WHERE cosine_sim >= 0.999
+            ORDER BY id_a, id_b
+        """,
+        "session_duration": """
+            SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                   COUNT(*) AS n_events,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                       - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "monthly_rollup": """
+            SELECT strftime(ts, '%Y-%m') AS month,
+                   CAST(quarter(ts) AS BIGINT) AS q,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY month
+        """,
+        "cast_double_view": """
+            SELECT CAST(user_id AS DOUBLE) AS user_id_double
+            FROM events WHERE user_id IS NOT NULL
+        """,
+        "scaled_view": """
+            SELECT value * 1000000 AS value_scaled
+            FROM events WHERE value IS NOT NULL
+        """,
+        "zero_fill": """
+            SELECT event_id, value, 0.0 AS value_gpu FROM events
+        """,
+        "synthetic_gen": _SYNTHETIC_GEN_SQL,
     }

@@ -1,8 +1,10 @@
 from fresco_hpc_spark.functions.text import (  # noqa: F401
     document_fingerprint,
     language_id,
+    rolling_fingerprint,
     text_stats,
     token_count,
+    token_counts,
 )
 from fresco_hpc_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
@@ -10,8 +12,15 @@ from fresco_hpc_spark.functions.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_dup_pairs,
 )
+from fresco_hpc_spark.functions.multimodal import (  # noqa: F401
+    decode_image_features,
+    resize_images,
+    sample_frames,
+    synthetic_media,
+)
 from fresco_hpc_spark.functions.vectors import (  # noqa: F401
     brute_force_knn,
     cosine_similarity_col,
+    embedding_near_dup_pairs,
     lsh_ann_topk,
 )

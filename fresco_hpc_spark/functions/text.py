@@ -90,6 +90,50 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return scored.withColumn("predicted_lang", pred)
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+# symbols — the usual byte-pair-encoding pre-split shape.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_FP_MULT = 1_000_003
+_FP_MOD = 2_147_483_647
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting both ways: whitespace tokens and BPE-ish regex
+    tokens. Pure Catalyst expressions — counts stream through codegen."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over words.
+
+    Each word contributes ``ascii(first_char)*256 + length(word)``; the
+    hash folds left with ``acc = (acc*1000003 + v) mod (2^31-1)``. The
+    running value stays < 2^31, so the bigint product never overflows —
+    safe under ANSI mode and identical arithmetic in any engine.
+    Order-sensitive (unlike the md5 fingerprint): permuted documents get
+    different fingerprints, matching rolling-hash fingerprinting
+    semantics."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    vals = F.transform(
+        words, lambda w: F.ascii(F.substring(w, 1, 1)).cast("bigint") * 256 + F.length(w)
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * F.lit(_FP_MULT) + x) % F.lit(_FP_MOD),
+    )
+    fp = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(fp)
+    return df.select(F.col(id_col), fp.cast("bigint").alias("fingerprint"))
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

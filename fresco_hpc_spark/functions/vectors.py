@@ -88,6 +88,51 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
+    exact cosine within buckets.
+
+    Scale path: candidate generation is an equi-join on the hyperplane
+    sign bucket (one shuffle, no O(n²) cross join); only same-bucket
+    pairs pay the exact cosine. Identical/near-identical vectors always
+    share a bucket, so recall at threshold→1 is 1; for looser thresholds
+    ``num_planes`` is the recall/cost knob (fewer planes → bigger
+    buckets → higher recall, more comparisons).
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    planes = _plane_constants(num_planes, dim)
+    bucketed = embeddings.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = F.round(
+        cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), _ROUND
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -4,6 +4,7 @@ from fresco_hpc_spark.operators.stats import (  # noqa: F401
     time_extent,
 )
 from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
+    duration_seconds,
     hourly_agg,
     profile_agg,
     time_bound,
