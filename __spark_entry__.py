@@ -297,6 +297,33 @@ def q_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.zero_fill_missing(ev, ["value_gpu"])
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Long→wide pivot (§1.1): explicit pivot values, avg cell aggregate
+    ev = table(spark, sf_dir, "events")
+    out = ops.pivot_long_to_wide(
+        ev, ["user_id"], event_col="event_type", value_col="value",
+        events=_EVENT_TYPES, agg="avg",
+    )
+    return out.select(
+        "user_id", *[F.round(F.col(c), 6).alias(c) for c in _EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide→long stack (U1 generalized): no shuffle, row fan-out only
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("value_metric"),
+        F.col("user_id").cast("double").alias("user_metric"),
+    )
+    return ops.unpivot_wide_to_long(
+        ev, ["event_id"], ["value_metric", "user_metric"]
+    ).orderBy("event_id", "Event")
+
+
 def q_synthetic_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthetic_job_data(spark, 1000)
 
@@ -352,6 +379,8 @@ def queries() -> dict[str, Query]:
         "cast_double_view": q_cast_double_view,
         "scaled_view": q_scaled_view,
         "zero_fill": q_zero_fill,
+        "pivot_wide": q_pivot_wide,
+        "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
@@ -905,6 +934,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zero_fill": """
             SELECT event_id, value, 0.0 AS value_gpu FROM events
+        """,
+        "pivot_wide": """
+            SELECT user_id,
+                   ROUND(AVG(value) FILTER (event_type = 'click'), 6) AS click,
+                   ROUND(AVG(value) FILTER (event_type = 'error'), 6) AS error,
+                   ROUND(AVG(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+                   ROUND(AVG(value) FILTER (event_type = 'signup'), 6) AS signup,
+                   ROUND(AVG(value) FILTER (event_type = 'view'), 6) AS view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "unpivot_long": """
+            SELECT event_id, 'value_metric' AS Event, value AS Value
+            FROM events
+            UNION ALL
+            SELECT event_id, 'user_metric', CAST(user_id AS DOUBLE)
+            FROM events
+            ORDER BY event_id, Event
         """,
         "synthetic_gen": _SYNTHETIC_GEN_SQL,
     }

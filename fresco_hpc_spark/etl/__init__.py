@@ -5,6 +5,9 @@ from fresco_hpc_spark.etl.transformers import (  # noqa: F401
     nfs_rates,
     transformer_for_filename,
 )
+from fresco_hpc_spark.etl.pipeline import (  # noqa: F401
+    run_batch_pipeline,
+)
 from fresco_hpc_spark.etl.generic import (  # noqa: F401
     CompositeTransformer,
     add_unit_column,

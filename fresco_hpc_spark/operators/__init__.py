@@ -24,6 +24,10 @@ from fresco_hpc_spark.operators.histogram import (  # noqa: F401
     histogram_bin_index,
     histogram_range_join,
 )
+from fresco_hpc_spark.operators.pivot import (  # noqa: F401
+    pivot_long_to_wide,
+    unpivot_wide_to_long,
+)
 from fresco_hpc_spark.operators.projections import (  # noqa: F401
     cast_double_view,
     scaled_view,

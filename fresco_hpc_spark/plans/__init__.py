@@ -1,3 +1,6 @@
+from fresco_hpc_spark.plans.cache import (  # noqa: F401
+    QueryCache,
+)
 from fresco_hpc_spark.plans.planner import (  # noqa: F401
     MissingTimeRangeError,
     QueryPlan,

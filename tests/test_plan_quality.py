@@ -1,0 +1,108 @@
+"""Physical-plan assertions — the 100 TB design contract (SURVEY.md §7.4
+trap 10, BASELINE.json north star).
+
+These tests pin the *plan shape*, not results: filters reach the parquet
+scan, projections prune the read schema, 1-row stats frames broadcast
+(never shuffle-join), LSH candidate joins stay equi (never cartesian),
+and no Python evaluation appears in any SQL-expressible operator path.
+A regression that keeps results correct but silently de-optimizes the
+plan fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_time_bound_scan_is_pruned(spark):
+    # The testdata's ts is parquet TIMESTAMP(NANOS) read as int64 and
+    # converted with timestamp_micros(ts div 1000); the BETWEEN applies to
+    # that derived (monotonic) expression, which Catalyst will not push
+    # through the projection — so no PushedFilters on ts HERE. On proper
+    # TimestampType data the same operator pushes fully:
+    # test_planner.py::test_execute_prunes_and_matches_direct_filter
+    # asserts both PartitionFilters and time PushedFilters on the store.
+    plan = plan_of(spark, "time_bound_hourly")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "event_type" not in read and "props" not in read  # pruned read
+    assert "Filter" in plan  # exact predicate applied above the scan
+
+
+def test_hourly_agg_prunes_read_schema_and_partial_aggregates(spark):
+    plan = plan_of(spark, "hourly_agg")
+    # only the two needed columns reach the scan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "ts" in read and "value" in read
+    assert "event_type" not in read and "props" not in read
+    # map-side combine before the exchange
+    assert "partial_avg" in plan or "Partial" in plan
+
+
+def test_percentile_trim_broadcasts_bounds(spark):
+    plan = plan_of(spark, "percentile_trimmed_hourly")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_iqr_trim_broadcasts_bounds(spark):
+    plan = plan_of(spark, "iqr_trim_agg")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_bin_index_broadcasts_stats(spark):
+    plan = plan_of(spark, "histogram_bin_index")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_join_is_equi_not_cartesian(spark):
+    plan = plan_of(spark, "minhash_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_simhash_join_is_equi_not_cartesian(spark):
+    plan = plan_of(spark, "simhash_dup_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_dups_join_is_equi(spark):
+    plan = plan_of(spark, "embedding_near_dups")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hourly_agg", "percentile_trimmed_hourly", "topn_others",
+        "histogram_bin_index", "etl_block_rates", "etl_cpu_percent",
+        "text_stats", "lang_id", "exact_dedup", "minhash_dup_pairs",
+        "token_counts", "rolling_fingerprint", "embedding_knn",
+    ],
+)
+def test_no_python_eval_in_sql_paths(spark, name):
+    # Every SQL-expressible operator stays JVM-side (SURVEY.md §2.10:
+    # zero UDFs needed). Python evaluation nodes mean a 10-100x hot-path
+    # regression at scale.
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_topn_others_window_input_is_preaggregated(spark):
+    # The global row_number window is fed by the tiny category-count
+    # aggregate, not raw rows: the Window must appear above a HashAggregate.
+    plan = plan_of(spark, "topn_others")
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:]
