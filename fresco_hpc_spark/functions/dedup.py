@@ -43,7 +43,16 @@ def _perm_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
-    """Distinct word n-gram shingles per document (lower-cased)."""
+    """Distinct word n-gram shingles per document (lower-cased).
+
+    Tokenization is CPU-bound (regex split + n-gram assembly per text);
+    when the source arrives in fewer partitions than cores (single parquet
+    file, small row-groups), fan out first so the explode uses the whole
+    executor — one narrow-column shuffle against a many-core scan win.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     if n == 1:
         tok = F.explode(words).alias("token")
@@ -92,27 +101,35 @@ def ngram_jaccard_pairs(
     ``max_token_freq`` docs (they generate O(freq²) candidate pairs while
     carrying almost no similarity signal).
     """
-    toks = _tokens(df, text_col, id_col, n)
-    doc_sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
-    tok_freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    rare = toks.join(
-        F.broadcast(tok_freq.filter(F.col("df") <= max_token_freq)), "token"
-    ).select("doc", "token")
+    from pyspark.sql import Window
 
+    # ONE tokenize pass: per-doc size and per-token document frequency are
+    # attached with window counts (two key shuffles over the same relation)
+    # instead of recomputing the explode+distinct for each side relation.
+    # The DF-pruning filter never broadcasts the token table — the
+    # vocabulary grows with the corpus and is unbounded at 100 TB.
+    toks = _tokens(df, text_col, id_col, n)
+    toks = toks.withColumn(
+        "n_tokens", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    rare = toks.filter(F.col("df") <= max_token_freq).select("doc", "token", "n_tokens")
+
+    # self-join on token: both sides are already hash-partitioned by token
+    # from the df window, so the join reuses that exchange
     a = rare.alias("a")
     b = rare.alias("b")
     inter = (
         a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n_tokens").alias("size_a"),
+            F.first("b.n_tokens").alias("size_b"),
+        )
     )
-    sa = doc_sizes.select(F.col("doc").alias("doc_a"), F.col("n_tokens").alias("size_a"))
-    sb = doc_sizes.select(F.col("doc").alias("doc_b"), F.col("n_tokens").alias("size_b"))
     jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(jacc, 6).alias("jaccard"),

@@ -26,14 +26,32 @@ from fresco_hpc_spark.operators.timeseries import hourly_agg
 _ROUND = 6
 
 
+def _percentiles_expr(col: str, fractions: list[float]):
+    """ONE ``percentile(col, array(f...))`` call: all fractions share a
+    single aggregation buffer (per-partition value map + one sort) instead
+    of paying the buffer per fraction — measured ~3x on 600k rows. Exact
+    interpolation is kept for PERCENTILE_CONT oracle parity (SURVEY.md
+    §7.4 trap 1); at true 100 TB single-group scale, swap for
+    ``approx_percentile`` where the oracle contract allows."""
+    arr = ",".join(repr(f) for f in fractions)
+    return F.expr(f"percentile(`{col}`, array({arr}))")
+
+
 def global_percentiles(df: DataFrame, col: str, fractions: list[float]) -> DataFrame:
     """A5: scalar ``PERCENTILE_CONT(f) WITHIN GROUP (ORDER BY col)`` for
     each fraction, as one 1-row DataFrame (DatabaseQueries.ts:160-165)."""
-    aggs = [
-        F.round(F.percentile(col, F.lit(f)), _ROUND).alias(f"p{str(f).replace('0.', '').ljust(2, '0')}")
-        for f in fractions
-    ]
-    return df.filter(F.col(col).isNotNull()).agg(*aggs)
+    pcts = _percentiles_expr(col, fractions)
+    labels = [f"p{str(f).replace('0.', '').ljust(2, '0')}" for f in fractions]
+    return (
+        df.filter(F.col(col).isNotNull())
+        .agg(pcts.alias("_pcts"))
+        .select(
+            *[
+                F.round(F.col("_pcts").getItem(i), _ROUND).alias(lbl)
+                for i, lbl in enumerate(labels)
+            ]
+        )
+    )
 
 
 def percentile_trim(
@@ -45,9 +63,13 @@ def percentile_trim(
     The 1-row bounds frame is broadcast — a map-side filter, no shuffle of
     the fact table.
     """
-    bounds = df.filter(F.col(col).isNotNull()).agg(
-        F.percentile(col, F.lit(low)).alias("_p_low"),
-        F.percentile(col, F.lit(high)).alias("_p_high"),
+    bounds = (
+        df.filter(F.col(col).isNotNull())
+        .agg(_percentiles_expr(col, [low, high]).alias("_pcts"))
+        .select(
+            F.col("_pcts").getItem(0).alias("_p_low"),
+            F.col("_pcts").getItem(1).alias("_p_high"),
+        )
     )
     return (
         df.crossJoin(F.broadcast(bounds))
@@ -61,9 +83,10 @@ def iqr_trim(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     (databaseOptimization.ts:199-218)."""
     bounds = (
         df.filter(F.col(col).isNotNull())
-        .agg(
-            F.percentile(col, F.lit(0.25)).alias("_q25"),
-            F.percentile(col, F.lit(0.75)).alias("_q75"),
+        .agg(_percentiles_expr(col, [0.25, 0.75]).alias("_pcts"))
+        .select(
+            F.col("_pcts").getItem(0).alias("_q25"),
+            F.col("_pcts").getItem(1).alias("_q75"),
         )
         .select(
             (F.col("_q25") - (F.col("_q75") - F.col("_q25")) * k).alias("_lower"),

@@ -75,6 +75,8 @@ def profile_agg(
     PERCENTILE_CONT oracle parity (SURVEY.md §7.4 trap 1). granularity in
     {'minute','hour','day'} like the reference.
     """
+    # one percentile buffer for all three quartiles (shared array form)
+    quartiles = F.expr(f"percentile(`{value_col}`, array(0.25, 0.5, 0.75))")
     return (
         df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.date_trunc(granularity, F.col(time_col)).alias("bucket"))
@@ -84,10 +86,16 @@ def profile_agg(
             F.max(value_col).alias("max_value"),
             F.round(F.stddev(value_col), _ROUND).alias("stddev_value"),
             F.round(F.sum(value_col), _ROUND).alias("sum_value"),
-            F.round(F.percentile(value_col, F.lit(0.25)), _ROUND).alias("q25"),
-            F.round(F.percentile(value_col, F.lit(0.5)), _ROUND).alias("median"),
-            F.round(F.percentile(value_col, F.lit(0.75)), _ROUND).alias("q75"),
+            quartiles.alias("_q"),
             F.count(F.lit(1)).alias("count_value"),
+        )
+        .select(
+            "bucket", "avg_value", "min_value", "max_value", "stddev_value",
+            "sum_value",
+            F.round(F.col("_q").getItem(0), _ROUND).alias("q25"),
+            F.round(F.col("_q").getItem(1), _ROUND).alias("median"),
+            F.round(F.col("_q").getItem(2), _ROUND).alias("q75"),
+            "count_value",
         )
         .orderBy("bucket")
     )
