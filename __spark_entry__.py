@@ -31,6 +31,8 @@ from fresco_hpc_spark.etl.synthetic_raw import (
 from fresco_hpc_spark.functions import (
     brute_force_knn,
     decode_image_features,
+    dedup_corpus,
+    dup_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
     language_id,
@@ -250,6 +252,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_corpus(_docs_with_dups(spark, sf_dir)).orderBy("doc_id")
+
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The known duplicate-pair structure of _docs_with_dups: docs with
+    doc_id%70==0 belong to 3-node clusters {x, x+1e6, x+2e6} — exercises
+    transitive closure through the hub."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1000000).alias("doc_b")
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 2000000).alias("doc_b")
+    )
+    return exact.unionByName(near)
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_clusters(_dup_pairs(spark, sf_dir)).orderBy("doc")
+
+
 def q_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
@@ -371,6 +395,8 @@ def queries() -> dict[str, Query]:
         "simhash_dup_pairs": q_simhash_dups,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann,
+        "dedup_corpus": q_dedup_corpus,
+        "dup_clusters": q_dup_clusters,
         "token_counts": q_token_counts,
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_near_dups": q_embedding_near_dups,
@@ -864,6 +890,38 @@ def oracle_sql() -> dict[str, str]:
             FROM e, q
             ORDER BY cosine_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        "dedup_corpus": f"""
+            WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+            fp AS (
+                SELECT doc_id, text,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+                FROM docs
+            )
+            SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
+            FROM fp GROUP BY f ORDER BY doc_id
+        """,
+        "dup_clusters": """
+            WITH pairs AS (
+                SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, doc_id + 2000000
+                FROM documents WHERE doc_id % 7 = 0
+            ), adj AS (
+                SELECT doc_a AS doc, doc_b AS nbr FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), l1 AS (
+                -- round 1 of min-label propagation (initial label = id)
+                SELECT doc, LEAST(doc, MIN(nbr)) AS label FROM adj GROUP BY doc
+            )
+            -- round 2: exact for these diameter<=2 clusters
+            SELECT a.doc, LEAST(MIN(ld.label), MIN(ln.label)) AS cluster_id
+            FROM adj a
+            JOIN l1 ld ON ld.doc = a.doc
+            JOIN l1 ln ON ln.doc = a.nbr
+            GROUP BY a.doc ORDER BY a.doc
         """,
         "token_counts": """
             SELECT doc_id,

@@ -7,6 +7,8 @@ from fresco_hpc_spark.functions.text import (  # noqa: F401
     token_counts,
 )
 from fresco_hpc_spark.functions.dedup import (  # noqa: F401
+    dedup_corpus,
+    dup_clusters,
     exact_dedup,
     minhash_dup_pairs,
     ngram_jaccard_pairs,

@@ -223,6 +223,78 @@ def minhash_dup_pairs(
     )
 
 
+def dedup_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dedup filter: keep one canonical row (min id) per distinct
+    normalized content — the corpus-cleaning form of ``exact_dedup``.
+    One shuffle on the fingerprint; payload columns ride along via
+    min_by so no second join with the input is needed."""
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).cast("binary")
+    )
+    with_fp = df.withColumn("_fp", fp)
+    keep = [c for c in df.columns if c != id_col]
+    return (
+        with_fp.groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            *[F.min_by(c, F.col(id_col)).alias(c) for c in keep],
+        )
+        .select(id_col, *keep)
+    )
+
+
+def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list: assign every
+    doc the MIN doc id of its duplicate cluster.
+
+    Iterative min-label propagation (large-star/small-star style): each
+    round every node adopts the smallest label among itself and its
+    neighbors; converges in O(log(diameter)) rounds — near-dup clusters
+    are shallow (usually diameter ≤ 2), so 3-4 rounds close them. Each
+    round is one groupBy shuffle on ``doc``; iteration stops early when a
+    round changes nothing (a driver-side scalar check, not a collect of
+    data). The result is the canonical-id mapping a 100 TB dedup pipeline
+    joins back against the corpus.
+
+    ``pairs`` needs columns ``doc_a``/``doc_b``.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    # undirected adjacency incl. self-loops so isolated propagation works
+    adj = (
+        edges.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr")))
+    )
+    labels = adj.select("doc").distinct().withColumn("label", F.col("doc"))
+    for _ in range(max_iterations):
+        # candidate label per node: min over neighbors' labels and its own
+        nbr_labels = (
+            adj.join(labels.withColumnRenamed("doc", "nbr"), "nbr")
+            .groupBy("doc")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_labels, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc"), F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

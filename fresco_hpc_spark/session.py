@@ -64,3 +64,31 @@ def get_spark(
     for k, v in confs.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# --- catalog probes (SURVEY.md §2.8 "catalog") ------------------------------
+# The reference probes sqlite_master / information_schema.tables and
+# PRAGMA table_info before composing views (web/src/util/client.ts:58-61;
+# web/src/pages/data_analysis.tsx:282-301; databaseOptimization.ts:110-112).
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """``information_schema.tables`` existence probe → catalog lookup."""
+    return spark.catalog.tableExists(name)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """``SHOW TABLES`` equivalent over the current catalog/temp views."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def table_info(spark: SparkSession, name: str) -> list[tuple[str, str]]:
+    """``PRAGMA table_info`` equivalent: (column, type) pairs in order."""
+    return [(f.name, f.dataType.simpleString()) for f in spark.table(name).schema]
+
+
+def analyze_table(spark: SparkSession, name: str) -> None:
+    """``ANALYZE {table}`` (databaseOptimization.ts:102-123): compute
+    statistics that feed Spark's CBO/AQE. Temp views can't hold catalog
+    stats; persistent tables get full column stats."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")

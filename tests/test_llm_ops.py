@@ -94,3 +94,27 @@ def test_text_stats_empty_doc(spark):
     df = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
     r = text_stats(df).collect()[0]
     assert r.n_words == 0 and r.n_chars == 0 and r.quality_score is not None
+
+
+def test_dup_clusters_transitive_chain(spark):
+    # chain 1-2-3-4-5 has diameter 4: closing it requires real iteration,
+    # not a fixed two-round propagation
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    from fresco_hpc_spark.functions import dup_clusters
+
+    got = {r.doc: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_corpus_keeps_canonical(spark, docs_with_dups):
+    from fresco_hpc_spark.functions import dedup_corpus
+
+    total = docs_with_dups.count()
+    deduped = dedup_corpus(docs_with_dups)
+    n_exact_copies = docs_with_dups.filter("doc_id >= 1000000 AND doc_id < 2000000").count()
+    assert deduped.count() == total - n_exact_copies
+    # every surviving id is the min of its content group → none of the
+    # +1e6 exact-copy ids survive
+    assert deduped.filter("doc_id >= 1000000 AND doc_id < 2000000").count() == 0
