@@ -95,6 +95,12 @@ def q_profile_agg_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.profile_agg(table(spark, sf_dir, "events"), "value", granularity="day", time_col="ts")
 
 
+def q_profile_agg_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4's finest granularity (databaseOptimization.ts:150-156 offers
+    # minute/hour/day) — day is covered by profile_agg_day
+    return ops.profile_agg(table(spark, sf_dir, "events"), "value", granularity="minute", time_col="ts")
+
+
 def q_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.global_percentiles(table(spark, sf_dir, "lineitem"), "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
 
@@ -376,6 +382,7 @@ def queries() -> dict[str, Query]:
         "availability": q_availability,
         "time_extent": q_time_extent,
         "profile_agg_day": q_profile_agg_day,
+        "profile_agg_minute": q_profile_agg_minute,
         "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
@@ -484,6 +491,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "profile_agg_day": """
             SELECT date_trunc('day', ts) AS bucket,
+                   ROUND(AVG(value), 6) AS avg_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value,
+                   ROUND(STDDEV(value), 6) AS stddev_value,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value), 6) AS q25,
+                   ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 6) AS median,
+                   ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY value), 6) AS q75,
+                   COUNT(*) AS count_value
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "profile_agg_minute": """
+            SELECT date_trunc('minute', ts) AS bucket,
                    ROUND(AVG(value), 6) AS avg_value,
                    MIN(value) AS min_value,
                    MAX(value) AS max_value,

@@ -160,11 +160,18 @@ def plan_query(spark: SparkSession, sql: str, store_path: str) -> QueryPlan:
     )
 
 
+# Q8: the one special-cased query (lambda_handler.py:493-531 serves canned
+# timestamps for it) — here it is just a projection, no special path needed
+# beyond honoring the name.
+_TIME_ONLY_RE = re.compile(r"^\s*select\s+time\s+from\s+job_data\s*;?\s*$", re.IGNORECASE)
+
+
 def execute(
     spark: SparkSession,
     sql: str,
     store_path: str,
     table_name: str = "s3_fresco",
+    row_limit: int | None = None,
 ) -> DataFrame:
     """Run the user's SQL over the partitioned store.
 
@@ -176,6 +183,8 @@ def execute(
     partition-key predicate — after that the scan's PartitionFilters
     prune to exactly the hours ``plan_query`` lists.
     """
+    if _TIME_ONLY_RE.match(sql):
+        return read_partitioned_store(spark, store_path).select("time")
     start, end = extract_time_range(sql)  # enforce the contract up front
     hours = required_hours(start, end)
     # Partition predicate in a shape Catalyst's pruning recognizes
@@ -199,4 +208,7 @@ def execute(
         .drop("year", "month", "day", "hour")
     )
     pruned.createOrReplaceTempView(table_name)
-    return spark.sql(sql)
+    out = spark.sql(sql)
+    # O5: the rowLimit carried in the reference's API payload
+    # (client.ts:223-232, default 1e6) — LIMIT pushes into the plan
+    return out.limit(row_limit) if row_limit is not None else out

@@ -4,6 +4,10 @@ from fresco_hpc_spark.sources.readers import (  # noqa: F401
     read_parquet,
     table,
 )
+from fresco_hpc_spark.sources.discovery import (  # noqa: F401
+    discover_files,
+    discover_month_folders,
+)
 from fresco_hpc_spark.sources.synthetic import (  # noqa: F401
     SYNTHETIC_ORACLE_SQL_TEMPLATE,
     synthetic_job_data,

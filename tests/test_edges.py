@@ -1,0 +1,68 @@
+"""Edge probes: Q8/O5 planner parity, folder discovery (S5/S6), empty
+time windows, constant-column histograms (width 0)."""
+
+from __future__ import annotations
+
+from fresco_hpc_spark import operators as ops
+from fresco_hpc_spark.plans import execute, write_partitioned_store
+from fresco_hpc_spark.sources import discover_files, discover_month_folders, table
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_q8_time_only_special_case(spark, tmp_path):
+    store = str(tmp_path / "store")
+    events = table(spark, SF_SMALL, "events").limit(100).withColumnRenamed("ts", "time")
+    write_partitioned_store(events, store, time_col="time")
+    out = execute(spark, "SELECT TIME FROM JOB_DATA", store)
+    assert out.columns == ["time"]
+    assert out.count() == 100
+
+
+def test_row_limit_o5(spark, tmp_path):
+    store = str(tmp_path / "store2")
+    events = table(spark, SF_SMALL, "events").withColumnRenamed("ts", "time")
+    write_partitioned_store(events, store, time_col="time")
+    sql = ("SELECT * FROM s3_fresco WHERE time BETWEEN "
+           "'2024-01-01 00:00:00' AND '2024-01-31 00:00:00'")
+    assert execute(spark, sql, store, row_limit=7).count() == 7
+
+
+def test_discovery(spark, tmp_path):
+    for name in ("2024-01", "2024-02", "not-a-month", "2024-13x"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "block.csv").write_text("a,b\n1,2\n")
+        (d / "cpu.csv").write_text("a,b\n1,2\n")
+        (d / "readme.txt").write_text("x")
+    folders = discover_month_folders(spark, str(tmp_path))
+    assert [f.rsplit("/", 1)[-1] for f in folders] == ["2024-01", "2024-02"]
+    only_jan = discover_month_folders(spark, str(tmp_path), folder_pattern=r"-01$")
+    assert len(only_jan) == 1
+    files = discover_files(spark, folders, ["block", "cpu"])
+    assert len(files) == 4
+    assert all(f.endswith(".csv") for f in files)
+
+
+def test_empty_time_window(spark):
+    events = table(spark, SF_SMALL, "events")
+    empty = ops.time_bound(events, "2030-01-01", "2030-01-02", time_col="ts")
+    assert ops.hourly_agg(empty, "value", time_col="ts").count() == 0
+    assert ops.topn_others(empty, "event_type").count() == 0
+
+
+def test_constant_column_histogram_zero_width(spark):
+    df = table(spark, SF_SMALL, "events").withColumn("k", F.lit(5.0))
+    # width = (max-min)/bins = 0 → the NULLIF/zero-width guard must put
+    # every row in one bin, not divide by zero (A9 semantics,
+    # databaseOptimization.ts:222-264)
+    h = ops.histogram_bin_index(df, "k", bins=10).collect()
+    nonempty = [r for r in h if r["count"] > 0]
+    assert len(nonempty) == 1
+    assert nonempty[0]["count"] == 1000
+
+
+def test_percentile_trim_on_empty_input(spark):
+    events = table(spark, SF_SMALL, "events").filter(F.lit(False))
+    assert ops.percentile_trim(events, "value").count() == 0
