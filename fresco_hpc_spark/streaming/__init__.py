@@ -1,3 +1,6 @@
+from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
+    streaming_counter_rates,
+)
 from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
     start_etl_stream,
     stream_csv_directory,

@@ -1,0 +1,114 @@
+"""Custom stateful streaming operator: cross-batch counter→rate.
+
+The batch ETL computes rates from consecutive-sample deltas with a lag
+window (SURVEY.md §2.5 W2/W3). In the reference's watch mode each file is
+transformed independently, so the first sample of every file loses its
+delta (state resets at file boundaries). This operator is the *streaming-
+native* upgrade: ``applyInPandasWithState`` keeps the last (timestamp,
+counter) per group in Spark's state store, so deltas are computed across
+micro-batch boundaries exactly once — the semantics a continuous 100 TB
+telemetry feed actually wants.
+
+State size is O(groups) (one row each), checkpointed with the query;
+processing-time timeout is not used (groups never expire here; add
+``GroupStateTimeout.ProcessingTimeTimeout`` for TTL eviction if the group
+space is unbounded).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType(), False),
+        T.StructField("ts_seconds", T.LongType(), False),
+        T.StructField("rate", T.DoubleType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType(), True),
+        T.StructField("last_value", T.DoubleType(), True),
+    ]
+)
+
+MIN_TIME_DELTA = 0.1  # reference: rates need >=0.1 s between samples
+
+
+def _rate_fn(
+    key: tuple[str],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-group kernel: sort this batch's samples, prepend the carried
+    (ts, value) from state, emit a rate per adjacent pair, store the last
+    sample back. Negative deltas (counter reset) → rate 0.0, matching the
+    block/nfs transformers (SURVEY.md §7.4 trap 6)."""
+    rows = pd.concat(list(batches), ignore_index=True).sort_values("ts_seconds")
+    if state.exists:
+        last_ts, last_value = state.get
+    else:
+        last_ts, last_value = None, None
+
+    out_ts: list[int] = []
+    out_rate: list[float] = []
+    for ts, value in zip(rows["ts_seconds"], rows["value"]):
+        if last_ts is not None:
+            dt = float(ts - last_ts)
+            dv = float(value - last_value)
+            if dt >= MIN_TIME_DELTA:
+                out_ts.append(int(ts))
+                out_rate.append(dv / dt if dv >= 0 else 0.0)
+        last_ts, last_value = int(ts), float(value)
+    state.update((last_ts, last_value))
+    yield pd.DataFrame(
+        {"group_key": key[0], "ts_seconds": out_ts, "rate": out_rate}
+    )
+
+
+def streaming_counter_rates(
+    stream_df: DataFrame,
+    key_col: str = "group_key",
+    ts_col: str = "ts_seconds",
+    value_col: str = "value",
+) -> DataFrame:
+    """counter stream → per-group rates with state carried ACROSS
+    micro-batches. Input needs (key_col: string, ts_col: long epoch
+    seconds, value_col: double monotonic-ish counter)."""
+    renamed = stream_df.selectExpr(
+        f"CAST(`{key_col}` AS STRING) AS group_key",
+        f"CAST(`{ts_col}` AS LONG) AS ts_seconds",
+        f"CAST(`{value_col}` AS DOUBLE) AS value",
+    )
+    return renamed.groupBy("group_key").applyInPandasWithState(
+        _rate_fn,
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def expected_rates(samples: list[tuple[str, int, float]]) -> list[tuple[str, int, float]]:
+    """Reference kernel (pure Python) for tests: rates over the full,
+    boundary-free sample sequence per key."""
+    by_key: dict[str, list[tuple[int, float]]] = {}
+    for k, ts, v in samples:
+        by_key.setdefault(k, []).append((ts, v))
+    out: list[tuple[str, int, float]] = []
+    for k, rows in by_key.items():
+        rows.sort()
+        for (t0, v0), (t1, v1) in zip(rows, rows[1:]):
+            dt = float(t1 - t0)
+            if dt >= MIN_TIME_DELTA:
+                dv = v1 - v0
+                out.append((k, t1, dv / dt if dv >= 0 else 0.0))
+    return out

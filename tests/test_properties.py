@@ -1,0 +1,109 @@
+"""Property-based invariants (hypothesis) for the operator library.
+
+Each property is an algebraic fact that must hold for ANY input, not just
+the testdata: histogram counts partition the rows, top-N preserves mass,
+dedup group sizes sum to the corpus, pivot∘unpivot is identity.
+Examples are kept small — every example is a Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fresco_hpc_spark import operators as ops
+from fresco_hpc_spark.functions import exact_dedup
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(vals=st.lists(finite_doubles, min_size=1, max_size=60))
+@_settings
+def test_histogram_counts_partition_rows(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    rows = ops.histogram_bin_index(df, "x", bins=7).collect()
+    assert sum(r["count"] for r in rows) == len(vals)
+    assert all(0 <= r.bin_index <= 6 for r in rows)
+
+
+@given(
+    cats=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=80,
+    ),
+    n=st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_topn_others_preserves_mass(spark, cats, n):
+    df = spark.createDataFrame([(c,) for c in cats], "cat string")
+    rows = ops.topn_others(df, "cat", n=n).collect()
+    assert sum(r["count"] for r in rows) == len(cats)
+    names = [r.category for r in rows]
+    assert len(names) == len(set(names))
+    assert len([x for x in names if x != "Others"]) <= n
+    if "Others" in names:  # Others sorts last (O2)
+        assert names[-1] == "Others"
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t"), min_size=0, max_size=20
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_exact_dedup_group_sizes_sum_to_corpus(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = exact_dedup(df).collect()
+    assert sum(r.n_copies for r in rows) == len(texts)
+    # canonical ids are distinct document ids
+    ids = [r.canonical_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+@given(
+    vals=st.lists(
+        st.tuples(finite_doubles, finite_doubles), min_size=1, max_size=30
+    )
+)
+@_settings
+def test_pivot_unpivot_roundtrip(spark, vals):
+    wide = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(vals)],
+        "id long, m1 double, m2 double",
+    )
+    long = ops.unpivot_wide_to_long(wide, ["id"], ["m1", "m2"])
+    back = ops.pivot_long_to_wide(
+        long, ["id"], event_col="Event", value_col="Value", events=["m1", "m2"]
+    )
+    assert back.count() == wide.count()
+    assert back.exceptAll(wide).count() == 0
+
+
+@given(vals=st.lists(finite_doubles, min_size=2, max_size=60))
+@_settings
+def test_percentile_trim_matches_linear_interpolation(spark, vals):
+    # differential: Spark's exact percentile == numpy linear interpolation
+    # (PERCENTILE_CONT semantics), and trim keeps exactly the in-bounds rows
+    import numpy as np
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    kept = sorted(r.x for r in ops.percentile_trim(df, "x", 0.25, 0.75).collect())
+    lo = float(np.percentile(vals, 25, method="linear"))
+    hi = float(np.percentile(vals, 75, method="linear"))
+    want = sorted(v for v in vals if lo <= v <= hi)
+    assert kept == want

@@ -110,3 +110,67 @@ def test_streaming_hourly_agg_matches_batch(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stateful_rates_cross_batch_boundaries(spark, tmp_path):
+    """applyInPandasWithState carries (ts, value) across micro-batches:
+    with one file per trigger, deltas at file boundaries must still be
+    emitted — the semantics the per-file batch path cannot provide."""
+    import pandas as pd
+
+    from fresco_hpc_spark.streaming.stateful import (
+        expected_rates,
+        streaming_counter_rates,
+    )
+
+    # two groups, samples interleaved across three files
+    samples = [
+        ("g1", 10, 100.0), ("g1", 20, 300.0), ("g1", 30, 250.0),  # reset at 30
+        ("g1", 40, 500.0), ("g1", 50, 900.0), ("g1", 60, 960.0),
+        ("g2", 10, 0.0), ("g2", 25, 150.0), ("g2", 55, 450.0),
+    ]
+    files = [samples[0:3] + samples[6:7], samples[3:5] + samples[7:8],
+             samples[5:6] + samples[8:9]]
+    src = tmp_path / "src"
+    src.mkdir()
+    import os
+    import time as _time
+
+    base_mtime = _time.time() - 100
+    for i, rows in enumerate(files):
+        path = src / f"part_{i}.csv"
+        pd.DataFrame(rows, columns=["group_key", "ts_seconds", "value"]).to_csv(
+            path, index=False
+        )
+        # the file source orders micro-batches by modification time; pin
+        # distinct ascending mtimes so batch order (hence lag state) is
+        # deterministic
+        os.utime(path, (base_mtime + i, base_mtime + i))
+
+    schema = "group_key string, ts_seconds long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    rates = streaming_counter_rates(stream)
+    q = (
+        rates.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_rates")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.group_key, r.ts_seconds, round(r.rate, 6))
+        for r in spark.table("stateful_rates").collect()
+    }
+    want = {(k, t, round(v, 6)) for k, t, v in expected_rates(samples)}
+    assert got == want
+    # the boundary-crossing deltas specifically (file0→file1→file2)
+    assert ("g1", 40, 25.0) in got and ("g1", 60, 6.0) in got
+    assert ("g2", 25, 10.0) in got and ("g2", 55, 10.0) in got
