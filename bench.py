@@ -27,14 +27,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # warmup: flagship hourly agg
+    # warmup: flagship hourly agg primes JVM/codegen/file-cache
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    # two passes, report the min per query: steady-state execution time,
+    # insulated from one-off codegen compilation and GC pauses
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(passes):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            elapsed = round(time.perf_counter() - t0, 4)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

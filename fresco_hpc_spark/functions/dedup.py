@@ -151,10 +151,12 @@ def minhash_signatures(
     ``num_hashes`` permutations. One explode + one groupBy with k
     min-aggregates — fully map-side combinable."""
     toks = _tokens(df, text_col, id_col, n=shingle_n)
-    # base hash reduced mod p so a·h stays within 63 bits (ANSI-safe)
-    h = F.pmod(F.xxhash64("token"), F.lit(_P))
+    # base hash reduced mod p so a·h stays within 63 bits (ANSI-safe);
+    # materialized ONCE as a column so the k permutation aggregates share
+    # it instead of each re-hashing the shingle string
+    toks = toks.select("doc", F.pmod(F.xxhash64("token"), F.lit(_P)).alias("_h"))
     aggs = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes))
     ]
     wide = toks.groupBy(F.col("doc")).agg(*aggs)
@@ -301,7 +303,9 @@ def simhash_signatures(
     """64-bit SimHash per document: sign of the per-bit sum of ±1
     contributions from each distinct token's xxhash64."""
     toks = _tokens(df, text_col, id_col, n=1)
-    h = F.xxhash64("token")
+    # hash each token once; the 64 per-bit aggregates share the column
+    toks = toks.select("doc", F.xxhash64("token").alias("_h"))
+    h = F.col("_h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
