@@ -327,6 +327,49 @@ def q_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.zero_fill_missing(ev, ["value_gpu"])
 
 
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fact ⋈ broadcast dimension: revenue by customer market segment
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ops.broadcast_dim_join(orders, customer, on=[orders.o_custkey == customer.c_custkey])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_large_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # big ⋈ big on the shared key: per-order-priority lineitem stats
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = ops.large_equi_join(li, orders, on=[li.l_orderkey == orders.o_orderkey])
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customers with orders (semi) vs without (anti), as one summary row
+    customer = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_df = ops.semi_join(customer, orders, on="c_custkey").agg(
+        F.count(F.lit(1)).alias("with_orders")
+    )
+    without_df = ops.anti_join(customer, orders, on="c_custkey").agg(
+        F.count(F.lit(1)).alias("without_orders")
+    )
+    return with_df.crossJoin(without_df)
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -412,6 +455,9 @@ def queries() -> dict[str, Query]:
         "cast_double_view": q_cast_double_view,
         "scaled_view": q_scaled_view,
         "zero_fill": q_zero_fill,
+        "join_broadcast_dim": q_join_broadcast_dim,
+        "join_large_sortmerge": q_join_large_sortmerge,
+        "join_semi_anti": q_join_semi_anti,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
@@ -425,6 +471,37 @@ def queries() -> dict[str, Query]:
 _SYNTHETIC_GEN_SQL = SYNTHETIC_ORACLE_SQL_TEMPLATE.format(
     start="2024-01-01 00:00:00", window_seconds=30 * 86400, n=1000
 )
+
+
+def _ann_lsh_oracle_sql(num_planes: int = 6, dim: int = 64, probe_hamming: int = 2, k: int = 10) -> str:
+    """Full SQL twin of lsh_ann_topk: the hyperplane constants are
+    deterministic (LCG-derived), so they inline as literals; bucket =
+    sign bits, probing = bit_count(xor(bucket, qbucket)) <= h."""
+    from fresco_hpc_spark.functions.vectors import _plane_constants
+
+    planes = _plane_constants(num_planes, dim)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in plane)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sig AS (
+            SELECT vec_id, v, ({bucket_terms}) AS bucket FROM e
+        ), q AS (
+            SELECT bucket AS qb, v AS qv FROM sig WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               ROUND(list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                     6) AS cosine_sim
+        FROM sig, q
+        WHERE bit_count(xor(bucket, qb)) <= {probe_hamming}
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT {k}
+    """
 
 # Shared fragments for the ETL-oracle derivations (mirror of
 # fresco_hpc_spark/etl/synthetic_raw.py in DuckDB SQL).
@@ -945,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN l1 ln ON ln.doc = a.nbr
             GROUP BY a.doc ORDER BY a.doc
         """,
+        "embedding_ann_lsh": _ann_lsh_oracle_sql(),
         "token_counts": """
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1014,6 +1092,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zero_fill": """
             SELECT event_id, value, 0.0 AS value_gpu FROM events
+        """,
+        "join_broadcast_dim": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "join_large_sortmerge": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "join_semi_anti": """
+            SELECT
+                (SELECT COUNT(*) FROM customer
+                 WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+                (SELECT COUNT(*) FROM customer
+                 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_orders
         """,
         "pivot_wide": """
             SELECT user_id,

@@ -24,6 +24,12 @@ from fresco_hpc_spark.operators.histogram import (  # noqa: F401
     histogram_bin_index,
     histogram_range_join,
 )
+from fresco_hpc_spark.operators.joins import (  # noqa: F401
+    anti_join,
+    broadcast_dim_join,
+    large_equi_join,
+    semi_join,
+)
 from fresco_hpc_spark.operators.pivot import (  # noqa: F401
     pivot_long_to_wide,
     unpivot_wide_to_long,

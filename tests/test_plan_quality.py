@@ -106,3 +106,24 @@ def test_topn_others_window_input_is_preaggregated(spark):
     assert "Window" in plan
     win_pos = plan.index("Window")
     assert "HashAggregate" in plan[win_pos:]
+
+
+def test_broadcast_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    plan = plan_of(spark, "join_semi_anti")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_join_is_equi(spark):
+    # at sf0.001 Catalyst may legitimately broadcast the small side; the
+    # invariant is an equi-join with no cartesian product, never the
+    # strategy name (which is size-dependent by design)
+    plan = plan_of(spark, "join_large_sortmerge")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -174,3 +174,42 @@ def test_stateful_rates_cross_batch_boundaries(spark, tmp_path):
     # the boundary-crossing deltas specifically (file0→file1→file2)
     assert ("g1", 40, 25.0) in got and ("g1", 60, 6.0) in got
     assert ("g2", 25, 10.0) in got and ("g2", 55, 10.0) in got
+
+
+def test_stream_into_partitioned_store(spark, tmp_path):
+    """Composition: streaming watcher → hour-partitioned store. The
+    foreachBatch sink writes through write_partitioned_store, so arriving
+    files land in prunable year=/month=/day=/hour= partitions — the
+    continuous-ingest path of the reference's chunk store."""
+    import pandas as pd
+
+    from fresco_hpc_spark.plans import write_partitioned_store
+    from fresco_hpc_spark.sources import table as load_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    events = load_table(spark, SF_SMALL, "events").limit(200).toPandas()
+    events.to_csv(src / "events.csv", index=False)
+
+    store = str(tmp_path / "store")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def sink(batch_df, _bid):
+        write_partitioned_store(
+            batch_df.withColumnRenamed("ts", "time"), store, time_col="time", mode="append"
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .csv(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(store)
+    assert back.count() == 200
+    assert {"year", "month", "day", "hour"} <= set(back.columns)
