@@ -36,6 +36,8 @@ from fresco_hpc_spark.functions import (
     embedding_near_dup_pairs,
     exact_dedup,
     language_id,
+    ivf_ann_topk,
+    ivf_train_centroids,
     lsh_ann_topk,
     minhash_dup_pairs,
     ngram_jaccard_pairs,
@@ -230,6 +232,16 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(
         emb, _query_vector(spark, sf_dir), k=10, num_planes=6, probe_hamming=2
     )
+
+
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF scale path: codebook trained once (driver-held, like any ANN
+    # index), probes the 4 nearest of 8 cells. Rows-only check (the
+    # trained centroids depend on iterative float means — not stably
+    # SQL-expressible); recall vs brute force is asserted in tests.
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(emb, n_cells=8, iterations=2)
+    return ivf_ann_topk(emb, _query_vector(spark, sf_dir), centroids, k=10, nprobe=4)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +457,7 @@ def queries() -> dict[str, Query]:
         "simhash_dup_pairs": q_simhash_dups,
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "token_counts": q_token_counts,

@@ -24,5 +24,8 @@ from fresco_hpc_spark.functions.vectors import (  # noqa: F401
     brute_force_knn,
     cosine_similarity_col,
     embedding_near_dup_pairs,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_train_centroids,
     lsh_ann_topk,
 )

@@ -16,7 +16,7 @@ bucket so probes prune partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _ROUND = 6
@@ -86,6 +86,128 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
         )
         sig = sig + F.shiftleft(bit, i)
     return sig
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (highest cosine) — the
+    IVF cell id. Centroids enter the plan as ONE array-of-arrays literal
+    walked with higher-order functions, so plan size is O(cells × dim)
+    and assignment stays a narrow map: no shuffle, no UDF. (A chained
+    when()-argmax duplicates the running-best expression per branch —
+    exponential codegen that took 20+ s to compile at 8×64.)
+
+    Centroids are L2-normalized driver-side: argmax of dot(v, ĉ) equals
+    argmax of cosine(v, c) because |v| scales every cell equally."""
+    v = _as_double(F.col(vec_col))
+    cnorm = []
+    for c in centroids:
+        n = sum(x * x for x in c) ** 0.5
+        cnorm.append([float(x) / n if n else 0.0 for x in c])
+    cmat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cnorm])
+    dots = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        embeddings.withColumn("_dots", dots)
+        .withColumn(
+            "_cell",
+            (
+                F.array_position(F.col("_dots"), F.array_max(F.col("_dots")))
+            ).cast("int")
+            - 1,
+        )
+        .drop("_dots")
+    )
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's iterations in DataFrame ops: seed centroids
+    deterministically (first vector of each of ``n_cells`` id-hash
+    buckets), then repeat assign → per-cell elementwise mean.
+
+    Everything distributed except the centroid list itself (n_cells × dim
+    floats — driver-side by design, exactly like any ANN index's
+    codebook). Each iteration is one narrow assign plus one groupBy."""
+    seeds = (
+        embeddings.withColumn("_b", F.pmod(F.xxhash64(id_col), F.lit(n_cells)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_b").orderBy(id_col)),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        means = (
+            assigned.groupBy("_cell")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.col(vec_col).getItem(i))
+                        for i in range(len(centroids[0]))
+                    ]
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {r._cell: [float(x) for x in r.c] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: rank centroids by cosine to the query (driver-side,
+    codebook-sized), scan only the ``nprobe`` nearest cells. The scanned
+    fraction ≈ nprobe/n_cells — the recall/cost knob; the cell filter
+    prunes before any exact distance is computed."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe_cells = [
+        i for i, _ in sorted(
+            enumerate(centroids), key=lambda t: -cos(t[1], query_vec)
+        )[:nprobe]
+    ]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine_similarity_col(F.col(vec_col), q), _ROUND)
+    return (
+        assigned.filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def embedding_near_dup_pairs(

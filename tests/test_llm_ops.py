@@ -118,3 +118,25 @@ def test_dedup_corpus_keeps_canonical(spark, docs_with_dups):
     # every surviving id is the min of its content group → none of the
     # +1e6 exact-copy ids survive
     assert deduped.filter("doc_id >= 1000000 AND doc_id < 2000000").count() == 0
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    from fresco_hpc_spark.functions import (
+        brute_force_knn,
+        ivf_ann_topk,
+        ivf_train_centroids,
+    )
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    query = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    centroids = ivf_train_centroids(emb, n_cells=8, iterations=2)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    exact = [r.vec_id for r in brute_force_knn(emb, query, k=10).collect()]
+    # probing half the cells must recover most of the true top-10
+    approx = [r.vec_id for r in ivf_ann_topk(emb, query, centroids, k=10, nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # the query vector itself (cell always probed: its own centroid ranks first)
+    assert 0 in approx
