@@ -516,6 +516,123 @@ def _ann_lsh_oracle_sql(num_planes: int = 6, dim: int = 64, probe_hamming: int =
         LIMIT {k}
     """
 
+
+# Shared md5-derived 60-bit token hash — byte-identical to the Spark
+# expression in fresco_hpc_spark/functions/dedup.py::_h60, which is the
+# whole reason minhash/simhash are fully oracle-checkable.
+_H60_SQL = "('0x' || substr(md5(token), 1, 15))::BIGINT"
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """Full SQL twin of minhash_dup_pairs: same shingles, same md5-derived
+    base hash, same LCG-derived (a, b) permutation constants; banding joins
+    on the signature slice itself (Spark compacts the slice through
+    xxhash64 — equality of slices ≡ equality of band hashes modulo
+    negligible 64-bit collisions)."""
+    from fresco_hpc_spark.functions.dedup import _P, _perm_constants
+
+    r = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"MIN((h * {a} + {b}) % {_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_constants(num_hashes))
+    )
+    sig_list = ", ".join(f"mh_{i}" for i in range(num_hashes))
+    est = (
+        "ROUND(list_sum(list_transform(list_zip(a.sig, b.sig), "
+        f"p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / {float(num_hashes)}, 6)"
+    )
+    return f"""
+            WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+            words AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM docs
+            ),
+            toks AS (
+                SELECT DISTINCT doc, token FROM (
+                    SELECT doc_id AS doc,
+                           unnest(list_transform(generate_series(1, len(w) - {shingle_n - 1}),
+                                  i -> array_to_string(list_slice(w, i, i + {shingle_n - 1}), ' '))) AS token
+                    FROM words
+                )
+            ),
+            hashes AS (SELECT doc, {_H60_SQL} % {_P} AS h FROM toks),
+            sigs AS (
+                SELECT doc,
+                   {mins}
+                FROM hashes GROUP BY doc
+            ),
+            sigarr AS (SELECT doc, [{sig_list}] AS sig FROM sigs),
+            banded AS (
+                SELECT doc, sig, band,
+                       list_slice(sig, band * {r} + 1, band * {r} + {r}) AS band_sig
+                FROM sigarr, UNNEST(range(0, {bands})) AS t(band)
+            )
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, {est} AS est_jaccard
+            FROM banded a
+            JOIN banded b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+            WHERE {est} >= {threshold}
+            ORDER BY doc_a, doc_b
+        """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Full SQL twin of simhash_dup_pairs: ±1 per-bit sums of the shared
+    60-bit md5 hash (bits 60–63 constant zero on both sides), sign bits
+    packed into four 16-bit chunks, pigeonhole banding, exact Hamming."""
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{i}"
+        for i in range(64)
+    )
+    chunk_cols = []
+    for c in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN bit_{c * 16 + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        chunk_cols.append(f"CAST({terms} AS BIGINT) AS chunk_{c}")
+    chunks_sql = ",\n                   ".join(chunk_cols)
+    hamming = " + ".join(
+        f"bit_count(xor(a.chunks[{c + 1}], b.chunks[{c + 1}]))" for c in range(4)
+    )
+    return f"""
+            WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+            toks AS (
+                SELECT DISTINCT doc_id AS doc,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM docs
+            ),
+            hashes AS (SELECT doc, {_H60_SQL} AS h FROM toks),
+            bits AS (
+                SELECT doc,
+                   {bit_sums}
+                FROM hashes GROUP BY doc
+            ),
+            chunked AS (
+                SELECT doc,
+                   {chunks_sql}
+                FROM bits
+            ),
+            banded AS (
+                SELECT doc, [chunk_0, chunk_1, chunk_2, chunk_3] AS chunks,
+                       band, [chunk_0, chunk_1, chunk_2, chunk_3][band + 1] AS band_val
+                FROM chunked, UNNEST(range(0, 4)) AS t(band)
+            )
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                   CAST({hamming} AS BIGINT) AS hamming
+            FROM banded a
+            JOIN banded b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.doc < b.doc
+            WHERE {hamming} <= {max_hamming}
+            ORDER BY doc_a, doc_b
+        """
+
+
 # Shared fragments for the ETL-oracle derivations (mirror of
 # fresco_hpc_spark/etl/synthetic_raw.py in DuckDB SQL).
 _RAW_KEYS = """
@@ -1035,6 +1152,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN l1 ln ON ln.doc = a.nbr
             GROUP BY a.doc ORDER BY a.doc
         """,
+        "minhash_dup_pairs": _minhash_oracle_sql(),
+        "simhash_dup_pairs": _simhash_oracle_sql(),
         "embedding_ann_lsh": _ann_lsh_oracle_sql(),
         "token_counts": """
             SELECT doc_id,

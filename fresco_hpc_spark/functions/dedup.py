@@ -28,6 +28,20 @@ from fresco_hpc_spark.functions.text import document_fingerprint
 _P = 2_147_483_647  # Mersenne prime 2^31−1: (a·h+b) mod p stays in 63 bits
 
 
+def _h60(col) -> "F.Column":
+    """md5-derived 60-bit token hash: ``conv(substr(md5(t),1,15),16,10)``.
+
+    Chosen over xxhash64 because the byte-identical expression exists in
+    DuckDB (``('0x'||substr(md5(t),1,15))::BIGINT``), which makes every
+    MinHash/SimHash signature — and therefore the dup-pair outputs —
+    fully oracle-checkable end-to-end instead of rows-only. 15 hex chars
+    = 60 bits keeps a·h+b inside the signed-64 range after mod p and
+    avoids the sign bit entirely."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
 def _perm_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the k hash permutations (LCG-derived,
     no RNG state so resume/replay is stable)."""
@@ -154,7 +168,7 @@ def minhash_signatures(
     # base hash reduced mod p so a·h stays within 63 bits (ANSI-safe);
     # materialized ONCE as a column so the k permutation aggregates share
     # it instead of each re-hashing the shingle string
-    toks = toks.select("doc", F.pmod(F.xxhash64("token"), F.lit(_P)).alias("_h"))
+    toks = toks.select("doc", F.pmod(_h60(F.col("token")), F.lit(_P)).alias("_h"))
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes))
@@ -300,11 +314,13 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per document: sign of the per-bit sum of ±1
-    contributions from each distinct token's xxhash64."""
+    """SimHash per document: sign of the per-bit sum of ±1 contributions
+    from each distinct token's 60-bit md5-derived hash (bits 60–63 are
+    constant zero for every token, so they carry no signal but also no
+    noise — all four 16-bit LSH chunks still band correctly)."""
     toks = _tokens(df, text_col, id_col, n=1)
     # hash each token once; the 64 per-bit aggregates share the column
-    toks = toks.select("doc", F.xxhash64("token").alias("_h"))
+    toks = toks.select("doc", _h60(F.col("token")).alias("_h"))
     h = F.col("_h")
     bit_sums = [
         F.sum(
@@ -363,7 +379,7 @@ def simhash_dup_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
