@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a count() of its result (no driver-side data
-transfer beyond the count). A warmup run of the flagship query primes the
-JVM/codegen so the numbers reflect steady-state execution.
+Each query is forced with a write to the `noop` sink: every output column
+is fully computed and materialized with zero sink cost. (A count() would
+let Catalyst prune the final projection — e.g. global_percentiles' count
+plan drops the percentile aggregates entirely, timing an empty agg.) A
+warmup run of the flagship query primes the JVM/codegen so the numbers
+reflect steady-state execution.
 """
 
 from __future__ import annotations
@@ -26,9 +29,12 @@ def main() -> None:
     spark = get_spark("fresco-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
     qs = entrymod.queries()
     # warmup: flagship hourly agg primes JVM/codegen/file-cache
-    next(iter(qs.values()))(spark, sf_dir).count()
+    force(next(iter(qs.values()))(spark, sf_dir))
 
     # two passes, report the min per query: steady-state execution time,
     # insulated from one-off codegen compilation and GC pauses
@@ -37,7 +43,7 @@ def main() -> None:
     for _ in range(passes):
         for name, fn in qs.items():
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            force(fn(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 4)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed

@@ -9,21 +9,97 @@ a cross join — so nothing is collected to the driver and the operator
 composes lazily at any scale. Exact interpolating ``percentile`` matches
 DuckDB's PERCENTILE_CONT (SURVEY.md §7.4 trap 1).
 
-Scale note: computing exact percentiles over 100 TB is a single-reducer
-sort per column in theory, but Spark's ``percentile`` aggregate buffers
-per-partition and merges — acceptable for the bounded-window queries this
-serves; ``percentile_approx`` is offered as the knob when exactness is not
-required by an oracle.
+Scale note: Spark's exact ``percentile`` aggregate merges every distinct
+value into ONE reducer's buffer — O(n) memory on a single node, dead at
+100 TB. Global (single-group) percentiles here instead use
+``distributed_exact_percentiles``: range-repartition the column, count
+per range bucket, then sort ONLY the buckets that contain the target
+order statistics (≤ 2 per fraction). No node ever holds more than one
+bucket; the second pass touches ~(#fractions · n/P) rows. Per-GROUP
+quartiles (profile_agg) keep the buffer aggregate — groups are small by
+construction there.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fresco_hpc_spark.operators.timeseries import hourly_agg
 
 _ROUND = 6
+
+
+def distributed_exact_percentiles(
+    df: DataFrame, col: str, fractions: list[float]
+) -> list[float | None]:
+    """Exact PERCENTILE_CONT values for one global group, computed as
+    distributed order statistics.
+
+    1. Range-shuffle the non-null column into P ordered buckets
+       (equal values land in one bucket, so global multiset order holds).
+    2. One tiny agg gives per-bucket counts → cumulative offsets and n.
+    3. Every fraction needs positions floor/ceil of f·(n−1); only the
+       buckets holding those positions are row_number-sorted (the pid
+       filter prunes the rest BEFORE the window's exchange).
+    4. Interpolate ``lo + (hi−lo)·frac`` — the same formula Spark's
+       ``percentile`` and DuckDB's PERCENTILE_CONT use, so oracle parity
+       is preserved bit-for-bit.
+
+    Returns driver-side floats (None per fraction when the input is
+    empty) — the callers inline them as literal bounds / 1-row frames.
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("_v")).filter(F.col("_v").isNotNull())
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        vals.repartitionByRange(p, "_v")
+        .select("_v", F.spark_partition_id().alias("_pid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
+        n = sum(counts.values())
+        if n == 0:
+            return [None] * len(fractions)
+        offsets, acc = {}, 0
+        pids = sorted(counts)
+        for pid in pids:
+            offsets[pid] = acc
+            acc += counts[pid]
+        positions = sorted(
+            {math.floor(f * (n - 1)) for f in fractions}
+            | {math.ceil(f * (n - 1)) for f in fractions}
+        )
+        per_pid: dict[int, list[int]] = {}
+        for pos in positions:
+            pid = max(q for q in pids if offsets[q] <= pos and counts[q] > 0)
+            per_pid.setdefault(pid, []).append(pos - offsets[pid])
+        cond = None
+        for pid, local in per_pid.items():
+            c = (F.col("_pid") == pid) & (F.col("_rn").isin(local))
+            cond = c if cond is None else (cond | c)
+        w = Window.partitionBy("_pid").orderBy("_v")
+        hits = (
+            ranged.filter(F.col("_pid").isin(list(per_pid)))
+            .withColumn("_rn", F.row_number().over(w) - 1)
+            .filter(cond)
+            .select("_pid", "_rn", "_v")
+            .collect()
+        )
+        value_at = {offsets[r["_pid"]] + r["_rn"]: r["_v"] for r in hits}
+        out: list[float | None] = []
+        for f in fractions:
+            pos = f * (n - 1)
+            lo, hi = math.floor(pos), math.ceil(pos)
+            vlo, vhi = float(value_at[lo]), float(value_at[hi])
+            out.append(vlo + (vhi - vlo) * (pos - lo))
+        return out
+    finally:
+        ranged.unpersist()
 
 
 def _percentiles_expr(col: str, fractions: list[float]):
@@ -39,18 +115,36 @@ def _percentiles_expr(col: str, fractions: list[float]):
 
 def global_percentiles(df: DataFrame, col: str, fractions: list[float]) -> DataFrame:
     """A5: scalar ``PERCENTILE_CONT(f) WITHIN GROUP (ORDER BY col)`` for
-    each fraction, as one 1-row DataFrame (DatabaseQueries.ts:160-165)."""
-    pcts = _percentiles_expr(col, fractions)
+    each fraction, as one 1-row DataFrame (DatabaseQueries.ts:160-165).
+    Single global group → distributed order statistics, not the
+    single-reducer ``percentile`` buffer."""
+    vals = distributed_exact_percentiles(df, col, fractions)
     labels = [f"p{str(f).replace('0.', '').ljust(2, '0')}" for f in fractions]
+    return df.sparkSession.range(1).select(
+        *[
+            (
+                F.round(F.lit(v), _ROUND)
+                if v is not None
+                else F.lit(None).cast("double")
+            ).alias(lbl)
+            for v, lbl in zip(vals, labels)
+        ]
+    )
+
+
+def _bounds_trim(df: DataFrame, col: str, lower, upper, names) -> DataFrame:
+    """Shared J1/J2 tail: the driver-side bounds become a broadcast 1-row
+    relation cross-joined in (the reference's own shape, and what keeps
+    the fact-table filter map-side with zero shuffles)."""
+    lo_name, hi_name = names
+    bounds = df.sparkSession.range(1).select(
+        F.lit(lower).cast("double").alias(lo_name),
+        F.lit(upper).cast("double").alias(hi_name),
+    )
     return (
-        df.filter(F.col(col).isNotNull())
-        .agg(pcts.alias("_pcts"))
-        .select(
-            *[
-                F.round(F.col("_pcts").getItem(i), _ROUND).alias(lbl)
-                for i, lbl in enumerate(labels)
-            ]
-        )
+        df.crossJoin(F.broadcast(bounds))
+        .filter(F.col(col).between(F.col(lo_name), F.col(hi_name)))
+        .drop(lo_name, hi_name)
     )
 
 
@@ -60,44 +154,22 @@ def percentile_trim(
     """J1: keep rows with ``col BETWEEN p_low AND p_high`` where the bounds
     are percentiles of the same relation (DatabaseQueries.ts:158-190).
 
-    The 1-row bounds frame is broadcast — a map-side filter, no shuffle of
-    the fact table.
+    Bounds come from ``distributed_exact_percentiles`` (no single-node
+    value buffer); the trim itself is a broadcast-bounds map-side filter.
+    On empty input the bounds are null and BETWEEN keeps nothing — same
+    as the reference's empty percentile relation.
     """
-    bounds = (
-        df.filter(F.col(col).isNotNull())
-        .agg(_percentiles_expr(col, [low, high]).alias("_pcts"))
-        .select(
-            F.col("_pcts").getItem(0).alias("_p_low"),
-            F.col("_pcts").getItem(1).alias("_p_high"),
-        )
-    )
-    return (
-        df.crossJoin(F.broadcast(bounds))
-        .filter(F.col(col).between(F.col("_p_low"), F.col("_p_high")))
-        .drop("_p_low", "_p_high")
-    )
+    p_low, p_high = distributed_exact_percentiles(df, col, [low, high])
+    return _bounds_trim(df, col, p_low, p_high, ("_p_low", "_p_high"))
 
 
 def iqr_trim(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     """J2: keep rows within ``[q25 - k*IQR, q75 + k*IQR]``
     (databaseOptimization.ts:199-218)."""
-    bounds = (
-        df.filter(F.col(col).isNotNull())
-        .agg(_percentiles_expr(col, [0.25, 0.75]).alias("_pcts"))
-        .select(
-            F.col("_pcts").getItem(0).alias("_q25"),
-            F.col("_pcts").getItem(1).alias("_q75"),
-        )
-        .select(
-            (F.col("_q25") - (F.col("_q75") - F.col("_q25")) * k).alias("_lower"),
-            (F.col("_q75") + (F.col("_q75") - F.col("_q25")) * k).alias("_upper"),
-        )
-    )
-    return (
-        df.crossJoin(F.broadcast(bounds))
-        .filter(F.col(col).between(F.col("_lower"), F.col("_upper")))
-        .drop("_lower", "_upper")
-    )
+    q25, q75 = distributed_exact_percentiles(df, col, [0.25, 0.75])
+    lower = q25 - (q75 - q25) * k if q25 is not None else None
+    upper = q75 + (q75 - q25) * k if q25 is not None else None
+    return _bounds_trim(df, col, lower, upper, ("_lower", "_upper"))
 
 
 def percentile_trimmed_hourly_agg(
