@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fresco_hpc_spark.functions.text import document_fingerprint
 
@@ -56,8 +57,13 @@ def _perm_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
     return out
 
 
-def _tokens(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
-    """Distinct word n-gram shingles per document (lower-cased).
+def _tokens(
+    df: DataFrame, text_col: str, id_col: str, n: int = 1, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document (lower-cased), distinct by
+    default. Pass ``distinct=False`` when the consumer is idempotent
+    under duplicates (MIN aggregates) — it drops a full (doc, token)
+    shuffle from the plan.
 
     Tokenization is CPU-bound (regex split + n-gram assembly per text);
     when the source arrives in fewer partitions than cores (single parquet
@@ -70,7 +76,8 @@ def _tokens(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     if n == 1:
         tok = F.explode(words).alias("token")
-        return df.select(F.col(id_col).alias("doc"), tok).distinct()
+        out = df.select(F.col(id_col).alias("doc"), tok)
+        return out.distinct() if distinct else out
     # n-gram shingles: join n consecutive words via transform over 1-based
     # indices; guarded so short documents yield an empty list (sequence()
     # would otherwise produce a DESCENDING range when size < n).
@@ -81,9 +88,10 @@ def _tokens(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
         f"i -> concat_ws(' ', slice({words_expr}, i, {n}))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    return df.select(
+    out = df.select(
         F.col(id_col).alias("doc"), F.explode(ngrams).alias("token")
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -128,8 +136,11 @@ def ngram_jaccard_pairs(
     ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
     rare = toks.filter(F.col("df") <= max_token_freq).select("doc", "token", "n_tokens")
 
-    # self-join on token: both sides are already hash-partitioned by token
-    # from the df window, so the join reuses that exchange
+    # self-join on token: persist the pruned token relation first — a
+    # self-join otherwise COMPUTES ITS INPUT TWICE (the broadcast/build
+    # side and the probe side share no exchange), which doubles the
+    # tokenize + window work. Disk-backed, LRU-evicted.
+    rare = rare.persist(StorageLevel.MEMORY_AND_DISK)
     a = rare.alias("a")
     b = rare.alias("b")
     inter = (
@@ -163,8 +174,10 @@ def minhash_signatures(
     """MinHash signature per document as one ``array<bigint>`` column
     ``sig``: min over shingles of (aᵢ·h(shingle) + bᵢ) mod p for each of
     ``num_hashes`` permutations. One explode + one groupBy with k
-    min-aggregates — fully map-side combinable."""
-    toks = _tokens(df, text_col, id_col, n=shingle_n)
+    min-aggregates — fully map-side combinable. Shingles are NOT
+    deduplicated first: MIN is idempotent under duplicate tokens, so the
+    distinct's (doc, token) shuffle would be pure cost."""
+    toks = _tokens(df, text_col, id_col, n=shingle_n, distinct=False)
     # base hash reduced mod p so a·h stays within 63 bits (ANSI-safe);
     # materialized ONCE as a column so the k permutation aggregates share
     # it instead of each re-hashing the shingle string
@@ -215,6 +228,9 @@ def minhash_dup_pairs(
         "doc", "sig", F.posexplode(band_sigs).alias("band", "band_sig")
     )
 
+    # persist: the banded signature relation IS the LSH index — without
+    # it the self-join computes tokenize+md5+64 min-aggregates twice
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     agree = F.aggregate(
         F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
@@ -362,6 +378,7 @@ def simhash_dup_pairs(
         "doc", chunks.alias("chunks"), F.posexplode(chunks).alias("band", "band_val")
     )
 
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = sum(
         F.bit_count(
