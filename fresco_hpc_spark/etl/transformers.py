@@ -189,13 +189,28 @@ def memory_metrics(df: DataFrame) -> DataFrame:
         "memused_minus_diskcache_value",
         (F.col("memory_used") - F.col("FilePages")) * BYTES_TO_GB,
     )
-    memused = _standardize(df.withColumn("Value", F.col("memused_value")), "memused", "GB")
-    minus = _standardize(
-        df.withColumn("Value", F.col("memused_minus_diskcache_value")),
-        "memused_minus_diskcache",
-        "GB",
+    # U1 (pl.concat, line 330) as a single-pass stack() unpivot: the
+    # reference concatenates two derived frames, which in Spark would scan
+    # and repair the input twice; stack emits both Event rows from one
+    # pass (SURVEY §2.7's own idiomatic mapping).
+    stacked = df.select(
+        F.col("jobID").alias("Job Id"),
+        F.col("node").alias("Host"),
+        F.expr(
+            "stack(2, 'memused', memused_value, "
+            "'memused_minus_diskcache', memused_minus_diskcache_value) "
+            "AS (Event, Value)"
+        ),
+        F.col("Timestamp_original").alias("Timestamp"),
     )
-    return memused.unionByName(minus)  # U1 (pl.concat, line 330)
+    return stacked.select(
+        "Job Id",
+        "Host",
+        "Event",
+        F.col("Value").cast("double").alias("Value"),
+        F.lit("GB").alias("Units"),
+        "Timestamp",
+    )
 
 
 def nfs_rates(df: DataFrame) -> DataFrame:
