@@ -1,3 +1,6 @@
+from fresco_hpc_spark.streaming.dedup import (  # noqa: F401
+    streaming_dedup,
+)
 from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
     streaming_counter_rates,
 )

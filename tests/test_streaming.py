@@ -213,3 +213,63 @@ def test_stream_into_partitioned_store(spark, tmp_path):
     back = spark.read.parquet(store)
     assert back.count() == 200
     assert {"year", "month", "day", "hour"} <= set(back.columns)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Cross-micro-batch exact dedup: the same normalized content arriving
+    in a LATER file must be dropped, whitespace/case variants included —
+    matching the batch dedup_corpus fingerprint."""
+    import os
+    import pandas as pd
+
+    from fresco_hpc_spark.streaming import streaming_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    f1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "gamma delta", "unique one"],
+            "ts": ["2024-01-01 10:00:00"] * 3,
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5, 6],
+            # 4 duplicates 1 exactly; 5 is a whitespace/case variant of 2
+            "text": ["alpha beta", "  Gamma   DELTA ", "unique two"],
+            "ts": ["2024-01-01 10:10:00"] * 3,
+        }
+    )
+    f1.to_csv(src / "a.csv", index=False)
+    f2.to_csv(src / "b.csv", index=False)
+    os.utime(src / "a.csv", (1000000000, 1000000000))
+    os.utime(src / "b.csv", (1000000100, 1000000100))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        streaming_dedup(stream, text_col="text", ts_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect()}
+    assert got == {1, 2, 3, 6}
