@@ -306,6 +306,40 @@ def q_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J5 gap in the reference): for every purchase event, the
+    most recent click (ts <= purchase ts) by the same user — join-free
+    union+window plan, one shuffle (operators/joins.py asof_join)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = ops.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_cols=[],
+        matched_ts_col="click_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_ts",
+        (F.col("ts").cast("long") - F.col("click_ts").cast("long"))
+        .cast("bigint")
+        .alias("gap_seconds"),
+    ).orderBy("event_id")
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session rollup —
+    batch analogue of streaming session windows (operators/timeseries.py
+    sessionize/session_stats)."""
+    ev = table(spark, sf_dir, "events")
+    return ops.session_stats(
+        ev, "user_id", ts_col="ts", value_col="value", gap_seconds=1800
+    )
+
+
 def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S13 grouping semantics: month key + quarter (generate_archives.py:79-98)
     ev = table(spark, sf_dir, "events")
@@ -464,6 +498,8 @@ def queries() -> dict[str, Query]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_near_dups": q_embedding_near_dups,
         "session_duration": q_session_duration,
+        "asof_click_purchase": q_asof_click_purchase,
+        "session_stats": q_session_stats,
         "monthly_rollup": q_monthly_rollup,
         "cast_double_view": q_cast_double_view,
         "scaled_view": q_scaled_view,
@@ -1206,6 +1242,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(MAX(ts))) AS BIGINT)
                        - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "asof_click_purchase": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            m AS (
+                SELECT p.event_id, MAX(c.ts) AS click_ts
+                FROM p LEFT JOIN c
+                  ON c.user_id = p.user_id AND c.ts <= p.ts
+                GROUP BY p.event_id
+            )
+            SELECT p.event_id, p.user_id, p.ts, m.click_ts,
+                   CAST(floor(epoch(p.ts)) AS BIGINT)
+                       - CAST(floor(epoch(m.click_ts)) AS BIGINT) AS gap_seconds
+            FROM p JOIN m USING (event_id)
+            ORDER BY event_id
+        """,
+        "session_stats": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS prev_s
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM o
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM f
+            )
+            SELECT user_id, session_idx,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                       - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds
+            FROM s
+            GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
         """,
         "monthly_rollup": """
             SELECT strftime(ts, '%Y-%m') AS month,

@@ -7,6 +7,8 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     duration_seconds,
     hourly_agg,
     profile_agg,
+    session_stats,
+    sessionize,
     time_bound,
     time_bucket_agg,
 )
@@ -26,6 +28,7 @@ from fresco_hpc_spark.operators.histogram import (  # noqa: F401
 )
 from fresco_hpc_spark.operators.joins import (  # noqa: F401
     anti_join,
+    asof_join,
     broadcast_dim_join,
     large_equi_join,
     semi_join,

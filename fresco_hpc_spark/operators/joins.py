@@ -46,3 +46,83 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFra
 def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
     """NOT EXISTS: rows of ``left`` without a match in ``right``."""
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """As-of join (SURVEY.md §2.3 J5 — absent in the reference; a first-class
+    time-series primitive here): for every left row, the nearest right row
+    with the same key and ``right.ts <= left.ts`` (backward; ties match) or
+    ``>=`` (forward).
+
+    Join-free distributed plan: tag + union both sides, then one window pass
+    ``last(right_payload ignore nulls)`` ordered by (ts, side). Exactly ONE
+    shuffle (hash on the key for the window sort) regardless of row counts —
+    no O(|L|·|R|) range join, no per-key loop — so it scales to 100 TB the
+    same way any windowed scan does. Skewed keys cost what any per-key window
+    costs; salting is not applicable (the window needs full key ordering).
+
+    ``right_cols`` are carried from the matched row (default: all non-key,
+    non-ts columns); the matched timestamp lands in ``matched_ts_col``;
+    unmatched left rows keep nulls. ``tolerance_seconds`` nulls out matches
+    farther than the given gap (pandas ``merge_asof`` tolerance semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    r_payload = F.struct(
+        F.col(right_ts).alias("__match_ts"), *[F.col(c) for c in right_cols]
+    )
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        r_payload.alias("__r"),
+        F.lit(0).alias("__side"),
+    )
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(r2.schema["__r"].dataType).alias("__r"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
+
+    from pyspark.sql import Window
+
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts").cast("long") - F.col("__m.__match_ts").cast("long")
+        )
+        matched = matched.withColumn(
+            "__m", F.when(gap <= tolerance_seconds, F.col("__m"))
+        )
+    return matched.select(
+        "__l.*",
+        F.col("__m.__match_ts").alias(matched_ts_col),
+        *[F.col(f"__m.{c}").alias(c if c not in left.columns else f"{c}_right") for c in right_cols],
+    )

@@ -101,6 +101,67 @@ def profile_agg(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    out_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based sessionization (absent in the reference — batch analogue of
+    Structured Streaming session windows): a new session starts when the gap
+    to the previous event of the same key exceeds ``gap_seconds``; rows gain
+    a per-key 1-based ``session_idx``.
+
+    One shuffle: lag + running sum share the same (key, ts) window ordering,
+    so Catalyst plans a single Exchange + sort for both Window passes.
+    Gaps compare second-floored epochs (``cast long``), matching the
+    DuckDB ``floor(epoch(...))`` oracle convention used engine-wide.
+    Session assignment is deterministic under equal-ts ties: tied rows get a
+    zero delta, so they always land in the same session regardless of their
+    relative order.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    secs = F.col(ts_col).cast("long")
+    prev = F.lag(secs).over(w)
+    is_new = F.when(prev.isNull() | ((secs - prev) > gap_seconds), 1).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        out_col, F.sum(is_new).over(running).cast("bigint")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: start/end, event count,
+    optional value sum, and duration in whole seconds."""
+    sess = sessionize(df, key_col, ts_col, gap_seconds)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), _ROUND).alias("sum_value"))
+    out = sess.groupBy(key_col, "session_idx").agg(*aggs)
+    return (
+        out.withColumn(
+            "duration_seconds",
+            (
+                F.col("session_end").cast("long") - F.col("session_start").cast("long")
+            ).cast("bigint"),
+        )
+        .orderBy(key_col, "session_idx")
+    )
+
+
 def duration_seconds(
     df: DataFrame,
     start_col: str,

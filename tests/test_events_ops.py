@@ -1,0 +1,123 @@
+"""As-of join + sessionization unit tests (operators absent in the
+reference — SURVEY.md §2.3 J5 notes no as-of joins exist there; these are
+first-class time-series primitives here, with edge semantics pinned on
+hand-built frames and the join-free plan property asserted).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fresco_hpc_spark.operators import asof_join, session_stats, sessionize
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),
+            (2, "u1", _ts("2024-01-01 12:00:00")),
+            (3, "u2", _ts("2024-01-01 09:00:00")),  # before any right row
+            (4, "u3", _ts("2024-01-01 10:00:00")),  # key with no right rows
+        ],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:30:00"), 1.0),
+            ("u1", _ts("2024-01-01 12:00:00"), 2.0),  # exact tie with left id=2
+            ("u2", _ts("2024-01-01 11:00:00"), 3.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts").orderBy("id")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["matched_ts"] == _ts("2024-01-01 09:30:00")
+    assert rows[1]["v"] == 1.0
+    # equal timestamps match (ties included, like DuckDB ASOF / merge_asof)
+    assert rows[2]["matched_ts"] == _ts("2024-01-01 12:00:00")
+    assert rows[2]["v"] == 2.0
+    # left row earlier than every right row -> no match
+    assert rows[3]["matched_ts"] is None and rows[3]["v"] is None
+    # key absent from right -> no match
+    assert rows[4]["matched_ts"] is None
+    # left columns all survive
+    assert {"id", "k", "ts", "matched_ts", "v"} == set(out.columns)
+
+
+def test_asof_forward_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", direction="forward")
+    rows = {r["id"]: r for r in out.collect()}
+    # nearest right row at-or-after the left ts
+    assert rows[1]["matched_ts"] == _ts("2024-01-01 12:00:00")
+    assert rows[2]["matched_ts"] == _ts("2024-01-01 12:00:00")  # tie matches
+    assert rows[3]["matched_ts"] == _ts("2024-01-01 11:00:00")
+    assert rows[4]["matched_ts"] is None
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", tolerance_seconds=600)
+    rows = {r["id"]: r for r in out.collect()}
+    # id=1 match is 30 min back -> outside 10-min tolerance
+    assert rows[1]["matched_ts"] is None and rows[1]["v"] is None
+    assert rows[2]["matched_ts"] == _ts("2024-01-01 12:00:00")  # 0 s gap kept
+
+
+def test_asof_plan_is_join_free(spark):
+    """The scale property: an as-of join over N x M rows plans as ONE
+    hash-partition exchange + window — no join operator of any kind."""
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, on="k", left_ts="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_gap_boundaries(spark):
+    ev = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), 1.0),
+            ("u1", _ts("2024-01-01 10:30:00"), 1.0),  # gap == 1800 s: same session
+            ("u1", _ts("2024-01-01 11:00:01"), 1.0),  # gap 1801 s: new session
+            ("u2", _ts("2024-01-01 10:00:00"), 1.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800).orderBy("user_id", "ts")
+    got = [(r["user_id"], r["session_idx"]) for r in out.collect()]
+    assert got == [("u1", 1), ("u1", 1), ("u1", 2), ("u2", 1)]
+
+    stats = session_stats(ev, "user_id", ts_col="ts", value_col="value",
+                          gap_seconds=1800)
+    rows = {(r["user_id"], r["session_idx"]): r for r in stats.collect()}
+    s1 = rows[("u1", 1)]
+    assert s1["n_events"] == 2 and s1["duration_seconds"] == 1800
+    assert rows[("u1", 2)]["n_events"] == 1
+    assert rows[("u2", 1)]["duration_seconds"] == 0
+
+
+def test_sessionize_single_shuffle(spark):
+    ev = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), 1.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    plan = (
+        sessionize(ev, "user_id", "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # lag + running sum share one (key, ts) ordering -> one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
