@@ -403,6 +403,44 @@ def q_join_large_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (skew mitigation): lineitem ⋈ part on partkey with
+    the hot-key salt split — result identical to the plain join, so the
+    oracle is the unsalted SQL."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = ops.salted_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey"
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_rollup_monthly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping (absent in the reference, built-in in Spark): event
+    counts/value at (month, event_type), (month), and grand-total levels,
+    disambiguated by grouping_id."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .orderBy("gid", "month", "event_type")
+    )
+
+
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customers with orders (semi) vs without (anti), as one summary row
     customer = table(spark, sf_dir, "customer").select("c_custkey")
@@ -507,6 +545,8 @@ def queries() -> dict[str, Query]:
         "join_broadcast_dim": q_join_broadcast_dim,
         "join_large_sortmerge": q_join_large_sortmerge,
         "join_semi_anti": q_join_semi_anti,
+        "join_salted_skew": q_join_salted_skew,
+        "rollup_monthly_events": q_rollup_monthly_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
@@ -1242,6 +1282,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(MAX(ts))) AS BIGINT)
                        - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "join_salted_skew": """
+            SELECT p.p_brand,
+                   COUNT(*) AS n_items,
+                   ROUND(SUM(l.l_quantity), 6) AS sum_qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand ORDER BY p.p_brand
+        """,
+        "rollup_monthly_events": """
+            SELECT strftime(ts, '%Y-%m') AS month, event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   CAST(GROUPING(strftime(ts, '%Y-%m')) * 2
+                        + GROUPING(event_type) AS BIGINT) AS gid
+            FROM events
+            GROUP BY ROLLUP (strftime(ts, '%Y-%m'), event_type)
+            ORDER BY gid, month, event_type
         """,
         "asof_click_purchase": """
             WITH p AS (

@@ -31,6 +31,7 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
     asof_join,
     broadcast_dim_join,
     large_equi_join,
+    salted_join,
     semi_join,
 )
 from fresco_hpc_spark.operators.pivot import (  # noqa: F401

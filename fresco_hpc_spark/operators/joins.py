@@ -48,6 +48,35 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFra
     return left.join(right, on=on, how="left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: a hot key on the big (left) side would
+    funnel into one shuffle partition; salting splits it across
+    ``n_salts`` partitions. Left rows get a deterministic salt (hash of the
+    full row, mod n); the right side is replicated once per salt value; the
+    join key becomes (key, salt) so every left row still meets exactly one
+    copy of its matching right rows. Semantics-preserving for inner/left
+    joins with a skewed LEFT side; the right side grows ×n_salts, so use it
+    when |right| ≪ |left| but right is too big to broadcast.
+
+    AQE's skew-join split (spark.sql.adaptive.skewJoin, on in session.py)
+    handles most cases at runtime; explicit salting remains the tool when a
+    single key exceeds what one task can sort, or off-AQE.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l2 = left.withColumn("__salt", salt)
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l2.join(r2, on=keys + ["__salt"], how=how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

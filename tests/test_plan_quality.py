@@ -127,3 +127,30 @@ def test_large_join_is_equi(spark):
     plan = plan_of(spark, "join_large_sortmerge")
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_salted_join_splits_hot_keys(spark):
+    """Salting contract: identical results to the plain join, salt key in
+    the join condition (the hot key spreads over n_salts partitions), and
+    the replicated side shows the explode."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import salted_join
+    from fresco_hpc_spark.sources import table
+
+    li = table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_quantity")
+    part = (
+        table(spark, SF_SMALL, "part")
+        .select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey")
+    )
+    salted = salted_join(li, part, on="l_partkey", n_salts=4)
+    plain = li.join(part, on="l_partkey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("p_brand").agg(F.sum("l_quantity").alias("s"))
+    b = plain.groupBy("p_brand").agg(F.sum("l_quantity").alias("s"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan and ("Generate explode" in plan or "explode" in plan)
+    assert "CartesianProduct" not in plan
