@@ -340,6 +340,22 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation (absent in the reference — SURVEY.md §2.4
+    closing row): exact per-day unique users. At 100 TB the same plan swaps
+    countDistinct for approx_count_distinct (HLL, no expand) — accuracy of
+    that swap is pinned in test_events_ops."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
 def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S13 grouping semantics: month key + quarter (generate_archives.py:79-98)
     ev = table(spark, sf_dir, "events")
@@ -538,6 +554,7 @@ def queries() -> dict[str, Query]:
         "session_duration": q_session_duration,
         "asof_click_purchase": q_asof_click_purchase,
         "session_stats": q_session_stats,
+        "daily_uniques": q_daily_uniques,
         "monthly_rollup": q_monthly_rollup,
         "cast_double_view": q_cast_double_view,
         "scaled_view": q_scaled_view,
@@ -1299,6 +1316,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP (strftime(ts, '%Y-%m'), event_type)
             ORDER BY gid, month, event_type
+        """,
+        "daily_uniques": """
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "asof_click_purchase": """
             WITH p AS (

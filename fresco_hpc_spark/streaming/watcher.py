@@ -111,3 +111,34 @@ def streaming_hourly_agg(
         )
         .select(F.col("w.start").alias("bucket"), "avg_value", "min_value", "max_value", "count_value")
     )
+
+
+def streaming_session_agg(
+    stream_df: DataFrame,
+    key_col: str,
+    time_col: str = "time",
+    value_col: str | None = None,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap sessionization: Structured Streaming's native
+    ``session_window`` merges events of one key whose gaps stay under
+    ``gap`` — the incremental twin of the batch
+    ``operators.timeseries.sessionize`` (same 30-min default). Watermark
+    bounds the session state, so open sessions close (and emit) once the
+    watermark passes their end; state never grows unboundedly."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("w"), F.col(key_col))
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )

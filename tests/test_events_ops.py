@@ -121,3 +121,17 @@ def test_sessionize_single_shuffle(spark):
     )
     # lag + running sum share one (key, ts) ordering -> one exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_approx_count_distinct_tracks_exact(spark):
+    """The 100 TB swap for daily_uniques: approx_count_distinct (HLL) must
+    land within its rsd envelope of the exact countDistinct."""
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    ev = table(spark, SF_SMALL, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])

@@ -15,7 +15,11 @@ from fresco_hpc_spark.etl.synthetic_raw import raw_block_from_events
 from fresco_hpc_spark.etl.transformers import block_io_rates
 from fresco_hpc_spark.schema import RAW_BLOCK_SCHEMA
 from fresco_hpc_spark.sources import read_csv_tolerant, table
-from fresco_hpc_spark.streaming import start_etl_stream, streaming_hourly_agg
+from fresco_hpc_spark.streaming import (
+    start_etl_stream,
+    streaming_hourly_agg,
+    streaming_session_agg,
+)
 from tests.conftest import SF_SMALL
 
 
@@ -273,3 +277,48 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect()}
     assert got == {1, 2, 3, 6}
+
+
+def test_streaming_session_agg_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window sessions equal the batch sessionize sessions
+    (start, event count) on gap-unambiguous data; watermark closes state."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import session_stats
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=m)
+
+    rows = [
+        ("u1", ts(0), 1.0), ("u1", ts(10), 1.0),   # session 1
+        ("u1", ts(60), 1.0),                        # gap 50 min -> session 2
+        ("u2", ts(5), 2.0), ("u2", ts(20), 2.0),    # one session
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, time timestamp, value double")
+    pq = str(tmp_path / "sess_pq")
+    ev.write.parquet(pq)
+
+    stream = spark.readStream.schema(ev.schema).parquet(pq)
+    sess = streaming_session_agg(stream, "user_id", "time", value_col="value",
+                                 gap="30 minutes")
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("session_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_stats(ev, "user_id", ts_col="time", value_col="value",
+                               gap_seconds=1800).collect()
+    }
+    assert got == want
