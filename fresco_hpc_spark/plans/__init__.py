@@ -15,5 +15,6 @@ from fresco_hpc_spark.plans.store import (  # noqa: F401
     PARTITION_COLS,
     list_partition_files,
     read_partitioned_store,
+    write_bucketed_table,
     write_partitioned_store,
 )

@@ -50,6 +50,34 @@ def read_partitioned_store(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table: rows are hash-partitioned into
+    ``n_buckets`` files on ``bucket_col`` at WRITE time, each bucket sorted
+    on the key.
+
+    This is the co-located-join primitive for 100 TB: two tables bucketed
+    the same way join with ZERO exchange and zero sort — the dominant cost
+    of a repeated big⋈big join paid once at ingest instead of per query.
+    (Plain parquet paths can't carry bucket metadata; this must be a
+    catalog table, which is why it lives here next to the store.)
+    `test_bucketed_join_has_no_exchange` pins the no-shuffle plan.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("compression", "snappy")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def list_partition_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(file, size) listing via the Hadoop FileSystem API — works on
     hdfs:// and s3a:// the same as file://, unlike os.walk. Used only by

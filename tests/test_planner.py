@@ -123,3 +123,34 @@ def test_execute_with_projection(spark, store):
     out = execute(spark, sql, store)
     assert set(out.columns) == {"event_type", "n"}
     assert out.count() > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join contract: two tables bucketed identically on the
+    join key plan a SortMergeJoin with NO Exchange on either side — the
+    per-query shuffle cost of a repeated big x big join is paid once at
+    write time. (The 100 TB pattern for fact-to-fact joins, SCALE.md.)"""
+    from fresco_hpc_spark.plans import write_bucketed_table
+    from fresco_hpc_spark.sources import table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+        orders = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed_table(li, "li_bkt", "l_orderkey", n_buckets=4)
+        write_bucketed_table(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "ord_bkt", "l_orderkey", n_buckets=4,
+        )
+        joined = spark.table("li_bkt").join(spark.table("ord_bkt"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # bucket pruning metadata actually drove the plan, not luck:
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
