@@ -340,6 +340,40 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (reference W1 is global-only): 3 most active users
+    per event type, ranked over the pre-aggregated counts."""
+    ev = table(spark, sf_dir, "events")
+    return ops.topk_per_group(ev, "event_type", "user_id", k=3)
+
+
+def q_set_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent in the reference, SURVEY.md §2.7): users
+    who both clicked and purchased vs clicked only."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    both = clicks.intersect(purchases).select(
+        F.lit("click_and_purchase").alias("set_op"), "user_id"
+    )
+    only = clicks.subtract(purchases).select(
+        F.lit("click_only").alias("set_op"), "user_id"
+    )
+    return both.unionByName(only).orderBy("set_op", "user_id")
+
+
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + forward fill over each user's click series
+    in the flagship window (operators/timeseries.py gap_fill)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ops.time_bound(
+        ev.filter(F.col("event_type") == "click"), *_WINDOW, time_col="ts"
+    )
+    return ops.gap_fill(clicks, "user_id", time_col="ts", value_col="value")
+
+
 def q_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count aggregation (absent in the reference — SURVEY.md §2.4
     closing row): exact per-day unique users. At 100 TB the same plan swaps
@@ -555,6 +589,9 @@ def queries() -> dict[str, Query]:
         "asof_click_purchase": q_asof_click_purchase,
         "session_stats": q_session_stats,
         "daily_uniques": q_daily_uniques,
+        "topk_users_per_event": q_topk_users_per_event,
+        "set_ops_events": q_set_ops_events,
+        "gap_fill_hourly": q_gap_fill_hourly,
         "monthly_rollup": q_monthly_rollup,
         "cast_double_view": q_cast_double_view,
         "scaled_view": q_scaled_view,
@@ -1316,6 +1353,63 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP (strftime(ts, '%Y-%m'), event_type)
             ORDER BY gid, month, event_type
+        """,
+        "topk_users_per_event": """
+            WITH counts AS (
+                SELECT event_type AS grp, user_id AS key, COUNT(*) AS count
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT grp, key, count, rank FROM (
+                SELECT grp, key, count,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY grp ORDER BY count DESC, key ASC
+                       ) AS BIGINT) AS rank
+                FROM counts
+            ) WHERE rank <= 3
+            ORDER BY grp, rank
+        """,
+        "set_ops_events": """
+            SELECT 'click_and_purchase' AS set_op, user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+            UNION ALL
+            SELECT 'click_only' AS set_op, user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                EXCEPT
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+            ORDER BY set_op, user_id
+        """,
+        "gap_fill_hourly": """
+            WITH b AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket,
+                       ROUND(AVG(value), 6) AS _v
+                FROM events
+                WHERE event_type = 'click'
+                  AND ts BETWEEN '2024-01-05 00:00:00' AND '2024-01-12 00:00:00'
+                  AND ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            ext AS (
+                SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+                FROM b GROUP BY 1
+            ),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+                FROM ext
+            )
+            SELECT g.user_id, g.bucket,
+                   last_value(b._v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.bucket
+                       ROWS UNBOUNDED PRECEDING) AS value,
+                   b._v IS NULL AS is_gap
+            FROM grid g LEFT JOIN b USING (user_id, bucket)
+            ORDER BY user_id, bucket
         """,
         "daily_uniques": """
             SELECT date_trunc('day', ts) AS day,

@@ -5,6 +5,7 @@ from fresco_hpc_spark.operators.stats import (  # noqa: F401
 )
 from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     duration_seconds,
+    gap_fill,
     hourly_agg,
     profile_agg,
     session_stats,
@@ -20,6 +21,7 @@ from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
 )
 from fresco_hpc_spark.operators.topn import (  # noqa: F401
     category_counts,
+    topk_per_group,
     topn_others,
 )
 from fresco_hpc_spark.operators.histogram import (  # noqa: F401

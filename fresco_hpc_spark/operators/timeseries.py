@@ -162,6 +162,59 @@ def session_stats(
     )
 
 
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str = "ts",
+    value_col: str = "value",
+    granularity: str = "hour",
+) -> DataFrame:
+    """Regular-grid resample + forward fill (absent in the reference, a
+    staple for telemetry series with dropped samples): per key, average the
+    value into ``granularity`` buckets, densify onto the key's full
+    [min_bucket, max_bucket] grid, and carry the last observation forward
+    across empty buckets. ``is_gap`` marks filled rows.
+
+    Plan: bucket agg (one shuffle, map-side combine) → per-key extent (tiny)
+    → ``sequence()`` explode builds the grid distributed per key (no driver
+    loop, no cross join with a global calendar) → equi left join grid⋈buckets
+    → one windowed ``last(ignore nulls)``. Grid size is bounded by each
+    key's own span, so skew follows the data's time coverage, not key count.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.date_trunc(granularity, F.col(time_col)).alias("bucket")
+    b = (
+        df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col), bucket)
+        .agg(F.round(F.avg(value_col), _ROUND).alias("_v"))
+    )
+    ext = b.groupBy(key_col).agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    grid = ext.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(_mn, _mx, interval 1 {granularity})")
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, on=[key_col, "bucket"], how="left")
+        .select(
+            key_col,
+            "bucket",
+            F.last("_v", ignorenulls=True).over(w).alias("value"),
+            F.col("_v").isNull().alias("is_gap"),
+        )
+        .orderBy(key_col, "bucket")
+    )
+
+
 def duration_seconds(
     df: DataFrame,
     start_col: str,

@@ -58,3 +58,27 @@ def topn_others(df: DataFrame, col: str, n: int = 10) -> DataFrame:
         F.desc("count"),
         F.asc("category"),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group top-k by count (absent in the reference, whose W1 ranking
+    is global-only): count per (group, key), then row_number partitioned by
+    group. The window input is the pre-aggregated count relation — one
+    shuffle for the agg, one for the (tiny) per-group rank — never a sort
+    of raw rows. Ties break on key for determinism, like topn_others."""
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("count"), F.asc("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("grp", "rank")
+    )

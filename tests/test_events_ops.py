@@ -135,3 +135,28 @@ def test_approx_count_distinct_tracks_exact(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
+
+
+def test_gap_fill_semantics(spark):
+    """Grid spans each key's own extent; gaps carry the last observation
+    forward; leading rows are real observations by construction."""
+    from fresco_hpc_spark.operators import gap_fill
+
+    ev = spark.createDataFrame(
+        [
+            ("h1", _ts("2024-01-01 10:15:00"), 4.0),
+            ("h1", _ts("2024-01-01 10:45:00"), 6.0),  # same bucket -> avg 5.0
+            ("h1", _ts("2024-01-01 13:05:00"), 9.0),  # 2-hour gap before
+            ("h2", _ts("2024-01-01 00:30:00"), 1.0),  # single-bucket key
+        ],
+        "host string, ts timestamp, value double",
+    )
+    out = gap_fill(ev, "host", time_col="ts", value_col="value")
+    rows = [(r["host"], r["bucket"].hour, r["value"], r["is_gap"]) for r in out.collect()]
+    assert rows == [
+        ("h1", 10, 5.0, False),
+        ("h1", 11, 5.0, True),
+        ("h1", 12, 5.0, True),
+        ("h1", 13, 9.0, False),
+        ("h2", 0, 1.0, False),
+    ]
