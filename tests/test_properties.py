@@ -107,3 +107,63 @@ def test_percentile_trim_matches_linear_interpolation(spark, vals):
     hi = float(np.percentile(vals, 75, method="linear"))
     want = sorted(v for v in vals if lo <= v <= hi)
     assert kept == want
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 3600)),
+        min_size=1, max_size=20,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(0, 3600),
+            st.integers(0, 100),
+        ),
+        min_size=0, max_size=20, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Differential oracle for asof_join: pandas merge_asof (backward,
+    ties-match) on the same (key, ts) data must produce identical matched
+    timestamps and payloads. Right (key, ts) pairs are unique so the
+    nearest match is well-defined in both engines."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    ldf = pd.DataFrame(
+        {
+            "k": [k for k, _ in left],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in left],
+        }
+    )
+    ldf["id"] = range(len(ldf))
+    rdf = pd.DataFrame(
+        {
+            "k": [k for k, _, _ in right],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s, _ in right],
+            "v": [v for _, _, v in right],
+        }
+    )
+
+    sl = spark.createDataFrame(ldf[["id", "k", "ts"]])
+    if len(rdf):
+        sr = spark.createDataFrame(rdf)
+    else:
+        sr = spark.createDataFrame([], "k string, ts timestamp, v bigint")
+    got = {
+        r["id"]: r["v"]
+        for r in ops.asof_join(sl, sr, on="k", left_ts="ts").collect()
+    }
+
+    if len(rdf) == 0:
+        assert all(v is None for v in got.values())
+        return
+    want_df = pd.merge_asof(
+        ldf.sort_values("ts", kind="stable"),
+        rdf.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward",
+    )
+    for _, row in want_df.iterrows():
+        wv = None if pd.isna(row["v"]) else int(row["v"])
+        assert got[row["id"]] == wv, (row["id"], got[row["id"]], wv)
