@@ -543,6 +543,40 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media, dim=8).orderBy("media_id")
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Windowed audio energy over binary payloads (rows-only check; the
+    # PCM decode is the stubbed codec step, batch mechanics are real).
+    from fresco_hpc_spark.functions import extract_audio_features
+
+    audio = synthetic_media(spark, 150, modality="audio")
+    return extract_audio_features(audio, window_bytes=64).orderBy("media_id")
+
+
+def q_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour window average per user (RANGE frame — absent in
+    the reference, §2.5 closing row): epoch-seconds rangeBetween keeps the
+    frame time-based, not row-based, so sparse and dense series get the
+    same semantics."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    secs = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frame-sampling fan-out over binary video payloads (rows-only check).
     video = synthetic_media(spark, 100, modality="video")
@@ -605,7 +639,9 @@ def queries() -> dict[str, Query]:
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "rolling_hour_avg": q_rolling_hour_avg,
     }
 
 
@@ -1353,6 +1389,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP (strftime(ts, '%Y-%m'), event_type)
             ORDER BY gid, month, event_type
+        """,
+        "rolling_hour_avg": """
+            SELECT event_id, user_id, ts,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ), 6) AS trailing_avg
+            FROM events
+            ORDER BY event_id
         """,
         "topk_users_per_event": """
             WITH counts AS (

@@ -72,3 +72,20 @@ def test_sample_frames_fanout(spark):
     for mid, idxs in by_id.items():
         expected = [k for k in range(payload_len[mid] // 32) if k % 2 == 0]
         assert sorted(idxs) == expected
+
+
+def test_audio_features_windows(spark):
+    from fresco_hpc_spark.functions import extract_audio_features, synthetic_media
+
+    audio = synthetic_media(spark, 20, modality="audio")
+    feats = extract_audio_features(audio, window_bytes=64)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["sample_rate"] == 16000
+        assert r["n_windows"] == len(r["window_energy"])
+        assert r["n_windows"] >= 1
+        assert all(0.0 <= e <= 255.0 for e in r["window_energy"])
+    # determinism: same media_id -> same energies on recompute
+    again = {r["media_id"]: r["window_energy"] for r in feats.collect()}
+    assert all(again[r["media_id"]] == r["window_energy"] for r in rows)
