@@ -274,6 +274,35 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_docs_with_dups(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data curation pipeline as ONE composed plan:
+    quality scoring → language filter → exact dedup → per-source rollup.
+    Each stage is an already-oracle-checked operator; this entry checks
+    their composition end-to-end. All Catalyst-native — the joins are on
+    doc_id (broadcast-able at sf, shuffle-partitioned at scale), dedup is
+    one fingerprint groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    quality = text_stats(docs).select("doc_id", "quality_score")
+    langs = language_id(docs).select("doc_id", "predicted_lang")
+    keep = (
+        docs.join(quality, "doc_id")
+        .join(langs, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.5) & (F.col("predicted_lang") == "en")
+        )
+        .select("doc_id", "text", "source", "quality_score")
+    )
+    canon = dedup_corpus(keep)
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The known duplicate-pair structure of _docs_with_dups: docs with
     doc_id%70==0 belong to 3-node clusters {x, x+1e6, x+2e6} — exercises
@@ -615,6 +644,7 @@ def queries() -> dict[str, Query]:
         "embedding_ann_lsh": q_embedding_ann,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "dedup_corpus": q_dedup_corpus,
+        "corpus_curation": q_corpus_curation,
         "dup_clusters": q_dup_clusters,
         "token_counts": q_token_counts,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -1295,6 +1325,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
             FROM fp GROUP BY f ORDER BY doc_id
+        """,
+        "corpus_curation": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_count,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and|is|in|that|it|for|on|with|as|at|by)\\b'))
+                            AS BIGINT) AS stop
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       ROUND(0.4 * LEAST(n_words / 50.0, 1.0)
+                           + 0.3 * (1.0 - LEAST(punct_count / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10, 1.0))
+                           + 0.3 * LEAST(stop / CAST(GREATEST(n_words, 1) AS DOUBLE) * 5, 1.0),
+                           6) AS quality_score
+                FROM s
+            ),
+            lg AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and|is|in|that|it|for)\\b')) AS BIGINT) AS score_en,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(el|la|de|que|y|en|un|una|por|con)\\b')) AS BIGINT) AS score_es,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(le|la|de|et|les|des|un|une|dans|pour)\\b')) AS BIGINT) AS score_fr,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(der|die|das|und|ist|von|mit|den|für|auf)\\b')) AS BIGINT) AS score_de
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       CASE WHEN GREATEST(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                            WHEN score_en = GREATEST(score_en, score_es, score_fr, score_de) THEN 'en'
+                            WHEN score_es = GREATEST(score_en, score_es, score_fr, score_de) THEN 'es'
+                            WHEN score_fr = GREATEST(score_en, score_es, score_fr, score_de) THEN 'fr'
+                            ELSE 'de' END AS predicted_lang
+                FROM lg
+            ),
+            keep AS (
+                SELECT d.doc_id, d.text, d.source, q.quality_score
+                FROM documents d
+                JOIN q USING (doc_id) JOIN l USING (doc_id)
+                WHERE q.quality_score >= 0.5 AND l.predicted_lang = 'en'
+            ),
+            fp AS (
+                SELECT doc_id, source, quality_score,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+                FROM keep
+            ),
+            canon AS (
+                SELECT MIN(doc_id) AS doc_id,
+                       min_by(source, doc_id) AS source,
+                       min_by(quality_score, doc_id) AS quality_score
+                FROM fp GROUP BY f
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(quality_score), 6) AS avg_quality
+            FROM canon GROUP BY source ORDER BY source
         """,
         "dup_clusters": """
             WITH pairs AS (
