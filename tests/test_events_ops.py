@@ -160,3 +160,22 @@ def test_gap_fill_semantics(spark):
         ("h1", 13, 9.0, False),
         ("h2", 0, 1.0, False),
     ]
+
+
+def test_new_ops_on_empty_input(spark):
+    """Empty frames flow through asof/sessionize/gap_fill without error —
+    no div-by-zero, no window panic, schema preserved."""
+    from fresco_hpc_spark.operators import gap_fill
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id string, ts timestamp, value double"
+    )
+    left = spark.createDataFrame([], "id bigint, k string, ts timestamp")
+    right = spark.createDataFrame([], "k string, ts timestamp, v double")
+
+    assert asof_join(left, right, on="k", left_ts="ts").count() == 0
+    assert sessionize(empty_ev, "user_id", "ts").count() == 0
+    assert session_stats(empty_ev, "user_id", ts_col="ts", value_col="value").count() == 0
+    out = gap_fill(empty_ev, "user_id", time_col="ts", value_col="value")
+    assert out.count() == 0
+    assert out.columns == ["user_id", "bucket", "value", "is_gap"]
