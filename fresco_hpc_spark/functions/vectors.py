@@ -228,12 +228,18 @@ def embedding_near_dup_pairs(
     ``num_planes`` is the recall/cost knob (fewer planes → bigger
     buckets → higher recall, more comparisons).
     """
+    from pyspark.storagelevel import StorageLevel
+
     if dim is None:
         dim = len(embeddings.select(vec_col).head()[0])
     planes = _plane_constants(num_planes, dim)
     bucketed = embeddings.select(
         F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_bucket")
     )
+    # persist: the self-join's build and probe sides share no exchange, so
+    # without this the scan + num_planes·dim signature dot-products run
+    # twice (same fix as the minhash/ngram dedup self-joins)
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = F.round(
