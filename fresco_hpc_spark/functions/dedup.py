@@ -296,6 +296,10 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
         .unionByName(edges.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr")))
     )
+    # adj is joined once per propagation round: persist it so the upstream
+    # pair-generation plan (often an LSH dedup pipeline) runs once, not
+    # once per iteration
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     labels = adj.select("doc").distinct().withColumn("label", F.col("doc"))
     for _ in range(max_iterations):
         # candidate label per node: min over neighbors' labels and its own
