@@ -136,6 +136,7 @@ def ivf_train_centroids(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_train_rows: int | None = 100_000,
 ) -> list[list[float]]:
     """Lloyd's iterations in DataFrame ops: seed centroids
     deterministically (first vector of each of ``n_cells`` id-hash
@@ -143,9 +144,30 @@ def ivf_train_centroids(
 
     Everything distributed except the centroid list itself (n_cells × dim
     floats — driver-side by design, exactly like any ANN index's
-    codebook). Each iteration is one narrow assign plus one groupBy."""
+    codebook). Each iteration is one narrow assign plus one groupBy.
+
+    Codebooks are trained on a bounded sample (``max_train_rows``, the
+    standard IVF practice — FAISS trains on ~(39–256)·n_cells points):
+    a deterministic id-hash filter keeps training cost constant while the
+    full corpus is still assigned/probed exactly. Pass ``None`` to train
+    on everything. The training scan is persisted across iterations."""
+    train = embeddings
+    if max_train_rows is not None:
+        n = embeddings.count()
+        if n > max_train_rows:
+            # deterministic pseudo-random subset: keep ids whose 64-bit
+            # hash falls under the target fraction (no RNG state, stable
+            # across partitionings — unlike .sample on a reshuffled input)
+            frac = max_train_rows / n
+            bound = int((2**63 - 1) * frac)
+            train = embeddings.filter(
+                F.abs(F.xxhash64(F.col(id_col))) <= F.lit(bound)
+            )
+    from pyspark.storagelevel import StorageLevel
+
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
     seeds = (
-        embeddings.withColumn("_b", F.pmod(F.xxhash64(id_col), F.lit(n_cells)))
+        train.withColumn("_b", F.pmod(F.xxhash64(id_col), F.lit(n_cells)))
         .withColumn(
             "_rn",
             F.row_number().over(Window.partitionBy("_b").orderBy(id_col)),
@@ -156,7 +178,7 @@ def ivf_train_centroids(
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(iterations):
-        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        assigned = ivf_assign(train, centroids, id_col, vec_col)
         means = (
             assigned.groupBy("_cell")
             .agg(
