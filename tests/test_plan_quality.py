@@ -88,6 +88,10 @@ def test_embedding_near_dups_join_is_equi(spark):
         "histogram_bin_index", "etl_block_rates", "etl_cpu_percent",
         "text_stats", "lang_id", "exact_dedup", "minhash_dup_pairs",
         "token_counts", "rolling_fingerprint", "embedding_knn",
+        "asof_click_purchase", "session_stats", "gap_fill_hourly",
+        "corpus_curation", "rolling_hour_avg", "topk_users_per_event",
+        "daily_uniques", "join_salted_skew", "rollup_monthly_events",
+        "set_ops_events",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -154,3 +158,13 @@ def test_salted_join_splits_hot_keys(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan and ("Generate explode" in plan or "explode" in plan)
     assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_grid_join_is_equi(spark):
+    plan = plan_of(spark, "gap_fill_hourly")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_curation_no_cartesian(spark):
+    plan = plan_of(spark, "corpus_curation")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
