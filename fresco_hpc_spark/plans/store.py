@@ -23,6 +23,7 @@ def write_partitioned_store(
     path: str,
     time_col: str = "time",
     mode: str = "overwrite",
+    sort_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` hour-partitioned by ``time_col``.
 
@@ -30,13 +31,23 @@ def write_partitioned_store(
     engine (Spark, DuckDB, Trino) can prune them; at 100 TB this gives
     ~1 directory per hour exactly like the reference's chunk scheme, but
     each hour may hold many files written in parallel by many tasks.
+
+    ``sort_cols`` clusters rows inside each task's files on secondary
+    dimensions (host, job id, …): parquet row-group min/max stats then
+    become selective for predicates on those columns, so scans skip row
+    groups the partition keys can't prune — the cheap single-dimension
+    cousin of Z-ordering, free at write time.
     """
-    (
+    out = (
         df.withColumn("year", F.year(time_col))
         .withColumn("month", F.month(time_col))
         .withColumn("day", F.dayofmonth(time_col))
         .withColumn("hour", F.hour(time_col))
-        .write.mode(mode)
+    )
+    if sort_cols:
+        out = out.sortWithinPartitions(*PARTITION_COLS, *sort_cols)
+    (
+        out.write.mode(mode)
         .partitionBy(*PARTITION_COLS)
         .option("compression", "snappy")
         .parquet(path)

@@ -154,3 +154,32 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_store_secondary_sort_clusters_rows(spark, tmp_path):
+    """sort_cols clusters each written file on the secondary key, so
+    parquet row-group min/max stats are selective for predicates the
+    partition keys can't prune (SCALE.md data-layout note)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.plans import list_partition_files, write_partitioned_store
+    from fresco_hpc_spark.sources import table
+
+    ev = table(spark, SF_SMALL, "events").select(
+        F.col("ts").alias("time"), "user_id", "value"
+    )
+    path = str(tmp_path / "sorted_store")
+    write_partitioned_store(ev, path, sort_cols=["user_id"])
+
+    files = [f for f, _ in list_partition_files(spark, path)]
+    assert files
+    for f in files[:5]:
+        col = pq.read_table(f.replace("file:", ""), columns=["user_id"])
+        vals = col["user_id"].to_pylist()
+        assert vals == sorted(vals)  # clustered -> tight row-group stats
+
+    # predicate on the sorted column still reaches the scan
+    got = spark.read.option("basePath", path).parquet(path).filter("user_id = 1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,1)]" in plan
