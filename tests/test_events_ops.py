@@ -179,3 +179,22 @@ def test_new_ops_on_empty_input(spark):
     out = gap_fill(empty_ev, "user_id", time_col="ts", value_col="value")
     assert out.count() == 0
     assert out.columns == ["user_id", "bucket", "value", "is_gap"]
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The 100 TB swap for global_percentiles: percentile_approx with
+    accuracy=10000 must land within the neighboring-value envelope of the
+    exact interpolating percentile."""
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    ev = table(spark, SF_SMALL, "events")
+    row = ev.agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.99))").alias("exact"),
+        F.expr("percentile_approx(value, array(0.25, 0.5, 0.75, 0.99), 10000)").alias("approx"),
+    ).collect()[0]
+    spread = (
+        ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+    )
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) <= 0.01 * spread + 1e-9
