@@ -403,6 +403,20 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.gap_fill(clicks, "user_id", time_col="ts", value_col="value")
 
 
+def q_cube_user_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (the remaining §2.4 'absent' op): counts at every
+    combination of (user bucket, event_type) including both marginals."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.cube((F.col("user_id") % 10).alias("user_bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .orderBy("gid", "user_bucket", "event_type")
+    )
+
+
 def q_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count aggregation (absent in the reference — SURVEY.md §2.4
     closing row): exact per-day unique users. At 100 TB the same plan swaps
@@ -665,6 +679,7 @@ def queries() -> dict[str, Query]:
         "join_semi_anti": q_join_semi_anti,
         "join_salted_skew": q_join_salted_skew,
         "rollup_monthly_events": q_rollup_monthly_events,
+        "cube_user_bucket_events": q_cube_user_bucket_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
@@ -1555,6 +1570,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "cube_user_bucket_events": """
+            SELECT user_id % 10 AS user_bucket, event_type,
+                   COUNT(*) AS n,
+                   CAST(GROUPING(user_id % 10) * 2
+                        + GROUPING(event_type) AS BIGINT) AS gid
+            FROM events
+            GROUP BY CUBE (user_id % 10, event_type)
+            ORDER BY gid, user_bucket, event_type
         """,
         "asof_click_purchase": """
             WITH p AS (
