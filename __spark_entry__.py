@@ -403,6 +403,31 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.gap_fill(clicks, "user_id", time_col="ts", value_col="value")
 
 
+def q_lead_ntile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead + ntile (the remaining §2.5 'absent' window ops): per user,
+    seconds until the next event and the event's global value quartile.
+    Both windows are deterministic: (ts, event_id) ordering breaks ties.
+    The unpartitioned ntile window is an inherent global sort (one
+    partition); at cluster scale exact global quantile LABELS cost that by
+    definition — the cheap path is bucketing by approx_percentile bounds."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_global = Window.orderBy("value", "event_id")
+    secs = F.col("ts").cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.lead(secs).over(w_user) - secs).cast("bigint").alias("secs_to_next"),
+            F.ntile(4).over(w_global).cast("bigint").alias("value_quartile"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_cube_user_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping (the remaining §2.4 'absent' op): counts at every
     combination of (user bucket, event_type) including both marginals."""
@@ -680,6 +705,7 @@ def queries() -> dict[str, Query]:
         "join_salted_skew": q_join_salted_skew,
         "rollup_monthly_events": q_rollup_monthly_events,
         "cube_user_bucket_events": q_cube_user_bucket_events,
+        "lead_ntile_events": q_lead_ntile_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
@@ -1570,6 +1596,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "lead_ntile_events": """
+            SELECT event_id, user_id, ts,
+                   LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       - CAST(floor(epoch(ts)) AS BIGINT) AS secs_to_next,
+                   CAST(NTILE(4) OVER (ORDER BY value, event_id) AS BIGINT)
+                       AS value_quartile
+            FROM events
+            ORDER BY event_id
         """,
         "cube_user_bucket_events": """
             SELECT user_id % 10 AS user_bucket, event_type,
