@@ -153,8 +153,11 @@ def ivf_train_centroids(
     on everything. The training scan is persisted across iterations."""
     train = embeddings
     if max_train_rows is not None:
-        n = embeddings.count()
-        if n > max_train_rows:
+        # bounded existence probe: limit(max+1).count() short-circuits the
+        # scan instead of counting the whole input when it's already small
+        n_probe = embeddings.limit(max_train_rows + 1).count()
+        if n_probe > max_train_rows:
+            n = embeddings.count()
             # deterministic pseudo-random subset: keep ids whose 64-bit
             # hash falls under the target fraction (no RNG state, stable
             # across partitionings — unlike .sample on a reshuffled input)
@@ -166,33 +169,36 @@ def ivf_train_centroids(
     from pyspark.storagelevel import StorageLevel
 
     train = train.persist(StorageLevel.MEMORY_AND_DISK)
-    seeds = (
-        train.withColumn("_b", F.pmod(F.xxhash64(id_col), F.lit(n_cells)))
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("_b").orderBy(id_col)),
-        )
-        .filter(F.col("_rn") == 1)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in seeds]
-    for _ in range(iterations):
-        assigned = ivf_assign(train, centroids, id_col, vec_col)
-        means = (
-            assigned.groupBy("_cell")
-            .agg(
-                F.array(
-                    *[
-                        F.avg(F.col(vec_col).getItem(i))
-                        for i in range(len(centroids[0]))
-                    ]
-                ).alias("c")
+    try:
+        seeds = (
+            train.withColumn("_b", F.pmod(F.xxhash64(id_col), F.lit(n_cells)))
+            .withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy("_b").orderBy(id_col)),
             )
+            .filter(F.col("_rn") == 1)
+            .select(vec_col)
             .collect()
         )
-        new = {r._cell: [float(x) for x in r.c] for r in means}
-        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+        centroids = [[float(x) for x in r[0]] for r in seeds]
+        for _ in range(iterations):
+            assigned = ivf_assign(train, centroids, id_col, vec_col)
+            means = (
+                assigned.groupBy("_cell")
+                .agg(
+                    F.array(
+                        *[
+                            F.avg(F.col(vec_col).getItem(i))
+                            for i in range(len(centroids[0]))
+                        ]
+                    ).alias("c")
+                )
+                .collect()
+            )
+            new = {r._cell: [float(x) for x in r.c] for r in means}
+            centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    finally:
+        train.unpersist()
     return centroids
 
 

@@ -68,6 +68,12 @@ def salted_join(
     handles most cases at runtime; explicit salting remains the tool when a
     single key exceeds what one task can sort, or off-AQE.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins; got how={how!r} "
+            "(the right side is replicated per salt, so right/full-outer would "
+            "duplicate unmatched right rows n_salts times)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l2 = left.withColumn("__salt", salt)
@@ -104,9 +110,17 @@ def asof_join(
     non-ts columns); the matched timestamp lands in ``matched_ts_col``;
     unmatched left rows keep nulls. ``tolerance_seconds`` nulls out matches
     farther than the given gap (pandas ``merge_asof`` tolerance semantics).
+
+    Null timestamps are dropped from BOTH sides before the union (same
+    null-guard convention as time_bucket_agg/gap_fill): an as-of match at an
+    undefined time is meaningless, and Spark's NULLS FIRST ascending window
+    order would otherwise carry a null-ts right payload forward as a
+    spurious "match" (and diverge from DuckDB's NULLS LAST).
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
+    left = left.filter(F.col(left_ts).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
     if direction not in ("backward", "forward"):

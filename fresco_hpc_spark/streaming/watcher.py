@@ -129,7 +129,9 @@ def streaming_session_agg(
     watermark passes their end; state never grows unboundedly."""
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
-        aggs.append(F.sum(value_col).alias("sum_value"))
+        # round to the shared precision so float sums match the batch twin
+        # (session_stats) bit-for-bit regardless of accumulation order
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
     return (
         stream_df.withWatermark(time_col, watermark)
         .groupBy(F.session_window(time_col, gap).alias("w"), F.col(key_col))
