@@ -236,11 +236,16 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF scale path: codebook trained once (driver-held, like any ANN
-    # index), probes the 4 nearest of 8 cells. Rows-only check (the
-    # trained centroids depend on iterative float means — not stably
-    # SQL-expressible); recall vs brute force is asserted in tests.
+    # index), probes the 4 nearest of 8 cells. Fully oracle-checked:
+    # seeding is the engine-agnostic pmod(vec_id, n_cells) (first vector
+    # per bucket), Lloyd means round to 9 dp and normalized centroids to
+    # 12 dp, so _ivf_oracle_sql can replay the exact same training in
+    # DuckDB (unrolled iterations) at any sf. Recall vs brute force is
+    # separately asserted in tests.
     emb = table(spark, sf_dir, "embeddings")
-    centroids = ivf_train_centroids(emb, n_cells=8, iterations=2)
+    centroids = ivf_train_centroids(
+        emb, n_cells=8, iterations=2, seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8))
+    )
     return ivf_ann_topk(emb, _query_vector(spark, sf_dir), centroids, k=10, nprobe=4)
 
 
@@ -749,6 +754,91 @@ def _ann_lsh_oracle_sql(num_planes: int = 6, dim: int = 64, probe_hamming: int =
                      6) AS cosine_sim
         FROM sig, q
         WHERE bit_count(xor(bucket, qb)) <= {probe_hamming}
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _ivf_oracle_sql(
+    n_cells: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    nprobe: int = 4,
+    k: int = 10,
+) -> str:
+    """Full SQL twin of q_embedding_ann_ivf: replays the ENTIRE training
+    (pmod seeding → Lloyd iterations unrolled as CTEs → final assign →
+    probe) in DuckDB, so the oracle holds at any sf — no frozen
+    data-dependent literals. Cross-engine float stability comes from the
+    same two rounding points the Spark side applies: Lloyd means at 9 dp
+    (kills partial-agg merge-order noise) and normalized centroid
+    components at 12 dp (so both engines argmax over bit-identical
+    codebooks). Assumes the training sample bound (100k) is not hit —
+    true for every testdata sf. Ties in argmax break to the lowest cell
+    on both sides (array_position-first ≡ ROW_NUMBER ORDER BY d DESC,
+    cell ASC)."""
+    means = ", ".join(f"ROUND(AVG(v[{i + 1}]), 9)" for i in range(dim))
+
+    def norm(src: str) -> str:
+        return (
+            f"SELECT cell, c, list_transform(c, x -> ROUND(x / sqrt(list_dot_product(c, c)), 12)) AS cn "
+            f"FROM {src}"
+        )
+
+    def assign(cent: str) -> str:
+        return f"""
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, {cent}.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, {cent}.cn) DESC, {cent}.cell ASC
+                       ) AS rn
+                FROM e CROSS JOIN {cent}
+            ) WHERE rn = 1
+        """
+
+    iter_ctes = []
+    prev = "seeds"
+    for it in range(iterations):
+        iter_ctes.append(f"n{it} AS ({norm(prev)})")
+        iter_ctes.append(f"a{it} AS ({assign(f'n{it}')})")
+        iter_ctes.append(
+            f"m{it} AS (SELECT cell, [{means}] AS c FROM a{it} GROUP BY cell)"
+        )
+        iter_ctes.append(
+            f"c{it + 1} AS (SELECT {prev}.cell, COALESCE(m{it}.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN m{it} USING (cell))"
+        )
+        prev = f"c{it + 1}"
+    chain = ",\n            ".join(iter_ctes)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        seeds AS (
+            SELECT (vec_id % {n_cells}) AS cell, v AS c FROM (
+                SELECT vec_id, v,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id % {n_cells} ORDER BY vec_id) AS rn
+                FROM e
+            ) WHERE rn = 1
+        ),
+        {chain},
+        nf AS ({norm(prev)}),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probe AS (
+            SELECT cell FROM nf, q
+            ORDER BY list_dot_product(c, qv)
+                     / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     cell ASC
+            LIMIT {nprobe}
+        ),
+        af AS ({assign("nf")})
+        SELECT af.vec_id,
+               ROUND(list_dot_product(af.v, q.qv)
+                     / (sqrt(list_dot_product(af.v, af.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                     6) AS cosine_sim
+        FROM af, q
+        WHERE af.cell IN (SELECT cell FROM probe)
         ORDER BY cosine_sim DESC, vec_id ASC
         LIMIT {k}
     """
@@ -1455,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_pairs": _minhash_oracle_sql(),
         "simhash_dup_pairs": _simhash_oracle_sql(),
         "embedding_ann_lsh": _ann_lsh_oracle_sql(),
+        "embedding_ann_ivf": _ivf_oracle_sql(),
         "token_counts": """
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

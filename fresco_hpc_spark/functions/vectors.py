@@ -102,12 +102,17 @@ def ivf_assign(
     exponential codegen that took 20+ s to compile at 8×64.)
 
     Centroids are L2-normalized driver-side: argmax of dot(v, ĉ) equals
-    argmax of cosine(v, c) because |v| scales every cell equally."""
+    argmax of cosine(v, c) because |v| scales every cell equally.
+    Normalized components are rounded to 12 dp so the DuckDB oracle twin
+    (which normalizes with ``list_dot_product``, a different summation
+    order) lands on bit-identical centroid literals — same convention as
+    the 6-dp output rounding, applied where the discrete argmax decision
+    is made."""
     v = _as_double(F.col(vec_col))
     cnorm = []
     for c in centroids:
         n = sum(x * x for x in c) ** 0.5
-        cnorm.append([float(x) / n if n else 0.0 for x in c])
+        cnorm.append([round(float(x) / n, 12) if n else 0.0 for x in c])
     cmat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cnorm])
     dots = F.transform(
         cmat,
@@ -137,6 +142,8 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_train_rows: int | None = 100_000,
+    seed_bucket_col: Column | None = None,
+    mean_round: int = 9,
 ) -> list[list[float]]:
     """Lloyd's iterations in DataFrame ops: seed centroids
     deterministically (first vector of each of ``n_cells`` id-hash
@@ -150,7 +157,16 @@ def ivf_train_centroids(
     standard IVF practice — FAISS trains on ~(39–256)·n_cells points):
     a deterministic id-hash filter keeps training cost constant while the
     full corpus is still assigned/probed exactly. Pass ``None`` to train
-    on everything. The training scan is persisted across iterations."""
+    on everything. The training scan is persisted across iterations.
+
+    ``seed_bucket_col`` overrides the seed-bucket expression (default
+    ``pmod(xxhash64(id), n_cells)``) — pass an engine-agnostic expression
+    such as ``pmod(id, n_cells)`` when the trained codebook must be
+    reproducible by a SQL oracle that lacks xxhash64. ``mean_round``
+    rounds each Lloyd mean component (half-up, like the output rounding):
+    Spark's partial-aggregate merge order is nondeterministic at the
+    ~1e-13 level, and rounding pins the codebook bit-for-bit across runs
+    and engines."""
     train = embeddings
     if max_train_rows is not None:
         # bounded existence probe: limit(max+1).count() short-circuits the
@@ -170,8 +186,13 @@ def ivf_train_centroids(
 
     train = train.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        bucket = (
+            seed_bucket_col
+            if seed_bucket_col is not None
+            else F.pmod(F.xxhash64(id_col), F.lit(n_cells))
+        )
         seeds = (
-            train.withColumn("_b", F.pmod(F.xxhash64(id_col), F.lit(n_cells)))
+            train.withColumn("_b", bucket)
             .withColumn(
                 "_rn",
                 F.row_number().over(Window.partitionBy("_b").orderBy(id_col)),
@@ -188,7 +209,7 @@ def ivf_train_centroids(
                 .agg(
                     F.array(
                         *[
-                            F.avg(F.col(vec_col).getItem(i))
+                            F.round(F.avg(F.col(vec_col).getItem(i)), mean_round)
                             for i in range(len(centroids[0]))
                         ]
                     ).alias("c")
