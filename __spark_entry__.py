@@ -413,8 +413,9 @@ def q_lead_ntile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds until the next event and the event's global value quartile.
     Both windows are deterministic: (ts, event_id) ordering breaks ties.
     The unpartitioned ntile window is an inherent global sort (one
-    partition); at cluster scale exact global quantile LABELS cost that by
-    definition — the cheap path is bucketing by approx_percentile bounds."""
+    partition) — kept as the small-data NTILE-parity variant; the
+    scale-safe default is q_lead_quartile_events (bounds-bucketing, no
+    global window)."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
@@ -431,6 +432,31 @@ def q_lead_ntile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def q_lead_quartile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe default for global quartile labels: exact bounds from
+    distributed_exact_percentiles broadcast as LITERALS, then a map-side
+    when() bucket — same shape as q_lead_ntile_events but with zero
+    unpartitioned windows (plan-asserted in test_plan_quality: no
+    Exchange SinglePartition). At 100 TB the ntile variant funnels the
+    full table through one task; this one is a narrow map after a
+    bounds pass that only sorts the two bucket-boundary partitions.
+    Labels differ from NTILE only in tie-position semantics (equal
+    values always share a bucket here)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    labelled = ops.quantile_bucket(ev, "value", label_col="value_quartile")
+    return labelled.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.lead(secs).over(w_user) - secs).cast("bigint").alias("secs_to_next"),
+        "value_quartile",
+    ).orderBy("event_id")
 
 
 def q_cube_user_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +737,7 @@ def queries() -> dict[str, Query]:
         "rollup_monthly_events": q_rollup_monthly_events,
         "cube_user_bucket_events": q_cube_user_bucket_events,
         "lead_ntile_events": q_lead_ntile_events,
+        "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
@@ -1697,6 +1724,25 @@ def oracle_sql() -> dict[str, str]:
                        AS value_quartile
             FROM events
             ORDER BY event_id
+        """,
+        "lead_quartile_events": """
+            WITH b AS (
+                SELECT ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS q1,
+                       ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 6) AS q2,
+                       ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS q3
+                FROM events
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   LEAD(CAST(floor(epoch(e.ts)) AS BIGINT)) OVER (
+                       PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+                       - CAST(floor(epoch(e.ts)) AS BIGINT) AS secs_to_next,
+                   CAST(CASE WHEN e.value IS NULL THEN NULL
+                             WHEN e.value <= b.q1 THEN 1
+                             WHEN e.value <= b.q2 THEN 2
+                             WHEN e.value <= b.q3 THEN 3
+                             ELSE 4 END AS BIGINT) AS value_quartile
+            FROM events e, b
+            ORDER BY e.event_id
         """,
         "cube_user_bucket_events": """
             SELECT user_id % 10 AS user_bucket, event_type,

@@ -18,6 +18,7 @@ from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     iqr_trim,
     percentile_trim,
     percentile_trimmed_hourly_agg,
+    quantile_bucket,
 )
 from fresco_hpc_spark.operators.topn import (  # noqa: F401
     category_counts,

@@ -132,6 +132,50 @@ def global_percentiles(df: DataFrame, col: str, fractions: list[float]) -> DataF
     )
 
 
+def quantile_bucket(
+    df: DataFrame,
+    col: str,
+    fractions: list[float] | None = None,
+    label_col: str = "bucket",
+    round_to: int = _ROUND,
+):
+    """Scale-safe global quantile LABELS: exact bounds from
+    ``distributed_exact_percentiles`` inlined as literals, then a map-side
+    ``when()`` chain — no unpartitioned window, no single-partition sort
+    (the scale problem with a global ``ntile``: one task sorts the whole
+    table). Same labels as NTILE modulo tie-position semantics: rows are
+    bucketed by VALUE against the bounds, so equal values always share a
+    bucket (ntile may split them to even out bucket sizes).
+
+    Bounds are rounded (half-up, ``round_to`` dp) before comparison so an
+    oracle recomputing them with its own PERCENTILE_CONT lands on the
+    same literals — last-ulp interpolation differences can't flip a row
+    whose value equals a bound. Null values get a null label.
+    """
+    if fractions is None:
+        fractions = [0.25, 0.5, 0.75]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    bounds = distributed_exact_percentiles(df, col, list(fractions))
+    if bounds[0] is None:
+        return df.withColumn(label_col, F.lit(None).cast("bigint"))
+    expr = None
+    for i, b in enumerate(bounds):
+        # HALF_UP like Spark's F.round / DuckDB's ROUND — python round()
+        # is half-even and would diverge on exact-tie bounds
+        rb = float(
+            Decimal(float(b)).quantize(Decimal(1).scaleb(-round_to), ROUND_HALF_UP)
+        )
+        cond = F.col(col) <= F.lit(rb)
+        expr = F.when(cond, i + 1) if expr is None else expr.when(cond, i + 1)
+    expr = (
+        F.when(F.col(col).isNull(), F.lit(None))
+        .otherwise(expr.otherwise(len(bounds) + 1))
+        .cast("bigint")
+    )
+    return df.withColumn(label_col, expr)
+
+
 def _bounds_trim(df: DataFrame, col: str, lower, upper, names) -> DataFrame:
     """Shared J1/J2 tail: the driver-side bounds become a broadcast 1-row
     relation cross-joined in (the reference's own shape, and what keeps

@@ -66,3 +66,20 @@ def test_constant_column_histogram_zero_width(spark):
 def test_percentile_trim_on_empty_input(spark):
     events = table(spark, SF_SMALL, "events").filter(F.lit(False))
     assert ops.percentile_trim(events, "value").count() == 0
+
+
+def test_quantile_bucket_nulls_and_empty(spark):
+    from fresco_hpc_spark.operators import quantile_bucket
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, None)],
+        "id bigint, v double",
+    )
+    out = {r.id: r.bucket for r in quantile_bucket(df, "v").collect()}
+    assert out[5] is None  # null value -> null label, not the top bucket
+    assert out[1] == 1 and out[4] == 4
+    assert sorted(out[i] for i in (1, 2, 3, 4)) == [1, 2, 3, 4]
+
+    empty = df.filter("v IS NULL AND id < 0")
+    rows = quantile_bucket(empty, "v").collect()
+    assert rows == []

@@ -168,3 +168,16 @@ def test_gap_fill_grid_join_is_equi(spark):
 def test_corpus_curation_no_cartesian(spark):
     plan = plan_of(spark, "corpus_curation")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lead_quartile_has_no_single_partition_window(spark):
+    """The scale-safe quartile-label path must never funnel raw rows
+    through one task: every window in the plan is partitioned (user_id)
+    and the bucket labels are literal-bound when() comparisons. The final
+    presentation orderBy is range-partitioned, not SinglePartition. The
+    ntile parity variant, by contrast, IS a global window — pinned here so
+    the two don't silently swap roles."""
+    plan = plan_of(spark, "lead_quartile_events")
+    assert "SinglePartition" not in plan
+    ntile_plan = plan_of(spark, "lead_ntile_events")
+    assert "SinglePartition" in ntile_plan
