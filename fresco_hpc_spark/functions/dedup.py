@@ -279,56 +279,87 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair list: assign every
     doc the MIN doc id of its duplicate cluster.
 
-    Iterative min-label propagation (large-star/small-star style): each
-    round every node adopts the smallest label among itself and its
-    neighbors; converges in O(log(diameter)) rounds — near-dup clusters
-    are shallow (usually diameter ≤ 2), so 3-4 rounds close them. Each
-    round is one groupBy shuffle on ``doc``; iteration stops early when a
-    round changes nothing (a driver-side scalar check, not a collect of
-    data). The result is the canonical-id mapping a 100 TB dedup pipeline
-    joins back against the corpus.
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — each round is two
+    groupBy shuffles over the CURRENT edge set and provably converges in
+    O(log² n) rounds even on adversarial long-chain graphs (plain
+    min-label propagation needs O(diameter) rounds). At the fixed point
+    every component is a star centered on its minimum id, so the label
+    read-off is one projection. Iteration stops when a round leaves the
+    edge set unchanged; if ``max_iterations`` is exhausted first the
+    function RAISES rather than silently returning partial clusters.
+    Each round's output is ``localCheckpoint``-ed: lineage stays flat and
+    the upstream pair generation (often a full LSH pipeline) runs once.
 
     ``pairs`` needs columns ``doc_a``/``doc_b``.
     """
-    edges = pairs.select("doc_a", "doc_b")
-    # undirected adjacency incl. self-loops so isolated propagation works
-    adj = (
-        edges.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
-        .unionByName(edges.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr")))
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    # adj is joined once per propagation round: persist it so the upstream
-    # pair-generation plan (often an LSH dedup pipeline) runs once, not
-    # once per iteration
-    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
-    labels = adj.select("doc").distinct().withColumn("label", F.col("doc"))
+    # canonical hi→lo orientation, self-pairs dropped
+    e = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
     for _ in range(max_iterations):
-        # candidate label per node: min over neighbors' labels and its own
-        nbr_labels = (
-            adj.join(labels.withColumnRenamed("doc", "nbr"), "nbr")
-            .groupBy("doc")
-            .agg(F.min("label").alias("nbr_min"))
+        # large-star: every node u links its LARGER neighbors to
+        # min(N(u) ∪ {u}) — processed from both edge directions
+        both = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        new_labels = (
-            labels.join(nbr_labels, "doc", "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        ls = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("doc"), F.col("label").alias("cluster_id"))
+        # small-star: every node links its smaller neighbors AND itself
+        # to the minimum of those neighbors
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins2, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("hi"), F.col("b").alias("lo"))
+            .distinct()
+        )
+        new_e = ss.localCheckpoint(eager=True)
+        # fixed point ⇔ same edge set: equal cardinality + empty anti-join
+        if new_e.count() == e.count():
+            novel = new_e.join(e, ["hi", "lo"], "left_anti").limit(1).count()
+            if novel == 0:
+                e = new_e
+                converged = True
+                break
+        e = new_e
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iterations} rounds; "
+            "raise max_iterations (graph deeper than 2^rounds is pathological "
+            "for near-dup data)"
+        )
+    # star read-off; groupBy(min) guards the (never-observed) case of a
+    # node still holding two edges at the fixed point
+    stars = e.groupBy("hi").agg(F.min("lo").alias("_c"))
+    return (
+        nodes.join(stars, nodes["doc"] == stars["hi"], "left")
+        .select("doc", F.coalesce(F.col("_c"), F.col("doc")).alias("cluster_id"))
+    )
 
 
 def simhash_signatures(

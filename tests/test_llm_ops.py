@@ -140,3 +140,41 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall {recall} too low"
     # the query vector itself (cell always probed: its own centroid ranks first)
     assert 0 in approx
+
+
+def test_dup_clusters_deep_chain_converges(spark):
+    # 61-node path graph (diameter 60, shuffled edge order): plain
+    # min-label propagation would need 60 rounds; large-star/small-star
+    # closes it in O(log^2 n) — well inside the default 20-round budget
+    import random
+
+    edges = [(i, i + 1) for i in range(60)]
+    random.Random(7).shuffle(edges)
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    from fresco_hpc_spark.functions import dup_clusters
+
+    got = {r.doc: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_dup_clusters_raises_on_exhausted_iterations(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["doc_a", "doc_b"]
+    )
+    from fresco_hpc_spark.functions import dup_clusters
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iterations=1)
+
+
+def test_dup_clusters_self_pairs_and_empty(spark):
+    from fresco_hpc_spark.functions import dup_clusters
+
+    pairs = spark.createDataFrame([(7, 7), (1, 2)], ["doc_a", "doc_b"])
+    got = {r.doc: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {7: 7, 1: 1, 2: 1}
+
+    empty = pairs.filter("doc_a < 0")
+    assert dup_clusters(empty).collect() == []
