@@ -643,12 +643,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Windowed audio energy over binary payloads (rows-only check; the
-    # PCM decode is the stubbed codec step, batch mechanics are real).
+    # Windowed RMS energy over REAL WAV payloads — the PCM decode is
+    # genuine (stdlib wave/struct in the mapInPandas batch loop);
+    # rows-only check (no SQL engine decodes RIFF).
     from fresco_hpc_spark.functions import extract_audio_features
 
     audio = synthetic_media(spark, 150, modality="audio")
-    return extract_audio_features(audio, window_bytes=64).orderBy("media_id")
+    return extract_audio_features(audio, window_samples=200).orderBy("media_id")
 
 
 def q_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

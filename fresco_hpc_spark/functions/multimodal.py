@@ -6,16 +6,23 @@ the layout that scales: payloads stay in parquet binary pages (no JVM
 object blow-up), metadata is columnar and prunable, and all per-item work
 runs in Arrow-batched ``mapInPandas`` so Python touches each batch once.
 
-The actual codecs (PIL/libav/ffmpeg) are NOT in this container, so the
-decode kernels are deterministic fakes behind an import-try — clearly
-marked below. Everything Spark-side is real and tested: schemas, batch
-shapes, UDF signatures, partition behavior. Swap ``_decode_*_batch`` for
-real codec calls and nothing else changes.
+The image/video codecs (PIL/libav/ffmpeg) are NOT in this container, so
+those decode kernels are deterministic fakes behind an import-try —
+clearly marked below. AUDIO IS REAL: WAV/PCM needs no external codec
+(stdlib ``wave`` + ``struct``), so ``synthetic_media`` emits genuine
+RIFF/WAVE payloads and ``extract_audio_features`` computes RMS energy
+from decoded samples. Everything Spark-side is real and tested: schemas,
+batch shapes, UDF signatures, partition behavior. Swap the remaining
+fake kernels for real codec calls and nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -71,9 +78,35 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+_WAV_SR = 8000
+
+
+def _wav_payload(media_id: int) -> bytes:
+    """A real, deterministic 16-bit mono PCM WAV: a sine at
+    200 + (id%10)·100 Hz, amplitude 0.5, 400 + (id%4)·200 samples
+    (50–125 ms at 8 kHz). Decodes with stdlib ``wave`` — no codec."""
+    freq = 200.0 + (media_id % 10) * 100.0
+    n_samp = 400 + (media_id % 4) * 200
+    frames = b"".join(
+        struct.pack(
+            "<h", int(0.5 * 32767 * math.sin(2.0 * math.pi * freq * t / _WAV_SR))
+        )
+        for t in range(n_samp)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_SR)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
 def synthetic_media(spark: SparkSession, n: int, modality: str = "image") -> DataFrame:
-    """Deterministic fake media table: payload = sha256 stream keyed on
-    media_id (64 bytes·(1+id%4)), metadata derived from the id."""
+    """Deterministic media table: audio payloads are REAL RIFF/WAVE PCM
+    (``_wav_payload``); image/video payloads are sha256 streams keyed on
+    media_id (64 bytes·(1+id%4)) standing in for encoded frames;
+    metadata derived from the id/payload."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].tolist()
@@ -84,11 +117,19 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image") -> Dat
                 "meta": [],
             }
             for i in ids:
-                blocks = 1 + (i % 4)
-                payload = b"".join(
-                    hashlib.sha256(f"{modality}-{i}-{b}".encode()).digest()
-                    for b in range(blocks * 2)
-                )
+                if modality == "audio":
+                    payload = _wav_payload(int(i))
+                    n_samp = 400 + (int(i) % 4) * 200
+                    duration = n_samp / float(_WAV_SR)
+                    sr = _WAV_SR
+                else:
+                    blocks = 1 + (i % 4)
+                    payload = b"".join(
+                        hashlib.sha256(f"{modality}-{i}-{b}".encode()).digest()
+                        for b in range(blocks * 2)
+                    )
+                    duration = float(i % 30) if modality != "image" else None
+                    sr = None
                 rows["media_id"].append(i)
                 rows["modality"].append(modality)
                 rows["payload"].append(payload)
@@ -96,8 +137,8 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image") -> Dat
                     {
                         "width": 16 * (1 + int(i) % 8),
                         "height": 16 * (1 + int(i) % 5),
-                        "sample_rate": 16000 if modality == "audio" else None,
-                        "duration_s": float(i % 30) if modality != "image" else None,
+                        "sample_rate": sr,
+                        "duration_s": duration,
                         "format": {"image": "png", "audio": "wav", "video": "mp4"}[modality],
                     }
                 )
@@ -217,14 +258,36 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_audio_features(df: DataFrame, window_bytes: int = 64) -> DataFrame:
-    """Windowed audio feature extraction over audio payloads: split each
-    payload into fixed ``window_bytes`` windows and emit per-window energy
-    (the fake: mean absolute byte value; a real pipeline computes RMS /
-    spectrogram bands over decoded PCM in this exact batch loop —
-    ``soundfile``/``librosa`` are the codecs that are not in this
-    container). Same mapInPandas shape as the image path: one Python
-    crossing per Arrow batch, schema declared, partitioning preserved."""
+def _decode_wav(payload: bytes) -> tuple[int, list[float]]:
+    """REAL PCM decode (stdlib ``wave`` + ``struct`` — no external
+    codec): returns (sample_rate, mono samples normalized to [-1, 1)).
+    Multi-channel audio is mixed down by per-frame channel mean; only
+    16-bit PCM is handled (the overwhelmingly common WAV layout)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        raise ValueError(f"only 16-bit PCM WAV supported, got sampwidth={sw}")
+    ints = struct.unpack(f"<{len(raw) // 2}h", raw)
+    if ch > 1:
+        ints = [
+            sum(ints[f * ch : (f + 1) * ch]) / ch for f in range(len(ints) // ch)
+        ]
+    return sr, [s / 32768.0 for s in ints]
+
+
+def extract_audio_features(df: DataFrame, window_samples: int = 256) -> DataFrame:
+    """Windowed audio feature extraction over audio payloads — a REAL
+    decode path: RIFF/WAVE payloads are decoded to PCM samples with the
+    stdlib ``wave`` module and each fixed ``window_samples`` window emits
+    its RMS energy. ``sample_rate``/``duration_s`` come from the decoded
+    header, not trusted metadata. Non-WAV payloads (e.g. opaque synthetic
+    blobs for formats whose codecs are absent) fall back to byte-window
+    mean energy so the pipeline stays total. Same mapInPandas shape as
+    the image path: one Python crossing per Arrow batch, schema declared,
+    partitioning preserved."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -235,17 +298,33 @@ def extract_audio_features(df: DataFrame, window_bytes: int = 64) -> DataFrame:
             for mid, meta, payload in zip(
                 pdf["media_id"], pdf["meta"], pdf["payload"]
             ):
-                windows = [
-                    payload[o : o + window_bytes]
-                    for o in range(0, len(payload), window_bytes)
-                ]
-                energy = [
-                    round(sum(w) / len(w), 6) if len(w) else 0.0 for w in windows
-                ]
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF":
+                    sr, samples = _decode_wav(payload)
+                    duration = len(samples) / sr if sr else None
+                    windows = [
+                        samples[o : o + window_samples]
+                        for o in range(0, len(samples), window_samples)
+                    ]
+                    energy = [
+                        round(math.sqrt(sum(s * s for s in w) / len(w)), 6)
+                        for w in windows
+                        if w
+                    ]
+                else:  # fallback: opaque payload, byte-bucket energy
+                    sr = meta["sample_rate"]
+                    duration = meta["duration_s"]
+                    bw = [
+                        payload[o : o + window_samples]
+                        for o in range(0, len(payload), window_samples)
+                    ]
+                    energy = [
+                        round(sum(w) / len(w) / 255.0, 6) for w in bw if len(w)
+                    ]
                 rows["media_id"].append(mid)
-                rows["sample_rate"].append(meta["sample_rate"])
-                rows["duration_s"].append(meta["duration_s"])
-                rows["n_windows"].append(len(windows))
+                rows["sample_rate"].append(sr)
+                rows["duration_s"].append(duration)
+                rows["n_windows"].append(len(energy))
                 rows["window_energy"].append(energy)
             yield pd.DataFrame(rows)
 

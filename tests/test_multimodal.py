@@ -78,14 +78,66 @@ def test_audio_features_windows(spark):
     from fresco_hpc_spark.functions import extract_audio_features, synthetic_media
 
     audio = synthetic_media(spark, 20, modality="audio")
-    feats = extract_audio_features(audio, window_bytes=64)
+    feats = extract_audio_features(audio, window_samples=200)
     rows = feats.collect()
     assert len(rows) == 20
     for r in rows:
-        assert r["sample_rate"] == 16000
+        # sample_rate/duration come from the DECODED WAV header
+        assert r["sample_rate"] == 8000
+        n_samp = 400 + (r["media_id"] % 4) * 200
+        assert abs(r["duration_s"] - n_samp / 8000.0) < 1e-9
+        assert r["n_windows"] == n_samp // 200
         assert r["n_windows"] == len(r["window_energy"])
-        assert r["n_windows"] >= 1
-        assert all(0.0 <= e <= 255.0 for e in r["window_energy"])
+        # amplitude-0.5 sine, whole periods per window -> RMS ~ 0.5/sqrt(2)
+        for e in r["window_energy"]:
+            assert abs(e - 0.5 / 2 ** 0.5) < 0.01
     # determinism: same media_id -> same energies on recompute
     again = {r["media_id"]: r["window_energy"] for r in feats.collect()}
     assert all(again[r["media_id"]] == r["window_energy"] for r in rows)
+
+
+def test_audio_rms_known_signal(spark):
+    """A hand-built square wave has constant |sample| = A, so every
+    window RMS must be exactly A/32768 (round-6)."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    from fresco_hpc_spark.functions import extract_audio_features
+
+    amp = 8192
+    frames = b"".join(
+        _struct.pack("<h", amp if t % 2 == 0 else -amp) for t in range(512)
+    )
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(4000)
+        w.writeframes(frames)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), (None, None, None, None, "wav"))],
+        schema="media_id bigint, modality string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_s:double,format:string>",
+    )
+    rows = extract_audio_features(df, window_samples=128).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sample_rate"] == 4000
+    assert abs(r["duration_s"] - 512 / 4000.0) < 1e-9
+    assert r["n_windows"] == 4
+    expected = round(amp / 32768.0, 6)
+    assert all(e == expected for e in r["window_energy"])
+
+
+def test_audio_non_wav_payload_falls_back(spark):
+    from fresco_hpc_spark.functions import extract_audio_features
+
+    df = spark.createDataFrame(
+        [(2, "audio", bytearray(b"\x10" * 64), (None, None, 16000, 1.0, "ogg"))],
+        schema="media_id bigint, modality string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_s:double,format:string>",
+    )
+    r = extract_audio_features(df, window_samples=32).collect()[0]
+    assert r["sample_rate"] == 16000 and r["n_windows"] == 2
+    assert all(e == round(0x10 / 255.0, 6) for e in r["window_energy"])
