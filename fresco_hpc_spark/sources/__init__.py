@@ -8,6 +8,10 @@ from fresco_hpc_spark.sources.discovery import (  # noqa: F401
     discover_files,
     discover_month_folders,
 )
+from fresco_hpc_spark.sources.http_fetch import (  # noqa: F401
+    discover_http_folders,
+    fetch_http_files,
+)
 from fresco_hpc_spark.sources.synthetic import (  # noqa: F401
     SYNTHETIC_ORACLE_SQL_TEMPLATE,
     synthetic_job_data,
