@@ -630,6 +630,41 @@ def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id", "Event")
 
 
+def q_wide_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual serving shape, end-to-end in ONE plan:
+    narrow ETL output (memory_metrics) → long-to-wide pivot on the known
+    event vocabulary → chart-layer hourly aggregation (A2) over the wide
+    columns. Each stage is an already-oracle-checked operator; this entry
+    checks their composition. The pivot groups on (Job Id, Host,
+    Timestamp) — unique per narrow pair by construction — with explicit
+    pivot values, so no extra distinct pass over the input; the hourly
+    rollup is an ordinary partial-aggregated groupBy. The store leg
+    (write through WIDE_JOB_SCHEMA, read back, same rollup) is pinned in
+    tests/test_sinks.py::test_wide_store_roundtrip."""
+    narrow = memory_metrics(
+        raw_mem_from_events(table(spark, sf_dir, "events"))
+    ).withColumn("Value", F.round("Value", 6))
+    wide = ops.pivot_long_to_wide(
+        narrow,
+        ["Job Id", "Host", "Timestamp"],
+        event_col="Event",
+        value_col="Value",
+        events=["memused", "memused_minus_diskcache"],
+        agg="first",
+    )
+    return (
+        wide.groupBy(F.date_trunc("hour", F.col("Timestamp")).alias("bucket"))
+        .agg(
+            F.round(F.avg("memused"), 6).alias("avg_memused"),
+            F.round(F.avg("memused_minus_diskcache"), 6).alias(
+                "avg_memused_minus_diskcache"
+            ),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_synthetic_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthetic_job_data(spark, 1000)
 
@@ -742,6 +777,7 @@ def queries() -> dict[str, Query]:
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
+        "wide_table_roundtrip": q_wide_table_roundtrip,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
@@ -1010,6 +1046,61 @@ def _raw_counter(scale: str, bad: bool = False) -> str:
     if bad:
         return f"CASE WHEN event_id % 97 = 0 THEN 'garbage' ELSE {base} END"
     return base
+
+
+def _etl_mem_sql() -> str:
+    """The narrow memory-metrics twin (shared by etl_mem_metrics and the
+    wide_table_roundtrip composition)."""
+    return f"""
+            WITH raw AS (
+                SELECT {_RAW_KEYS},
+                       {_raw_ts('event_id')},
+                       {_raw_counter('1000000', bad=True)} AS MemTotal,
+                       CAST(CAST(round(value * (CASE WHEN event_id % 5 = 0
+                                THEN 1200000.0 ELSE 700000.0 END) - 50000)
+                            AS BIGINT) AS VARCHAR) AS MemFree,
+                       CAST(CAST(round(value * (CASE WHEN event_id % 3 = 0
+                                THEN 900000.0 ELSE 200000.0 END))
+                            AS BIGINT) AS VARCHAR) AS FilePages
+                FROM events
+            ), casted AS (
+                SELECT COALESCE(jobID, 'unknown') AS jobID,
+                       COALESCE(node, 'unknown') AS node,
+                       TRY_CAST(MemTotal AS DOUBLE) AS mt,
+                       TRY_CAST(MemFree AS DOUBLE) AS mf,
+                       TRY_CAST(FilePages AS DOUBLE) AS fp, ts_str
+                FROM raw
+            ), parsed AS (
+                SELECT regexp_replace(jobID, 'jobID', 'JOB', 'g') AS jobID,
+                       node, mt, mf, fp,
+                       try_strptime(ts_str, '%m/%d/%Y %H:%M:%S') AS ts
+                FROM casted
+                WHERE mt IS NOT NULL AND mf IS NOT NULL AND fp IS NOT NULL
+            ), valid AS (SELECT * FROM parsed WHERE ts IS NOT NULL),
+            repaired AS (
+                SELECT jobID, node, ts, mt2 AS mt,
+                       LEAST(mf2, mt2) AS mf, fp2,
+                       mt2 - LEAST(mf2, mt2) AS memory_used
+                FROM (SELECT jobID, node, ts,
+                             GREATEST(mt, 0.0) AS mt2, GREATEST(mf, 0.0) AS mf2,
+                             GREATEST(fp, 0.0) AS fp2
+                      FROM valid)
+            ), final AS (
+                SELECT jobID, node, ts,
+                       memory_used * (1.0/1073741824) AS memused_value,
+                       (memory_used - LEAST(fp2, mt, memory_used))
+                           * (1.0/1073741824) AS minus_value
+                FROM repaired
+            )
+            SELECT jobID AS "Job Id", node AS "Host", 'memused' AS "Event",
+                   ROUND(memused_value, 6) AS "Value", 'GB' AS "Units",
+                   ts AS "Timestamp"
+            FROM final
+            UNION ALL
+            SELECT jobID, node, 'memused_minus_diskcache',
+                   ROUND(minus_value, 6), 'GB', ts
+            FROM final
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1284,55 +1375,25 @@ def oracle_sql() -> dict[str, str]:
                    'CPU %' AS "Units", ts AS "Timestamp"
             FROM agg
         """,
-        "etl_mem_metrics": f"""
-            WITH raw AS (
-                SELECT {_RAW_KEYS},
-                       {_raw_ts('event_id')},
-                       {_raw_counter('1000000', bad=True)} AS MemTotal,
-                       CAST(CAST(round(value * (CASE WHEN event_id % 5 = 0
-                                THEN 1200000.0 ELSE 700000.0 END) - 50000)
-                            AS BIGINT) AS VARCHAR) AS MemFree,
-                       CAST(CAST(round(value * (CASE WHEN event_id % 3 = 0
-                                THEN 900000.0 ELSE 200000.0 END))
-                            AS BIGINT) AS VARCHAR) AS FilePages
-                FROM events
-            ), casted AS (
-                SELECT COALESCE(jobID, 'unknown') AS jobID,
-                       COALESCE(node, 'unknown') AS node,
-                       TRY_CAST(MemTotal AS DOUBLE) AS mt,
-                       TRY_CAST(MemFree AS DOUBLE) AS mf,
-                       TRY_CAST(FilePages AS DOUBLE) AS fp, ts_str
-                FROM raw
-            ), parsed AS (
-                SELECT regexp_replace(jobID, 'jobID', 'JOB', 'g') AS jobID,
-                       node, mt, mf, fp,
-                       try_strptime(ts_str, '%m/%d/%Y %H:%M:%S') AS ts
-                FROM casted
-                WHERE mt IS NOT NULL AND mf IS NOT NULL AND fp IS NOT NULL
-            ), valid AS (SELECT * FROM parsed WHERE ts IS NOT NULL),
-            repaired AS (
-                SELECT jobID, node, ts, mt2 AS mt,
-                       LEAST(mf2, mt2) AS mf, fp2,
-                       mt2 - LEAST(mf2, mt2) AS memory_used
-                FROM (SELECT jobID, node, ts,
-                             GREATEST(mt, 0.0) AS mt2, GREATEST(mf, 0.0) AS mf2,
-                             GREATEST(fp, 0.0) AS fp2
-                      FROM valid)
-            ), final AS (
-                SELECT jobID, node, ts,
-                       memory_used * (1.0/1073741824) AS memused_value,
-                       (memory_used - LEAST(fp2, mt, memory_used))
-                           * (1.0/1073741824) AS minus_value
-                FROM repaired
+        "etl_mem_metrics": _etl_mem_sql(),
+        "wide_table_roundtrip": f"""
+            WITH narrow AS ({_etl_mem_sql()}),
+            wide AS (
+                SELECT "Job Id", "Host", "Timestamp",
+                       MAX("Value") FILTER ("Event" = 'memused') AS memused,
+                       MAX("Value") FILTER ("Event" = 'memused_minus_diskcache')
+                           AS memused_minus_diskcache
+                FROM narrow
+                GROUP BY "Job Id", "Host", "Timestamp"
             )
-            SELECT jobID AS "Job Id", node AS "Host", 'memused' AS "Event",
-                   ROUND(memused_value, 6) AS "Value", 'GB' AS "Units",
-                   ts AS "Timestamp"
-            FROM final
-            UNION ALL
-            SELECT jobID, node, 'memused_minus_diskcache',
-                   ROUND(minus_value, 6), 'GB', ts
-            FROM final
+            SELECT date_trunc('hour', "Timestamp") AS bucket,
+                   ROUND(AVG(memused), 6) AS avg_memused,
+                   ROUND(AVG(memused_minus_diskcache), 6)
+                       AS avg_memused_minus_diskcache,
+                   COUNT(*) AS n_points
+            FROM wide
+            GROUP BY bucket
+            ORDER BY bucket
         """,
         "etl_nfs_rates": f"""
             WITH raw AS (

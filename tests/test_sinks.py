@@ -61,3 +61,59 @@ def test_validate_output(spark, tmp_path):
     assert validate_output(spark, out, expected_columns=["event_id", "ts"])
     with pytest.raises(ValueError, match="missing expected columns"):
         validate_output(spark, out, expected_columns=["nope"])
+
+
+def test_wide_store_roundtrip(spark, tmp_path):
+    """The serving-shape store leg of wide_table_roundtrip: narrow ETL →
+    pivot → WIDE_JOB_SCHEMA-mapped parquet store → read back → the
+    chart-layer hourly rollup over the STORED table equals the rollup
+    over the in-memory wide frame."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from fresco_hpc_spark import operators as ops
+    from fresco_hpc_spark.etl import memory_metrics, raw_mem_from_events
+    from fresco_hpc_spark.schema import WIDE_JOB_SCHEMA
+
+    narrow = memory_metrics(
+        raw_mem_from_events(table(spark, SF_SMALL, "events"))
+    ).withColumn("Value", F.round("Value", 6))
+    wide = ops.pivot_long_to_wide(
+        narrow,
+        ["Job Id", "Host", "Timestamp"],
+        event_col="Event",
+        value_col="Value",
+        events=["memused", "memused_minus_diskcache"],
+        agg="first",
+    )
+    # map into the canonical wide fact-table columns (F1 serving schema)
+    stored_cols = wide.select(
+        F.col("Timestamp").alias("time"),
+        F.col("Host").alias("host"),
+        F.col("Job Id").alias("jid"),
+        F.col("memused").alias("value_memused"),
+        F.col("memused_minus_diskcache").alias("value_memused_minus_diskcache"),
+    )
+    names = set(WIDE_JOB_SCHEMA.fieldNames())
+    assert set(stored_cols.columns) <= names  # subset of the F1 schema
+    out = str(tmp_path / "wide_store")
+    write_chunked_parquet(stored_cols, out)
+    assert validate_output(spark, out, expected_columns=list(stored_cols.columns))
+
+    def rollup(df, t_col, v_col):
+        return {
+            r["bucket"]: r["avg_v"]
+            for r in df.groupBy(F.date_trunc("hour", F.col(t_col)).alias("bucket"))
+            .agg(F.round(F.avg(v_col), 6).alias("avg_v"))
+            .collect()
+        }
+
+    direct = rollup(wide, "Timestamp", "memused")
+    stored = rollup(spark.read.parquet(out), "time", "value_memused")
+    assert direct == stored
+    # and the queries() entry agrees with the same composition
+    q = {
+        r["bucket"]: r["avg_memused"]
+        for r in entrymod.queries()["wide_table_roundtrip"](spark, SF_SMALL).collect()
+    }
+    assert q == direct
