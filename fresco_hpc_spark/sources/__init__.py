@@ -21,3 +21,6 @@ from fresco_hpc_spark.sources.writers import (  # noqa: F401
     write_chunked_parquet,
     validate_output,
 )
+from fresco_hpc_spark.sources.archive import (  # noqa: F401
+    generate_archives,
+)
