@@ -1,7 +1,8 @@
 """Benchmark runner — executes every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "query_metrics": {name: {"sec": s,
+"shuffle_bytes": b, "tasks": n}}, "sf": ...}.
 
 Each query is forced with a write to the `noop` sink: every output column
 is fully computed and materialized with zero sink cost. (A count() would
@@ -9,6 +10,13 @@ let Catalyst prune the final projection — e.g. global_percentiles' count
 plan drops the percentile aggregates entirely, timing an empty agg.) A
 warmup run of the flagship query primes the JVM/codegen so the numbers
 reflect steady-state execution.
+
+Plan-shape metrics: per query, shuffle bytes (read+write) and completed
+task count are diffed from the Spark UI REST API's cumulative stage
+totals. Wall-clock is noisy at ±0.1 s; shuffle bytes are DETERMINISTIC,
+so a plan regression (new exchange, lost broadcast) shows up round over
+round even when seconds don't move. Metrics come from the first pass;
+seconds stay min-of-passes.
 """
 
 from __future__ import annotations
@@ -17,8 +25,30 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _stage_totals(ui_url: str | None, app_id: str) -> tuple[int, int] | None:
+    """Cumulative (shuffle_read+write bytes, completed tasks) across all
+    completed stages — diffing two snapshots isolates one query's cost."""
+    if not ui_url:
+        return None
+    try:
+        with urllib.request.urlopen(
+            f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as resp:
+            stages = json.load(resp)
+        shuffle = sum(
+            int(s.get("shuffleWriteBytes", 0)) + int(s.get("shuffleReadBytes", 0))
+            for s in stages
+        )
+        tasks = sum(int(s.get("numCompleteTasks", 0)) for s in stages)
+        return shuffle, tasks
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -28,6 +58,8 @@ def main() -> None:
 
     spark = get_spark("fresco-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    ui_url = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
@@ -40,11 +72,20 @@ def main() -> None:
     # insulated from one-off codegen compilation and GC pauses
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for _ in range(passes):
+    plan_metrics: dict[str, dict[str, int]] = {}
+    for pass_i in range(passes):
         for name, fn in qs.items():
+            before = _stage_totals(ui_url, app_id) if pass_i == 0 else None
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 4)
+            if pass_i == 0:
+                after = _stage_totals(ui_url, app_id)
+                if before is not None and after is not None:
+                    plan_metrics[name] = {
+                        "shuffle_bytes": after[0] - before[0],
+                        "tasks": after[1] - before[1],
+                    }
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
@@ -54,6 +95,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "query_metrics": {
+            name: {"sec": timings[name], **plan_metrics.get(name, {})}
+            for name in timings
+        },
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     print(json.dumps(out))
