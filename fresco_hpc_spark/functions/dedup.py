@@ -66,12 +66,20 @@ def _tokens(
     shuffle from the plan.
 
     Tokenization is CPU-bound (regex split + n-gram assembly per text);
-    when the source arrives in fewer partitions than cores (single parquet
+    when the source arrives in fewer files than cores (single parquet
     file, small row-groups), fan out first so the explode uses the whole
     executor — one narrow-column shuffle against a many-core scan win.
+    The probe uses ``inputFiles()`` (pure metadata) rather than
+    ``df.rdd.getNumPartitions()``, which would force a plan→RDD
+    translation on every call; non-file sources (createDataFrame ranges)
+    already carry defaultParallelism partitions and are left alone.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         df = df.repartition(target)
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     if n == 1:
