@@ -12,6 +12,7 @@ from fresco_hpc_spark.functions.dedup import (  # noqa: F401
     exact_dedup,
     minhash_dup_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_dup_pairs,
 )
 from fresco_hpc_spark.functions.multimodal import (  # noqa: F401

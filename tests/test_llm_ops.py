@@ -178,3 +178,24 @@ def test_dup_clusters_self_pairs_and_empty(spark):
 
     empty = pairs.filter("doc_a < 0")
     assert dup_clusters(empty).collect() == []
+
+
+def test_ngram_prefix_equals_plain(spark, docs_with_dups):
+    """Prefix filtering is lossless: the PPJoin-style variant returns the
+    exact same pair relation as the plain token self-join."""
+    from fresco_hpc_spark.functions import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs_prefix(
+            docs_with_dups, n=3, threshold=0.5
+        ).collect()
+    }
+    assert plain == pref and len(plain) > 0

@@ -30,6 +30,7 @@ def main() -> None:
         exact_dedup,
         minhash_dup_pairs,
         ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
         simhash_dup_pairs,
     )
     from fresco_hpc_spark.session import get_spark
@@ -134,6 +135,10 @@ def main() -> None:
         r["simhash"] = bench("simhash_dup_pairs", lambda: simhash_dup_pairs(d, max_hamming=3))
         r["ngram_jaccard"] = bench(
             "ngram_jaccard_pairs", lambda: ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        )
+        r["ngram_prefix"] = bench(
+            "ngram_jaccard_prefix",
+            lambda: ngram_jaccard_pairs_prefix(d, n=3, threshold=0.5),
         )
         r["dup_clusters"] = bench(
             "dup_clusters(minhash)",
