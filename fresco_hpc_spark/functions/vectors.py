@@ -266,6 +266,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    target_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
     exact cosine within buckets.
@@ -276,11 +277,24 @@ def embedding_near_dup_pairs(
     share a bucket, so recall at threshold→1 is 1; for looser thresholds
     ``num_planes`` is the recall/cost knob (fewer planes → bigger
     buckets → higher recall, more comparisons).
+
+    In-bucket work grows O(n²/2^planes), so a FIXED plane count degrades
+    as the corpus grows (measured: SCALE.md sf1 stress). Pass
+    ``target_bucket_size`` to size the bucket count from the data:
+    planes = max(num_planes, ⌈log2(n / target)⌉) — one count() job,
+    constant expected per-bucket work at any corpus size.
     """
     from pyspark.storagelevel import StorageLevel
 
     if dim is None:
         dim = len(embeddings.select(vec_col).head()[0])
+    if target_bucket_size is not None:
+        import math
+
+        n = embeddings.count()
+        if n > target_bucket_size:
+            scaled = math.ceil(math.log2(n / target_bucket_size))
+            num_planes = max(num_planes, min(scaled, 30))
     planes = _plane_constants(num_planes, dim)
     bucketed = embeddings.select(
         F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_bucket")

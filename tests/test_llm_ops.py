@@ -199,3 +199,32 @@ def test_ngram_prefix_equals_plain(spark, docs_with_dups):
         ).collect()
     }
     assert plain == pref and len(plain) > 0
+
+
+def test_near_dup_auto_planes_keeps_recall(spark):
+    """target_bucket_size scales the plane count with the corpus; exact
+    duplicates still land in one bucket (sign patterns identical), so
+    recall at threshold~1 stays 1 while buckets shrink."""
+    import pyspark.sql.functions as F
+
+    from fresco_hpc_spark.functions import embedding_near_dup_pairs
+    from fresco_hpc_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    fixed = embedding_near_dup_pairs(corpus, threshold=0.999, num_planes=8)
+    auto = embedding_near_dup_pairs(
+        corpus, threshold=0.999, num_planes=8, target_bucket_size=16
+    )
+    fixed_pairs = {(r.id_a, r.id_b) for r in fixed.collect()}
+    auto_pairs = {(r.id_a, r.id_b) for r in auto.collect()}
+    # every injected exact copy is recovered by both
+    expected = {(v, v + 100000) for v in range(0, 500, 10)}
+    assert expected <= fixed_pairs
+    assert expected <= auto_pairs

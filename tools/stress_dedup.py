@@ -149,6 +149,12 @@ def main() -> None:
         r["embedding_near_dups"] = bench(
             "embedding_near_dups", lambda: embedding_near_dup_pairs(e, threshold=0.999)
         )
+        r["near_dups_auto_planes"] = bench(
+            "near_dups(auto planes)",
+            lambda: embedding_near_dup_pairs(
+                e, threshold=0.999, target_bucket_size=64
+            ),
+        )
         results[scale] = r
     print("--- growth (10x data)")
     for k in results["1x"]:
