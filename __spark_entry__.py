@@ -266,6 +266,34 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(table(spark, sf_dir, "documents"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source data mixture (functions/sampling.py):
+    keep 100% of src0, 50% of src1, 10% of everything else — the
+    mixing-ratio operator of corpus construction, reproducible across
+    engines/partitionings because the coin is md5(source|doc_id). One
+    map-side filter; summary rollup keeps the gate output small."""
+    from fresco_hpc_spark.functions import stratified_hash_sample
+
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, default_rate=0.1
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("source")
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signals (Gopher-style filters):
+    duplicated-shingle fraction + top-word share, pure per-row array
+    expressions (no explode/shuffle)."""
+    from fresco_hpc_spark.functions import repetition_stats
+
+    return repetition_stats(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(table(spark, sf_dir, "documents"))
 
@@ -758,6 +786,8 @@ def queries() -> dict[str, Query]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
         "minhash_dup_pairs": q_minhash_dups,
         "simhash_dup_pairs": q_simhash_dups,
         "embedding_knn": q_embedding_knn,
@@ -1937,6 +1967,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id, Event
         """,
         "synthetic_gen": _SYNTHETIC_GEN_SQL,
+        "stratified_sample": """
+            WITH coin AS (
+                SELECT source, doc_id,
+                       (('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        / 1152921504606846976.0) AS frac
+                FROM documents
+            ), kept AS (
+                SELECT source, doc_id FROM coin
+                WHERE frac < (CASE WHEN source = 'src0' THEN 1.0
+                                   WHEN source = 'src1' THEN 0.5
+                                   ELSE 0.1 END)
+            )
+            SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc_id
+            FROM kept GROUP BY source ORDER BY source
+        """,
+        "repetition_stats": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), shingled AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) >= 3 THEN
+                           list_transform(generate_series(1, len(w) - 2),
+                               i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                       ELSE [] END AS g
+                FROM base
+            )
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   CASE WHEN len(g) > 0 THEN
+                       ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+                   ELSE NULL END AS dup_shingle_frac,
+                   CASE WHEN len(w) > 0 THEN
+                       ROUND(CAST(list_max(list_transform(list_distinct(w),
+                               x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+                             / len(w), 6)
+                   ELSE NULL END AS top_word_share
+            FROM shingled
+            ORDER BY doc_id
+        """,
     }
     # the prefix-filtered variant computes the IDENTICAL relation (prefix
     # filtering is lossless for Jaccard >= t), so it shares the oracle

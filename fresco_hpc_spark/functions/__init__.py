@@ -1,10 +1,16 @@
 from fresco_hpc_spark.functions.text import (  # noqa: F401
     document_fingerprint,
     language_id,
+    repetition_stats,
     rolling_fingerprint,
     text_stats,
     token_count,
     token_counts,
+)
+from fresco_hpc_spark.functions.sampling import (  # noqa: F401
+    hash_fraction,
+    hash_sample,
+    stratified_hash_sample,
 )
 from fresco_hpc_spark.functions.dedup import (  # noqa: F401
     dedup_corpus,

@@ -1,0 +1,57 @@
+"""Deterministic sampling for training-data pipelines.
+
+``.sample()`` is the wrong tool for corpus curation at scale: its output
+depends on partitioning and RNG state, so reruns and engines disagree.
+These operators decide per ROW from a content-derived hash — stable
+across partitionings, retries, engines — the property a 100 TB pipeline
+needs for reproducible train/eval splits and per-source mixing ratios
+(the data-mixture knob in LLM corpus construction).
+
+The hash is the repo's shared md5-derived 60-bit value
+(functions/dedup.py::_h60), byte-identical in DuckDB, so every sample is
+fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fresco_hpc_spark.functions.dedup import _h60
+
+_H60_RANGE = float(2**60)
+
+
+def hash_fraction(key: Column) -> Column:
+    """Uniform [0, 1) fraction derived from md5(key) — the per-row coin."""
+    return _h60(key.cast("string")) / F.lit(_H60_RANGE)
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str) -> DataFrame:
+    """Keep rows whose hash fraction falls under ``rate`` — a
+    deterministic ~rate sample, exactly reproducible anywhere. A narrow
+    map-side filter: no shuffle, no RNG, pushdown-friendly."""
+    return df.filter(hash_fraction(F.col(key_col)) < F.lit(float(rate)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixture operator:
+    each stratum keeps its own fraction (e.g. {"wiki": 1.0, "web": 0.1}).
+    The rate lookup is a literal CASE chain (strata vocabularies are
+    small and known, like pivot columns); the decision stays one
+    map-side comparison per row. Salting the hash with the stratum keeps
+    per-stratum decisions independent even when the same key appears in
+    two strata."""
+    frac = hash_fraction(
+        F.concat(F.col(strata_col), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    rate: Column = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(frac < rate)

@@ -143,3 +143,44 @@ def document_fingerprint(
     return df.select(
         F.col(id_col), F.md5(normalized.cast("binary")).alias("fingerprint")
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4-style quality
+    filters): fraction of duplicated word ``n``-gram shingles and
+    fraction of words consumed by the single most frequent word.
+    Boilerplate, keyword stuffing, and decoding loops all show up as
+    high repetition long before any cross-document dedup runs.
+
+    Entirely per-row array expressions (shingles assembled and counted
+    inside one projection) — no explode, no shuffle; the operator is a
+    narrow map at any corpus size.
+    """
+    words_expr = f"split(trim(lower({text_col})), '\\\\s+')"
+    ngrams = (
+        f"CASE WHEN size({words_expr}) >= {n} THEN "
+        f"transform(sequence(1, size({words_expr}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({words_expr}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    # most-frequent-word share via aggregate over the distinct words:
+    # counting occurrences of each distinct word with a filter pass
+    top_word_share = (
+        f"CASE WHEN size({words_expr}) > 0 THEN "
+        f"ROUND(CAST(array_max(transform(array_distinct({words_expr}), "
+        f"w -> size(filter({words_expr}, x -> x = w)))) AS DOUBLE) "
+        f"/ size({words_expr}), {_ROUND}) ELSE CAST(NULL AS DOUBLE) END"
+    )
+    dup_shingle_frac = (
+        f"CASE WHEN size({ngrams}) > 0 THEN "
+        f"ROUND(1.0 - CAST(size(array_distinct({ngrams})) AS DOUBLE) "
+        f"/ size({ngrams}), {_ROUND}) ELSE CAST(NULL AS DOUBLE) END"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.expr(words_expr)).alias("n_words"),
+        F.expr(dup_shingle_frac).alias("dup_shingle_frac"),
+        F.expr(top_word_share).alias("top_word_share"),
+    )

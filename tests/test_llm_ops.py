@@ -228,3 +228,53 @@ def test_near_dup_auto_planes_keeps_recall(spark):
     expected = {(v, v + 100000) for v in range(0, 500, 10)}
     assert expected <= fixed_pairs
     assert expected <= auto_pairs
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from fresco_hpc_spark.functions import hash_sample
+    from fresco_hpc_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.doc_id for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(17), 0.3, "doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+    # rate is approximately honored (md5 is uniform)
+    assert abs(len(a) / docs.count() - 0.3) < 0.1
+
+
+def test_stratified_sample_rates_independent_per_stratum(spark):
+    from fresco_hpc_spark.functions import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], "id bigint, s string"
+    )
+    from pyspark.sql import functions as F
+
+    kept = stratified_hash_sample(df, "id", "s", {"a": 1.0, "b": 0.2})
+    counts = {r.s: r.n for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 1000  # rate 1.0 keeps everything
+    assert abs(counts["b"] / 1000 - 0.2) < 0.06
+
+
+def test_repetition_stats_known_values(spark):
+    from fresco_hpc_spark.functions import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),     # shingles: abc bca cab abc -> 1 dup of 4
+            (2, "w x y z"),          # all shingles distinct
+            (3, "q q q q"),          # one distinct shingle of 2; top word 1.0
+            (4, "one two"),          # too short for shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].dup_shingle_frac == 0.25
+    assert rows[2].dup_shingle_frac == 0.0
+    assert rows[3].dup_shingle_frac == 0.5 and rows[3].top_word_share == 1.0
+    assert rows[4].dup_shingle_frac is None and rows[4].n_words == 2
