@@ -285,6 +285,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split (10% eval for gate visibility):
+    per-split, per-source counts — membership is a pure function of
+    md5('split|'||doc_id), so the same doc lands in the same split on
+    any engine, partitioning, or corpus generation."""
+    from fresco_hpc_spark.functions import corpus_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        corpus_split(docs, "doc_id", eval_frac=0.1)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("split", "source")
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition quality signals (Gopher-style filters):
     duplicated-shingle fraction + top-word share, pure per-row array
@@ -787,6 +803,7 @@ def queries() -> dict[str, Query]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "stratified_sample": q_stratified_sample,
+        "corpus_split": q_corpus_split,
         "repetition_stats": q_repetition_stats,
         "minhash_dup_pairs": q_minhash_dups,
         "simhash_dup_pairs": q_simhash_dups,
@@ -1981,6 +1998,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc_id
             FROM kept GROUP BY source ORDER BY source
+        """,
+        "corpus_split": """
+            WITH labelled AS (
+                SELECT source, doc_id,
+                       CASE WHEN (('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                  / 1152921504606846976.0) < 0.1
+                            THEN 'eval' ELSE 'train' END AS split
+                FROM documents
+            )
+            SELECT split, source, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+            FROM labelled GROUP BY split, source ORDER BY split, source
         """,
         "repetition_stats": """
             WITH base AS (

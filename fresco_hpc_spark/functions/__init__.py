@@ -8,6 +8,7 @@ from fresco_hpc_spark.functions.text import (  # noqa: F401
     token_counts,
 )
 from fresco_hpc_spark.functions.sampling import (  # noqa: F401
+    corpus_split,
     hash_fraction,
     hash_sample,
     stratified_hash_sample,

@@ -55,3 +55,27 @@ def stratified_hash_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
     return df.filter(frac < rate)
+
+
+def corpus_split(
+    df: DataFrame,
+    key_col: str,
+    eval_frac: float = 0.01,
+    split_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval membership: rows whose salted hash
+    fraction falls under ``eval_frac`` are labeled ``eval``, the rest
+    ``train``. The salt decorrelates the split coin from any sampling
+    coin on the same keys (otherwise eval would be a subset of every
+    downsampled corpus). Membership is a pure function of the key —
+    stable across reruns, engines, and corpus growth (a document keeps
+    its split when new data arrives, the property that prevents
+    train/eval leakage over pipeline generations)."""
+    frac = hash_fraction(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    return df.withColumn(
+        split_col,
+        F.when(frac < F.lit(float(eval_frac)), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -278,3 +278,21 @@ def test_repetition_stats_known_values(spark):
     assert rows[2].dup_shingle_frac == 0.0
     assert rows[3].dup_shingle_frac == 0.5 and rows[3].top_word_share == 1.0
     assert rows[4].dup_shingle_frac is None and rows[4].n_words == 2
+
+
+def test_corpus_split_stable_under_corpus_growth(spark):
+    """A document's split never changes when the corpus around it does —
+    the anti-leakage property: membership is a pure key function."""
+    from fresco_hpc_spark.functions import corpus_split
+    from fresco_hpc_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        r.doc_id: r.split for r in corpus_split(docs, "doc_id", 0.2).collect()
+    }
+    subset = docs.filter("doc_id % 3 = 0")
+    sub = {
+        r.doc_id: r.split for r in corpus_split(subset, "doc_id", 0.2).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    assert {"train", "eval"} == set(full.values())

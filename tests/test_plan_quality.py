@@ -181,3 +181,20 @@ def test_lead_quartile_has_no_single_partition_window(spark):
     assert "SinglePartition" not in plan
     ntile_plan = plan_of(spark, "lead_ntile_events")
     assert "SinglePartition" in ntile_plan
+
+
+def test_repetition_stats_is_narrow_map(spark):
+    """Repetition scoring must stay a per-row projection: the only
+    exchange allowed is the presentation orderBy's range partitioning —
+    no hash exchange, no aggregate, no explode-induced shuffle."""
+    plan = plan_of(spark, "repetition_stats")
+    assert "hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode: shingles stay in-row
+
+
+def test_sampling_filters_are_map_side(spark):
+    """Hash-sampling decisions are row-local: the filter must sit below
+    the aggregation, and no join or broadcast appears anywhere."""
+    for name in ("stratified_sample", "corpus_split"):
+        plan = plan_of(spark, name)
+        assert "Join" not in plan and "BroadcastExchange" not in plan
