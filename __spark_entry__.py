@@ -122,6 +122,37 @@ def q_iqr_trim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_trim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD trim (median ± 3·1.4826·MAD) — the long-tail-immune
+    sibling of iqr_trim_agg; bounds from two distributed-order-statistics
+    passes, broadcast as a 1-row frame."""
+    trimmed = ops.mad_trim(table(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return trimmed.agg(
+        F.count(F.lit(1)).alias("trimmed_count"),
+        F.round(F.avg("l_extendedprice"), 6).alias("trimmed_avg"),
+        F.min("l_extendedprice").alias("trimmed_min"),
+        F.max("l_extendedprice").alias("trimmed_max"),
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean over the irregular event series
+    (left-constant hold): the correct utilization rollup when samplers
+    emit on change — plain AVG over-weights bursts."""
+    ev = table(spark, sf_dir, "events")
+    return ops.time_weighted_avg(
+        ev, "user_id", time_col="ts", value_col="value", tiebreak_col="event_id"
+    ).orderBy("user_id")
+
+
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close per (user, hour) — the chart layer's
+    shape-preserving downsample; deterministic open/close via the
+    (ts, event_id) rank edges."""
+    ev = table(spark, sf_dir, "events")
+    return ops.ohlc_downsample(ev, "user_id", bucket="hour")
+
+
 def q_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.category_counts(table(spark, sf_dir, "events"), "event_type")
 
@@ -789,6 +820,9 @@ def queries() -> dict[str, Query]:
         "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
+        "mad_trim_agg": q_mad_trim_agg,
+        "time_weighted_avg": q_time_weighted_avg,
+        "ohlc_hourly": q_ohlc_hourly,
         "category_counts": q_category_counts,
         "topn_others": q_topn_others,
         "histogram_bin_index": q_histogram_bin_index,
@@ -1274,6 +1308,62 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_extendedprice) AS trimmed_max
             FROM lineitem t, bounds b
             WHERE t.l_extendedprice BETWEEN b.lower_b AND b.upper_b
+        """,
+        "mad_trim_agg": """
+            WITH med_q AS (
+                SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), mad_q AS (
+                SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY abs(l_extendedprice - med)) AS mad
+                FROM lineitem, med_q WHERE l_extendedprice IS NOT NULL
+            ), bounds AS (
+                SELECT med - 3.0 * 1.4826 * mad AS lower_b,
+                       med + 3.0 * 1.4826 * mad AS upper_b
+                FROM med_q, mad_q
+            )
+            SELECT COUNT(*) AS trimmed_count,
+                   ROUND(AVG(l_extendedprice), 6) AS trimmed_avg,
+                   MIN(l_extendedprice) AS trimmed_min,
+                   MAX(l_extendedprice) AS trimmed_max
+            FROM lineitem t, bounds b
+            WHERE t.l_extendedprice BETWEEN b.lower_b AND b.upper_b
+        """,
+        "time_weighted_avg": """
+            WITH v AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value, event_id
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), d AS (
+                SELECT user_id,
+                       CAST(LEAD(s) OVER (PARTITION BY user_id ORDER BY s, event_id) - s
+                            AS DOUBLE) AS dt,
+                       value
+                FROM v
+            )
+            SELECT user_id,
+                   CASE WHEN SUM(dt) > 0
+                        THEN ROUND(SUM(dt * value) / SUM(dt), 6)
+                        ELSE NULL END AS time_weighted_avg
+            FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "ohlc_hourly": """
+            WITH v AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket, value, ts, event_id
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), r AS (
+                SELECT user_id, bucket, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                          ORDER BY ts, event_id) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                          ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM v
+            )
+            SELECT user_id, bucket,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   COUNT(*) AS n_points
+            FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket
         """,
         "category_counts": """
             SELECT event_type AS category, COUNT(*) AS count

@@ -8,14 +8,17 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     gap_fill,
     hourly_agg,
     profile_agg,
+    ohlc_downsample,
     session_stats,
     sessionize,
     time_bound,
     time_bucket_agg,
+    time_weighted_avg,
 )
 from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     global_percentiles,
     iqr_trim,
+    mad_trim,
     percentile_trim,
     percentile_trimmed_hourly_agg,
     quantile_bucket,

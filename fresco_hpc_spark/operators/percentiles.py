@@ -216,6 +216,29 @@ def iqr_trim(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     return _bounds_trim(df, col, lower, upper, ("_lower", "_upper"))
 
 
+def mad_trim(df: DataFrame, col: str, k: float = 3.0) -> DataFrame:
+    """Robust MAD outlier trim: keep rows within
+    ``median ± k · 1.4826 · MAD`` (1.4826 makes MAD a consistent σ
+    estimator under normality — the standard robust-z cut). Unlike the
+    IQR rule this survives 50% contamination; it is the trim you want on
+    telemetry with long failure tails.
+
+    Two driver-side scalar passes through ``distributed_exact_percentiles``
+    (median, then median absolute deviation — no single-reducer value
+    buffer at any scale), then the same broadcast-bounds map-side filter
+    as J1/J2. The bound arithmetic is written in the same textual order
+    as the DuckDB oracle so both engines compute bit-identical bounds.
+    """
+    (med,) = distributed_exact_percentiles(df, col, [0.5])
+    if med is None:
+        return _bounds_trim(df, col, None, None, ("_lower", "_upper"))
+    dev = df.select(F.abs(F.col(col) - F.lit(med)).alias("_dev"))
+    (mad,) = distributed_exact_percentiles(dev, "_dev", [0.5])
+    lower = med - k * 1.4826 * mad
+    upper = med + k * 1.4826 * mad
+    return _bounds_trim(df, col, lower, upper, ("_lower", "_upper"))
+
+
 def percentile_trimmed_hourly_agg(
     df: DataFrame,
     value_col: str,

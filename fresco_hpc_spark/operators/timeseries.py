@@ -227,3 +227,94 @@ def duration_seconds(
         out_col,
         (F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))).cast("bigint"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per key over an IRREGULAR series: each value
+    holds until the next sample (left-constant interpolation), so
+    TWA = Σ dtᵢ·vᵢ / Σ dtᵢ with dtᵢ the gap to the next event. A plain
+    AVG over-weights bursts; telemetry samplers emit on change, which
+    makes this the correct rollup for utilization-style metrics.
+
+    One window pass (lead over the shared per-key sort) + one groupBy —
+    the same single-exchange shape as sessionize. Keys with fewer than
+    two samples (no gap to integrate) yield NULL.
+    """
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+    order = [F.col(time_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    secs = F.col(time_col).cast("long")
+    dt = (F.lead(secs).over(w) - secs).cast("double")
+    weighted = df.select(
+        F.col(key_col),
+        dt.alias("_dt"),
+        (dt * F.col(value_col)).alias("_dv"),
+    )
+    agg = weighted.groupBy(key_col).agg(
+        F.sum("_dv").alias("_num"), F.sum("_dt").alias("_den")
+    )
+    twa = F.when(
+        F.col("_den") > 0, F.round(F.col("_num") / F.col("_den"), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(F.col(key_col), twa.alias("time_weighted_avg"))
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    key_col: str,
+    bucket: str = "hour",
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Open/high/low/close downsampling per (key, time bucket) — the
+    lossy-but-shape-preserving reduction charting layers use when a
+    window holds more points than pixels. Open/close are the first/last
+    values under the deterministic (time, tiebreak) order; high/low are
+    plain min/max aggregates.
+
+    One window pass over the (key, bucket) sort for the rank edges, one
+    groupBy — both shuffles share the key prefix, and every aggregate is
+    map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+    b = F.date_trunc(bucket, F.col(time_col))
+    w = Window.partitionBy(key_col, b.alias("_b")).orderBy(
+        F.col(time_col), F.col(tiebreak_col)
+    )
+    ranked = df.select(
+        F.col(key_col),
+        b.alias("bucket"),
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn_a"),
+        F.row_number()
+        .over(
+            Window.partitionBy(key_col, b.alias("_b")).orderBy(
+                F.col(time_col).desc(), F.col(tiebreak_col).desc()
+            )
+        )
+        .alias("_rn_d"),
+    )
+    return (
+        ranked.groupBy(key_col, "bucket")
+        .agg(
+            F.max(F.when(F.col("_rn_a") == 1, F.col(value_col))).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max(F.when(F.col("_rn_d") == 1, F.col(value_col))).alias("close"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy(key_col, "bucket")
+    )

@@ -1,0 +1,60 @@
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import time_weighted_avg
+
+    rows = [
+        # key 1: value 10 holds 10s, value 20 holds 30s -> (100+600)/40 = 17.5
+        (1, datetime(2024, 1, 1, 0, 0, 0), 10.0, 1),
+        (1, datetime(2024, 1, 1, 0, 0, 10), 20.0, 2),
+        (1, datetime(2024, 1, 1, 0, 0, 40), 99.0, 3),  # last sample: no hold
+        # key 2: single sample -> NULL
+        (2, datetime(2024, 1, 1, 0, 0, 0), 5.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    out = {
+        r.user_id: r.time_weighted_avg
+        for r in time_weighted_avg(
+            df, "user_id", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out[1] == 17.5
+    assert out[2] is None
+
+
+def test_ohlc_downsample_hand_computed(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import ohlc_downsample
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 3.0, 1),
+        (1, datetime(2024, 1, 1, 0, 10), 9.0, 2),
+        (1, datetime(2024, 1, 1, 0, 50), 1.0, 3),
+        (1, datetime(2024, 1, 1, 1, 0), 7.0, 4),  # next hour
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    out = ohlc_downsample(df, "user_id", bucket="hour").collect()
+    assert len(out) == 2
+    first = out[0]
+    assert (first.open, first.high, first.low, first.close, first.n_points) == (
+        3.0, 9.0, 1.0, 1.0, 3,
+    )
+    assert (out[1].open, out[1].close, out[1].n_points) == (7.0, 7.0, 1)
+
+
+def test_mad_trim_robust_to_outliers(spark):
+    from fresco_hpc_spark.operators import mad_trim
+
+    base = [(i, 100.0 + (i % 7)) for i in range(100)]
+    outliers = [(1000 + i, 1e9) for i in range(5)]
+    df = spark.createDataFrame(base + outliers, "id bigint, v double")
+    kept = mad_trim(df, "v", k=3.0)
+    assert kept.count() == 100  # every 1e9 outlier cut, all inliers kept
+    assert kept.agg({"v": "max"}).collect()[0][0] < 1000
