@@ -8,5 +8,6 @@ from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
     start_etl_stream,
     stream_csv_directory,
     streaming_hourly_agg,
+    streaming_ohlc,
     streaming_session_agg,
 )

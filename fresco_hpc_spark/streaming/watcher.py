@@ -144,3 +144,45 @@ def streaming_session_agg(
             *(["sum_value"] if value_col is not None else []),
         )
     )
+
+
+def streaming_ohlc(
+    stream_df: DataFrame,
+    key_col: str,
+    time_col: str = "time",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental OHLC downsampling: watermarked 1-hour tumbling window
+    per key with open/close as ``min_by``/``max_by`` over the event-time
+    order — the streaming twin of ``operators.timeseries.ohlc_downsample``
+    (which uses rank edges; min_by over the (time, tiebreak) struct is
+    the same selection expressed as a mergeable aggregate, which is what
+    makes it legal in a streaming state store). High/low/count are plain
+    mergeable aggregates; state is bounded by the watermark."""
+    order = (
+        F.struct(F.col(time_col), F.col(tiebreak_col))
+        if tiebreak_col is not None
+        else F.col(time_col)
+    )
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, "1 hour").alias("w"), F.col(key_col))
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_points",
+        )
+    )

@@ -322,3 +322,36 @@ def test_streaming_session_agg_matches_batch_sessionize(spark, tmp_path):
                                gap_seconds=1800).collect()
     }
     assert got == want
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """The streaming OHLC (min_by/max_by mergeable aggregates) emits the
+    same rows as the batch rank-edge ohlc_downsample over the same data."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import ohlc_downsample
+    from fresco_hpc_spark.streaming import streaming_ohlc
+
+    events_pq = str(tmp_path / "events_ohlc_pq")
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", F.col("ts").alias("time"), "value", "event_id"
+    )
+    events.write.parquet(events_pq)
+
+    stream = spark.readStream.schema(events.schema).parquet(events_pq)
+    agg = streaming_ohlc(stream, "user_id", tiebreak_col="event_id")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlc_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("ohlc_stream")
+    want = ohlc_downsample(
+        events, "user_id", bucket="hour", time_col="time", value_col="value"
+    )
+    assert got.count() == want.count() > 0
+    assert got.select(*want.columns).exceptAll(want).count() == 0
