@@ -122,6 +122,38 @@ def q_iqr_trim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketized equi-join scale path:
+    each purchase opens a 1-hour attribution window; count the same
+    user's clicks inside it. The plan is an EQUI sort-merge/hash join on
+    (user_id, time bucket) — plan-asserted no BroadcastNestedLoopJoin,
+    which is all Catalyst could do with the raw BETWEEN predicate."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = ops.interval_join(
+        clicks,
+        purchases,
+        time_col="click_ts",
+        start_col="win_start",
+        end_col="win_end",
+        keys=["user_id"],
+        bucket_seconds=3600,
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
 def q_mad_trim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust MAD trim (median ± 3·1.4826·MAD) — the long-tail-immune
     sibling of iqr_trim_agg; bounds from two distributed-order-statistics
@@ -821,6 +853,7 @@ def queries() -> dict[str, Query]:
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
         "mad_trim_agg": q_mad_trim_agg,
+        "interval_join_clicks": q_interval_join_clicks,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_hourly": q_ohlc_hourly,
         "category_counts": q_category_counts,
@@ -1308,6 +1341,21 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_extendedprice) AS trimmed_max
             FROM lineitem t, bounds b
             WHERE t.l_extendedprice BETWEEN b.lower_b AND b.upper_b
+        """,
+        "interval_join_clicks": """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id,
+                       ts AS win_start, ts + INTERVAL 1 HOUR AS win_end
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts AS click_ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT p.purchase_id, COUNT(*) AS n_clicks
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND c.click_ts BETWEEN p.win_start AND p.win_end
+            GROUP BY p.purchase_id ORDER BY p.purchase_id
         """,
         "mad_trim_agg": """
             WITH med_q AS (

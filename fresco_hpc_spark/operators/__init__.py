@@ -36,6 +36,7 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
     anti_join,
     asof_join,
     broadcast_dim_join,
+    interval_join,
     large_equi_join,
     salted_join,
     semi_join,

@@ -169,3 +169,74 @@ def asof_join(
         F.col("__m.__match_ts").alias(matched_ts_col),
         *[F.col(f"__m.{c}").alias(c if c not in left.columns else f"{c}_right") for c in right_cols],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each ``points`` row matches the
+    ``intervals`` rows whose ``[start, end]`` contains its timestamp
+    (optionally also equi-matched on ``keys``).
+
+    The naive formulation is a pure range predicate — Catalyst can only
+    plan it as BroadcastNestedLoopJoin (fine for a small interval side,
+    fatal fact-to-fact: O(|P|·|I|)). Scale path: quantize time into
+    ``bucket_seconds`` buckets; every interval EXPLODES to the buckets
+    it covers (sequence over the floor-bucket range) and every point
+    lands in exactly one bucket, so the match becomes an EQUI-join on
+    (keys..., bucket) with the exact BETWEEN applied after. A point's
+    single bucket meets each covering interval once — no dedup needed.
+    Shuffle ∝ points + Σ interval_spans/bucket; pick ``bucket_seconds``
+    near the typical interval length so most intervals explode to ≤ 2
+    buckets.
+
+    ``how='left'`` keeps unmatched points (their interval columns null),
+    implemented as the inner bucket join plus an anti-joined remainder —
+    the left-outer semantics a bucket join can't express directly
+    (a point would otherwise repeat per empty candidate bucket).
+    """
+    keys = keys or []
+    w = F.lit(int(bucket_seconds)).cast("bigint")
+    p_secs = F.col(time_col).cast("long")
+    s_secs = F.col(start_col).cast("long")
+    e_secs = F.col(end_col).cast("long")
+
+    pb = points.withColumn("_bucket", (p_secs / w).cast("bigint"))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence((s_secs / w).cast("bigint"), (e_secs / w).cast("bigint"))
+        ),
+    )
+    cond = [F.col(f"p.{k}") == F.col(f"i.{k}") for k in keys] + [
+        F.col("p._bucket") == F.col("i._bucket"),
+        F.col(f"p.{time_col}").between(
+            F.col(f"i.{start_col}"), F.col(f"i.{end_col}")
+        ),
+    ]
+    p, i = pb.alias("p"), ib.alias("i")
+    icols = [
+        F.col(f"i.{c}").alias(c)
+        for c in intervals.columns
+        if c not in set(keys)
+    ]
+    pcols = [F.col(f"p.{c}").alias(c) for c in points.columns]
+    matched = p.join(i, cond, "inner").select(*pcols, *icols)
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"interval_join supports inner/left, got {how!r}")
+    # left outer: points with no match at all, null interval columns
+    matched_keys = matched.select(*[c for c in points.columns]).distinct()
+    rest = points.join(matched_keys, on=points.columns, how="left_anti")
+    for c in intervals.columns:
+        if c not in set(keys):
+            rest = rest.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return matched.unionByName(rest)

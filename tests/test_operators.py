@@ -58,3 +58,38 @@ def test_mad_trim_robust_to_outliers(spark):
     kept = mad_trim(df, "v", k=3.0)
     assert kept.count() == 100  # every 1e9 outlier cut, all inliers kept
     assert kept.agg({"v": "max"}).collect()[0][0] < 1000
+
+
+def test_interval_join_inner_and_left(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30)),   # inside iv A
+            (1, datetime(2024, 1, 1, 5, 0)),    # no interval
+            (2, datetime(2024, 1, 1, 0, 45)),   # other key: no match
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, "A", datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0)),
+            # spans 3 buckets at 3600s: explode covers multi-bucket spans
+            (1, "B", datetime(2024, 1, 1, 0, 15), datetime(2024, 1, 1, 2, 30)),
+        ],
+        "user_id bigint, name string, s timestamp, e timestamp",
+    )
+    inner = interval_join(
+        points, intervals, "ts", "s", "e", keys=["user_id"]
+    )
+    got = {(r.ts.minute, r.name) for r in inner.collect()}
+    assert got == {(30, "A"), (30, "B")}
+
+    left = interval_join(
+        points, intervals, "ts", "s", "e", keys=["user_id"], how="left"
+    )
+    rows = left.collect()
+    assert len(rows) == 4  # 2 matches + 2 unmatched points with null names
+    assert sum(1 for r in rows if r.name is None) == 2

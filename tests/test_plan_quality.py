@@ -198,3 +198,13 @@ def test_sampling_filters_are_map_side(spark):
     for name in ("stratified_sample", "corpus_split"):
         plan = plan_of(spark, name)
         assert "Join" not in plan and "BroadcastExchange" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketized point-in-interval join must plan as an equi join
+    (sort-merge or shuffled hash on (user_id, bucket)); the raw BETWEEN
+    formulation would be a BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, "interval_join_clicks")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
