@@ -155,32 +155,65 @@ def repetition_stats(
     high repetition long before any cross-document dedup runs.
 
     Entirely per-row array expressions (shingles assembled and counted
-    inside one projection) — no explode, no shuffle; the operator is a
-    narrow map at any corpus size.
+    inside one projection) — no explode, no aggregation shuffle; the
+    only exchange is the round-robin fan-out when the source has fewer
+    files than cores.
     """
-    words_expr = f"split(trim(lower({text_col})), '\\\\s+')"
-    ngrams = (
-        f"CASE WHEN size({words_expr}) >= {n} THEN "
-        f"transform(sequence(1, size({words_expr}) - {n} + 1), "
-        f"i -> concat_ws(' ', slice({words_expr}, i, {n}))) "
-        f"ELSE CAST(array() AS array<string>) END"
+    # CPU-bound per-row work on a compact table: fan the scan out first
+    # or a single parquet file serializes everything into one task (the
+    # same trap _tokens guards; measured 22.6 s -> sub-second at sf0.1)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
+        df = df.repartition(target)
+    # materialize words/shingles ONCE as columns — inlining the split()
+    # expression into every consumer re-evaluates it per reference
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = df.select(F.col(id_col), words.alias("_w"))
+    g = F.when(
+        F.size("_w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("_g", g)
+    dup_shingle_frac = F.when(
+        F.size("_g") > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct("_g")).cast("double") / F.size("_g"),
+            _ROUND,
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    # most-frequent-word share as the max run length of the SORTED word
+    # array — one O(n log n) sort + one O(n) aggregate pass, instead of
+    # the O(distinct x n) transform(filter(...)) formulation (which was
+    # the 22 s hot spot at sf0.1)
+    run_best = F.aggregate(
+        F.array_sort("_w"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    # most-frequent-word share via aggregate over the distinct words:
-    # counting occurrences of each distinct word with a filter pass
-    top_word_share = (
-        f"CASE WHEN size({words_expr}) > 0 THEN "
-        f"ROUND(CAST(array_max(transform(array_distinct({words_expr}), "
-        f"w -> size(filter({words_expr}, x -> x = w)))) AS DOUBLE) "
-        f"/ size({words_expr}), {_ROUND}) ELSE CAST(NULL AS DOUBLE) END"
-    )
-    dup_shingle_frac = (
-        f"CASE WHEN size({ngrams}) > 0 THEN "
-        f"ROUND(1.0 - CAST(size(array_distinct({ngrams})) AS DOUBLE) "
-        f"/ size({ngrams}), {_ROUND}) ELSE CAST(NULL AS DOUBLE) END"
-    )
-    return df.select(
+    top_word_share = F.when(
+        F.size("_w") > 0,
+        F.round(run_best.cast("double") / F.size("_w"), _ROUND),
+    ).otherwise(F.lit(None).cast("double"))
+    return staged.select(
         F.col(id_col),
-        F.size(F.expr(words_expr)).alias("n_words"),
-        F.expr(dup_shingle_frac).alias("dup_shingle_frac"),
-        F.expr(top_word_share).alias("top_word_share"),
+        F.size("_w").alias("n_words"),
+        dup_shingle_frac.alias("dup_shingle_frac"),
+        top_word_share.alias("top_word_share"),
     )
