@@ -177,6 +177,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags per user (trailing 20 rows,
+    self-excluded frame) — the alerting primitive; one window pass."""
+    ev = table(spark, sf_dir, "events")
+    return ops.rolling_zscore(ev, "user_id").orderBy("user_id", "event_id")
+
+
 def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open/high/low/close per (user, hour) — the chart layer's
     shape-preserving downsample; deterministic open/close via the
@@ -856,6 +863,7 @@ def queries() -> dict[str, Query]:
         "interval_join_clicks": q_interval_join_clicks,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_hourly": q_ohlc_hourly,
+        "rolling_zscore": q_rolling_zscore,
         "category_counts": q_category_counts,
         "topn_others": q_topn_others,
         "histogram_bin_index": q_histogram_bin_index,
@@ -1392,6 +1400,24 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(SUM(dt * value) / SUM(dt), 6)
                         ELSE NULL END AS time_weighted_avg
             FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "rolling_zscore": """
+            WITH v AS (
+                SELECT user_id, event_id, ts, value FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), s AS (
+                SELECT user_id, event_id, ts, value,
+                       AVG(value) OVER w AS m,
+                       STDDEV_SAMP(value) OVER w AS sd
+                FROM v
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN sd > 0 THEN ROUND((value - m) / sd, 6) END AS zscore,
+                   COALESCE(CASE WHEN sd > 0 THEN abs((value - m) / sd) > 3.0 END,
+                            FALSE) AS is_anomaly
+            FROM s ORDER BY user_id, event_id
         """,
         "ohlc_hourly": """
             WITH v AS (

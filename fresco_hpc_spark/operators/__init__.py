@@ -9,6 +9,7 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     hourly_agg,
     profile_agg,
     ohlc_downsample,
+    rolling_zscore,
     session_stats,
     sessionize,
     time_bound,

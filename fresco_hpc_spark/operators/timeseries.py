@@ -318,3 +318,47 @@ def ohlc_downsample(
         )
         .orderBy(key_col, "bucket")
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    lookback_rows: int = 20,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags per key: each value scores against
+    the mean/stddev of its own TRAILING window (previous
+    ``lookback_rows`` rows, current row EXCLUDED — including it lets a
+    spike lower its own score). The telemetry alerting primitive: one
+    window pass over the shared (key, time) sort, no second scan.
+
+    Rows whose trailing window has fewer than two points (stddev
+    undefined) get a NULL score; the flag is False there (a nullable
+    boolean would also serialize differently across engines — None vs
+    NaN — breaking strict hash parity).
+    """
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(time_col), F.col(tiebreak_col))
+        .rowsBetween(-lookback_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.when(sd > 0, F.round((F.col(value_col) - mean) / sd, 6))
+    return df.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        F.col(time_col),
+        F.col(value_col),
+        z.alias("zscore"),
+        F.coalesce(
+            F.when(sd > 0, F.abs((F.col(value_col) - mean) / sd) > z_threshold),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    )

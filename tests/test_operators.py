@@ -93,3 +93,21 @@ def test_interval_join_inner_and_left(spark):
     rows = left.collect()
     assert len(rows) == 4  # 2 matches + 2 unmatched points with null names
     assert sum(1 for r in rows if r.name is None) == 2
+
+
+def test_rolling_zscore_flags_spike(spark):
+    from datetime import datetime, timedelta
+
+    from fresco_hpc_spark.operators import rolling_zscore
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base + timedelta(minutes=i), 100.0 + (i % 3), i) for i in range(20)
+    ] + [(1, base + timedelta(minutes=20), 1000.0, 20)]  # spike
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double, event_id bigint"
+    )
+    out = {r.event_id: r for r in rolling_zscore(df, "user_id").collect()}
+    assert out[0].zscore is None and out[0].is_anomaly is False  # warmup
+    assert out[20].is_anomaly is True and out[20].zscore > 100
+    assert all(not out[i].is_anomaly for i in range(20))
