@@ -177,6 +177,44 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trend line (slope/intercept/r²) of value over hours
+    since 2024-01-01 — regr_* sufficient statistics, one groupBy."""
+    ev = table(spark, sf_dir, "events")
+    hours = (
+        F.col("ts").cast("long") - F.lit(1704067200).cast("long")
+    ).cast("double") / 3600.0
+    return ops.linear_trend(ev, "user_id", hours, "value")
+
+
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap bins: lineitem quantity × extendedprice counts on a
+    10×10 equal-width grid (A9 clamped indices per axis)."""
+    li = table(spark, sf_dir, "lineitem")
+    return ops.histogram2d(li, "l_quantity", "l_extendedprice")
+
+
+def q_value_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of value per event type (cume_dist window) at the
+    decile probe points — §2.5 distribution-shape window op."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    cdf = ev.select(
+        "event_type",
+        "value",
+        F.round(F.cume_dist().over(w), 6).alias("cdf"),
+    )
+    # decile probes keep the gate output small and deterministic
+    return (
+        cdf.filter(F.col("cdf").isin([round(0.1 * i, 1) for i in range(1, 11)]))
+        .groupBy("event_type", "cdf")
+        .agg(F.round(F.max("value"), 6).alias("value_at"))
+        .orderBy("event_type", "cdf")
+    )
+
+
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags per user (trailing 20 rows,
     self-excluded frame) — the alerting primitive; one window pass."""
@@ -864,6 +902,9 @@ def queries() -> dict[str, Query]:
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_hourly": q_ohlc_hourly,
         "rolling_zscore": q_rolling_zscore,
+        "linear_trend": q_linear_trend,
+        "histogram2d": q_histogram2d,
+        "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
         "topn_others": q_topn_others,
         "histogram_bin_index": q_histogram_bin_index,
@@ -1400,6 +1441,53 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(SUM(dt * value) / SUM(dt), 6)
                         ELSE NULL END AS time_weighted_avg
             FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "linear_trend": """
+            WITH v AS (
+                SELECT user_id,
+                       CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS DOUBLE)
+                           / 3600.0 AS x,
+                       value AS y
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT user_id,
+                   ROUND(regr_slope(y, x), 6) AS slope,
+                   ROUND(regr_intercept(y, x), 6) AS intercept,
+                   ROUND(regr_r2(y, x), 6) AS r2,
+                   regr_count(y, x) AS n_points
+            FROM v GROUP BY user_id ORDER BY user_id
+        """,
+        "histogram2d": """
+            WITH s AS (
+                SELECT MIN(l_quantity) AS xmin,
+                       (MAX(l_quantity) - MIN(l_quantity)) / 10 AS xw,
+                       MIN(l_extendedprice) AS ymin,
+                       (MAX(l_extendedprice) - MIN(l_extendedprice)) / 10 AS yw
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            )
+            SELECT CAST(CASE WHEN s.xw = 0 THEN 0
+                        ELSE LEAST(9, FLOOR((l_quantity - s.xmin) / s.xw)) END
+                        AS BIGINT) AS x_bin,
+                   CAST(CASE WHEN s.yw = 0 THEN 0
+                        ELSE LEAST(9, FLOOR((l_extendedprice - s.ymin) / s.yw)) END
+                        AS BIGINT) AS y_bin,
+                   COUNT(*) AS count
+            FROM lineitem, s
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            GROUP BY x_bin, y_bin ORDER BY x_bin, y_bin
+        """,
+        "value_cdf": """
+            WITH c AS (
+                SELECT event_type, value,
+                       ROUND(cume_dist() OVER (PARTITION BY event_type
+                                               ORDER BY value), 6) AS cdf
+                FROM events
+            )
+            SELECT event_type, cdf, ROUND(MAX(value), 6) AS value_at
+            FROM c
+            WHERE cdf IN (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+            GROUP BY event_type, cdf ORDER BY event_type, cdf
         """,
         "rolling_zscore": """
             WITH v AS (

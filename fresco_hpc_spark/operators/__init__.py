@@ -1,6 +1,7 @@
 from fresco_hpc_spark.operators.stats import (  # noqa: F401
     availability,
     column_stats,
+    linear_trend,
     time_extent,
 )
 from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
@@ -30,6 +31,7 @@ from fresco_hpc_spark.operators.topn import (  # noqa: F401
     topn_others,
 )
 from fresco_hpc_spark.operators.histogram import (  # noqa: F401
+    histogram2d,
     histogram_bin_index,
     histogram_range_join,
 )

@@ -119,3 +119,43 @@ def histogram_range_join(df: DataFrame, col: str, bins: int = 50) -> DataFrame:
         .select("bin_start", "bin_end", "count")
         .orderBy("bin_start")
     )
+
+
+def histogram2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_bins: int = 10,
+    y_bins: int = 10,
+) -> DataFrame:
+    """2-D equal-width histogram (heatmap bins): the A9 clamped-index
+    scheme applied per axis, counts per (x_bin, y_bin) cell. Same scale
+    shape as the 1-D variant — one stats pass (min/max per axis,
+    broadcast 1-row frame), one projection, one small groupBy whose
+    cardinality is x_bins × y_bins regardless of input size."""
+    stats = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).agg(
+        F.min(x_col).alias("_xmin"),
+        ((F.max(x_col) - F.min(x_col)) / x_bins).alias("_xw"),
+        F.min(y_col).alias("_ymin"),
+        ((F.max(y_col) - F.min(y_col)) / y_bins).alias("_yw"),
+    )
+
+    def idx(c, mn, w, nb):
+        return F.when(F.col(w) == 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.floor((F.col(c) - F.col(mn)) / F.nullif(F.col(w), F.lit(0))),
+            )
+        )
+
+    return (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            idx(x_col, "_xmin", "_xw", x_bins).cast("bigint").alias("x_bin"),
+            idx(y_col, "_ymin", "_yw", y_bins).cast("bigint").alias("y_bin"),
+        )
+        .groupBy("x_bin", "y_bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("x_bin", "y_bin")
+    )

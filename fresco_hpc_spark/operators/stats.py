@@ -52,3 +52,29 @@ def not_null(df: DataFrame, *cols: str) -> DataFrame:
     for c in cols:
         pred = pred & F.col(c).isNotNull()
     return df.filter(pred)
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str,
+    x: Column,
+    y_col: str,
+) -> DataFrame:
+    """Per-key least-squares trend line — slope/intercept/r² via the
+    built-in regression aggregates (``regr_slope`` etc., map-side
+    combinable sufficient statistics: one groupBy, no second pass).
+    The chart layer's trend overlay; ``x`` is any numeric expression
+    (e.g. hours since a fixed origin keeps slopes in a readable range).
+    """
+    return (
+        df.filter(F.col(y_col).isNotNull())
+        .select(F.col(key_col), x.alias("_x"), F.col(y_col).alias("_y"))
+        .groupBy(key_col)
+        .agg(
+            F.round(F.regr_slope("_y", "_x"), 6).alias("slope"),
+            F.round(F.regr_intercept("_y", "_x"), 6).alias("intercept"),
+            F.round(F.regr_r2("_y", "_x"), 6).alias("r2"),
+            F.regr_count("_y", "_x").alias("n_points"),
+        )
+        .orderBy(key_col)
+    )

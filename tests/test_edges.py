@@ -83,3 +83,16 @@ def test_quantile_bucket_nulls_and_empty(spark):
     empty = df.filter("v IS NULL AND id < 0")
     rows = quantile_bucket(empty, "v").collect()
     assert rows == []
+
+
+def test_histogram2d_constant_axis(spark):
+    from fresco_hpc_spark.operators import histogram2d
+
+    df = spark.createDataFrame(
+        [(5.0, float(i)) for i in range(100)], "x double, y double"
+    )
+    out = histogram2d(df, "x", "y", x_bins=10, y_bins=4).collect()
+    # constant x -> every row in x_bin 0; y spreads over all 4 bins
+    assert {r.x_bin for r in out} == {0}
+    assert {r.y_bin for r in out} == {0, 1, 2, 3}
+    assert sum(r["count"] for r in out) == 100
