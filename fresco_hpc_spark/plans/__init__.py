@@ -13,6 +13,7 @@ from fresco_hpc_spark.plans.planner import (  # noqa: F401
 )
 from fresco_hpc_spark.plans.store import (  # noqa: F401
     PARTITION_COLS,
+    compact_store,
     list_partition_files,
     read_partitioned_store,
     write_bucketed_table,

@@ -107,3 +107,58 @@ def list_partition_files(spark: SparkSession, path: str) -> list[tuple[str, int]
         if p.endswith(".parquet"):
             out.append((p, int(status.getLen())))
     return out
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> list[str]:
+    """Small-file compaction for the hour-partitioned store: rewrite any
+    hour partition whose parquet files are numerous and under-sized into
+    ~``target_file_bytes`` files. Streaming ingest (one file per
+    micro-batch per task) fragments partitions; thousands of tiny files
+    cost a scan task each and overwhelm file listing at 100 TB — the
+    fix every production lake runs on a schedule.
+
+    Per-partition and idempotent: each selected hour is read, coalesced
+    to ``ceil(bytes/target)`` files, written to a staging dir, then
+    swapped in via the FileSystem API (rename is atomic per partition
+    directory on HDFS-like stores). Untouched partitions keep their
+    files byte-identical. Returns the rewritten partition paths.
+    """
+    import math
+    from collections import defaultdict
+
+    per_part: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    for f, size in list_partition_files(spark, path):
+        part_dir = f.rsplit("/", 1)[0]
+        per_part[part_dir].append((f, size))
+    sc = spark.sparkContext
+    fs_conf = sc._jsc.hadoopConfiguration()
+    rewritten: list[str] = []
+    for part_dir, files in sorted(per_part.items()):
+        total = sum(s for _, s in files)
+        n_target = max(1, math.ceil(total / target_file_bytes))
+        if len(files) < min_files_to_compact or len(files) <= n_target:
+            continue
+        staging = part_dir + "._compact_tmp"
+        (
+            spark.read.parquet(part_dir)
+            .coalesce(n_target)
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(staging)
+        )
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(part_dir)
+        jstag = sc._jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jpath.getFileSystem(fs_conf)
+        fs.delete(jpath, True)
+        fs.rename(jstag, jpath)
+        # drop the _SUCCESS marker so the partition dir holds data only
+        succ = sc._jvm.org.apache.hadoop.fs.Path(part_dir + "/_SUCCESS")
+        if fs.exists(succ):
+            fs.delete(succ, False)
+        rewritten.append(part_dir)
+    return rewritten

@@ -183,3 +183,36 @@ def test_store_secondary_sort_clusters_rows(spark, tmp_path):
     got = spark.read.option("basePath", path).parquet(path).filter("user_id = 1")
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,1)]" in plan
+
+
+def test_compact_store_merges_small_files(spark, tmp_path):
+    """Fragmented hour partitions (many tiny files) compact to few
+    files; data and partition pruning are unchanged; already-compact
+    partitions are left byte-identical."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.plans import compact_store, read_partitioned_store, write_partitioned_store
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    store = str(tmp_path / "store")
+    ev = table(spark, SF_SMALL, "events").select(
+        F.col("ts").alias("time"), "event_id", "user_id", "value"
+    )
+    # fragment: 8 files per partition
+    write_partitioned_store(ev.repartition(8), store)
+    before = ev.count()
+    some_part = sorted(glob.glob(store + "/year=*/month=*/day=*/hour=*"))[0]
+    n_files_before = len(glob.glob(some_part + "/*.parquet"))
+    assert n_files_before >= 2
+
+    rewritten = compact_store(spark, store)
+    assert len(rewritten) > 0
+    n_files_after = len(glob.glob(some_part + "/*.parquet"))
+    assert n_files_after < n_files_before
+    back = read_partitioned_store(spark, store)
+    assert back.count() == before
+    # second run is a no-op: everything already compact
+    assert compact_store(spark, store) == []
