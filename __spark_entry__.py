@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fresco_hpc_spark import operators as ops
+from fresco_hpc_spark.operators import cohort_retention, funnel_counts
 from fresco_hpc_spark.etl import (
     block_io_rates,
     cpu_user_percent,
@@ -175,6 +176,20 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.time_weighted_avg(
         ev, "user_id", time_col="ts", value_col="value", tiebreak_col="event_id"
     ).orderBy("user_id")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per-stage key counts, each
+    stage the min-timestamp of events strictly after the previous
+    stage's first hit (operators/funnel.py)."""
+    ev = table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle over the events table."""
+    ev = table(spark, sf_dir, "events")
+    return cohort_retention(ev, bucket="day")
 
 
 def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,6 +918,8 @@ def queries() -> dict[str, Query]:
         "ohlc_hourly": q_ohlc_hourly,
         "rolling_zscore": q_rolling_zscore,
         "linear_trend": q_linear_trend,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "histogram2d": q_histogram2d,
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -1441,6 +1458,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(SUM(dt * value) / SUM(dt), 6)
                         ELSE NULL END AS time_weighted_avg
             FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   (SELECT COUNT(*) FROM s1) AS n_keys
+            UNION ALL
+            SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+            ORDER BY step
+        """,
+        "cohort_retention": """
+            WITH seen AS (
+                SELECT user_id, date_trunc('day', ts) AS b FROM events
+                WHERE ts IS NOT NULL
+            ), cohorts AS (
+                SELECT user_id, MIN(b) AS cohort FROM seen GROUP BY user_id
+            ), j AS (
+                SELECT DISTINCT f.cohort,
+                       CAST((floor(epoch(s.b)) - floor(epoch(f.cohort))) / 86400
+                            AS BIGINT) AS "offset",
+                       s.user_id
+                FROM seen s JOIN cohorts f USING (user_id)
+            )
+            SELECT cohort, "offset", COUNT(*) AS n_active
+            FROM j GROUP BY cohort, "offset" ORDER BY cohort, "offset"
         """,
         "linear_trend": """
             WITH v AS (

@@ -44,6 +44,10 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
     salted_join,
     semi_join,
 )
+from fresco_hpc_spark.operators.funnel import (  # noqa: F401
+    cohort_retention,
+    funnel_counts,
+)
 from fresco_hpc_spark.operators.pivot import (  # noqa: F401
     pivot_long_to_wide,
     unpivot_wide_to_long,

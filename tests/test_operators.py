@@ -111,3 +111,37 @@ def test_rolling_zscore_flags_spike(spark):
     assert out[0].zscore is None and out[0].is_anomaly is False  # warmup
     assert out[20].is_anomaly is True and out[20].zscore > 100
     assert all(not out[i].is_anomaly for i in range(20))
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime, timedelta
+
+    from fresco_hpc_spark.operators import funnel_counts
+
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    rows = [
+        # user 1 completes in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2 clicks BEFORE viewing: click must not count
+        (2, "click", t(0)), (2, "view", t(1)),
+        # user 3 views only
+        (3, "view", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    out = {r.step_name: r.n_keys for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_triangle(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5)), (1, datetime(2024, 1, 2, 9)),   # day0+day1
+        (2, datetime(2024, 1, 1, 7)),                                  # day0 only
+        (3, datetime(2024, 1, 2, 1)), (3, datetime(2024, 1, 2, 23)),  # later cohort, 1 bucket
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {(r.cohort.day, r.offset): r.n_active for r in cohort_retention(df).collect()}
+    assert out == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
