@@ -92,6 +92,12 @@ def test_embedding_near_dups_join_is_equi(spark):
         "corpus_curation", "rolling_hour_avg", "topk_users_per_event",
         "daily_uniques", "join_salted_skew", "rollup_monthly_events",
         "set_ops_events",
+        # round 2
+        "ngram_jaccard_prefix", "lead_quartile_events", "wide_table_roundtrip",
+        "stratified_sample", "corpus_split", "repetition_stats",
+        "mad_trim_agg", "time_weighted_avg", "ohlc_hourly", "rolling_zscore",
+        "interval_join_clicks", "linear_trend", "histogram2d", "value_cdf",
+        "funnel", "cohort_retention",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
