@@ -424,6 +424,33 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget quota (500 whitespace tokens each — the
+    budget BINDS at every sf, so admission order matters): docs admitted
+    in deterministic hash order until the budget fills — the
+    pretraining-mix operator in its native unit. Summary rollup per
+    source keeps the gate output small."""
+    from fresco_hpc_spark.functions import token_budget_sample
+    from fresco_hpc_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    kept = token_budget_sample(
+        docs,
+        budget=500,
+        token_count_col=token_count(F.col("text")).cast("bigint"),
+        key_col="doc_id",
+        strata_col="source",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("_cum_tokens").alias("tokens_used"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition quality signals (Gopher-style filters):
     duplicated-shingle fraction + top-word share, pure per-row array
@@ -937,6 +964,7 @@ def queries() -> dict[str, Query]:
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "stratified_sample": q_stratified_sample,
         "corpus_split": q_corpus_split,
+        "token_budget": q_token_budget,
         "repetition_stats": q_repetition_stats,
         "minhash_dup_pairs": q_minhash_dups,
         "simhash_dup_pairs": q_simhash_dups,
@@ -2317,6 +2345,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT split, source, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
             FROM labelled GROUP BY split, source ORDER BY split, source
+        """,
+        "token_budget": """
+            WITH toks AS (
+                SELECT source, doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tok,
+                       (('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        / 1152921504606846976.0) AS frac
+                FROM documents
+            ), cum AS (
+                SELECT source, doc_id, n_tok,
+                       CAST(SUM(n_tok) OVER (PARTITION BY source
+                                             ORDER BY frac ASC, doc_id ASC
+                                             ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS c
+                FROM toks
+            )
+            SELECT source, COUNT(*) AS n_docs, MAX(c) AS tokens_used
+            FROM cum WHERE c <= 500
+            GROUP BY source ORDER BY source
         """,
         "repetition_stats": """
             WITH base AS (

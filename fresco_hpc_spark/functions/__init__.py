@@ -12,6 +12,7 @@ from fresco_hpc_spark.functions.sampling import (  # noqa: F401
     hash_fraction,
     hash_sample,
     stratified_hash_sample,
+    token_budget_sample,
 )
 from fresco_hpc_spark.functions.dedup import (  # noqa: F401
     dedup_corpus,

@@ -79,3 +79,40 @@ def corpus_split(
             F.lit("train")
         ),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    token_count_col: Column,
+    key_col: str,
+    strata_col: str | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Quota sampling by token budget: within each stratum, take
+    documents in a deterministic pseudo-random order until the running
+    token total reaches ``budget`` (inclusive of the row that crosses
+    it stays OUT; every kept row fits entirely). The data-mixture
+    operator expressed in tokens, which is what an LLM pretraining mix
+    actually budgets — per-source doc COUNTS under-weight long docs.
+
+    The order is the salted hash fraction (then key for total order):
+    reproducible on any engine/partitioning, and independent of any
+    other sampling coin on the same keys. One window pass per stratum —
+    the running sum shuffles once on the stratum key.
+    """
+    part = [F.col(strata_col)] if strata_col is not None else []
+    from pyspark.sql import Window
+
+    frac = hash_fraction(
+        F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(frac.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count_col).over(w)
+    return df.withColumn("_cum_tokens", cum).filter(
+        F.col("_cum_tokens") <= F.lit(int(budget))
+    )

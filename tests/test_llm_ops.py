@@ -296,3 +296,33 @@ def test_corpus_split_stable_under_corpus_growth(spark):
     }
     assert all(full[k] == v for k, v in sub.items())
     assert {"train", "eval"} == set(full.values())
+
+
+def test_token_budget_sample_binds_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import token_budget_sample
+    from fresco_hpc_spark.functions.text import token_count
+    from fresco_hpc_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    kept = token_budget_sample(
+        docs, 500, token_count(F.col("text")).cast("bigint"), "doc_id", "source"
+    )
+    rows = kept.select("source", "doc_id", "_cum_tokens").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert max(r._cum_tokens for r in rs) <= 500  # budget respected
+    # partition-invariant determinism
+    again = token_budget_sample(
+        docs.repartition(13), 500, token_count(F.col("text")).cast("bigint"),
+        "doc_id", "source",
+    )
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again.collect()}
+    # a smaller budget admits a strict subset
+    small = token_budget_sample(
+        docs, 200, token_count(F.col("text")).cast("bigint"), "doc_id", "source"
+    )
+    assert {r.doc_id for r in small.collect()} <= {r.doc_id for r in rows}
