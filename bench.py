@@ -1,8 +1,12 @@
 """Benchmark runner — executes every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "query_metrics": {name: {"sec": s,
-"shuffle_bytes": b, "tasks": n}}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The full payload — including
+per-query {"sec", "shuffle_bytes", "tasks"} plan metrics — is written to
+``bench_out.json`` beside this script. (Round-2 lesson: the driver
+captures a bounded tail of stdout, and the in-line query_metrics map
+pushed the totals past the window — BENCH_r02.json recorded
+``parsed: null``. Keep stdout to the one small line; bulk goes to disk.)
 
 Each query is forced with a write to the `noop` sink: every output column
 is fully computed and materialized with zero sink cost. (A count() would
@@ -90,18 +94,25 @@ def main() -> None:
                 timings[name] = elapsed
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    summary = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    full = {
+        **summary,
         "query_metrics": {
             name: {"sec": timings[name], **plan_metrics.get(name, {})}
             for name in timings
         },
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
-    print(json.dumps(out))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

@@ -264,11 +264,22 @@ def ngram_jaccard_pairs_prefix(
         )
     )
     jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
+    result = (
         joined.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+    try:
+        # Materialize eagerly (output is one row per qualifying pair —
+        # executor-resident blocks, never driver-collected) and truncate
+        # lineage, so the two cached build relations can be released here
+        # instead of accumulating in executor storage across calls in a
+        # long-lived session.
+        result = result.localCheckpoint(eager=True)
+    finally:
+        prefix.unpersist()
+        sets.unpersist()
+    return result
 
 
 def minhash_signatures(

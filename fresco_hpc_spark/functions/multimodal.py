@@ -6,36 +6,42 @@ the layout that scales: payloads stay in parquet binary pages (no JVM
 object blow-up), metadata is columnar and prunable, and all per-item work
 runs in Arrow-batched ``mapInPandas`` so Python touches each batch once.
 
-The image/video codecs (PIL/libav/ffmpeg) are NOT in this container, so
-those decode kernels are deterministic fakes behind an import-try —
-clearly marked below. AUDIO IS REAL: WAV/PCM needs no external codec
-(stdlib ``wave`` + ``struct``), so ``synthetic_media`` emits genuine
-RIFF/WAVE payloads and ``extract_audio_features`` computes RMS energy
-from decoded samples. Everything Spark-side is real and tested: schemas,
-batch shapes, UDF signatures, partition behavior. Swap the remaining
-fake kernels for real codec calls and nothing else changes.
+ALL THREE MODALITIES DECODE FOR REAL — no external codec needed:
+
+- AUDIO: RIFF/WAVE PCM via stdlib ``wave`` + ``struct``;
+  ``extract_audio_features`` computes RMS energy from decoded samples.
+- IMAGE: PNG (stdlib zlib) and 24-bit BMP via the pure-Python codecs in
+  ``functions/codecs.py``; ``synthetic_media`` emits genuine PNGs and
+  ``decode_image_features`` pools features from decoded PIXELS.
+- VIDEO: a deterministic concatenated-BMP container (each BMP header
+  carries its own byte length, so frame boundaries are parsed, not
+  guessed); ``sample_frames`` yields individually decodable BMP frames.
+
+A production pipeline swaps these kernels for SIMD codecs
+(PIL/libav/ffmpeg) — the Spark-side contract (schemas, Arrow batch
+shapes, UDF signatures, partition behavior) is identical either way.
 """
 
 from __future__ import annotations
 
-import hashlib
 import io
 import math
 import struct
 import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real codec path — not present in this environment
-    from PIL import Image  # noqa: F401
-
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
+from fresco_hpc_spark.functions.codecs import (
+    decode_image,
+    encode_bmp,
+    encode_png,
+    split_bmp_frames,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -102,11 +108,49 @@ def _wav_payload(media_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _media_dims(media_id: int) -> tuple[int, int]:
+    return 16 * (1 + media_id % 8), 16 * (1 + media_id % 5)
+
+
+def media_frame_count(media_id: int) -> int:
+    """Frames in the synthetic video container for ``media_id`` —
+    exported so tests/oracles can predict the fan-out."""
+    return 2 * (1 + media_id % 4)
+
+
+def _image_rgb(media_id: int, width: int, height: int, frame: int = 0) -> bytes:
+    """Deterministic gradient pixels (top-down RGB): closed-form per
+    channel, so tests can assert exact channel means without decoding."""
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    r = (3 * x + 7 * y + media_id + 11 * frame) % 256
+    g = (5 * x + y + 2 * media_id + 13 * frame) % 256
+    b = (x + 2 * y + 3 * media_id + 17 * frame) % 256
+    return (
+        np.stack(np.broadcast_arrays(r, g, b), axis=-1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
+def _video_payload(media_id: int) -> bytes:
+    """Concatenated-BMP container: ``media_frame_count`` real 24-bit BMP
+    frames back to back. Frame boundaries are recoverable from each
+    frame's own header (codecs.split_bmp_frames) — a parseable container,
+    not fixed-stride byte slicing."""
+    w, h = _media_dims(media_id)
+    return b"".join(
+        encode_bmp(w, h, _image_rgb(media_id, w, h, frame=k))
+        for k in range(media_frame_count(media_id))
+    )
+
+
 def synthetic_media(spark: SparkSession, n: int, modality: str = "image") -> DataFrame:
-    """Deterministic media table: audio payloads are REAL RIFF/WAVE PCM
-    (``_wav_payload``); image/video payloads are sha256 streams keyed on
-    media_id (64 bytes·(1+id%4)) standing in for encoded frames;
-    metadata derived from the id/payload."""
+    """Deterministic media table — every payload is REAL and decodable:
+    audio is RIFF/WAVE PCM (``_wav_payload``), images are PNGs of a
+    deterministic gradient (``encode_png``), videos are concatenated-BMP
+    containers (``_video_payload``). Metadata mirrors the encoded
+    content."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].tolist()
@@ -117,29 +161,34 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image") -> Dat
                 "meta": [],
             }
             for i in ids:
+                i = int(i)
+                w, h = _media_dims(i)
                 if modality == "audio":
-                    payload = _wav_payload(int(i))
-                    n_samp = 400 + (int(i) % 4) * 200
+                    payload = _wav_payload(i)
+                    n_samp = 400 + (i % 4) * 200
                     duration = n_samp / float(_WAV_SR)
                     sr = _WAV_SR
-                else:
-                    blocks = 1 + (i % 4)
-                    payload = b"".join(
-                        hashlib.sha256(f"{modality}-{i}-{b}".encode()).digest()
-                        for b in range(blocks * 2)
-                    )
-                    duration = float(i % 30) if modality != "image" else None
+                elif modality == "image":
+                    payload = encode_png(w, h, _image_rgb(i, w, h))
+                    duration = None
                     sr = None
+                elif modality == "video":
+                    payload = _video_payload(i)
+                    # 4 fps nominal: duration tracks the frame count
+                    duration = media_frame_count(i) / 4.0
+                    sr = None
+                else:
+                    raise ValueError(f"unknown modality {modality!r}")
                 rows["media_id"].append(i)
                 rows["modality"].append(modality)
                 rows["payload"].append(payload)
                 rows["meta"].append(
                     {
-                        "width": 16 * (1 + int(i) % 8),
-                        "height": 16 * (1 + int(i) % 5),
+                        "width": w,
+                        "height": h,
                         "sample_rate": sr,
                         "duration_s": duration,
-                        "format": {"image": "png", "audio": "wav", "video": "mp4"}[modality],
+                        "format": {"image": "png", "audio": "wav", "video": "bmps"}[modality],
                     }
                 )
             yield pd.DataFrame(rows)
@@ -151,51 +200,55 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image") -> Dat
     return spark.range(0, n, 1, num_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _fake_decode_features(payload: bytes, dim: int) -> list[float]:
-    """STUB DECODE — deterministic byte-bucket fold standing in for a real
-    pixel/spectrogram featurizer. Real implementation would decode the
-    payload (PIL/soundfile) and pool; this folds raw bytes into ``dim``
-    buckets so outputs are stable, schema-correct, and testable."""
-    acc = [0.0] * dim
-    cnt = [0] * dim
-    for j, byte in enumerate(payload):
-        acc[j % dim] += byte
-        cnt[j % dim] += 1
-    return [round(a / c, 6) if c else 0.0 for a, c in zip(acc, cnt)]
+def _pixel_features(rgb: bytes, width: int, height: int, dim: int) -> tuple[float, list[float]]:
+    """(mean over all RGB bytes, per-strip luminance means): the image is
+    cut into ``dim`` horizontal strips and each strip contributes the
+    mean of its pixels' (r+g+b)/3 luminance — a real (if simple) pooled
+    feature computed from decoded pixels."""
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    lum = arr.astype(np.float64).mean(axis=2)  # (h, w)
+    strips = [
+        lum[(s * height) // dim : ((s + 1) * height) // dim]
+        for s in range(dim)
+    ]
+    feats = [
+        round(float(s.mean()), 6) if s.size else 0.0 for s in strips
+    ]
+    return round(float(arr.mean()), 6), feats
 
 
 def decode_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
-    """Decode + feature-extract over image payloads via ``mapInPandas``.
-
-    Arrow ships each partition to Python in pandas batches; one Python
-    crossing per batch, not per row. With a real codec installed
-    (``HAVE_PIL``) this is where pixels would be read — the fake keeps
-    identical schema and batch mechanics.
-    """
-    if HAVE_PIL:  # pragma: no cover - codec not present in this container
-        raise NotImplementedError(
-            "real PIL decode path intentionally not implemented here; "
-            "plug Image.open(...) into the batch loop below"
-        )
+    """REAL decode + feature-extract over image payloads via
+    ``mapInPandas``: PNG/BMP payloads are decoded to pixels with the
+    pure-Python codecs (functions/codecs.py), ``width``/``height`` come
+    from the DECODED header (not trusted metadata), ``mean_byte`` is the
+    mean decoded RGB value, and ``features`` are per-strip luminance
+    means. Arrow ships each partition to Python in pandas batches; one
+    Python crossing per batch, not per row. A production pipeline swaps
+    ``decode_image`` for a SIMD codec — schema and batch mechanics are
+    identical."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
+            widths, heights, means, feats = [], [], [], []
+            for p in pdf["payload"]:
+                p = bytes(p)
+                w, h, rgb = decode_image(p)
+                m, f = _pixel_features(rgb, w, h, dim)
+                widths.append(w)
+                heights.append(h)
+                means.append(m)
+                feats.append(f)
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [m["width"] for m in pdf["meta"]],
-                    "height": [m["height"] for m in pdf["meta"]],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "mean_byte": [
-                        round(sum(p) / len(p), 6) if len(p) else 0.0
-                        for p in pdf["payload"]
-                    ],
-                    "features": [
-                        _fake_decode_features(p, dim) for p in pdf["payload"]
-                    ],
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "mean_byte": means,
+                    "features": feats,
                 }
             )
-            yield out
 
     return df.filter(F.col("modality") == "image").mapInPandas(
         decode, schema=IMAGE_FEATURES_SCHEMA
@@ -203,25 +256,40 @@ def decode_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize: metadata updated Catalyst-side; payload re-encode is the
-    stubbed step (a real pipeline re-encodes in the same mapInPandas
-    pattern as ``decode_image_features``). Keeping the metadata change in
-    native expressions means no Python crossing at all for the fake."""
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).cast("int").alias("width"),
-            F.lit(height).cast("int").alias("height"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.col("meta.duration_s").alias("duration_s"),
-            F.col("meta.format").alias("format"),
-        ),
-    )
+    """REAL resize: decode the payload, nearest-neighbor resample to
+    ``width``×``height``, re-encode in the same container (PNG in, PNG
+    out), and update the metadata struct to match — all in one
+    ``mapInPandas`` crossing per Arrow batch."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                p = bytes(p)
+                w0, h0, rgb = decode_image(p)
+                arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h0, w0, 3)
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                resized = arr[ys][:, xs].tobytes()
+                enc = encode_bmp if p[:2] == b"BM" else encode_png
+                payloads.append(enc(width, height, resized))
+                meta = dict(m)
+                meta["width"], meta["height"] = width, height
+                metas.append(meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
 
 
-def sample_frames(df: DataFrame, frame_bytes: int = 32, every_n: int = 2) -> DataFrame:
-    """Frame sampling for video payloads: split each payload into
-    ``frame_bytes`` chunks (the fake 'frames'), keep every ``every_n``-th.
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video payloads: PARSE the concatenated-BMP
+    container into its real frames (each frame's byte length comes from
+    its own BMP header — codecs.split_bmp_frames raises on truncation
+    rather than yielding garbage), keep every ``every_n``-th frame. Each
+    emitted ``frame_payload`` is a complete, individually decodable BMP.
     One row in → many rows out, the real fan-out shape of frame
     extraction; partitioning carries over from the input."""
 
@@ -229,15 +297,11 @@ def sample_frames(df: DataFrame, frame_bytes: int = 32, every_n: int = 2) -> Dat
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                chunks = [
-                    payload[o : o + frame_bytes]
-                    for o in range(0, len(payload), frame_bytes)
-                ]
-                for k, chunk in enumerate(chunks):
+                for k, frame in enumerate(split_bmp_frames(bytes(payload))):
                     if k % every_n == 0:
                         ids.append(mid)
                         idxs.append(k)
-                        frames.append(bytes(chunk))
+                        frames.append(frame)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame_payload": frames}
             )

@@ -74,12 +74,19 @@ def cohort_retention(
     count over (cohort, offset). Both key on high-cardinality columns;
     the output is a triangle bounded by (buckets)² — tiny at any scale.
     """
+    units = {"day": 86400, "hour": 3600}
+    if bucket not in units:
+        raise ValueError(
+            f"cohort_retention supports bucket in {sorted(units)}, got {bucket!r} "
+            "(calendar-varying units like week/month have no fixed seconds "
+            "divisor for the offset arithmetic)"
+        )
+    unit = units[bucket]
     b = F.date_trunc(bucket, F.col(time_col))
     seen = df.filter(F.col(time_col).isNotNull()).select(
         F.col(key_col), b.alias("_b")
     )
     first = seen.groupBy(key_col).agg(F.min("_b").alias("_cohort"))
-    unit = {"day": 86400, "hour": 3600}[bucket]
     offset = (
         (F.col("_b").cast("long") - F.col("_cohort").cast("long")) / unit
     ).cast("bigint")

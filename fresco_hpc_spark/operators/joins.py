@@ -197,10 +197,15 @@ def interval_join(
     near the typical interval length so most intervals explode to ≤ 2
     buckets.
 
-    ``how='left'`` keeps unmatched points (their interval columns null),
-    implemented as the inner bucket join plus an anti-joined remainder —
-    the left-outer semantics a bucket join can't express directly
-    (a point would otherwise repeat per empty candidate bucket).
+    ``how='left'`` keeps unmatched points (their interval columns null).
+    Because every point lands in exactly ONE bucket, a plain left-outer
+    join over the (keys..., bucket) equi-condition plus the BETWEEN
+    residual is already exact: a matched point emits once per covering
+    interval, an unmatched point emits exactly once with nulls — no
+    anti-join remainder pass, one join, one shuffle. (An earlier
+    formulation rebuilt the remainder with a left_anti on all point
+    columns, which double-emitted matched rows containing NULLs —
+    null-unsafe equality — and cost a second shuffle.)
     """
     keys = keys or []
     w = F.lit(int(bucket_seconds)).cast("bigint")
@@ -228,15 +233,6 @@ def interval_join(
         if c not in set(keys)
     ]
     pcols = [F.col(f"p.{c}").alias(c) for c in points.columns]
-    matched = p.join(i, cond, "inner").select(*pcols, *icols)
-    if how == "inner":
-        return matched
-    if how != "left":
+    if how not in ("inner", "left"):
         raise ValueError(f"interval_join supports inner/left, got {how!r}")
-    # left outer: points with no match at all, null interval columns
-    matched_keys = matched.select(*[c for c in points.columns]).distinct()
-    rest = points.join(matched_keys, on=points.columns, how="left_anti")
-    for c in intervals.columns:
-        if c not in set(keys):
-            rest = rest.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return matched.unionByName(rest)
+    return p.join(i, cond, how).select(*pcols, *icols)

@@ -124,26 +124,78 @@ def compact_store(
 
     Per-partition and idempotent: each selected hour is read, coalesced
     to ``ceil(bytes/target)`` files, written to a staging dir, then
-    swapped in via the FileSystem API (rename is atomic per partition
-    directory on HDFS-like stores). Untouched partitions keep their
-    files byte-identical. Returns the rewritten partition paths.
+    swapped in with a data-preserving two-rename protocol: the live dir
+    is renamed to ``._compact_bak`` first, the staging dir renamed into
+    place, and only then is the backup deleted (each rename is atomic
+    per directory on HDFS-like stores; the pair is not, but a crash at
+    any point leaves the rows recoverable in exactly one of live /
+    staging / backup — never lost). On entry, orphaned ``._compact_tmp``
+    / ``._compact_bak`` dirs from a previous crash are rolled back or
+    removed, so a crashed run heals on the next invocation. Readers must
+    not scan the store concurrently with compaction (they could observe
+    a partition mid-swap) — same contract as any file-level rewrite
+    without a table format's snapshot isolation; use Delta/Iceberg
+    commit protocols when concurrent readers are required.
+    Untouched partitions keep their files byte-identical. Returns the
+    rewritten partition paths.
     """
     import math
     from collections import defaultdict
+
+    STAGING_SUFFIX = "._compact_tmp"
+    BACKUP_SUFFIX = "._compact_bak"
+
+    sc = spark.sparkContext
+    fs_conf = sc._jsc.hadoopConfiguration()
+
+    def _jp(p: str):
+        return sc._jvm.org.apache.hadoop.fs.Path(p)
+
+    # --- crash recovery: heal any partition left mid-swap by a prior run.
+    # Walk the tree once via the FileSystem API (globs can't express
+    # "any depth", and the store may live on hdfs:// / s3a://).
+    root = _jp(path)
+    fs = root.getFileSystem(fs_conf)
+    if not fs.exists(root):
+        return []
+    leftovers: list[str] = []
+    stack = [root]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.endswith(STAGING_SUFFIX) or name.endswith(BACKUP_SUFFIX):
+                leftovers.append(st.getPath().toString())
+            else:
+                stack.append(st.getPath())
+    for stray in leftovers:
+        if stray.endswith(BACKUP_SUFFIX):
+            live = stray[: -len(BACKUP_SUFFIX)]
+            if fs.exists(_jp(live)):
+                # live dir present: the swap completed (or never started);
+                # the backup is redundant.
+                fs.delete(_jp(stray), True)
+            else:
+                # crashed between rename(live→bak) and rename(tmp→live):
+                # roll back so no data is lost.
+                fs.rename(_jp(stray), _jp(live))
+        else:  # staging: always safe to discard, the live dir still has the rows
+            fs.delete(_jp(stray), True)
 
     per_part: dict[str, list[tuple[str, int]]] = defaultdict(list)
     for f, size in list_partition_files(spark, path):
         part_dir = f.rsplit("/", 1)[0]
         per_part[part_dir].append((f, size))
-    sc = spark.sparkContext
-    fs_conf = sc._jsc.hadoopConfiguration()
     rewritten: list[str] = []
     for part_dir, files in sorted(per_part.items()):
         total = sum(s for _, s in files)
         n_target = max(1, math.ceil(total / target_file_bytes))
         if len(files) < min_files_to_compact or len(files) <= n_target:
             continue
-        staging = part_dir + "._compact_tmp"
+        staging = part_dir + STAGING_SUFFIX
+        backup = part_dir + BACKUP_SUFFIX
         (
             spark.read.parquet(part_dir)
             .coalesce(n_target)
@@ -151,14 +203,13 @@ def compact_store(
             .option("compression", "snappy")
             .parquet(staging)
         )
-        jpath = sc._jvm.org.apache.hadoop.fs.Path(part_dir)
-        jstag = sc._jvm.org.apache.hadoop.fs.Path(staging)
-        fs = jpath.getFileSystem(fs_conf)
-        fs.delete(jpath, True)
-        fs.rename(jstag, jpath)
-        # drop the _SUCCESS marker so the partition dir holds data only
-        succ = sc._jvm.org.apache.hadoop.fs.Path(part_dir + "/_SUCCESS")
+        # drop the _SUCCESS marker so the swapped-in dir holds data only
+        succ = _jp(staging + "/_SUCCESS")
         if fs.exists(succ):
             fs.delete(succ, False)
+        # two-rename swap: rows always live in ≥1 of live/staging/backup
+        fs.rename(_jp(part_dir), _jp(backup))
+        fs.rename(_jp(staging), _jp(part_dir))
+        fs.delete(_jp(backup), True)
         rewritten.append(part_dir)
     return rewritten

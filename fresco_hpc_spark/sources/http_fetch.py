@@ -68,26 +68,34 @@ def _download_one(
     sleep: Callable[[float], None],
 ) -> bool:
     """One file with retry + exponential backoff (2^attempt seconds) and
-    a non-empty-file check — http_extractor.py:119-152 semantics."""
+    a non-empty-file check — http_extractor.py:119-152 semantics.
+
+    Streams into ``<name>.part`` and renames on success, so the landing
+    dir never contains a truncated file under the final name: a consumer
+    that globs the landing dir (rather than using the returned paths)
+    can't ingest a half-written download."""
+    part = local_path.with_name(local_path.name + ".part")
     for attempt in range(max_retries):
         try:
             req = urllib.request.Request(url, headers=_UA)
             local_path.parent.mkdir(parents=True, exist_ok=True)
             with urllib.request.urlopen(req, timeout=timeout) as resp, open(
-                local_path, "wb"
+                part, "wb"
             ) as out:
                 while True:
                     chunk = resp.read(8192)
                     if not chunk:
                         break
                     out.write(chunk)
-            if local_path.exists() and local_path.stat().st_size > 0:
+            if part.exists() and part.stat().st_size > 0:
+                part.replace(local_path)
                 return True
             raise OSError("downloaded file is empty or missing")
         except Exception:
             if attempt < max_retries - 1:
                 sleep(float(2**attempt))
             else:
+                part.unlink(missing_ok=True)
                 return False
     return False
 

@@ -54,37 +54,62 @@ def read_csv_tolerant(
     return reader.csv(path)
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
-    natively. Footer-only check (no data read)."""
+def _timestamp_cols(path: str) -> tuple[list[str], list[str]]:
+    """Classify the parquet file's timestamp columns from the footer only
+    (no data read): ``(nanos_cols, naive_cols)``.
+
+    - ``nanos_cols``: TIMESTAMP(NANOS) — Spark cannot read these natively;
+      they need the legacy raw-int64 conf.
+    - ``naive_cols``: micro/milli/second timestamps with no timezone
+      (``isAdjustedToUTC=false``) — Spark reads them as TIMESTAMP_NTZ,
+      which rejects casts to numeric and diverges from DuckDB's
+      naive-as-UTC TIMESTAMP; they need instant normalization.
+    """
     try:
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
         schema = pq.read_schema(path)
-        return [
-            f.name
-            for f in schema
-            if pat.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
+        ts = [f for f in schema if pat.is_timestamp(f.type)]
+        return (
+            [f.name for f in ts if f.type.unit == "ns"],
+            [f.name for f in ts if f.type.unit != "ns" and f.type.tz is None],
+        )
     except Exception:  # noqa: BLE001 — non-parquet / remote path: assume none
-        return []
+        return [], []
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from ``{sf_dir}/{name}.parquet``.
 
-    Parquet nanosecond timestamps are read as raw int64 (legacy conf) and
-    truncated to microsecond timestamps — lossless for micro-precision data,
-    and the same unit DuckDB's TIMESTAMP uses, so oracles agree.
+    Timestamp columns are normalized to plain TIMESTAMP (instant) UTC
+    regardless of how the file stores them, so every downstream operator
+    and every DuckDB oracle (which reads the same file as naive-as-UTC
+    TIMESTAMP) sees identical values:
+
+    - nanosecond timestamps are read as raw int64 (legacy conf) and
+      truncated to microseconds — lossless for micro-precision data;
+    - naive micro/milli timestamps (TIMESTAMP_NTZ to Spark) have their
+      wall clock interpreted as UTC via an epoch-anchored timestampdiff,
+      which is independent of the session time zone — critical because
+      the external driver runs a vanilla session whose zone we don't
+      control, and a bare NTZ→TIMESTAMP cast would shift instants there.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = _nanos_timestamp_cols(path)
+    ns_cols, ntz_cols = _timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    for c in ntz_cols:
+        df = df.withColumn(
+            c,
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`))"
+            ),
+        )
     return df
 
 

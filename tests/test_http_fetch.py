@@ -45,6 +45,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if path == "/":
             body = INDEX_HTML.encode()
+        elif path.endswith(".csv") and "empty" in path:
+            body = b""  # 200 OK but zero bytes: fails the non-empty check
         elif path.endswith(".csv") and "missing" not in path:
             body = CSV_BODY.encode()
         else:
@@ -115,6 +117,23 @@ def test_fetch_skips_permanently_failing_file(http_base, tmp_path):
     assert landed == [str(tmp_path / "2024-01" / "cpu.csv")]
     assert sleeps == [1.0, 2.0]  # the 404 path exhausted its retries
     assert _Handler.hits["/2024-01/missing.csv"] == 3
+
+
+def test_failed_fetch_leaves_no_file_in_landing_dir(http_base, tmp_path):
+    """A download that always fails the non-empty check must leave
+    NOTHING under the final name (or a .part) in the landing dir — a
+    consumer globbing the dir would otherwise ingest a truncated file."""
+    landed = fetch_http_files(
+        http_base,
+        ["2024-01"],
+        ["empty.csv"],
+        str(tmp_path),
+        max_retries=2,
+        sleep=lambda s: None,
+    )
+    assert landed == []
+    assert not (tmp_path / "2024-01" / "empty.csv").exists()
+    assert not (tmp_path / "2024-01" / "empty.csv.part").exists()
 
 
 def test_fetched_files_feed_one_spark_read(http_base, tmp_path, spark):

@@ -1,5 +1,8 @@
 
 
+import pytest
+
+
 def test_time_weighted_avg_hand_computed(spark):
     from datetime import datetime
 
@@ -93,6 +96,44 @@ def test_interval_join_inner_and_left(spark):
     rows = left.collect()
     assert len(rows) == 4  # 2 matches + 2 unmatched points with null names
     assert sum(1 for r in rows if r.name is None) == 2
+
+
+def test_interval_join_left_with_null_point_columns(spark):
+    """Regression (ADVICE r02): a matched point carrying a NULL in a
+    non-key column must emit exactly once — the old anti-join remainder
+    used null-unsafe equality and double-emitted such rows."""
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), None),       # matched, null payload
+            (1, datetime(2024, 1, 1, 5, 0), "x"),         # unmatched
+            (1, datetime(2024, 1, 1, 6, 0), None),        # unmatched, null payload
+        ],
+        "user_id bigint, ts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, "A", datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0))],
+        "user_id bigint, name string, s timestamp, e timestamp",
+    )
+    left = interval_join(
+        points, intervals, "ts", "s", "e", keys=["user_id"], how="left"
+    )
+    rows = left.collect()
+    assert len(rows) == 3  # one row per point, never duplicated
+    by_min = {r.ts.minute if r.ts.hour == 0 else r.ts.hour * 100: r for r in rows}
+    assert by_min[30].name == "A" and by_min[30].tag is None
+    assert by_min[500].name is None and by_min[600].name is None
+
+
+def test_cohort_retention_rejects_calendar_buckets(spark):
+    from fresco_hpc_spark.operators import cohort_retention
+
+    df = spark.createDataFrame([(1, None)], "user_id bigint, ts timestamp")
+    with pytest.raises(ValueError, match="day.*hour|hour.*day"):
+        cohort_retention(df, bucket="week")
 
 
 def test_rolling_zscore_flags_spike(spark):

@@ -216,3 +216,41 @@ def test_compact_store_merges_small_files(spark, tmp_path):
     assert back.count() == before
     # second run is a no-op: everything already compact
     assert compact_store(spark, store) == []
+
+
+def test_compact_store_heals_crashed_swap(spark, tmp_path):
+    """Crash-recovery protocol (ADVICE r02): an orphaned backup dir with
+    no live partition (crash between the two renames) is rolled back; an
+    orphaned staging dir is discarded; a redundant backup beside a live
+    dir is cleaned. No rows are ever lost and discovery is unbroken."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.plans import compact_store, read_partitioned_store, write_partitioned_store
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    store = str(tmp_path / "store")
+    ev = table(spark, SF_SMALL, "events").select(
+        F.col("ts").alias("time"), "event_id", "user_id", "value"
+    )
+    write_partitioned_store(ev.repartition(4), store)
+    before = ev.count()
+    parts = sorted(str(p) for p in Path(store).glob("year=*/month=*/day=*/hour=*"))
+    assert len(parts) >= 3
+
+    # crash case 1: live renamed to backup, staging never swapped in
+    shutil.move(parts[0], parts[0] + "._compact_bak")
+    # crash case 2: staging written, swap never started (live intact)
+    shutil.copytree(parts[1], parts[1] + "._compact_tmp")
+    # crash case 3: swap completed but backup delete crashed
+    shutil.copytree(parts[2], parts[2] + "._compact_bak")
+
+    compact_store(spark, store)
+    for p in parts[:3]:
+        assert Path(p).is_dir()
+        assert not Path(p + "._compact_bak").exists()
+        assert not Path(p + "._compact_tmp").exists()
+    assert read_partitioned_store(spark, store).count() == before

@@ -62,9 +62,12 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     return problems
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def main(argv: list[str] | None = None) -> int:
+    # argv defaults to the CLI args; pass [] (tests/test_full_parity.py)
+    # to run the full sweep regardless of the host process's sys.argv
+    argv = sys.argv[1:] if argv is None else argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
