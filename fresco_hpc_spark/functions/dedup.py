@@ -116,6 +116,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _tokens_with_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """The shared build relation of BOTH exact-Jaccard variants:
+    ``(doc, token, n_tokens, df)`` from ONE tokenize pass — per-doc size
+    and per-token document frequency attached with window counts (two
+    key shuffles over the same relation) instead of recomputing the
+    explode+distinct per side. The plain variant filters it on df; the
+    prefix variant ranks it by (df, token). A caller running both
+    variants over one corpus (comparison harnesses, tools/
+    stress_zipf_jaccard.py) can persist this relation once and pass the
+    same DataFrame through both code paths via Spark's cache — the plans
+    reuse the InMemoryRelation automatically because both variants build
+    on the identical object."""
+    from pyspark.sql import Window
+
+    toks = _tokens(df, text_col, id_col, n)
+    return toks.withColumn(
+        "n_tokens", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -131,17 +153,9 @@ def ngram_jaccard_pairs(
     ``max_token_freq`` docs (they generate O(freq²) candidate pairs while
     carrying almost no similarity signal).
     """
-    from pyspark.sql import Window
-
-    # ONE tokenize pass: per-doc size and per-token document frequency are
-    # attached with window counts (two key shuffles over the same relation)
-    # instead of recomputing the explode+distinct for each side relation.
+    toks = _tokens_with_stats(df, text_col, id_col, n)
     # The DF-pruning filter never broadcasts the token table — the
     # vocabulary grows with the corpus and is unbounded at 100 TB.
-    toks = _tokens(df, text_col, id_col, n)
-    toks = toks.withColumn(
-        "n_tokens", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
     rare = toks.filter(F.col("df") <= max_token_freq).select("doc", "token", "n_tokens")
 
     # self-join on token: persist the pruned token relation first — a
