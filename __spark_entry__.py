@@ -928,6 +928,47 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(video, every_n=2).orderBy("media_id", "frame_index")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination (functions/text.py
+    ngram_decontaminate): docs holding any word 4-gram of the held-out
+    eval slice (doc_id % 41 == 0) are flagged. The eval n-gram set is
+    broadcast — the corpus never shuffles; the per-doc overlap count is
+    the only aggregation."""
+    from fresco_hpc_spark.functions import ngram_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return ngram_decontaminate(train, ev, n=4)
+
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule gate (functions/text.py quality_rules): per-doc
+    booleans per rule + the conjunction, all single-pass JVM
+    expressions."""
+    from fresco_hpc_spark.functions import quality_rules
+
+    return quality_rules(table(spark, sf_dir, "documents"))
+
+
+def q_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (functions/vectors.py
+    class_centroids): posexplode → per-(label, dim) mean with map-side
+    partials → ordered array reassembly. Fully distributed (contrast
+    the intentionally driver-held IVF codebook). The driver-facing shape
+    re-explodes the centroid to one scalar row per (label, dim) — the
+    hash compare sorts rows by value, which array columns can't do."""
+    from fresco_hpc_spark.functions import class_centroids
+
+    c = class_centroids(table(spark, sf_dir, "embeddings"))
+    return c.select(
+        "label",
+        "n_members",
+        "centroid_norm",
+        F.posexplode("centroid").alias("dim", "m"),
+    ).orderBy("label", "dim")
+
+
 def queries() -> dict[str, Query]:
     return {
         # --- ORDER MATTERS: the driver's correctness run caps at 50
@@ -937,6 +978,9 @@ def queries() -> dict[str, Query]:
         # union r01 ∪ r02 ∪ r03 covers every query. New queries go in the
         # first block.
         # -- never driver-checked (r01 or r02):
+        "decontaminate": q_decontaminate,
+        "quality_rules": q_quality_rules,
+        "class_centroids": q_class_centroids,
         "lead_ntile_events": q_lead_ntile_events,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
@@ -1835,6 +1879,84 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS "Value",
                    'MB/s' AS "Units", ts AS "Timestamp"
             FROM deltas WHERE tds IS NOT NULL
+        """,
+        "decontaminate": """
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT doc, token FROM (
+                    SELECT doc_id AS doc,
+                           unnest(list_transform(generate_series(1, len(w) - 3),
+                                  i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS token
+                    FROM words
+                )
+            ),
+            ev AS (SELECT DISTINCT token FROM toks WHERE doc % 41 = 0),
+            tr AS (SELECT doc, token FROM toks WHERE doc % 41 <> 0),
+            hits AS (
+                SELECT tr.doc, COUNT(*) AS n_overlap
+                FROM tr JOIN ev USING (token) GROUP BY tr.doc
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   COALESCE(h.n_overlap, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id
+            WHERE d.doc_id % 41 <> 0
+            ORDER BY d.doc_id
+        """,
+        "quality_rules": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and|is|in|that|it|for|on|with|as|at|by)\\b'))
+                            AS BIGINT) AS stop
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, n_words,
+                       non_ws / CAST(GREATEST(n_words, 1) AS DOUBLE) AS mlen,
+                       n_words >= 20 AS rule_min_words,
+                       (non_ws / CAST(GREATEST(n_words, 1) AS DOUBLE)) >= 2.5
+                       AND (non_ws / CAST(GREATEST(n_words, 1) AS DOUBLE)) <= 12.0
+                           AS rule_word_len,
+                       stop > 0 AS rule_has_stopword,
+                       lang = 'en' AS rule_lang
+                FROM s
+            )
+            SELECT doc_id, n_words, ROUND(mlen, 6) AS mean_word_len,
+                   rule_min_words, rule_word_len, rule_has_stopword, rule_lang,
+                   rule_min_words AND rule_word_len AND rule_has_stopword
+                       AND rule_lang AS kept
+            FROM r ORDER BY doc_id
+        """,
+        "class_centroids": """
+            WITH e AS (
+                SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            -- dim pinned to 64 (the testdata embedding width; DuckDB's
+            -- generate_series cannot laterally reference len(v)) — same
+            -- convention as the ANN LSH oracle
+            per_dim AS (
+                SELECT label, i AS dim, ROUND(AVG(v[i]), 6) AS m, COUNT(*) AS n
+                FROM e, generate_series(1, 64) AS t(i)
+                GROUP BY label, i
+            ),
+            asm AS (
+                SELECT label,
+                       CAST(MIN(n) AS BIGINT) AS n_members,
+                       ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm
+                FROM per_dim GROUP BY label
+            )
+            SELECT p.label, a.n_members, a.centroid_norm,
+                   CAST(p.dim - 1 AS INT) AS dim, p.m
+            FROM per_dim p JOIN asm a USING (label)
+            ORDER BY p.label, dim
         """,
         "text_stats": """
             WITH s AS (

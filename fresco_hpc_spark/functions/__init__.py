@@ -1,6 +1,8 @@
 from fresco_hpc_spark.functions.text import (  # noqa: F401
     document_fingerprint,
     language_id,
+    ngram_decontaminate,
+    quality_rules,
     repetition_stats,
     rolling_fingerprint,
     text_stats,
@@ -32,6 +34,7 @@ from fresco_hpc_spark.functions.multimodal import (  # noqa: F401
 )
 from fresco_hpc_spark.functions.vectors import (  # noqa: F401
     brute_force_knn,
+    class_centroids,
     cosine_similarity_col,
     embedding_near_dup_pairs,
     ivf_ann_topk,

@@ -227,22 +227,22 @@ def ngram_jaccard_pairs_prefix(
     """
     from pyspark.sql import Window
 
-    toks = _tokens(df, text_col, id_col, n)
-    toks = toks.withColumn(
-        "n_tokens", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    toks = _tokens_with_stats(df, text_col, id_col, n)
     # global rarity order; (df, token) is a total order shared by all docs
     rk = F.row_number().over(
         Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("token").asc())
     )
-    ranked = toks.withColumn("rk", rk)
+    # persist the RANKED relation (tokenize + all three window passes
+    # paid once): the prefix filter, both self-join sides, and the
+    # verify-set aggregation below all read this cache instead of
+    # recomputing the window lineage per consumer.
+    ranked = toks.withColumn("rk", rk).persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (
         F.col("n_tokens") - F.ceil(F.lit(threshold) * F.col("n_tokens")) + 1
     )
     prefix = ranked.filter(F.col("rk") <= prefix_len).select(
         "doc", "token", "n_tokens"
     )
-    prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
@@ -258,11 +258,10 @@ def ngram_jaccard_pairs_prefix(
     )
     # exact verify: one sorted token array per doc, intersection by
     # array_intersect — JVM-side, sized by the two docs, not the corpus
-    sets = toks.groupBy("doc").agg(
+    sets = ranked.groupBy("doc").agg(
         F.array_sort(F.collect_set("token")).alias("toks"),
         F.first("n_tokens").alias("n_tokens"),
     )
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     sa, sb = sets.alias("sa"), sets.alias("sb")
     joined = (
         cands.join(sa, F.col("doc_a") == F.col("sa.doc"))
@@ -286,13 +285,12 @@ def ngram_jaccard_pairs_prefix(
     try:
         # Materialize eagerly (output is one row per qualifying pair —
         # executor-resident blocks, never driver-collected) and truncate
-        # lineage, so the two cached build relations can be released here
+        # lineage, so the cached build relation can be released here
         # instead of accumulating in executor storage across calls in a
-        # long-lived session.
+        # long-lived session (ADVICE r02).
         result = result.localCheckpoint(eager=True)
     finally:
-        prefix.unpersist()
-        sets.unpersist()
+        ranked.unpersist()
     return result
 
 

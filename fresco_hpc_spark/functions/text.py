@@ -217,3 +217,107 @@ def repetition_stats(
         dup_shingle_frac.alias("dup_shingle_frac"),
         top_word_share.alias("top_word_share"),
     )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Training-set decontamination (the GPT-3/PaLM recipe): count, per
+    training document, the distinct word ``n``-grams it shares with ANY
+    eval/benchmark document, and flag overlap > 0 as contaminated.
+    Returns ``(doc_id, n_overlap, contaminated)`` for EVERY train doc.
+
+    100 TB shape: the eval side is benchmark suites — thousands of
+    documents, not billions — so its distinct n-gram set is explicitly
+    ``broadcast()``: the training corpus is scanned ONCE, n-grams
+    stream through a map-side hash probe (no shuffle of the corpus),
+    and only matching (doc, token) rows — bounded by contamination, not
+    corpus size — reach the per-doc count. The final left join attaches
+    counts back to the (id-only) train projection.
+
+    Tokens are lowercased whitespace words; the n-gram is the
+    space-joined window — identical construction to the Jaccard
+    operators, so oracles share the shingle SQL.
+    """
+    def toks(df: DataFrame) -> DataFrame:
+        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        # guard: docs shorter than n words contribute no n-grams (an
+        # unguarded sequence(0, size-n) would DESCEND for negative stops)
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col(id_col).alias("doc"), F.explode(grams).alias("token")
+        ).distinct()
+
+    eval_grams = toks(eval_df).select("token").distinct()
+    hits = (
+        toks(train)
+        .join(F.broadcast(eval_grams), "token")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    min_words: int = 20,
+    mean_word_len_bounds: tuple[float, float] = (2.5, 12.0),
+) -> DataFrame:
+    """C4-style rule-based quality gate: per document, each rule as its
+    own boolean column plus the conjunction ``kept`` — the auditable
+    shape curation pipelines need (you tune rules by inspecting WHICH
+    one rejected a document, not just the survivor set).
+
+    Rules (all single-pass Catalyst expressions, no shuffle):
+      * ``rule_min_words``   — at least ``min_words`` whitespace tokens;
+      * ``rule_word_len``    — mean word length inside
+        ``mean_word_len_bounds`` (gibberish/格-noise filter);
+      * ``rule_has_stopword``— at least one English stopword (C4's
+        "natural language, not keyword spam" proxy);
+      * ``rule_lang``        — declared language is 'en' (skipped when
+        ``lang_col`` is None).
+    """
+    c = F.col(text_col)
+    n_words = token_count(c)
+    non_ws = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_len = non_ws / F.greatest(n_words, F.lit(1)).cast("double")
+    lo, hi = mean_word_len_bounds
+    rules = {
+        "rule_min_words": n_words >= min_words,
+        "rule_word_len": (mean_len >= lo) & (mean_len <= hi),
+        "rule_has_stopword": F.regexp_count(F.lower(c), F.lit(EN_STOPWORDS)) > 0,
+    }
+    if lang_col is not None:
+        rules["rule_lang"] = F.col(lang_col) == "en"
+    kept = None
+    for expr in rules.values():
+        kept = expr if kept is None else (kept & expr)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_len, _ROUND).alias("mean_word_len"),
+        *[v.alias(k) for k, v in rules.items()],
+        kept.alias("kept"),
+    ).orderBy(id_col)

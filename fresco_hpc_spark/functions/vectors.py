@@ -360,3 +360,58 @@ def lsh_ann_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def class_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column: element-wise mean
+    vector, member count, and the centroid's L2 norm — the building
+    block of nearest-class-mean classifiers, label-conditioned dedup,
+    and IVF-style routing when cells are supervised.
+
+    Fully distributed: ``posexplode`` fans each vector out to
+    (label, dim, value) rows, one hash aggregation averages per (label,
+    dim) — partial aggregation runs map-side, so the shuffle carries at
+    most ``labels × dims`` rows per task regardless of corpus size —
+    and a second tiny aggregation reassembles ordered arrays with
+    ``array_agg(... ORDER BY dim)`` semantics via sort_array on
+    (dim, mean) structs. No driver-side collection (contrast
+    ``ivf_train_centroids``, which intentionally holds its codebook on
+    the driver); the result stays a DataFrame at any label count.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ).alias("_dm"),
+            F.first("n").alias("n_members"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("_dm"), lambda s: s["m"]).alias("centroid"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("_dm"), lambda s: s["m"] * s["m"]),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )

@@ -326,3 +326,66 @@ def test_token_budget_sample_binds_and_is_deterministic(spark):
         docs, 200, token_count(F.col("text")).cast("bigint"), "doc_id", "source"
     )
     assert {r.doc_id for r in small.collect()} <= {r.doc_id for r in rows}
+
+
+def test_ngram_decontaminate_hand_computed(spark):
+    """A train doc sharing a 4-gram with the eval doc is flagged with the
+    exact distinct-overlap count; clean and too-short docs emit 0."""
+    from fresco_hpc_spark.functions import ngram_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares "the quick brown fox" and "quick brown fox jumps"
+            (1, "see the quick brown fox jumps away"),
+            (2, "completely different words here entirely now"),
+            (3, "too short"),  # < 4 words: no n-grams at all
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.n_overlap, r.contaminated)
+           for r in ngram_decontaminate(train, eval_df, n=4).collect()}
+    assert out == {1: (2, True), 2: (0, False), 3: (0, False)}
+
+
+def test_quality_rules_each_rule_isolated(spark):
+    """Each rule rejects exactly its own violation; the conjunction is
+    kept only when all pass."""
+    from fresco_hpc_spark.functions import quality_rules
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the big red barn for food today ok"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),                                      # passes all
+            (2, "short words only here", "en"),                   # min_words
+            (3, " ".join(["internationalization"] * 25), "en"),   # word_len + stopword
+            (4, good, "zh"),                                      # lang
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.doc_id: r for r in quality_rules(docs).collect()}
+    assert out[1].kept
+    assert not out[2].rule_min_words and not out[2].kept
+    assert not out[3].rule_word_len and not out[3].rule_has_stopword
+    assert not out[4].rule_lang and out[4].rule_min_words and not out[4].kept
+
+
+def test_class_centroids_hand_computed(spark):
+    from fresco_hpc_spark.functions import class_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 3.0]),
+            (0, [3.0, 2.0, 1.0]),
+            (1, [0.0, 4.0, 0.0]),
+        ],
+        "label int, embedding array<double>",
+    )
+    out = {r.label: r for r in class_centroids(df).collect()}
+    assert out[0].centroid == [2.0, 1.0, 2.0] and out[0].n_members == 2
+    assert out[0].centroid_norm == 3.0
+    assert out[1].centroid == [0.0, 4.0, 0.0] and out[1].n_members == 1
+    assert out[1].centroid_norm == 4.0

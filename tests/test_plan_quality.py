@@ -98,6 +98,8 @@ def test_embedding_near_dups_join_is_equi(spark):
         "mad_trim_agg", "time_weighted_avg", "ohlc_hourly", "rolling_zscore",
         "interval_join_clicks", "linear_trend", "histogram2d", "value_cdf",
         "funnel", "cohort_retention",
+        # round 3
+        "decontaminate", "quality_rules", "class_centroids",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
