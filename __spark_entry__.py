@@ -969,6 +969,32 @@ def q_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "dim")
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py redact_pii). The synthetic corpus
+    carries no PII, so the query plants deterministic emails/IPs/phones
+    on a doc_id-keyed subset first — the redaction (and its oracle) then
+    has mixed real work to do: counts on the original text, cascading
+    typed-placeholder replacement."""
+    from fresco_hpc_spark.functions import redact_pii
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact me at user"),
+                     F.col("doc_id").cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" from 10.0."),
+                     (F.col("doc_id") % 256).cast("string"), F.lit(".1 or call 555-123-4567")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(docs)
+
+
 def queries() -> dict[str, Query]:
     return {
         # --- ORDER MATTERS: the driver's correctness run caps at 50
@@ -981,6 +1007,7 @@ def queries() -> dict[str, Query]:
         "decontaminate": q_decontaminate,
         "quality_rules": q_quality_rules,
         "class_centroids": q_class_centroids,
+        "redact_pii": q_redact_pii,
         "lead_ntile_events": q_lead_ntile_events,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
@@ -1957,6 +1984,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.dim - 1 AS INT) AS dim, p.m
             FROM per_dim p JOIN asm a USING (label)
             ORDER BY p.label, dim
+        """,
+        "redact_pii": """
+            WITH docs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                                text || ' contact me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                            WHEN doc_id % 11 = 0 THEN
+                                text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 or call 555-123-4567'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted
+            FROM docs ORDER BY doc_id
         """,
         "text_stats": """
             WITH s AS (

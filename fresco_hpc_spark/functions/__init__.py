@@ -3,6 +3,7 @@ from fresco_hpc_spark.functions.text import (  # noqa: F401
     language_id,
     ngram_decontaminate,
     quality_rules,
+    redact_pii,
     repetition_stats,
     rolling_fingerprint,
     text_stats,

@@ -321,3 +321,42 @@ def quality_rules(
         *[v.alias(k) for k, v in rules.items()],
         kept.alias("kept"),
     ).orderBy(id_col)
+
+
+# PII patterns — intersection of Java-regex and RE2 syntax so Spark and
+# DuckDB (the oracle engine) match the SAME spans: no backrefs, no
+# lookaround, explicit character classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora: count and replace emails,
+    IPv4 addresses, and NANP-style phone numbers with typed placeholders
+    (``<EMAIL>``/``<IP>``/``<PHONE>``). Returns
+    ``(doc_id, n_emails, n_ips, n_phones, redacted)``.
+
+    Order matters and is fixed: emails first (an address can embed
+    digit runs a later pass would mangle), then IPs, then phones —
+    counts are taken on the ORIGINAL text, replacement cascades. All
+    regexp expressions run inside whole-stage codegen; per-row, no
+    shuffle — the same linear-scan profile as the other text operators.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(c, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        redacted.alias("redacted"),
+    ).orderBy(id_col)

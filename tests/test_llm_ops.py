@@ -389,3 +389,22 @@ def test_class_centroids_hand_computed(spark):
     assert out[0].centroid_norm == 3.0
     assert out[1].centroid == [0.0, 4.0, 0.0] and out[1].n_members == 1
     assert out[1].centroid_norm == 4.0
+
+
+def test_redact_pii_hand_computed(spark):
+    from fresco_hpc_spark.functions import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org now"),
+            (2, "host 192.168.0.1 dials 555-123-4567"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (2, 0, 0)
+    assert out[1].redacted == "mail <EMAIL> and <EMAIL> now"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 1, 1)
+    assert out[2].redacted == "host <IP> dials <PHONE>"
+    assert out[3].redacted == "clean text with no identifiers"

@@ -99,7 +99,7 @@ def test_embedding_near_dups_join_is_equi(spark):
         "interval_join_clicks", "linear_trend", "histogram2d", "value_cdf",
         "funnel", "cohort_retention",
         # round 3
-        "decontaminate", "quality_rules", "class_centroids",
+        "decontaminate", "quality_rules", "class_centroids", "redact_pii",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -216,3 +216,11 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark):
+    """The eval n-gram set must reach the probe side as a broadcast —
+    a shuffled join here would shuffle the training corpus' exploded
+    n-gram relation, the exact cost the operator exists to avoid."""
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
