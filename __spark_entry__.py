@@ -995,6 +995,16 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (functions/text.py chunk_documents):
+    64-token windows, 8-token overlap, map-only fan-out."""
+    from fresco_hpc_spark.functions import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
 def queries() -> dict[str, Query]:
     return {
         # --- ORDER MATTERS: the driver's correctness run caps at 50
@@ -1008,6 +1018,7 @@ def queries() -> dict[str, Query]:
         "quality_rules": q_quality_rules,
         "class_centroids": q_class_centroids,
         "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
         "lead_ntile_events": q_lead_ntile_events,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
@@ -1984,6 +1995,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.dim - 1 AS INT) AS dim, p.m
             FROM per_dim p JOIN asm a USING (label)
             ORDER BY p.label, dim
+        """,
+        "chunk_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            meta AS (
+                SELECT doc_id, w,
+                       CASE WHEN len(w) <= 64 THEN 1
+                            ELSE CAST(ceil((len(w) - 64) / 56.0) AS BIGINT) + 1
+                       END AS n_chunks
+                FROM words
+            ),
+            ch AS (
+                SELECT doc_id,
+                       CAST(i AS INT) AS chunk_index,
+                       list_slice(w, i * 56 + 1, i * 56 + 64) AS toks
+                FROM (SELECT doc_id, w, unnest(range(0, n_chunks)) AS i FROM meta)
+            )
+            SELECT doc_id, chunk_index,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   array_to_string(toks, ' ') AS chunk_text
+            FROM ch ORDER BY doc_id, chunk_index
         """,
         "redact_pii": """
             WITH docs AS (

@@ -1,4 +1,5 @@
 from fresco_hpc_spark.functions.text import (  # noqa: F401
+    chunk_documents,
     document_fingerprint,
     language_id,
     ngram_decontaminate,

@@ -360,3 +360,51 @@ def redact_pii(
         F.regexp_count(c, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
         redacted.alias("redacted"),
     ).orderBy(id_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Context-window chunking for training-data prep: split each
+    document's whitespace tokens into windows of ``chunk_tokens`` words
+    with ``overlap`` words carried between consecutive chunks (stride =
+    chunk_tokens − overlap). Returns
+    ``(doc_id, chunk_index, n_tokens, chunk_text)``; a document shorter
+    than one window yields exactly one chunk (itself). The final chunk
+    keeps its tail even when shorter than a full window.
+
+    Pure Catalyst: the window starts are a ``sequence`` over the stride,
+    each chunk a ``slice`` + ``array_join``, fanned out with one
+    ``explode`` — per-row compute, no shuffle, the same linear-scan
+    shape as tokenization. At 100 TB this is a map-only stage.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    # last window start: the smallest s with s + chunk >= n, clamped >= 0
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1)
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("idx"),
+            F.slice(words, s + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return ex.select(
+        id_col,
+        F.col("c.idx").cast("int").alias("chunk_index"),
+        F.size("c.toks").cast("bigint").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    ).orderBy(id_col, "chunk_index")

@@ -408,3 +408,33 @@ def test_redact_pii_hand_computed(spark):
     assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 1, 1)
     assert out[2].redacted == "host <IP> dials <PHONE>"
     assert out[3].redacted == "clean text with no identifiers"
+
+
+def test_chunk_documents_hand_computed(spark):
+    from fresco_hpc_spark.functions import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 words
+            (2, "a b c"),                               # shorter than one chunk
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    # doc 1: stride 3 -> starts 0,3,6 cover w0..w9 (last window w6..w9)
+    c1 = sorted(by[1], key=lambda r: r.chunk_index)
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r.n_tokens for r in c1] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` words
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+    # doc 2: one chunk, itself
+    assert [(r.chunk_index, r.n_tokens, r.chunk_text) for r in by[2]] == [
+        (0, 3, "a b c")
+    ]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
