@@ -167,3 +167,74 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     for _, row in want_df.iterrows():
         wv = None if pd.isna(row["v"]) else int(row["v"])
         assert got[row["id"]] == wv, (row["id"], got[row["id"]], wv)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_codec_roundtrip_arbitrary_images(w, h, data):
+    """PNG and BMP encode→decode is the identity for arbitrary pixel
+    content and dimensions (including odd widths, where BMP row padding
+    bites), and the concatenated-BMP container splits losslessly."""
+    from fresco_hpc_spark.functions.codecs import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        split_bmp_frames,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3, max_size=w * h * 3,
+            )
+        )
+    )
+    assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+    bmp = encode_bmp(w, h, rgb)
+    assert decode_bmp(bmp) == (w, h, rgb)
+    frames = split_bmp_frames(bmp * 3)
+    assert len(frames) == 3 and all(f == bmp for f in frames)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tokens=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=80
+    ),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_covers_every_token_with_exact_overlap(
+    spark, tokens, chunk, overlap_frac
+):
+    """chunk_documents invariants for arbitrary docs/window shapes:
+    concatenating chunks with the overlap removed reproduces the
+    document exactly (no token lost or duplicated beyond the declared
+    overlap), and every chunk except the last is full."""
+    from fresco_hpc_spark.functions import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    text = " ".join(f"t{v}_{i}" for i, v in enumerate(tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    words = text.split()
+    # every chunk sits at its declared stride offset with the exact
+    # window content, and together the windows cover every position
+    covered = set()
+    for r in rows:
+        start = r.chunk_index * stride
+        assert r.chunk_text.split() == words[start : start + chunk]
+        covered.update(range(start, min(start + chunk, len(words))))
+    assert covered == set(range(len(words)))
+    for r in rows[:-1]:
+        assert r.n_tokens == chunk  # only the last chunk may be short
