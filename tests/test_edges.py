@@ -96,3 +96,15 @@ def test_histogram2d_constant_axis(spark):
     assert {r.x_bin for r in out} == {0}
     assert {r.y_bin for r in out} == {0, 1, 2, 3}
     assert sum(r["count"] for r in out) == 100
+
+
+def test_driver_contract_consistency():
+    """Every oracle_sql() key must name a queries() entry (a typo here
+    silently downgrades a query to the weaker rows-only check), and the
+    rows-only set must be exactly the documented non-SQL-expressible
+    operators (binary decode paths)."""
+    import __spark_entry__ as m
+
+    qs, oracles = set(m.queries()), set(m.oracle_sql())
+    assert oracles <= qs, f"orphan oracles: {oracles - qs}"
+    assert qs - oracles == {"media_features", "audio_features", "video_frames"}
