@@ -5,6 +5,7 @@ from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
     streaming_counter_rates,
 )
 from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
+    exactly_once_store_writer,
     start_etl_stream,
     stream_csv_directory,
     streaming_hourly_agg,

@@ -186,3 +186,51 @@ def streaming_ohlc(
             "n_points",
         )
     )
+
+
+def exactly_once_store_writer(
+    store_path: str,
+    time_col: str = "time",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink into the hour-partitioned store with
+    EXACTLY-ONCE semantics under micro-batch replay.
+
+    A plain ``write.mode("append")`` in foreachBatch is only
+    at-least-once: Spark replays a micro-batch whose epoch commit was
+    lost (crash between the sink write and the checkpoint commit), and
+    the retry appends every row a second time. Here each batch lands
+    under an extra leading ``batch_id=<epoch>`` partition with DYNAMIC
+    partition overwrite, so a replay — which regenerates the identical
+    rows (the file source's batch composition is pinned by the
+    checkpoint's offset log) — overwrites exactly its own partitions
+    instead of duplicating them. Readers are unaffected: partition
+    discovery handles the extra key, hour pruning still applies, and
+    ``.drop("batch_id")`` restores the shape. Periodic ``compact_store``
+    runs fold the per-batch files.
+
+    Use as: ``stream.writeStream.foreachBatch(
+    exactly_once_store_writer(path)) ...``.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .withColumn("year", F.year(time_col))
+            .withColumn("month", F.month(time_col))
+            .withColumn("day", F.dayofmonth(time_col))
+            .withColumn("hour", F.hour(time_col))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("batch_id", "year", "month", "day", "hour")
+                .option("compression", "snappy")
+                .parquet(store_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return process

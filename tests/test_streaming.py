@@ -409,12 +409,12 @@ def test_stream_to_store_to_planner_end_to_end(spark, tmp_path):
     )
     store = str(tmp_path / "store")
 
-    def to_store(batch_df, _bid):
-        write_partitioned_store(
-            batch_df.withColumn("time", F.timestamp_seconds("ts_seconds")),
-            store,
-            mode="append",
-        )
+    from fresco_hpc_spark.streaming import exactly_once_store_writer
+
+    sink = exactly_once_store_writer(store)
+
+    def to_store(batch_df, bid):
+        sink(batch_df.withColumn("time", F.timestamp_seconds("ts_seconds")), bid)
 
     q = (
         streaming_counter_rates(stream)
@@ -470,3 +470,35 @@ def test_stream_to_store_to_planner_end_to_end(spark, tmp_path):
     # the cross-file boundary deltas specifically must be present
     boundary_ts = {cuts[1][0][1], cuts[2][0][1]}
     assert {t for (_, t, _) in got} & boundary_ts
+
+
+def test_exactly_once_store_writer_is_idempotent_on_replay(spark, tmp_path):
+    """Replaying a micro-batch (crash between sink write and checkpoint
+    commit) must NOT duplicate rows: the writer overwrites its own
+    batch_id partitions dynamically. Distinct batches still accumulate,
+    and untouched batches survive a replay of another."""
+    from datetime import datetime
+
+    from fresco_hpc_spark.plans import read_partitioned_store
+    from fresco_hpc_spark.streaming import exactly_once_store_writer
+
+    store = str(tmp_path / "store")
+    write = exactly_once_store_writer(store)
+    b0 = spark.createDataFrame(
+        [(1, datetime(2024, 3, 5, 10, 1), 1.0), (2, datetime(2024, 3, 5, 11, 2), 2.0)],
+        "id bigint, time timestamp, v double",
+    )
+    b1 = spark.createDataFrame(
+        [(3, datetime(2024, 3, 5, 10, 30), 3.0)],
+        "id bigint, time timestamp, v double",
+    )
+    write(b0, 0)
+    write(b1, 1)
+    assert read_partitioned_store(spark, store).count() == 3
+
+    # replay batch 0 (identical content, as the checkpointed file source
+    # guarantees): row count must be unchanged
+    write(b0, 0)
+    back = read_partitioned_store(spark, store)
+    assert back.count() == 3
+    assert {r.id for r in back.collect()} == {1, 2, 3}
