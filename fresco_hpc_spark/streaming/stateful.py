@@ -9,10 +9,14 @@ counter) per group in Spark's state store, so deltas are computed across
 micro-batch boundaries exactly once — the semantics a continuous 100 TB
 telemetry feed actually wants.
 
-State size is O(groups) (one row each), checkpointed with the query;
-processing-time timeout is not used (groups never expire here; add
-``GroupStateTimeout.ProcessingTimeTimeout`` for TTL eviction if the group
-space is unbounded).
+State size is O(groups) (one row each), checkpointed with the query.
+For UNBOUNDED group spaces (ephemeral devices, job ids) pass
+``ttl_seconds``: groups idle longer than the TTL are evicted via
+``GroupStateTimeout.ProcessingTimeTimeout`` — without eviction the state
+store grows forever and a year of churned keys eventually dominates
+checkpoint size and recovery time at 100 TB. An evicted group that
+reappears starts fresh (its first new sample emits no rate — the same
+semantics as a first-ever sample).
 """
 
 from __future__ import annotations
@@ -43,35 +47,50 @@ _STATE_SCHEMA = T.StructType(
 MIN_TIME_DELTA = 0.1  # reference: rates need >=0.1 s between samples
 
 
-def _rate_fn(
-    key: tuple[str],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-group kernel: sort this batch's samples, prepend the carried
-    (ts, value) from state, emit a rate per adjacent pair, store the last
-    sample back. Negative deltas (counter reset) → rate 0.0, matching the
-    block/nfs transformers (SURVEY.md §7.4 trap 6)."""
-    rows = pd.concat(list(batches), ignore_index=True).sort_values("ts_seconds")
-    if state.exists:
-        last_ts, last_value = state.get
-    else:
-        last_ts, last_value = None, None
+def _make_rate_fn(ttl_seconds: int | None):
+    def _rate_fn(
+        key: tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-group kernel: sort this batch's samples, prepend the carried
+        (ts, value) from state, emit a rate per adjacent pair, store the last
+        sample back. Negative deltas (counter reset) → rate 0.0, matching the
+        block/nfs transformers (SURVEY.md §7.4 trap 6). With a TTL, a group
+        that received nothing for ttl_seconds is dropped from the store."""
+        if ttl_seconds is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"group_key": [], "ts_seconds": [], "rate": []}
+            ).astype({"group_key": str, "ts_seconds": "int64", "rate": "float64"})
+            return
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("ts_seconds")
+        if state.exists:
+            last_ts, last_value = state.get
+        else:
+            last_ts, last_value = None, None
 
-    out_ts: list[int] = []
-    out_rate: list[float] = []
-    for ts, value in zip(rows["ts_seconds"], rows["value"]):
-        if last_ts is not None:
-            dt = float(ts - last_ts)
-            dv = float(value - last_value)
-            if dt >= MIN_TIME_DELTA:
-                out_ts.append(int(ts))
-                out_rate.append(dv / dt if dv >= 0 else 0.0)
-        last_ts, last_value = int(ts), float(value)
-    state.update((last_ts, last_value))
-    yield pd.DataFrame(
-        {"group_key": key[0], "ts_seconds": out_ts, "rate": out_rate}
-    )
+        out_ts: list[int] = []
+        out_rate: list[float] = []
+        for ts, value in zip(rows["ts_seconds"], rows["value"]):
+            if last_ts is not None:
+                dt = float(ts - last_ts)
+                dv = float(value - last_value)
+                if dt >= MIN_TIME_DELTA:
+                    out_ts.append(int(ts))
+                    out_rate.append(dv / dt if dv >= 0 else 0.0)
+            last_ts, last_value = int(ts), float(value)
+        state.update((last_ts, last_value))
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+        yield pd.DataFrame(
+            {"group_key": key[0], "ts_seconds": out_ts, "rate": out_rate}
+        )
+
+    return _rate_fn
+
+
+_rate_fn = _make_rate_fn(None)  # batch-parity kernel, importable for tests
 
 
 def streaming_counter_rates(
@@ -79,21 +98,28 @@ def streaming_counter_rates(
     key_col: str = "group_key",
     ts_col: str = "ts_seconds",
     value_col: str = "value",
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """counter stream → per-group rates with state carried ACROSS
     micro-batches. Input needs (key_col: string, ts_col: long epoch
-    seconds, value_col: double monotonic-ish counter)."""
+    seconds, value_col: double monotonic-ish counter). ``ttl_seconds``
+    evicts groups idle that long (processing time) — REQUIRED for
+    unbounded key spaces; None keeps state forever (bounded fleets)."""
     renamed = stream_df.selectExpr(
         f"CAST(`{key_col}` AS STRING) AS group_key",
         f"CAST(`{ts_col}` AS LONG) AS ts_seconds",
         f"CAST(`{value_col}` AS DOUBLE) AS value",
     )
     return renamed.groupBy("group_key").applyInPandasWithState(
-        _rate_fn,
+        _make_rate_fn(ttl_seconds),
         outputStructType=RATE_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

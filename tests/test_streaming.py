@@ -502,3 +502,72 @@ def test_exactly_once_store_writer_is_idempotent_on_replay(spark, tmp_path):
     back = read_partitioned_store(spark, store)
     assert back.count() == 3
     assert {r.id for r in back.collect()} == {1, 2, 3}
+
+
+def test_stateful_rates_ttl_evicts_idle_groups(spark, tmp_path):
+    """With ttl_seconds, a group idle past the TTL is evicted from the
+    state store: when it reappears, its first sample emits NO rate (same
+    as a first-ever sample). Without eviction the cross-batch delta
+    would bridge the gap — the assertion distinguishes the two."""
+    import time as _time
+
+    import pandas as pd
+
+    from fresco_hpc_spark.streaming.stateful import streaming_counter_rates
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "group_key string, ts_seconds long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    rates = streaming_counter_rates(stream, ttl_seconds=2)
+    q = (
+        rates.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_rates")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["group_key", "ts_seconds", "value"]).to_csv(
+            src / name, index=False
+        )
+
+    def wait_for_row(pred, timeout=60):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            rows = spark.table("ttl_rates").collect()
+            if any(pred(r) for r in rows):
+                return
+            _time.sleep(0.3)
+        raise AssertionError("expected row not emitted in time")
+
+    try:
+        write("f0.csv", [("g1", 10, 100.0), ("g1", 20, 300.0)])
+        wait_for_row(lambda r: r.group_key == "g1" and r.ts_seconds == 20)
+        _time.sleep(3.0)  # > ttl: g1 goes idle past its timeout
+        # a new batch (different group) must run for eviction to fire
+        write("f1.csv", [("g2", 5, 1.0), ("g2", 6, 2.0)])
+        wait_for_row(lambda r: r.group_key == "g2")
+        _time.sleep(0.5)
+        # g1 reappears: state must be GONE, so no bridged rate emits
+        write("f2.csv", [("g1", 60, 700.0), ("g1", 70, 800.0)])
+        wait_for_row(lambda r: r.group_key == "g1" and r.ts_seconds == 70)
+        got = {
+            (r.group_key, r.ts_seconds, r.rate)
+            for r in spark.table("ttl_rates").collect()
+        }
+    finally:
+        q.stop()
+    assert ("g1", 20, 20.0) in got           # in-batch rate before idling
+    assert ("g1", 70, 10.0) in got           # in-batch rate after revival
+    # the bridged delta (60, (700-300)/(60-20)=10.0) must NOT exist:
+    # eviction reset the carried state
+    assert ("g1", 60, 10.0) not in got
+    assert not any(k == "g1" and t == 60 for k, t, _ in got)
