@@ -1005,6 +1005,43 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 curation pipeline end-to-end: C4-style rule gate →
+    eval-set decontamination (drop contaminated + the eval slice
+    itself) → exact dedup (canonical min-id per fingerprint) →
+    per-source rollup. Each stage is the already-oracle-checked
+    operator; this query proves they COMPOSE — the shape a real corpus
+    build runs nightly."""
+    from fresco_hpc_spark.functions import (
+        document_fingerprint,
+        ngram_decontaminate,
+        quality_rules,
+        token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    kept = quality_rules(docs).filter("kept").select("doc_id")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    clean = ngram_decontaminate(train, ev, n=4).filter(~F.col("contaminated")).select("doc_id")
+    survivors = docs.join(kept, "doc_id").join(clean, "doc_id")
+    canon = (
+        document_fingerprint(survivors)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = docs.join(canon, "doc_id")
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Query]:
     return {
         # --- ORDER MATTERS: the driver's correctness run caps at 50
@@ -1019,6 +1056,7 @@ def queries() -> dict[str, Query]:
         "class_centroids": q_class_centroids,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
+        "corpus_curation_v2": q_corpus_curation_v2,
         "lead_ntile_events": q_lead_ntile_events,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
@@ -1995,6 +2033,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.dim - 1 AS INT) AS dim, p.m
             FROM per_dim p JOIN asm a USING (label)
             ORDER BY p.label, dim
+        """,
+        "corpus_curation_v2": """
+            WITH q AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|to|and|is|in|that|it|for|on|with|as|at|by)\\b'))
+                            AS BIGINT) AS stop,
+                       lang
+                FROM documents
+            ),
+            kept AS (
+                SELECT doc_id FROM q
+                WHERE n_words >= 20
+                  AND (non_ws / CAST(GREATEST(n_words, 1) AS DOUBLE)) BETWEEN 2.5 AND 12.0
+                  AND stop > 0 AND lang = 'en'
+            ),
+            words AS (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT doc, token FROM (
+                    SELECT doc_id AS doc,
+                           unnest(list_transform(generate_series(1, len(w) - 3),
+                                  i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS token
+                    FROM words
+                )
+            ),
+            ev AS (SELECT DISTINCT token FROM toks WHERE doc % 41 = 0),
+            contaminated AS (
+                SELECT DISTINCT t.doc FROM toks t JOIN ev USING (token)
+                WHERE t.doc % 41 <> 0
+            ),
+            clean AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id % 41 <> 0
+                  AND doc_id NOT IN (SELECT doc FROM contaminated)
+            ),
+            survivors AS (
+                SELECT d.doc_id, d.text, d.source FROM documents d
+                JOIN kept USING (doc_id) JOIN clean USING (doc_id)
+            ),
+            canon AS (
+                SELECT MIN(doc_id) AS doc_id
+                FROM (
+                    SELECT doc_id,
+                           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+                    FROM survivors
+                ) GROUP BY f
+            )
+            SELECT d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                        END) AS BIGINT) AS total_tokens
+            FROM documents d JOIN canon USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
         """,
         "chunk_documents": """
             WITH words AS (

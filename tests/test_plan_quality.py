@@ -100,7 +100,7 @@ def test_embedding_near_dups_join_is_equi(spark):
         "funnel", "cohort_retention",
         # round 3
         "decontaminate", "quality_rules", "class_centroids", "redact_pii",
-        "chunk_documents",
+        "chunk_documents", "corpus_curation_v2",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
