@@ -505,11 +505,19 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "source", "quality_score")
     )
     canon = dedup_corpus(keep)
+    # avg over exact integer micro-units, not doubles: quality_score is a
+    # 6-dp decimal, so summing round(score·1e6) bigints is EXACT and
+    # independent of partial-aggregate merge order — a plain avg(double)
+    # can flip the 6th decimal run-to-run once the input is
+    # multi-partition (the _fan_out change surfaced exactly that flake).
+    micro = F.round(F.col("quality_score") * 1e6, 0).cast("bigint")
     return (
         canon.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(
+                F.sum(micro) / (F.lit(1e6) * F.count(F.lit(1))), 6
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -2321,7 +2329,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM fp GROUP BY f
             )
             SELECT source, COUNT(*) AS n_docs,
-                   ROUND(AVG(quality_score), 6) AS avg_quality
+                   -- exact integer micro-unit mean (see q_corpus_curation)
+                   ROUND(SUM(CAST(ROUND(quality_score * 1e6, 0) AS BIGINT))
+                         / (1e6 * COUNT(*)), 6) AS avg_quality
             FROM canon GROUP BY source ORDER BY source
         """,
         "dup_clusters": """
