@@ -29,6 +29,7 @@ from fresco_hpc_spark.functions.dedup import (  # noqa: F401
 )
 from fresco_hpc_spark.functions.multimodal import (  # noqa: F401
     decode_image_features,
+    describe_frames,
     extract_audio_features,
     resize_images,
     sample_frames,

@@ -72,6 +72,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("mean_byte", T.DoubleType(), False),
         T.StructField("features", T.ArrayType(T.DoubleType()), False),
+        # exact per-strip Σ(r+g+b) over decoded pixels — integer, so an
+        # external oracle can recompute it bit-for-bit (no float-sum
+        # order ambiguity); features[i] == lum3_sums[i] / (3 · strip px)
+        T.StructField("lum3_sums", T.ArrayType(T.LongType()), False),
     ]
 )
 
@@ -200,21 +204,28 @@ def synthetic_media(spark: SparkSession, n: int, modality: str = "image") -> Dat
     return spark.range(0, n, 1, num_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _pixel_features(rgb: bytes, width: int, height: int, dim: int) -> tuple[float, list[float]]:
-    """(mean over all RGB bytes, per-strip luminance means): the image is
-    cut into ``dim`` horizontal strips and each strip contributes the
-    mean of its pixels' (r+g+b)/3 luminance — a real (if simple) pooled
-    feature computed from decoded pixels."""
+def _pixel_features(
+    rgb: bytes, width: int, height: int, dim: int
+) -> tuple[float, list[float], list[int]]:
+    """(mean over all RGB bytes, per-strip luminance means, per-strip
+    integer Σ(r+g+b)): the image is cut into ``dim`` horizontal strips
+    and each strip contributes the mean of its pixels' (r+g+b)/3
+    luminance — a real (if simple) pooled feature computed from decoded
+    pixels. The integer sums are the exact-arithmetic twin of the float
+    features (feature = sum / (3 · strip pixel count))."""
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
     lum = arr.astype(np.float64).mean(axis=2)  # (h, w)
+    lum3 = arr.astype(np.int64).sum(axis=2)  # (h, w) exact r+g+b
     strips = [
-        lum[(s * height) // dim : ((s + 1) * height) // dim]
+        slice((s * height) // dim, ((s + 1) * height) // dim)
         for s in range(dim)
     ]
     feats = [
-        round(float(s.mean()), 6) if s.size else 0.0 for s in strips
+        round(float(lum[sl].mean()), 6) if lum[sl].size else 0.0
+        for sl in strips
     ]
-    return round(float(arr.mean()), 6), feats
+    sums = [int(lum3[sl].sum()) for sl in strips]
+    return round(float(arr.mean()), 6), feats, sums
 
 
 def decode_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
@@ -230,15 +241,16 @@ def decode_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            widths, heights, means, feats = [], [], [], []
+            widths, heights, means, feats, sums = [], [], [], [], []
             for p in pdf["payload"]:
                 p = bytes(p)
                 w, h, rgb = decode_image(p)
-                m, f = _pixel_features(rgb, w, h, dim)
+                m, f, s3 = _pixel_features(rgb, w, h, dim)
                 widths.append(w)
                 heights.append(h)
                 means.append(m)
                 feats.append(f)
+                sums.append(s3)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -247,6 +259,7 @@ def decode_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
                     "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
                     "mean_byte": means,
                     "features": feats,
+                    "lum3_sums": sums,
                 }
             )
 
@@ -264,8 +277,16 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
-            for p, m in zip(pdf["payload"], pdf["meta"]):
+            for p, m, modality in zip(
+                pdf["payload"], pdf["meta"], pdf["modality"]
+            ):
                 p = bytes(p)
+                if modality != "image":
+                    # non-image rows pass through untouched: a mixed
+                    # media table must not hit the image decoder
+                    payloads.append(p)
+                    metas.append(dict(m))
+                    continue
                 w0, h0, rgb = decode_image(p)
                 arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h0, w0, 3)
                 ys = (np.arange(height) * h0) // height
@@ -282,6 +303,53 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+FRAME_DESCRIPTOR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("pix_sum3", T.LongType(), False),
+    ]
+)
+
+
+def describe_frames(frames: DataFrame) -> DataFrame:
+    """Scalar descriptors for sampled frames: decode each BMP frame and
+    emit (width, height, byte length, exact Σ(r+g+b) over decoded
+    pixels). Downstream aggregation/ordering then shuffles a handful of
+    integers per frame instead of the raw pixel payload — at scale the
+    payload stays pinned to its input partition and only descriptors
+    move. ``pix_sum3`` is integer-exact, so an external oracle can
+    recompute it from a known source image without any float-sum-order
+    ambiguity."""
+
+    def describe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_index": [], "width": [],
+                "height": [], "n_bytes": [], "pix_sum3": [],
+            }
+            for mid, k, frame in zip(
+                pdf["media_id"], pdf["frame_index"], pdf["frame_payload"]
+            ):
+                frame = bytes(frame)
+                w, h, rgb = decode_image(frame)
+                s3 = int(
+                    np.frombuffer(rgb, dtype=np.uint8).astype(np.int64).sum()
+                )
+                rows["media_id"].append(mid)
+                rows["frame_index"].append(k)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(frame))
+                rows["pix_sum3"].append(s3)
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(describe, schema=FRAME_DESCRIPTOR_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
@@ -318,6 +386,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("duration_s", T.DoubleType(), True),
         T.StructField("n_windows", T.IntegerType(), False),
         T.StructField("window_energy", T.ArrayType(T.DoubleType()), False),
+        # exact per-window Σ sample² over the decoded 16-bit PCM ints —
+        # integer, so an external oracle can recompute it bit-for-bit;
+        # window_energy[i] == sqrt(energy_sums[i] / n_i) / 32768
+        T.StructField("energy_sums", T.ArrayType(T.LongType()), False),
     ]
 )
 
@@ -357,7 +429,7 @@ def extract_audio_features(df: DataFrame, window_samples: int = 256) -> DataFram
         for pdf in batches:
             rows = {
                 "media_id": [], "sample_rate": [], "duration_s": [],
-                "n_windows": [], "window_energy": [],
+                "n_windows": [], "window_energy": [], "energy_sums": [],
             }
             for mid, meta, payload in zip(
                 pdf["media_id"], pdf["meta"], pdf["payload"]
@@ -375,6 +447,14 @@ def extract_audio_features(df: DataFrame, window_samples: int = 256) -> DataFram
                         for w in windows
                         if w
                     ]
+                    # recover the exact PCM ints: s was produced by
+                    # int/32768.0, a power-of-two divide, so s*32768 is
+                    # exact for mono; multi-channel mixdowns round
+                    sums = [
+                        sum(int(round(s * 32768.0)) ** 2 for s in w)
+                        for w in windows
+                        if w
+                    ]
                 else:  # fallback: opaque payload, byte-bucket energy
                     sr = meta["sample_rate"]
                     duration = meta["duration_s"]
@@ -385,11 +465,13 @@ def extract_audio_features(df: DataFrame, window_samples: int = 256) -> DataFram
                     energy = [
                         round(sum(w) / len(w) / 255.0, 6) for w in bw if len(w)
                     ]
+                    sums = [sum(b * b for b in w) for w in bw if len(w)]
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(sr)
                 rows["duration_s"].append(duration)
                 rows["n_windows"].append(len(energy))
                 rows["window_energy"].append(energy)
+                rows["energy_sums"].append(sums)
             yield pd.DataFrame(rows)
 
     return df.filter(F.col("modality") == "audio").mapInPandas(
