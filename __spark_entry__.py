@@ -329,7 +329,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word 3-gram shingles: near-unique on natural text, so candidate pairs
     # stay linear in the number of true near-dups (unigrams on a small
     # shared vocabulary would make nearly every pair a candidate)
-    return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.5, materialize=True
+    )
 
 
 def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,16 +342,20 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stress; the trade-off analysis (where each variant wins, by df
     distribution) is in SCALE.md. Shares the plain variant's oracle."""
     return ngram_jaccard_pairs_prefix(
-        _docs_with_dups(spark, sf_dir), n=3, threshold=0.5
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.5, materialize=True
     )
 
 
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_dup_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+    return minhash_dup_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.5, materialize=True
+    )
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    return simhash_dup_pairs(
+        _docs_with_dups(spark, sf_dir), max_hamming=3, materialize=True
+    )
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -478,7 +484,10 @@ def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
-        _embeddings_with_dups(spark, sf_dir), threshold=0.999, num_planes=8
+        _embeddings_with_dups(spark, sf_dir),
+        threshold=0.999,
+        num_planes=8,
+        materialize=True,
     )
 
 
@@ -2129,14 +2138,17 @@ def oracle_sql() -> dict[str, str]:
             -- dim pinned to 64 (the testdata embedding width; DuckDB's
             -- generate_series cannot laterally reference len(v)) — same
             -- convention as the ANN LSH oracle
+            -- COUNT(v[i]) not COUNT(*): Spark's posexplode drops NULL
+            -- embeddings, so NULL rows must not inflate n (ADVICE r03);
+            -- MAX matches class_centroids' deterministic n_members
             per_dim AS (
-                SELECT label, i AS dim, ROUND(AVG(v[i]), 6) AS m, COUNT(*) AS n
+                SELECT label, i AS dim, ROUND(AVG(v[i]), 6) AS m, COUNT(v[i]) AS n
                 FROM e, generate_series(1, 64) AS t(i)
                 GROUP BY label, i
             ),
             asm AS (
                 SELECT label,
-                       CAST(MIN(n) AS BIGINT) AS n_members,
+                       CAST(MAX(n) AS BIGINT) AS n_members,
                        ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm
                 FROM per_dim GROUP BY label
             )

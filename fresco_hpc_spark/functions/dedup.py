@@ -138,6 +138,31 @@ def _tokens_with_stats(
     ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
 
 
+def _finish_pairs(
+    result: DataFrame, cached: list[DataFrame], materialize: bool
+) -> DataFrame:
+    """Shared tail for the self-join pair generators.
+
+    ``materialize=False`` (default): the caller got a fully LAZY plan —
+    no persist was taken, lineage and predicate pushdown are intact, and
+    nothing mutates executor storage. The cost is that the self-join's
+    build and probe sides recompute their shared input twice when the
+    plan finally runs.
+
+    ``materialize=True``: the build relation was persisted (input
+    computed once); eagerly checkpoint the result (one executor-resident
+    block per output pair, never driver-collected) and release the cache
+    in ``finally`` so repeated calls in a long-lived session don't
+    accumulate storage (ADVICE r02/r03)."""
+    if not materialize:
+        return result
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -145,6 +170,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
     max_token_freq: int = 1000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-shingle Jaccard similarity.
 
@@ -152,17 +178,23 @@ def ngram_jaccard_pairs(
     token. Document-frequency pruning drops tokens appearing in more than
     ``max_token_freq`` docs (they generate O(freq²) candidate pairs while
     carrying almost no similarity signal).
+
+    ``materialize``: see ``_finish_pairs`` — False keeps the plan lazy
+    (input tokenization runs twice, once per self-join side); True
+    persists the pruned token relation, eagerly materializes the pair
+    list, and releases the cache.
     """
     toks = _tokens_with_stats(df, text_col, id_col, n)
     # The DF-pruning filter never broadcasts the token table — the
     # vocabulary grows with the corpus and is unbounded at 100 TB.
     rare = toks.filter(F.col("df") <= max_token_freq).select("doc", "token", "n_tokens")
 
-    # self-join on token: persist the pruned token relation first — a
-    # self-join otherwise COMPUTES ITS INPUT TWICE (the broadcast/build
-    # side and the probe side share no exchange), which doubles the
-    # tokenize + window work. Disk-backed, LRU-evicted.
-    rare = rare.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        # self-join on token: persist the pruned token relation first — a
+        # self-join otherwise COMPUTES ITS INPUT TWICE (the broadcast/build
+        # side and the probe side share no exchange), which doubles the
+        # tokenize + window work. Disk-backed, LRU-evicted.
+        rare = rare.persist(StorageLevel.MEMORY_AND_DISK)
     a = rare.alias("a")
     b = rare.alias("b")
     inter = (
@@ -175,7 +207,7 @@ def ngram_jaccard_pairs(
         )
     )
     jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
+    result = (
         inter.select(
             "doc_a",
             "doc_b",
@@ -184,6 +216,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+    return _finish_pairs(result, [rare], materialize)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -192,6 +225,7 @@ def ngram_jaccard_pairs_prefix(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact word-shingle Jaccard pairs via PREFIX FILTERING (the
     AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. ICDE'08):
@@ -232,11 +266,14 @@ def ngram_jaccard_pairs_prefix(
     rk = F.row_number().over(
         Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("token").asc())
     )
-    # persist the RANKED relation (tokenize + all three window passes
-    # paid once): the prefix filter, both self-join sides, and the
-    # verify-set aggregation below all read this cache instead of
-    # recomputing the window lineage per consumer.
-    ranked = toks.withColumn("rk", rk).persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = toks.withColumn("rk", rk)
+    if materialize:
+        # persist the RANKED relation (tokenize + all three window passes
+        # paid once): the prefix filter, both self-join sides, and the
+        # verify-set aggregation below all read this cache instead of
+        # recomputing the window lineage per consumer (three reads here,
+        # not two — the lazy default recomputes it per consumer).
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (
         F.col("n_tokens") - F.ceil(F.lit(threshold) * F.col("n_tokens")) + 1
     )
@@ -282,16 +319,9 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
-    try:
-        # Materialize eagerly (output is one row per qualifying pair —
-        # executor-resident blocks, never driver-collected) and truncate
-        # lineage, so the cached build relation can be released here
-        # instead of accumulating in executor storage across calls in a
-        # long-lived session (ADVICE r02).
-        result = result.localCheckpoint(eager=True)
-    finally:
-        ranked.unpersist()
-    return result
+    # the r02 always-eager checkpoint is now opt-in (ADVICE r03): lazy
+    # callers keep composability + pushdown and pay the recompute instead
+    return _finish_pairs(result, [ranked], materialize)
 
 
 def minhash_signatures(
@@ -330,6 +360,7 @@ def minhash_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    materialize: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard.
 
@@ -358,16 +389,17 @@ def minhash_dup_pairs(
         "doc", "sig", F.posexplode(band_sigs).alias("band", "band_sig")
     )
 
-    # persist: the banded signature relation IS the LSH index — without
-    # it the self-join computes tokenize+md5+64 min-aggregates twice
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        # persist: the banded signature relation IS the LSH index — without
+        # it the self-join computes tokenize+md5+64 min-aggregates twice
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     agree = F.aggregate(
         F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -383,6 +415,7 @@ def minhash_dup_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+    return _finish_pairs(result, [banded], materialize)
 
 
 def dedup_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -530,6 +563,7 @@ def simhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one of the
     four 16-bit chunks (pigeonhole: any pair within Hamming distance 3 must
@@ -543,7 +577,8 @@ def simhash_dup_pairs(
         "doc", chunks.alias("chunks"), F.posexplode(chunks).alias("band", "band_val")
     )
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = sum(
         F.bit_count(
@@ -551,7 +586,7 @@ def simhash_dup_pairs(
         )
         for c in range(4)
     )
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -567,3 +602,4 @@ def simhash_dup_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+    return _finish_pairs(result, [banded], materialize)

@@ -267,6 +267,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     target_bucket_size: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
     exact cosine within buckets.
@@ -299,16 +300,17 @@ def embedding_near_dup_pairs(
     bucketed = embeddings.select(
         F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_bucket")
     )
-    # persist: the self-join's build and probe sides share no exchange, so
-    # without this the scan + num_planes·dim signature dot-products run
-    # twice (same fix as the minhash/ngram dedup self-joins)
-    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        # persist: the self-join's build and probe sides share no exchange,
+        # so without this the scan + num_planes·dim signature dot-products
+        # run twice (same tradeoff as the minhash/ngram dedup self-joins)
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = F.round(
         cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), _ROUND
     )
-    return (
+    result = (
         a.join(
             b,
             (F.col("a._bucket") == F.col("b._bucket"))
@@ -322,6 +324,9 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+    from fresco_hpc_spark.functions.dedup import _finish_pairs
+
+    return _finish_pairs(result, [bucketed], materialize)
 
 
 def lsh_ann_topk(
@@ -381,6 +386,15 @@ def class_centroids(
     (dim, mean) structs. No driver-side collection (contrast
     ``ivf_train_centroids``, which intentionally holds its codebook on
     the driver); the result stays a DataFrame at any label count.
+
+    Precondition: every non-NULL vector within a label has the same
+    length. ``n_members`` is ``max`` over the per-(label, dim) row
+    counts (deterministic, unlike ``first``; ADVICE r03) and counts
+    rows whose vector is non-NULL — ``posexplode`` drops NULL/empty
+    embeddings, so they contribute to neither the mean nor the count.
+    Ragged inputs make n_members the count of the BEST-covered dim and
+    the short dims' means are over fewer rows — validate vector length
+    upstream if inputs may be ragged.
     """
     exploded = df.select(
         F.col(label_col).alias("label"),
@@ -396,7 +410,7 @@ def class_centroids(
             F.array_sort(
                 F.collect_list(F.struct(F.col("dim"), F.col("m")))
             ).alias("_dm"),
-            F.first("n").alias("n_members"),
+            F.max("n").alias("n_members"),
         )
         .select(
             "label",

@@ -170,19 +170,39 @@ def compact_store(
                 leftovers.append(st.getPath().toString())
             else:
                 stack.append(st.getPath())
-    for stray in leftovers:
+    def _must(ok: bool, what: str) -> None:
+        # Hadoop FileSystem signals most failures by RETURNING FALSE, not
+        # raising. Treating a false return as success here can destroy
+        # the only remaining copy of a partition's rows (ADVICE r03), so
+        # every rename/delete on the swap path is checked and a failure
+        # aborts with backup + staging left intact for recovery.
+        if not ok:
+            raise IOError(
+                f"compact_store: {what} returned false; aborting — rows "
+                "remain in the live/backup/staging dirs and the next run "
+                "will recover them"
+            )
+
+    # Backups first: rolling a backup back restores the live dir that the
+    # staging-cleanup branch below checks for.
+    for stray in sorted(leftovers, key=lambda s: not s.endswith(BACKUP_SUFFIX)):
         if stray.endswith(BACKUP_SUFFIX):
             live = stray[: -len(BACKUP_SUFFIX)]
             if fs.exists(_jp(live)):
                 # live dir present: the swap completed (or never started);
                 # the backup is redundant.
-                fs.delete(_jp(stray), True)
+                _must(fs.delete(_jp(stray), True), f"recovery delete {stray}")
             else:
                 # crashed between rename(live→bak) and rename(tmp→live):
                 # roll back so no data is lost.
-                fs.rename(_jp(stray), _jp(live))
-        else:  # staging: always safe to discard, the live dir still has the rows
-            fs.delete(_jp(stray), True)
+                _must(fs.rename(_jp(stray), _jp(live)), f"recovery rename {stray} -> {live}")
+        else:
+            # staging: discard ONLY when the live dir holds the rows — if a
+            # failed swap left the rows in backup/staging alone, deleting
+            # staging here could drop the only copy (ADVICE r03).
+            live = stray[: -len(STAGING_SUFFIX)]
+            if fs.exists(_jp(live)):
+                _must(fs.delete(_jp(stray), True), f"recovery delete {stray}")
 
     per_part: dict[str, list[tuple[str, int]]] = defaultdict(list)
     for f, size in list_partition_files(spark, path):
@@ -206,10 +226,12 @@ def compact_store(
         # drop the _SUCCESS marker so the swapped-in dir holds data only
         succ = _jp(staging + "/_SUCCESS")
         if fs.exists(succ):
-            fs.delete(succ, False)
-        # two-rename swap: rows always live in ≥1 of live/staging/backup
-        fs.rename(_jp(part_dir), _jp(backup))
-        fs.rename(_jp(staging), _jp(part_dir))
-        fs.delete(_jp(backup), True)
+            _must(fs.delete(succ, False), f"delete {staging}/_SUCCESS")
+        # two-rename swap: rows always live in ≥1 of live/staging/backup;
+        # every step checked — a false return aborts with both safety
+        # copies intact (recovery above heals on the next invocation)
+        _must(fs.rename(_jp(part_dir), _jp(backup)), f"rename {part_dir} -> {backup}")
+        _must(fs.rename(_jp(staging), _jp(part_dir)), f"rename {staging} -> {part_dir}")
+        _must(fs.delete(_jp(backup), True), f"delete {backup}")
         rewritten.append(part_dir)
     return rewritten

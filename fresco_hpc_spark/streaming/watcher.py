@@ -213,7 +213,6 @@ def exactly_once_store_writer(
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         out = (
             batch_df.withColumn("batch_id", F.lit(int(batch_id)))
             .withColumn("year", F.year(time_col))
@@ -221,16 +220,15 @@ def exactly_once_store_writer(
             .withColumn("day", F.dayofmonth(time_col))
             .withColumn("hour", F.hour(time_col))
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                out.write.mode("overwrite")
-                .partitionBy("batch_id", "year", "month", "day", "hour")
-                .option("compression", "snappy")
-                .parquet(store_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # writer-scoped dynamic overwrite (ADVICE r03): a session-conf
+        # toggle would leak dynamic-overwrite semantics into any
+        # concurrent write in the same session during this batch
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "year", "month", "day", "hour")
+            .option("compression", "snappy")
+            .parquet(store_path)
+        )
 
     return process

@@ -198,3 +198,67 @@ def test_approx_percentile_tracks_exact(spark):
     )
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) <= 0.01 * spread + 1e-9
+
+
+def test_interval_join_null_keys_and_payloads_left(spark):
+    """VERDICT r03 item 4: exact row multiplicity under ``how='left'``
+    with NULLs in the key, time, and payload columns.
+
+    Contract (SQL equi-join semantics): a NULL join key or NULL
+    timestamp never matches any interval — under 'left' such points
+    emit EXACTLY ONCE with null interval columns; NULL payload columns
+    are carried through untouched and never affect multiplicity (the
+    r02 formulation's left_anti remainder compared payload columns with
+    null-unsafe equality and double-emitted these rows)."""
+    from fresco_hpc_spark.operators import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes) if minutes is not None else None
+
+    points = spark.createDataFrame(
+        [
+            # (id, key, ts, payload)
+            (1, "a", ts(10), 1.0),     # inside interval A → 1 match
+            (2, "a", ts(10), None),    # NULL payload, inside A → 1 match
+            (3, None, ts(10), 2.0),    # NULL key → no match, 1 null row
+            (4, "a", None, 3.0),       # NULL ts → no match, 1 null row
+            (5, "b", ts(10), None),    # key with no intervals → 1 null row
+            (6, "a", ts(300), 4.0),    # outside every interval → 1 null row
+            (7, "a", ts(65), 5.0),     # inside A and B → 2 matches
+        ],
+        "id bigint, k string, ts timestamp, payload double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", "A", ts(0), ts(120)),
+            ("a", "B", ts(60), ts(90)),
+            ("a", "C", None, ts(90)),   # NULL start → interval dropped
+            (None, "D", ts(0), ts(120)),  # NULL key → never matches
+        ],
+        "k string, name string, start timestamp, end timestamp",
+    )
+
+    out = interval_join(
+        points, intervals, "ts", "start", "end", keys=["k"], how="left"
+    ).collect()
+
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r)
+    assert {i: len(rs) for i, rs in sorted(by_id.items())} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 2,
+    }
+    assert sorted(r.name for r in by_id[7]) == ["A", "B"]
+    assert by_id[1][0].name == "A"
+    # unmatched rows carry null interval columns and original payloads
+    for i in (3, 4, 5, 6):
+        assert by_id[i][0].name is None and by_id[i][0].start is None
+    assert by_id[3][0].payload == 2.0
+    assert by_id[2][0].payload is None and by_id[2][0].name == "A"
+    # inner mode keeps exactly the 4 matched rows (ids 1, 2, 7×2)
+    inner = interval_join(
+        points, intervals, "ts", "start", "end", keys=["k"], how="inner"
+    )
+    assert inner.count() == 4

@@ -391,6 +391,28 @@ def test_class_centroids_hand_computed(spark):
     assert out[1].centroid_norm == 4.0
 
 
+def test_class_centroids_null_embeddings_deterministic(spark):
+    """ADVICE r03: NULL embeddings must contribute to neither the mean
+    nor n_members, and n_members must be deterministic (max over
+    per-dim counts, not first)."""
+    from fresco_hpc_spark.functions import class_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (0, None),
+            (0, [3.0, 2.0]),
+            (1, None),
+            (1, [5.0, 12.0]),
+        ],
+        "label int, embedding array<double>",
+    ).repartition(4)
+    out = {r.label: r for r in class_centroids(df).collect()}
+    assert out[0].centroid == [2.0, 1.0] and out[0].n_members == 2
+    assert out[1].centroid == [5.0, 12.0] and out[1].n_members == 1
+    assert out[1].centroid_norm == 13.0
+
+
 def test_redact_pii_hand_computed(spark):
     from fresco_hpc_spark.functions import redact_pii
 
@@ -438,3 +460,35 @@ def test_chunk_documents_hand_computed(spark):
     ]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pair_generators_leave_no_persisted_rdds(spark, docs_with_dups):
+    """VERDICT r03 item 3 (persist leaks): with materialize=True the
+    build-side cache is released after the eager checkpoint; with the
+    lazy default no persist is ever taken. Either way a long-lived
+    session accumulates nothing in executor storage."""
+    from fresco_hpc_spark.functions import (
+        minhash_dup_pairs,
+        ngram_jaccard_pairs,
+        simhash_dup_pairs,
+    )
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # materialize the module fixture's own .cache() before baselining
+    docs_with_dups.count()
+    base = n_persisted()
+    # lazy default: plan composes, executing it persists nothing
+    lazy = ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5)
+    lazy.count()
+    assert n_persisted() == base
+    # materialized: the BUILD-side persist is released before return; the
+    # one block a call may add is the result's own eager checkpoint (it
+    # IS the materialized result the caller holds — ContextCleaner frees
+    # it when the caller drops the reference). The r03 leak showed up as
+    # TWO retained blocks per call (checkpoint + build cache).
+    for fn in (minhash_dup_pairs, simhash_dup_pairs):
+        before = n_persisted()
+        fn(docs_with_dups, materialize=True).count()
+        assert n_persisted() - before <= 1

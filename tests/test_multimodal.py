@@ -259,3 +259,74 @@ def test_audio_non_wav_payload_falls_back(spark):
     r = extract_audio_features(df, window_samples=32).collect()[0]
     assert r["sample_rate"] == 16000 and r["n_windows"] == 2
     assert all(e == round(0x10 / 255.0, 6) for e in r["window_energy"])
+
+
+def test_resize_passes_non_image_rows_through(spark):
+    """ADVICE r03: resize_images on a MIXED media table must not feed
+    audio payloads to the image decoder — non-image rows pass through
+    byte-identical."""
+    from fresco_hpc_spark.functions import resize_images, synthetic_media
+
+    imgs = synthetic_media(spark, 4, modality="image")
+    wavs = synthetic_media(spark, 3, modality="audio")
+    mixed = imgs.unionByName(wavs)
+    out = {
+        (r.media_id, r.modality): r
+        for r in resize_images(mixed, 8, 8).collect()
+    }
+    orig = {(r.media_id, r.modality): r for r in mixed.collect()}
+    assert len(out) == 7
+    for key, r in out.items():
+        if r.modality == "audio":
+            assert bytes(r.payload) == bytes(orig[key].payload)
+            assert r.meta == orig[key].meta
+        else:
+            assert r.meta.width == 8 and r.meta.height == 8
+
+
+def test_image_features_feed_embedding_near_dups(spark):
+    """Closes the multimodal→vector loop (VERDICT r03 item 6): decoded
+    image features drop into embedding_near_dup_pairs as-is, and a
+    planted duplicate image pair is recovered. media_id 300 reuses
+    media_id 0's pixels exactly, so their strip-luminance feature
+    vectors are identical (cosine 1.0); distinct gradient images
+    differ."""
+    import pandas as pd
+
+    from fresco_hpc_spark.functions import (
+        decode_image_features,
+        embedding_near_dup_pairs,
+        synthetic_media,
+    )
+    from fresco_hpc_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _image_rgb,
+        _media_dims,
+    )
+    from fresco_hpc_spark.functions.codecs import encode_png
+
+    media = synthetic_media(spark, 20, modality="image")
+    w, h = _media_dims(0)
+    dup = spark.createDataFrame(
+        [
+            {
+                "media_id": 300,
+                "modality": "image",
+                "payload": encode_png(w, h, _image_rgb(0, w, h)),
+                "meta": {
+                    "width": w, "height": h, "sample_rate": None,
+                    "duration_s": None, "format": "png",
+                },
+            }
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    feats = decode_image_features(media.unionByName(dup), dim=8)
+    pairs = embedding_near_dup_pairs(
+        feats.select("media_id", "features"),
+        threshold=0.9999,
+        num_planes=4,
+        id_col="media_id",
+        vec_col="features",
+    ).collect()
+    assert any(r.id_a == 0 and r.id_b == 300 for r in pairs), pairs

@@ -17,10 +17,43 @@ import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL
 
 
-def plan_of(spark, name: str) -> str:
-    df = entrymod.queries()[name](spark, SF_SMALL)
+def _explain(spark, df) -> str:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
+
+
+def plan_of(spark, name: str) -> str:
+    return _explain(spark, entrymod.queries()[name](spark, SF_SMALL))
+
+
+def lazy_plan_of(spark, name: str) -> str:
+    """Plan of the LAZY (materialize=False) variant for queries whose
+    driver wrapper eagerly checkpoints: the wrapper's plan collapses to
+    `Scan ExistingRDD`, hiding the join shape this file pins."""
+    from fresco_hpc_spark.functions import (
+        embedding_near_dup_pairs,
+        minhash_dup_pairs,
+        ngram_jaccard_pairs_prefix,
+        simhash_dup_pairs,
+    )
+
+    builders = {
+        "minhash_dup_pairs": lambda: minhash_dup_pairs(
+            entrymod._docs_with_dups(spark, SF_SMALL), threshold=0.5
+        ),
+        "simhash_dup_pairs": lambda: simhash_dup_pairs(
+            entrymod._docs_with_dups(spark, SF_SMALL), max_hamming=3
+        ),
+        "embedding_near_dups": lambda: embedding_near_dup_pairs(
+            entrymod._embeddings_with_dups(spark, SF_SMALL),
+            threshold=0.999,
+            num_planes=8,
+        ),
+        "ngram_jaccard_prefix": lambda: ngram_jaccard_pairs_prefix(
+            entrymod._docs_with_dups(spark, SF_SMALL), n=3, threshold=0.5
+        ),
+    }
+    return _explain(spark, builders[name]())
 
 
 def test_time_bound_scan_is_pruned(spark):
@@ -66,19 +99,27 @@ def test_histogram_bin_index_broadcasts_stats(spark):
 
 
 def test_minhash_join_is_equi_not_cartesian(spark):
-    plan = plan_of(spark, "minhash_dup_pairs")
+    plan = lazy_plan_of(spark, "minhash_dup_pairs")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_simhash_join_is_equi_not_cartesian(spark):
-    plan = plan_of(spark, "simhash_dup_pairs")
+    plan = lazy_plan_of(spark, "simhash_dup_pairs")
     assert "CartesianProduct" not in plan
 
 
 def test_embedding_near_dups_join_is_equi(spark):
-    plan = plan_of(spark, "embedding_near_dups")
+    plan = lazy_plan_of(spark, "embedding_near_dups")
     assert "CartesianProduct" not in plan
+
+
+def test_lazy_default_keeps_plan_composable(spark):
+    # materialize=False (the default) must return a plan with the join
+    # visible (no eager checkpoint) and must not leave anything persisted
+    plan = lazy_plan_of(spark, "ngram_jaccard_prefix")
+    assert "ExistingRDD" not in plan
+    assert "Join" in plan
 
 
 @pytest.mark.parametrize(
@@ -106,8 +147,12 @@ def test_embedding_near_dups_join_is_equi(spark):
 def test_no_python_eval_in_sql_paths(spark, name):
     # Every SQL-expressible operator stays JVM-side (SURVEY.md §2.10:
     # zero UDFs needed). Python evaluation nodes mean a 10-100x hot-path
-    # regression at scale.
-    plan = plan_of(spark, name)
+    # regression at scale. Eagerly-checkpointed wrappers are probed via
+    # their lazy variant (a checkpointed plan is an opaque ExistingRDD).
+    if name in ("minhash_dup_pairs", "ngram_jaccard_prefix"):
+        plan = lazy_plan_of(spark, name)
+    else:
+        plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
 

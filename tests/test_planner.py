@@ -247,9 +247,16 @@ def test_compact_store_heals_crashed_swap(spark, tmp_path):
     shutil.copytree(parts[1], parts[1] + "._compact_tmp")
     # crash case 3: swap completed but backup delete crashed
     shutil.copytree(parts[2], parts[2] + "._compact_bak")
+    # crash case 4: rename(staging->live) failed mid-swap — live gone,
+    # rows exist in BOTH backup and staging. Recovery must restore from
+    # backup first and only then discard staging (ADVICE r03: deleting
+    # staging while live is absent can drop the only copy).
+    if len(parts) >= 4:
+        shutil.copytree(parts[3], parts[3] + "._compact_tmp")
+        shutil.move(parts[3], parts[3] + "._compact_bak")
 
     compact_store(spark, store)
-    for p in parts[:3]:
+    for p in parts[:4]:
         assert Path(p).is_dir()
         assert not Path(p + "._compact_bak").exists()
         assert not Path(p + "._compact_tmp").exists()
