@@ -54,6 +54,7 @@ from fresco_hpc_spark.sources import (
     SYNTHETIC_ORACLE_SQL_TEMPLATE,
     synthetic_job_data,
     table,
+    zipf_corpus,
 )
 
 Query = Callable[[SparkSession, str], DataFrame]
@@ -343,6 +344,63 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution) is in SCALE.md. Shares the plain variant's oracle."""
     return ngram_jaccard_pairs_prefix(
         _docs_with_dups(spark, sf_dir), n=3, threshold=0.5, materialize=True
+    )
+
+
+def _zipf_docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipfian-df corpus + planted exact duplicates for the Jaccard
+    crossover bench pair (VERDICT r03 item 5).
+
+    The driver's synthetic ``documents`` table has near-uniform shingle
+    df (median ≈ 95), which makes the prefix variant look like the suite
+    slowest when it is the scale winner on natural text. This corpus has
+    the Zipfian head real text has (max_df ≈ n_docs, median df 2), so
+    the bench artifact itself shows the measured crossover.
+
+    Sizing: the df² effect is quadratic in corpus size, so the crossover
+    only emerges above fixed overheads at ~2500+ docs (measured:
+    1500 docs → prefix LOSES 4.6 s vs 2.8 s; 3200 docs → prefix WINS
+    5.1 s vs 14.9 s). Bench scale (sf ≥ 0.1) uses 3200; correctness
+    scale uses 800 to keep the oracle sweep cheap — the static oracle
+    SQL below is sized to 800, matching the driver's sf0.01 run.
+    """
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sfv = float(sf)
+    except ValueError:
+        sfv = 0.01
+    n_docs = _ZIPF_BENCH_DOCS if sfv >= 0.1 else _ZIPF_ORACLE_DOCS
+    base = zipf_corpus(spark, n_docs, _ZIPF_TOKENS_PER_DOC)
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return base.unionByName(dups)
+
+
+_ZIPF_BENCH_DOCS = 3200
+_ZIPF_ORACLE_DOCS = 800
+_ZIPF_TOKENS_PER_DOC = 60
+
+
+def q_ngram_jaccard_plain_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain token self-join on the Zipfian corpus, df cap disabled so
+    both variants compute the identical relation: the Σ df² head makes
+    this the honest worst case the prefix variant exists to avoid."""
+    return ngram_jaccard_pairs(
+        _zipf_docs_with_dups(spark, sf_dir),
+        n=1,
+        threshold=0.5,
+        max_token_freq=10**9,
+        materialize=True,
+    )
+
+
+def q_ngram_jaccard_prefix_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix filtering on the same Zipfian corpus — the measured
+    scale winner on natural-text df (3200 docs: 5.1 s vs plain 14.9 s).
+    Shares the plain-zipf oracle (prefix filtering is lossless)."""
+    return ngram_jaccard_pairs_prefix(
+        _zipf_docs_with_dups(spark, sf_dir), n=1, threshold=0.5, materialize=True
     )
 
 
@@ -1109,6 +1167,10 @@ def queries() -> dict[str, Query]:
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        # -- new in r4: Jaccard crossover pair on a Zipfian-df corpus
+        #    (VERDICT r03 item 5 — the crossover lands in BENCH_r04):
+        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
+        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -2840,4 +2902,50 @@ def oracle_sql() -> dict[str, str]:
     # the prefix-filtered variant computes the IDENTICAL relation (prefix
     # filtering is lossless for Jaccard >= t), so it shares the oracle
     oracles["ngram_jaccard_prefix"] = oracles["ngram_jaccard_pairs"]
+
+    # Zipf-corpus Jaccard crossover pair: the corpus itself is generated
+    # inside the oracle — the md5-derived uniform draw is byte-identical
+    # between Spark (conv(substr(md5(..),1,15),16,10)) and DuckDB
+    # (('0x'||substring(md5(..),1,15))::BIGINT), verified bit-for-bit.
+    # Sized to _ZIPF_ORACLE_DOCS (the driver checks correctness at
+    # sf0.01, below the bench-scale cutover in _zipf_docs_with_dups).
+    oracles["ngram_jaccard_plain_zipf"] = f"""
+        WITH corpus0 AS (
+            SELECT doc_id,
+                   'w' || CAST(CAST(floor(pow(20000.0, u)) AS BIGINT) AS VARCHAR)
+                       AS w
+            FROM (
+                SELECT d.doc_id, t.j,
+                       (('0x' || substring(md5(d.doc_id::VARCHAR || '-'
+                                               || t.j::VARCHAR), 1, 15))::BIGINT
+                        % 1000003) / 1000003.0 AS u
+                FROM (SELECT unnest(generate_series(0, {_ZIPF_ORACLE_DOCS - 1}))
+                             AS doc_id) d,
+                     (SELECT unnest(generate_series(0, {_ZIPF_TOKENS_PER_DOC - 1}))
+                             AS j) t
+            )
+        ),
+        toks AS (
+            SELECT DISTINCT doc_id AS doc, w AS token FROM corpus0
+            UNION ALL
+            SELECT DISTINCT doc_id + 1000000 AS doc, w AS token
+            FROM corpus0 WHERE doc_id % 10 = 0
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM toks GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+            FROM toks a JOIN toks b
+              ON a.token = b.token AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= 0.5
+        ORDER BY doc_a, doc_b
+    """
+    oracles["ngram_jaccard_prefix_zipf"] = oracles["ngram_jaccard_plain_zipf"]
     return oracles

@@ -14,7 +14,9 @@ from fresco_hpc_spark.sources.http_fetch import (  # noqa: F401
 )
 from fresco_hpc_spark.sources.synthetic import (  # noqa: F401
     SYNTHETIC_ORACLE_SQL_TEMPLATE,
+    ZIPF_CORPUS_ORACLE_SQL_TEMPLATE,
     synthetic_job_data,
+    zipf_corpus,
 )
 from fresco_hpc_spark.sources.writers import (  # noqa: F401
     export_csv,

@@ -73,3 +73,67 @@ SYNTHETIC_ORACLE_SQL_TEMPLATE = """
             AS value_memused
     FROM generate_series(1, {n}) AS t(i)
 """
+
+
+def zipf_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    tokens_per_doc: int = 60,
+    zipf: bool = True,
+    vocab: int = 20_000,
+) -> DataFrame:
+    """Deterministic natural-text-like corpus: ``(doc_id, text)`` where
+    token j of doc i is word rank ``floor(V^u)`` (Zipf s≈1 via inverse
+    CDF) or ``floor(V·u)`` (uniform), with ``u`` an md5-derived uniform
+    in [0, 1). Pure JVM expressions — no Python, no ``rand()`` — and the
+    identical draw exists in DuckDB
+    (``('0x'||substring(md5(doc||'-'||j),1,15))::BIGINT % 1000003 /
+    1000003.0``), so corpora built here are fully oracle-checkable.
+
+    Why it exists: the two exact-Jaccard variants (functions/dedup.py)
+    split on document-frequency distribution — prefix filtering wins on
+    Zipfian df (natural text), the plain token join on near-uniform df.
+    This generator makes that crossover measurable inside the bench
+    suite instead of only in tools/stress_zipf_jaccard.py.
+
+    Token order within ``text`` follows ``collect_list`` and is NOT
+    deterministic across runs; consumers must be order-insensitive
+    (unigram set semantics — Jaccard, MinHash, SimHash — are).
+    """
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(tokens_per_doc - 1))).alias("j")
+    toks = docs.select("doc_id", j)
+    u = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws("-", "doc_id", "j")), 1, 15), 16, 10)
+            .cast("bigint"),
+            F.lit(1_000_003),
+        )
+        / F.lit(1_000_003.0)
+    )
+    rank = (
+        F.floor(F.pow(F.lit(float(vocab)), u))
+        if zipf
+        else F.floor(F.lit(float(vocab)) * u)
+    )
+    words = toks.select(
+        "doc_id", F.concat(F.lit("w"), rank.cast("string")).alias("w")
+    )
+    return words.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.collect_list("w")).alias("text")
+    )
+
+
+ZIPF_CORPUS_ORACLE_SQL_TEMPLATE = """
+    SELECT doc_id,
+           string_agg('w' || CAST(CAST(floor(pow({vocab}.0, u)) AS BIGINT)
+                                  AS VARCHAR), ' ') AS text
+    FROM (
+        SELECT d.doc_id, t.j,
+               (('0x' || substring(md5(d.doc_id::VARCHAR || '-' || t.j::VARCHAR),
+                                   1, 15))::BIGINT % 1000003) / 1000003.0 AS u
+        FROM (SELECT unnest(generate_series(0, {n_docs} - 1)) AS doc_id) d,
+             (SELECT unnest(generate_series(0, {tokens_per_doc} - 1)) AS j) t
+    )
+    GROUP BY doc_id
+"""

@@ -30,32 +30,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def build_corpus(spark, n_docs: int, tokens_per_doc: int, zipf: bool):
-    """documents(doc_id, text): token j of doc i is word rank
-    floor(V^u) (Zipf s≈1 via inverse CDF) or floor(V·u) (uniform), with
-    u a deterministic md5-derived uniform in [0,1). Pure JVM expressions
-    — no Python, no rand()."""
-    V = 20_000
-    df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
-    j = F.explode(F.sequence(F.lit(0), F.lit(tokens_per_doc - 1))).alias("j")
-    toks = df.select("doc_id", j)
-    u = (
-        F.pmod(
-            F.conv(F.substring(F.md5(F.concat_ws("-", "doc_id", "j")), 1, 15), 16, 10)
-            .cast("bigint"),
-            F.lit(1_000_003),
-        )
-        / F.lit(1_000_003.0)
-    )
-    rank = (
-        F.floor(F.pow(F.lit(float(V)), u)) if zipf else F.floor(F.lit(float(V)) * u)
-    )
-    words = toks.select(
-        "doc_id", F.concat(F.lit("w"), rank.cast("string")).alias("w")
-    )
-    return (
-        words.groupBy("doc_id")
-        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
-    )
+    """Thin wrapper over the package generator (sources/synthetic.py
+    ``zipf_corpus``) — promoted there in round 4 so the bench suite's
+    ``ngram_jaccard_*_zipf`` queries share the exact corpus this harness
+    measures."""
+    from fresco_hpc_spark.sources.synthetic import zipf_corpus
+
+    return zipf_corpus(spark, n_docs, tokens_per_doc, zipf=zipf)
 
 
 def main() -> None:
