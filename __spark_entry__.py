@@ -732,13 +732,20 @@ def q_lead_quartile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     secs = F.col("ts").cast("long")
     labelled = ops.quantile_bucket(ev, "value", label_col="value_quartile")
+    # No presentation orderBy: it added a full-relation range exchange +
+    # sort (the suite's highest task count, 12.5 MB shuffle for a 10k-row
+    # output — VERDICT r03 item 9) purely for cosmetic row order. The
+    # driver canonicalizer sorts rows before hashing, and at 100 TB a
+    # global sort of an enrichment output is a scale bug. The plan is now
+    # exactly one exchange: hash(user_id) for the lead window
+    # (plan-asserted in test_plan_quality).
     return labelled.select(
         "event_id",
         "user_id",
         "ts",
         (F.lead(secs).over(w_user) - secs).cast("bigint").alias("secs_to_next"),
         "value_quartile",
-    ).orderBy("event_id")
+    )
 
 
 def q_cube_user_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:

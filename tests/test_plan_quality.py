@@ -227,12 +227,18 @@ def test_corpus_curation_no_cartesian(spark):
 def test_lead_quartile_has_no_single_partition_window(spark):
     """The scale-safe quartile-label path must never funnel raw rows
     through one task: every window in the plan is partitioned (user_id)
-    and the bucket labels are literal-bound when() comparisons. The final
-    presentation orderBy is range-partitioned, not SinglePartition. The
+    and the bucket labels are literal-bound when() comparisons. Since the
+    r04 orderBy removal the WHOLE plan is one hash exchange — no range
+    partitioning, no presentation sort (it cost a second full-relation
+    shuffle for cosmetic row order the driver re-sorts anyway). The
     ntile parity variant, by contrast, IS a global window — pinned here so
     the two don't silently swap roles."""
     plan = plan_of(spark, "lead_quartile_events")
     assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    # formatted explain lists each node twice (tree + details); count
+    # only tree lines so one physical exchange counts once
+    assert plan.count("- Exchange") == 1
     ntile_plan = plan_of(spark, "lead_ntile_events")
     assert "SinglePartition" in ntile_plan
 
