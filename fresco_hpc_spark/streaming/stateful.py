@@ -104,7 +104,15 @@ def streaming_counter_rates(
     micro-batches. Input needs (key_col: string, ts_col: long epoch
     seconds, value_col: double monotonic-ish counter). ``ttl_seconds``
     evicts groups idle that long (processing time) — REQUIRED for
-    unbounded key spaces; None keeps state forever (bounded fleets)."""
+    unbounded key spaces; None keeps state forever (bounded fleets).
+
+    Backfill caveat: with ``ttl_seconds`` set, a ``trigger(availableNow)``
+    drain does NOT terminate when the backlog is consumed — pending
+    ProcessingTimeTimeout registrations make Spark keep scheduling
+    "no new data but cleaning up state" micro-batches until every idle
+    group's TTL actually expires (hours, for production TTLs). For pure
+    backfills use ``ttl_seconds=None``, or ``stop()`` the query once
+    ``lastProgress`` shows the sources exhausted."""
     renamed = stream_df.selectExpr(
         f"CAST(`{key_col}` AS STRING) AS group_key",
         f"CAST(`{ts_col}` AS LONG) AS ts_seconds",
