@@ -48,6 +48,7 @@ from fresco_hpc_spark.functions import (
     simhash_dup_pairs,
     synthetic_media,
     text_stats,
+    tf_idf_top_terms,
     token_counts,
 )
 from fresco_hpc_spark.sources import (
@@ -320,6 +321,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (functions/text.py tf_idf_top_terms): keyword extraction for corpus
+    curation. Integer-triple ranking (tf desc, df asc, token) keeps the
+    ranks engine-reproducible; the float score is display-only."""
+    return tf_idf_top_terms(table(spark, sf_dir, "documents"), k=5)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,6 +1187,7 @@ def queries() -> dict[str, Query]:
         #    (VERDICT r03 item 5 — the crossover lands in BENCH_r04):
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
         "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -2955,4 +2965,31 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_a, doc_b
     """
     oracles["ngram_jaccard_prefix_zipf"] = oracles["ngram_jaccard_plain_zipf"]
+
+    oracles["tfidf_top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        t2 AS (SELECT doc, token FROM toks WHERE token <> ''),
+        tf AS (SELECT doc, token, COUNT(*) AS tf FROM t2 GROUP BY doc, token),
+        docfreq AS (
+            SELECT token, COUNT(DISTINCT doc) AS df FROM t2 GROUP BY token
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc, tf.token, tf.tf, f.df,
+                   ROUND(tf.tf * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1), 6)
+                       AS tf_idf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc
+                       ORDER BY tf.tf DESC, f.df ASC, tf.token ASC
+                   ) AS term_rank
+            FROM tf JOIN docfreq f USING (token), n
+        )
+        SELECT doc AS doc_id, CAST(term_rank AS BIGINT) AS term_rank, token,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tf_idf
+        FROM scored WHERE term_rank <= 5 ORDER BY doc_id, term_rank
+    """
     return oracles

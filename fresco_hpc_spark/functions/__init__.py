@@ -8,6 +8,7 @@ from fresco_hpc_spark.functions.text import (  # noqa: F401
     repetition_stats,
     rolling_fingerprint,
     text_stats,
+    tf_idf_top_terms,
     token_count,
     token_counts,
 )

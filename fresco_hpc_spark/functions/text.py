@@ -427,3 +427,72 @@ def chunk_documents(
         F.size("c.toks").cast("bigint").alias("n_tokens"),
         F.array_join("c.toks", " ").alias("chunk_text"),
     ).orderBy(id_col, "chunk_index")
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF —
+    the standard corpus-curation primitive for keyword extraction,
+    topic tagging, and building per-domain vocabularies.
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn-style smooth
+    idf: never zero, never divides by zero). Ranking is by the INTEGER
+    triple (tf desc, df asc, token asc), not the float score — ranks are
+    then bit-reproducible in any engine regardless of libm's ln rounding,
+    while the emitted score stays the familiar float (rounded to 6 dp,
+    which is far coarser than any 1-ulp ln divergence). Note the triple
+    is consistent with the score ordering: within a doc, higher tf ⇒
+    higher score, and at equal tf, lower df ⇒ higher idf ⇒ higher score.
+
+    Scale shape: tokenize (map) → (doc, token) counts and (token) df
+    (two partial-agg shuffles) → equi-join on token (df is
+    vocabulary-sized — NEVER broadcast; it grows with the corpus) →
+    per-doc rank window. N arrives via a broadcast 1-row cross join, so
+    no action runs at build time and the plan stays fully lazy.
+    """
+    from pyspark.sql import Window
+
+    df = _fan_out(df)
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("token"))
+    toks = toks.filter(F.col("token") != "")
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        toks.select("doc", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                _ROUND,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("term_rank").cast("bigint").alias("term_rank"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("tf_idf").cast("double").alias("tf_idf"),
+        )
+        .orderBy(id_col, "term_rank")
+    )

@@ -492,3 +492,46 @@ def test_pair_generators_leave_no_persisted_rdds(spark, docs_with_dups):
         before = n_persisted()
         fn(docs_with_dups, materialize=True).count()
         assert n_persisted() - before <= 1
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Ranking is by (tf desc, df asc, token asc): within doc 1, 'apple'
+    (tf=3) outranks 'banana' (tf=2) outranks the corpus-wide 'the'
+    (tf=2 but df=3 — at equal tf, rarer wins). Scores use smooth idf
+    ln((N+1)/(df+1)) + 1."""
+    import math
+
+    from fresco_hpc_spark.functions import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "the apple apple apple banana banana the"),
+            (2, "the cherry"),
+            (3, "the date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tf_idf_top_terms(df, k=2).collect()
+    d1 = [r for r in out if r.doc_id == 1]
+    assert [(r.term_rank, r.token, r.tf, r.df) for r in d1] == [
+        (1, "apple", 3, 1),
+        (2, "banana", 2, 1),
+    ]
+    # smooth idf: apple df=1, N=3 -> 3 * (ln(4/2) + 1)
+    assert abs(d1[0].tf_idf - round(3 * (math.log(2.0) + 1), 6)) < 1e-9
+    # doc 2: 'cherry' (df=1) must outrank 'the' (df=3) despite equal tf
+    d2 = [r for r in out if r.doc_id == 2]
+    assert [r.token for r in d2] == ["cherry", "the"]
+
+
+def test_tfidf_empty_and_whitespace_documents(spark):
+    from fresco_hpc_spark.functions import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "only doc with words"), (2, ""), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    out = tf_idf_top_terms(df, k=10).collect()
+    # empty/whitespace docs produce no terms but still count toward N
+    assert {r.doc_id for r in out} == {1}
+    assert all(r.df == 1 for r in out)

@@ -142,6 +142,8 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 3
         "decontaminate", "quality_rules", "class_centroids", "redact_pii",
         "chunk_documents", "corpus_curation_v2",
+        # round 4
+        "tfidf_top_terms",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
