@@ -50,6 +50,7 @@ from fresco_hpc_spark.functions import (
     text_stats,
     tf_idf_top_terms,
     token_counts,
+    unigram_logprob_score,
 )
 from fresco_hpc_spark.sources import (
     SYNTHETIC_ORACLE_SQL_TEMPLATE,
@@ -329,6 +330,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation. Integer-triple ranking (tf desc, df asc, token) keeps the
     ranks engine-reproducible; the float score is display-only."""
     return tf_idf_top_terms(table(spark, sf_dir, "documents"), k=5)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score (functions/text.py
+    unigram_logprob_score), self-scored: mean token log-probability
+    under the corpus's own Laplace-smoothed unigram model. Low scores
+    flag gibberish/outlier documents — thresholding this column is a
+    standard pretraining filter. Micro-unit integer summation keeps the
+    mean order-free (oracle contract rule 8)."""
+    return unigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,6 +1199,7 @@ def queries() -> dict[str, Query]:
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
         "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "unigram_logprob": q_unigram_logprob,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -2991,5 +3003,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc AS doc_id, CAST(term_rank AS BIGINT) AS term_rank, token,
                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tf_idf
         FROM scored WHERE term_rank <= 5 ORDER BY doc_id, term_rank
+    """
+
+    oracles["unigram_logprob"] = """
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        t2 AS (SELECT doc, token FROM toks WHERE token <> ''),
+        model AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY token),
+        totals AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM model),
+        lp AS (
+            SELECT t2.doc,
+                   CAST(ROUND(ln((m.cnt + 1)
+                               / CAST(tt.total + tt.vocab AS DOUBLE)) * 1e6, 0)
+                        AS BIGINT) AS lp_u
+            FROM t2 JOIN model m USING (token), totals tt
+        )
+        SELECT doc AS doc_id,
+               ROUND(SUM(lp_u) / (1e6 * COUNT(*)), 6) AS mean_logprob,
+               COUNT(*) AS n_tokens
+        FROM lp GROUP BY doc ORDER BY doc_id
     """
     return oracles

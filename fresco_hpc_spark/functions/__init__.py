@@ -11,6 +11,7 @@ from fresco_hpc_spark.functions.text import (  # noqa: F401
     tf_idf_top_terms,
     token_count,
     token_counts,
+    unigram_logprob_score,
 )
 from fresco_hpc_spark.functions.sampling import (  # noqa: F401
     corpus_split,

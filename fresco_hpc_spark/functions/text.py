@@ -496,3 +496,70 @@ def tf_idf_top_terms(
         )
         .orderBy(id_col, "term_rank")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram language
+    model — the CCNet-family quality signal: gibberish, boilerplate, and
+    out-of-domain documents score far below the corpus mode, and a
+    simple threshold on this column is a standard pretraining filter.
+
+    The model is estimated from ``reference`` (a documents table; e.g.
+    a trusted high-quality corpus) or, when None, from ``df`` itself
+    (self-scoring: outliers against the corpus's own distribution).
+    Laplace-smoothed: ``P(t) = (count(t) + 1) / (total + vocab)`` with
+    unseen tokens (possible only when a reference is supplied) falling
+    back to the same +1 mass. Scores are mean ln P per token, rounded.
+
+    Scale shape: both corpora tokenize map-side; the model is ONE
+    aggregated (token, count) relation — vocabulary-sized, joined on
+    token (never broadcast: vocabulary grows with the corpus). The
+    scalar totals ride a broadcast 1-row cross join; per-doc mean is a
+    partial-agg groupBy. Fully lazy, no driver collect.
+    """
+    df = _fan_out(df)
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("token"))
+    toks = toks.filter(F.col("token") != "")
+
+    ref = toks if reference is None else (
+        _fan_out(reference)
+        .select(F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    model = ref.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = model.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+
+    # integer micro-units (oracle contract rule 8, COVERAGE.md): a float
+    # avg's summation order differs between engines; summing
+    # round(lp * 1e6) as bigint is exact and order-free in both
+    lp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+        / (F.col("total") + F.col("vocab"))
+    )
+    joined = (
+        toks.join(model, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("doc", F.round(lp * 1_000_000, 0).cast("bigint").alias("lp_u"))
+    )
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.round(
+                F.sum("lp_u") / (F.lit(1_000_000.0) * F.count(F.lit(1))), _ROUND
+            ).alias("mean_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+        .select(F.col("doc").alias(id_col), "mean_logprob", "n_tokens")
+        .orderBy(id_col)
+    )

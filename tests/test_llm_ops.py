@@ -535,3 +535,46 @@ def test_tfidf_empty_and_whitespace_documents(spark):
     # empty/whitespace docs produce no terms but still count toward N
     assert {r.doc_id for r in out} == {1}
     assert all(r.df == 1 for r in out)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Self-scored model over {a:3, b:1, c:1}: total=5, vocab=3, so
+    P(a)=(3+1)/8, P(b)=P(c)=(1+1)/8. Means replicate the micro-unit
+    integer arithmetic exactly."""
+    import math
+
+    from fresco_hpc_spark.functions import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+
+    def u(p):  # micro-unit contribution, HALF_UP like both engines
+        from decimal import ROUND_HALF_UP, Decimal
+        return int(Decimal(math.log(p) * 1e6).quantize(0, ROUND_HALF_UP))
+
+    exp1 = round((u(0.5) + u(0.5) + u(0.25)) / (1e6 * 3), 6)
+    exp2 = round((u(0.5) + u(0.25)) / (1e6 * 2), 6)
+    assert out[1].mean_logprob == exp1 and out[1].n_tokens == 3
+    assert out[2].mean_logprob == exp2 and out[2].n_tokens == 2
+
+
+def test_unigram_logprob_reference_corpus_and_unseen_tokens(spark):
+    """Scoring against a separate reference corpus: tokens unseen in the
+    reference get the +1 Laplace mass, and a gibberish doc scores below
+    an in-domain doc."""
+    from fresco_hpc_spark.functions import unigram_logprob_score
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zzz qqq xxx")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_score(df, reference=ref).collect()}
+    assert out[1].mean_logprob > out[2].mean_logprob
+    # every token of doc 2 is unseen: P = 1/(total+vocab) = 1/65
+    import math
+    assert abs(out[2].mean_logprob - round(round(math.log(1 / 65) * 1e6) / 1e6, 6)) < 2e-6

@@ -143,7 +143,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "decontaminate", "quality_rules", "class_centroids", "redact_pii",
         "chunk_documents", "corpus_curation_v2",
         # round 4
-        "tfidf_top_terms",
+        "tfidf_top_terms", "unigram_logprob",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
