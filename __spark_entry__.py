@@ -41,6 +41,7 @@ from fresco_hpc_spark.functions import (
     ivf_train_centroids,
     lsh_ann_topk,
     minhash_dup_pairs,
+    minhash_dup_pairs_between,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
     rolling_fingerprint,
@@ -427,6 +428,48 @@ def q_ngram_jaccard_prefix_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_pairs(
         _docs_with_dups(spark, sf_dir), threshold=0.5, materialize=True
+    )
+
+
+_INCOMING_EXACT_SHIFT = 5_000_000
+_INCOMING_NEAR_SHIFT = 6_000_000
+
+
+def _incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated new-crawl batch for cross-corpus dedup: every 5th
+    training doc verbatim (exact dup) and every 7th with appended tokens
+    (near dup), in an id space disjoint from the training corpus."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(_INCOMING_EXACT_SHIFT)).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_INCOMING_NEAR_SHIFT)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended extra tokens")).alias("text"),
+    )
+    return exact.unionByName(near)
+
+
+_INCOMING_DOCS_SQL = f"""
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_INCOMING_EXACT_SHIFT}, text
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + {_INCOMING_NEAR_SHIFT}, text || ' appended extra tokens'
+            FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (functions/dedup.py
+    minhash_dup_pairs_between): the incoming batch's near-dups against
+    the existing corpus, WITHOUT re-self-joining the existing corpus.
+    The oracle computes the identical relation over the disjoint-id
+    union with a side predicate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_dup_pairs_between(
+        docs, _incoming_batch(spark, sf_dir), threshold=0.5, materialize=True
     )
 
 
@@ -1200,6 +1243,7 @@ def queries() -> dict[str, Query]:
         "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -1417,14 +1461,20 @@ def _minhash_oracle_sql(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    docs_sql: str | None = None,
+    pair_cond: str = "a.doc < b.doc",
 ) -> str:
     """Full SQL twin of minhash_dup_pairs: same shingles, same md5-derived
     base hash, same LCG-derived (a, b) permutation constants; banding joins
     on the signature slice itself (Spark compacts the slice through
     xxhash64 — equality of slices ≡ equality of band hashes modulo
-    negligible 64-bit collisions)."""
+    negligible 64-bit collisions). ``docs_sql``/``pair_cond`` parameterize
+    the corpus CTE and the pair predicate — the cross-corpus variant uses
+    disjoint id ranges plus a side predicate instead of doc ordering."""
     from fresco_hpc_spark.functions.dedup import _P, _perm_constants
 
+    if docs_sql is None:
+        docs_sql = _DOCS_WITH_DUPS_SQL
     r = num_hashes // bands
     mins = ",\n                   ".join(
         f"MIN((h * {a} + {b}) % {_P}) AS mh_{i}"
@@ -1436,7 +1486,7 @@ def _minhash_oracle_sql(
         f"p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / {float(num_hashes)}, 6)"
     )
     return f"""
-            WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+            WITH docs AS ({docs_sql}),
             words AS (
                 SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                 FROM docs
@@ -1464,7 +1514,7 @@ def _minhash_oracle_sql(
             SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, {est} AS est_jaccard
             FROM banded a
             JOIN banded b
-              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+              ON a.band = b.band AND a.band_sig = b.band_sig AND {pair_cond}
             WHERE {est} >= {threshold}
             ORDER BY doc_a, doc_b
         """
@@ -3026,4 +3076,11 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_tokens
         FROM lp GROUP BY doc ORDER BY doc_id
     """
+
+    oracles["cross_corpus_dedup"] = _minhash_oracle_sql(
+        docs_sql=_INCOMING_DOCS_SQL,
+        pair_cond=(
+            f"a.doc < {_INCOMING_EXACT_SHIFT} AND b.doc >= {_INCOMING_EXACT_SHIFT}"
+        ),
+    )
     return oracles

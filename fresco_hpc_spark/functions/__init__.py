@@ -25,6 +25,7 @@ from fresco_hpc_spark.functions.dedup import (  # noqa: F401
     dup_clusters,
     exact_dedup,
     minhash_dup_pairs,
+    minhash_dup_pairs_between,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
     simhash_dup_pairs,

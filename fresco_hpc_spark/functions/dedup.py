@@ -352,6 +352,24 @@ def minhash_signatures(
     )
 
 
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, sig, band, band_sig) from a signature relation: band sigs are
+    xxhash64 of the signature slice, all bands in ONE posexplode pass."""
+    r = num_hashes // bands
+    band_sigs = F.array(
+        *[F.xxhash64(F.slice("sig", band * r + 1, r)) for band in range(bands)]
+    )
+    return sig.select("doc", "sig", F.posexplode(band_sigs).alias("band", "band_sig"))
+
+
+def _minhash_estimate(num_hashes: int) -> "F.Column":
+    return F.aggregate(
+        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -379,26 +397,14 @@ def minhash_dup_pairs(
     trades bandwidth for two extra shuffles.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-
-    band_sigs = F.array(
-        *[F.xxhash64(F.slice("sig", band * r + 1, r)) for band in range(bands)]
-    )
-    banded = sig.select(
-        "doc", "sig", F.posexplode(band_sigs).alias("band", "band_sig")
-    )
+    banded = _banded(sig, num_hashes, bands)
 
     if materialize:
         # persist: the banded signature relation IS the LSH index — without
         # it the self-join computes tokenize+md5+64 min-aggregates twice
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
-    agree = F.aggregate(
-        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     result = (
         a.join(
             b,
@@ -409,13 +415,73 @@ def minhash_dup_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+            F.round(_minhash_estimate(num_hashes), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
     return _finish_pairs(result, [banded], materialize)
+
+
+def minhash_dup_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    materialize: bool = False,
+) -> DataFrame:
+    """Cross-corpus MinHash+LSH near-duplicate pairs: every (left, right)
+    pair whose estimated Jaccard ≥ threshold — the incremental-ingest
+    primitive (dedup a NEW crawl batch against the EXISTING training
+    set) that the self-join variant can't express without paying the
+    full existing-corpus self-join again.
+
+    Same signatures, banding, and estimate as ``minhash_dup_pairs``; the
+    join is left-banded × right-banded on (band, band_sig) with no
+    ordering condition (the corpora are distinct id spaces). At 100 TB
+    the existing corpus's banded signatures are a precomputed,
+    incrementally-appendable relation — store them once (plans/store)
+    and each new batch joins its own signatures against the index,
+    touching the raw existing text never again.
+
+    Returns (doc_a = left id, doc_b = right id, est_jaccard).
+    """
+    assert num_hashes % bands == 0
+    banded_l = _banded(
+        minhash_signatures(left, text_col, id_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
+    banded_r = _banded(
+        minhash_signatures(right, text_col, id_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
+    if materialize:
+        banded_l = banded_l.persist(StorageLevel.MEMORY_AND_DISK)
+        banded_r = banded_r.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = banded_l.alias("a"), banded_r.alias("b")
+    result = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(_minhash_estimate(num_hashes), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+    return _finish_pairs(result, [banded_l, banded_r], materialize)
 
 
 def dedup_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

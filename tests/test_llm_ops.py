@@ -578,3 +578,54 @@ def test_unigram_logprob_reference_corpus_and_unseen_tokens(spark):
     # every token of doc 2 is unseen: P = 1/(total+vocab) = 1/65
     import math
     assert abs(out[2].mean_logprob - round(round(math.log(1 / 65) * 1e6) / 1e6, 6)) < 2e-6
+
+
+def test_cross_corpus_dedup_finds_planted_pairs(spark):
+    """Every planted (train, incoming) duplicate must be recovered, no
+    within-corpus pair may appear, and exact copies estimate 1.0."""
+    from fresco_hpc_spark.functions import minhash_dup_pairs_between
+
+    train = spark.createDataFrame(
+        [
+            (i, f"unique document number {i} with shared filler words "
+                f"alpha bravo charlie delta echo foxtrot {i} golf hotel")
+            for i in range(40)
+        ],
+        "doc_id bigint, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # ids 1000+: exact copies of train docs 0..9
+            *[(1000 + i, f"unique document number {i} with shared filler words "
+                         f"alpha bravo charlie delta echo foxtrot {i} golf hotel")
+              for i in range(10)],
+            # 2000: unrelated content
+            (2000, "completely different text about oranges and bicycles "
+                   "riding through autumn rain with umbrellas and maps"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = minhash_dup_pairs_between(
+        train, incoming, threshold=0.5, materialize=True
+    ).collect()
+    found = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
+    for i in range(10):
+        assert found.get((i, 1000 + i)) == 1.0, f"missing planted pair {i}"
+    assert all(a < 1000 <= b for a, b in found), "non-cross pair emitted"
+    assert not any(b == 2000 for _, b in found), "unrelated doc matched"
+
+
+def test_cross_corpus_dedup_no_persist_leak(spark, docs_with_dups):
+    from fresco_hpc_spark.functions import minhash_dup_pairs_between
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs_with_dups.count()
+    before = n_persisted()
+    minhash_dup_pairs_between(
+        docs_with_dups, docs_with_dups.limit(20), materialize=True
+    ).count()
+    # both banded persists released; only the result's own checkpoint may
+    # remain (see test_pair_generators_leave_no_persisted_rdds)
+    assert n_persisted() - before <= 1

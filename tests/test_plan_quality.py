@@ -52,6 +52,13 @@ def lazy_plan_of(spark, name: str) -> str:
         "ngram_jaccard_prefix": lambda: ngram_jaccard_pairs_prefix(
             entrymod._docs_with_dups(spark, SF_SMALL), n=3, threshold=0.5
         ),
+        "cross_corpus_dedup": lambda: __import__(
+            "fresco_hpc_spark.functions", fromlist=["minhash_dup_pairs_between"]
+        ).minhash_dup_pairs_between(
+            entrymod.table(spark, SF_SMALL, "documents"),
+            entrymod._incoming_batch(spark, SF_SMALL),
+            threshold=0.5,
+        ),
     }
     return _explain(spark, builders[name]())
 
@@ -143,7 +150,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "decontaminate", "quality_rules", "class_centroids", "redact_pii",
         "chunk_documents", "corpus_curation_v2",
         # round 4
-        "tfidf_top_terms", "unigram_logprob",
+        "tfidf_top_terms", "unigram_logprob", "cross_corpus_dedup",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -151,7 +158,7 @@ def test_no_python_eval_in_sql_paths(spark, name):
     # zero UDFs needed). Python evaluation nodes mean a 10-100x hot-path
     # regression at scale. Eagerly-checkpointed wrappers are probed via
     # their lazy variant (a checkpointed plan is an opaque ExistingRDD).
-    if name in ("minhash_dup_pairs", "ngram_jaccard_prefix"):
+    if name in ("minhash_dup_pairs", "ngram_jaccard_prefix", "cross_corpus_dedup"):
         plan = lazy_plan_of(spark, name)
     else:
         plan = plan_of(spark, name)
