@@ -24,6 +24,7 @@ from fresco_hpc_spark.functions.dedup import (  # noqa: F401
     dedup_corpus,
     dup_clusters,
     exact_dedup,
+    minhash_band_index,
     minhash_dup_pairs,
     minhash_dup_pairs_between,
     ngram_jaccard_pairs,

@@ -424,6 +424,29 @@ def minhash_dup_pairs(
     return _finish_pairs(result, [banded], materialize)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The storable LSH index for incremental ingest: the banded
+    signature relation ``(doc, sig, band, band_sig)``. Write it once
+    with the corpus (parquet, ideally bucketed/partitioned on
+    ``band_sig``), APPEND each accepted batch's index rows, and dedup
+    every future batch against it via
+    ``minhash_dup_pairs_between(..., left_is_index=True)`` — the raw
+    existing text is never re-read or re-hashed. Roundtrip equivalence
+    is pinned in test_llm_ops."""
+    return _banded(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
+
+
 def minhash_dup_pairs_between(
     left: DataFrame,
     right: DataFrame,
@@ -434,6 +457,7 @@ def minhash_dup_pairs_between(
     shingle_n: int = 3,
     threshold: float = 0.5,
     materialize: bool = False,
+    left_is_index: bool = False,
 ) -> DataFrame:
     """Cross-corpus MinHash+LSH near-duplicate pairs: every (left, right)
     pair whose estimated Jaccard ≥ threshold — the incremental-ingest
@@ -445,22 +469,22 @@ def minhash_dup_pairs_between(
     join is left-banded × right-banded on (band, band_sig) with no
     ordering condition (the corpora are distinct id spaces). At 100 TB
     the existing corpus's banded signatures are a precomputed,
-    incrementally-appendable relation — store them once (plans/store)
-    and each new batch joins its own signatures against the index,
-    touching the raw existing text never again.
+    incrementally-appendable relation — build it with
+    ``minhash_band_index``, store it once (plans/store), and pass the
+    loaded relation here with ``left_is_index=True``: each new batch
+    joins its own signatures against the index, touching the raw
+    existing text never again.
 
     Returns (doc_a = left id, doc_b = right id, est_jaccard).
     """
     assert num_hashes % bands == 0
-    banded_l = _banded(
-        minhash_signatures(left, text_col, id_col, num_hashes, shingle_n),
-        num_hashes,
-        bands,
+    banded_l = (
+        left
+        if left_is_index
+        else minhash_band_index(left, text_col, id_col, num_hashes, bands, shingle_n)
     )
-    banded_r = _banded(
-        minhash_signatures(right, text_col, id_col, num_hashes, shingle_n),
-        num_hashes,
-        bands,
+    banded_r = minhash_band_index(
+        right, text_col, id_col, num_hashes, bands, shingle_n
     )
     if materialize:
         banded_l = banded_l.persist(StorageLevel.MEMORY_AND_DISK)

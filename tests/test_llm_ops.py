@@ -629,3 +629,39 @@ def test_cross_corpus_dedup_no_persist_leak(spark, docs_with_dups):
     # both banded persists released; only the result's own checkpoint may
     # remain (see test_pair_generators_leave_no_persisted_rdds)
     assert n_persisted() - before <= 1
+
+
+def test_minhash_index_store_roundtrip(spark, tmp_path):
+    """The incremental-ingest flow end-to-end: build the band index for
+    the existing corpus, store it as parquet, reload, and dedup a new
+    batch against the LOADED index — identical pairs to the direct
+    two-corpus computation, with the existing text never re-read."""
+    from fresco_hpc_spark.functions import (
+        minhash_band_index,
+        minhash_dup_pairs_between,
+    )
+
+    def doc(i):
+        # word i interleaved throughout: different docs share almost no
+        # 3-gram shingles, so only planted verbatim copies pair up
+        return (f"w{i} alpha w{i} bravo w{i} charlie w{i} delta w{i} echo "
+                f"w{i} foxtrot w{i} golf w{i} hotel w{i} india w{i}")
+
+    train = spark.createDataFrame(
+        [(i, doc(i)) for i in range(30)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, doc(i)) for i in range(5)], "doc_id bigint, text string"
+    )
+    direct = minhash_dup_pairs_between(train, batch, threshold=0.5).collect()
+
+    idx_path = str(tmp_path / "band_index")
+    minhash_band_index(train).write.parquet(idx_path)
+    loaded = spark.read.parquet(idx_path)
+    via_index = minhash_dup_pairs_between(
+        loaded, batch, threshold=0.5, left_is_index=True
+    ).collect()
+
+    key = lambda r: (r.doc_a, r.doc_b, r.est_jaccard)  # noqa: E731
+    assert sorted(map(key, direct)) == sorted(map(key, via_index))
+    assert {(r.doc_a, r.doc_b) for r in direct} == {(i, 1000 + i) for i in range(5)}
