@@ -91,6 +91,52 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.column_stats(table(spark, sf_dir, "events"), "value")
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table data-quality profile (operators/stats.py
+    profile_columns): one aggregation pass over events, one output row
+    per column with rows/nulls/distinct/min/max. The Deequ-style
+    preflight a pipeline runs before ingesting a table."""
+    return ops.profile_columns(table(spark, sf_dir, "events"))
+
+
+_PROFILE_EVENTS_COLS = [
+    # (name, kind) — kind drives the min/max expression in the oracle
+    ("event_id", "num"),
+    ("ts", "ts"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+]
+
+
+def _profile_oracle_sql() -> str:
+    aggs, rows = ["COUNT(*) AS n"], []
+    for c, kind in _PROFILE_EVENTS_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        elif kind == "ts":
+            mn, mx = f"CAST(epoch(MIN({c})) AS DOUBLE)", f"CAST(epoch(MAX({c})) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        aggs += [
+            f"COUNT({c}) AS nn_{c}",
+            f"COUNT(DISTINCT {c}) AS nd_{c}",
+            f"{mn} AS mn_{c}",
+            f"{mx} AS mx_{c}",
+        ]
+        rows.append(
+            f"SELECT '{c}' AS \"column\", n AS n_rows, n - nn_{c} AS n_nulls, "
+            f"ROUND((n - nn_{c}) / CAST(GREATEST(n, 1) AS DOUBLE), 6) AS null_frac, "
+            f"nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM events) "
+        + " UNION ALL ".join(rows)
+        + ' ORDER BY "column"'
+    )
+
+
 def q_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.availability(table(spark, sf_dir, "events"), "value", time_col="ts")
 
@@ -1244,6 +1290,7 @@ def queries() -> dict[str, Query]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "cross_corpus_dedup": q_cross_corpus_dedup,
+        "profile_columns": q_profile_columns,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -3083,4 +3130,5 @@ def oracle_sql() -> dict[str, str]:
             f"a.doc < {_INCOMING_EXACT_SHIFT} AND b.doc >= {_INCOMING_EXACT_SHIFT}"
         ),
     )
+    oracles["profile_columns"] = _profile_oracle_sql()
     return oracles

@@ -2,6 +2,7 @@ from fresco_hpc_spark.operators.stats import (  # noqa: F401
     availability,
     column_stats,
     linear_trend,
+    profile_columns,
     time_extent,
 )
 from fresco_hpc_spark.operators.timeseries import (  # noqa: F401

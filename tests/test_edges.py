@@ -100,11 +100,12 @@ def test_histogram2d_constant_axis(spark):
 
 def test_driver_contract_consistency():
     """Every oracle_sql() key must name a queries() entry (a typo here
-    silently downgrades a query to the weaker rows-only check), and the
-    rows-only set must be exactly the documented non-SQL-expressible
-    operators (binary decode paths)."""
+    silently downgrades a query to the weaker rows-only check), and since
+    round 4 EVERY query has an oracle — the multimodal trio's driver
+    projections emit scalar descriptors with closed-form SQL twins, so a
+    missing oracle is always a bug now."""
     import __spark_entry__ as m
 
     qs, oracles = set(m.queries()), set(m.oracle_sql())
     assert oracles <= qs, f"orphan oracles: {oracles - qs}"
-    assert qs - oracles == {"media_features", "audio_features", "video_frames"}
+    assert qs - oracles == set(), f"queries without oracle: {qs - oracles}"

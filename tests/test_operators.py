@@ -186,3 +186,44 @@ def test_cohort_retention_triangle(spark):
     df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
     out = {(r.cohort.day, r.offset): r.n_active for r in cohort_retention(df).collect()}
     assert out == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_profile_columns_hand_computed(spark):
+    """Nulls, distincts, and typed min/max: numerics/timestamps get
+    DOUBLE min/max (ts as epoch seconds), strings NULL."""
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a", datetime(2024, 1, 1)),
+            (2, None, "b", datetime(2024, 1, 2)),
+            (3, 30.0, "a", None),
+            (None, 10.0, None, datetime(2024, 1, 1)),
+        ],
+        "id bigint, v double, s string, t timestamp",
+    )
+    out = {r.column: r for r in profile_columns(df).collect()}
+    assert set(out) == {"id", "v", "s", "t"}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 1
+    assert out["id"].n_distinct == 3 and out["id"].min_value == 1.0
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert out["v"].min_value == 10.0 and out["v"].max_value == 30.0
+    assert out["v"].null_frac == 0.25
+    assert out["s"].min_value is None and out["s"].max_value is None
+    assert out["s"].n_distinct == 2
+    # timestamp min/max as epoch seconds (session TZ = UTC)
+    assert out["t"].min_value == datetime(2024, 1, 1).timestamp() or \
+        out["t"].min_value == 1704067200.0
+    assert out["t"].n_nulls == 1
+
+
+def test_profile_columns_empty_table(spark):
+    from fresco_hpc_spark.operators import profile_columns
+
+    df = spark.createDataFrame([], "id bigint, s string")
+    out = {r.column: r for r in profile_columns(df).collect()}
+    assert out["id"].n_rows == 0 and out["id"].n_nulls == 0
+    assert out["id"].null_frac == 0.0 and out["id"].n_distinct == 0
+    assert out["id"].min_value is None
