@@ -52,6 +52,7 @@ from fresco_hpc_spark.functions import (
     tf_idf_top_terms,
     token_counts,
     unigram_logprob_score,
+    vocab_stats,
 )
 from fresco_hpc_spark.sources import (
     SYNTHETIC_ORACLE_SQL_TEMPLATE,
@@ -377,6 +378,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation. Integer-triple ranking (tf desc, df asc, token) keeps the
     ranks engine-reproducible; the float score is display-only."""
     return tf_idf_top_terms(table(spark, sf_dir, "documents"), k=5)
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary stats (functions/text.py vocab_stats):
+    top-100 tokens by term frequency with document frequency and
+    cumulative corpus coverage. The global order is applied only to the
+    top-n relation (TakeOrderedAndProject — no full sort)."""
+    return vocab_stats(table(spark, sf_dir, "documents"), top_n=100)
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,6 +1300,7 @@ def queries() -> dict[str, Query]:
         "unigram_logprob": q_unigram_logprob,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "profile_columns": q_profile_columns,
+        "vocab_stats": q_vocab_stats,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -3131,4 +3141,26 @@ def oracle_sql() -> dict[str, str]:
         ),
     )
     oracles["profile_columns"] = _profile_oracle_sql()
+
+    oracles["vocab_stats"] = """
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        t2 AS (SELECT doc, token FROM toks WHERE token <> ''),
+        counts AS (
+            SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc) AS df
+            FROM t2 GROUP BY token
+        ),
+        tot AS (SELECT SUM(tf) AS total_tokens FROM counts),
+        top AS (SELECT token, tf, df FROM counts ORDER BY tf DESC, token LIMIT 100)
+        SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS token_rank,
+               token, tf, df,
+               ROUND(tf / CAST(total_tokens AS DOUBLE), 6) AS frac,
+               ROUND(SUM(tf) OVER (ORDER BY tf DESC, token
+                                   ROWS UNBOUNDED PRECEDING)
+                     / CAST(total_tokens AS DOUBLE), 6) AS cum_frac
+        FROM top, tot ORDER BY token_rank
+    """
     return oracles

@@ -12,6 +12,7 @@ from fresco_hpc_spark.functions.text import (  # noqa: F401
     token_count,
     token_counts,
     unigram_logprob_score,
+    vocab_stats,
 )
 from fresco_hpc_spark.functions.sampling import (  # noqa: F401
     corpus_split,

@@ -563,3 +563,52 @@ def unigram_logprob_score(
         .select(F.col("doc").alias(id_col), "mean_logprob", "n_tokens")
         .orderBy(id_col)
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary statistics: the top-``top_n`` tokens by term
+    frequency with document frequency and cumulative coverage — the
+    preflight for tokenizer/BPE training (how much of the corpus does a
+    k-token vocabulary cover?) and for stop-word/df-cap threshold
+    selection in the dedup family.
+
+    Scale shape: one tokenize explode → one (token) partial-agg groupBy
+    (tf via count, df via approx-free countDistinct per token) → the
+    global (tf desc, token) order is applied ONLY to the top-n relation
+    (Catalyst turns orderBy+limit into TakeOrderedAndProject — no full
+    sort); the cumulative window then runs over ≤ top_n rows, so the
+    single-partition window is bounded by the parameter, not the corpus.
+    Totals ride a broadcast 1-row cross join. Deterministic tie-break:
+    (tf desc, token asc) is a total order.
+    """
+    from pyspark.sql import Window
+
+    df = _fan_out(df)
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("token"))
+    toks = toks.filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc").alias("df"),
+    )
+    totals = counts.agg(F.sum("tf").alias("total_tokens"))
+    top = counts.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(top_n)
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    cum = F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("token_rank"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("tf") / F.col("total_tokens"), _ROUND).alias("frac"),
+            F.round(cum / F.col("total_tokens"), _ROUND).alias("cum_frac"),
+        )
+        .orderBy("token_rank")
+    )

@@ -665,3 +665,21 @@ def test_minhash_index_store_roundtrip(spark, tmp_path):
     key = lambda r: (r.doc_a, r.doc_b, r.est_jaccard)  # noqa: E731
     assert sorted(map(key, direct)) == sorted(map(key, via_index))
     assert {(r.doc_a, r.doc_b) for r in direct} == {(i, 1000 + i) for i in range(5)}
+
+
+def test_vocab_stats_hand_computed(spark):
+    """tf/df/coverage on a tiny corpus with a tie broken by token order."""
+    from fresco_hpc_spark.functions import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "b b a"), (2, "a c b")], "doc_id bigint, text string"
+    )
+    rows = vocab_stats(df, top_n=2).collect()
+    # counts: b tf=3 df=2, a tf=2 df=2, c tf=1 df=1; total 6
+    assert [(r.token_rank, r.token, r.tf, r.df) for r in rows] == [
+        (1, "b", 3, 2),
+        (2, "a", 2, 2),
+    ]
+    assert rows[0].frac == 0.5 and rows[0].cum_frac == 0.5
+    assert rows[1].frac == round(2 / 6, 6)
+    assert rows[1].cum_frac == round(5 / 6, 6)
