@@ -1,6 +1,7 @@
 from fresco_hpc_spark.sources.readers import (  # noqa: F401
     load_tables,
     read_csv_tolerant,
+    read_jsonl_tolerant,
     read_parquet,
     table,
 )
@@ -20,6 +21,7 @@ from fresco_hpc_spark.sources.synthetic import (  # noqa: F401
 )
 from fresco_hpc_spark.sources.writers import (  # noqa: F401
     export_csv,
+    export_jsonl,
     write_chunked_parquet,
     validate_output,
 )

@@ -122,3 +122,37 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_jsonl_tolerant(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: "T.StructType | None" = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines source — the interchange format LLM corpora actually
+    arrive in (one JSON document per line). PERMISSIVE mode: malformed
+    lines land intact in ``corrupt_col`` instead of failing the read, so
+    a 100 TB crawl with a few broken shards still ingests; filter
+    ``col(corrupt_col).isNotNull()`` to quarantine them. Spark
+    restriction: filtering/projecting ONLY ``corrupt_col`` against the
+    raw file scan is disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    cache the parsed relation first when splitting good/bad.
+
+    With an explicit ``schema`` the scan is single-pass; without one
+    Spark runs a schema-inference pass first (fine interactively, pass a
+    schema in production — inference reads the data twice).
+    """
+    if schema is not None and corrupt_col not in schema.fieldNames():
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    if isinstance(path, list):
+        return reader.json(path)
+    return reader.json(path)

@@ -65,3 +65,23 @@ def validate_output(spark: SparkSession, path: str, expected_columns: list[str] 
         if missing:
             raise ValueError(f"output at {path} missing expected columns: {sorted(missing)}")
     return len(df.limit(1).collect()) >= 0
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSONL sink for curated corpora — the hand-off format downstream
+    tokenizer/training jobs consume. ``max_records_per_file`` bounds
+    shard size for downstream loaders that stream shards whole;
+    ``compression`` ("gzip"/"zstd"/...) trades CPU for the 3-5×
+    text-compression win that dominates storage cost at corpus scale."""
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
