@@ -667,6 +667,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style greedy embedding dedup (functions/vectors.py
+    semantic_dedup) over the planted-dup corpus; survivors joined back
+    to the original table for a scalar (vec_id, label) projection — the
+    embedding array itself is not driver-canonicalizable."""
+    from fresco_hpc_spark.functions import semantic_dedup
+
+    survivors = semantic_dedup(
+        _embeddings_with_dups(spark, sf_dir),
+        threshold=0.999,
+        num_planes=8,
+        materialize=True,
+    )
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        survivors.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select("vec_id", F.col("label").cast("bigint").alias("label"))
+        .orderBy("vec_id")
+    )
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_docs_with_dups(spark, sf_dir)).orderBy("doc_id")
 
@@ -1301,6 +1323,7 @@ def queries() -> dict[str, Query]:
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "profile_columns": q_profile_columns,
         "vocab_stats": q_vocab_stats,
+        "semantic_dedup": q_semantic_dedup,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -3162,5 +3185,32 @@ def oracle_sql() -> dict[str, str]:
                                    ROWS UNBOUNDED PRECEDING)
                      / CAST(total_tokens AS DOUBLE), 6) AS cum_frac
         FROM top, tot ORDER BY token_rank
+    """
+
+    oracles["semantic_dedup"] = """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        pairs AS (
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))), 6)
+                           AS cosine_sim
+                FROM base a JOIN base b ON a.vec_id < b.vec_id
+            ) WHERE cosine_sim >= 0.999
+        ),
+        survivors AS (
+            SELECT vec_id FROM base
+            WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+        )
+        SELECT s.vec_id, CAST(e.label AS BIGINT) AS label
+        FROM survivors s LEFT JOIN embeddings e ON s.vec_id = e.vec_id
+        ORDER BY s.vec_id
     """
     return oracles

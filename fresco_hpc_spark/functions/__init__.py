@@ -49,4 +49,5 @@ from fresco_hpc_spark.functions.vectors import (  # noqa: F401
     ivf_assign,
     ivf_train_centroids,
     lsh_ann_topk,
+    semantic_dedup,
 )

@@ -429,3 +429,43 @@ def class_centroids(
         )
         .orderBy("label")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_bucket_size: int | None = None,
+    materialize: bool = False,
+) -> DataFrame:
+    """SemDeDup-style greedy semantic deduplication: drop every vector
+    that has a near-duplicate (cosine ≥ threshold) with a SMALLER id;
+    keep the rest. The standard embedding-space dedup for pretraining
+    corpora — semantically-redundant documents whose text differs enough
+    to slip past MinHash/SimHash.
+
+    Greedy pairwise semantics (each item compares against ALL others,
+    not just prior survivors): the min-id member of every near-dup
+    neighborhood always survives; a member whose only smaller-id
+    neighbor was itself dropped is ALSO dropped. Deterministic and
+    exactly SQL-expressible. When one-canonical-per-connected-component
+    semantics are needed instead, compose ``embedding_near_dup_pairs``
+    with ``dedup.dup_clusters`` and keep each cluster's min.
+
+    Plan: near-dup pairs via the LSH bucket join (one shuffle), then a
+    LEFT ANTI join of the corpus against the dropped-id set — no second
+    pass over the vectors.
+    """
+    pairs = embedding_near_dup_pairs(
+        embeddings,
+        threshold=threshold,
+        num_planes=num_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+        target_bucket_size=target_bucket_size,
+        materialize=materialize,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dropped, id_col, "left_anti")

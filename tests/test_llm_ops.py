@@ -683,3 +683,25 @@ def test_vocab_stats_hand_computed(spark):
     assert rows[0].frac == 0.5 and rows[0].cum_frac == 0.5
     assert rows[1].frac == round(2 / 6, 6)
     assert rows[1].cum_frac == round(5 / 6, 6)
+
+
+def test_semantic_dedup_greedy_semantics(spark):
+    """Greedy pairwise rule on a 3-chain a~b~c (but a!~c): b is dropped
+    (pair with smaller a) and c is ALSO dropped (pair with smaller b,
+    even though b itself was dropped) — min-id survivor only. An
+    unrelated vector survives untouched."""
+    from fresco_hpc_spark.functions import semantic_dedup
+
+    # colinear chain: 1,2,3 identical direction (cosine 1.0 pairwise);
+    # 9 orthogonal
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (3, [0.5, 0.0, 0.0]),
+        (9, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = sorted(
+        r.vec_id for r in semantic_dedup(df, threshold=0.999, num_planes=4).collect()
+    )
+    assert out == [1, 9]
