@@ -380,6 +380,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf_top_terms(table(spark, sf_dir, "documents"), k=5)
 
 
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over event values (operators/timeseries.py ewma):
+    the self-referential recurrence SQL windows can't express, run as a
+    JVM higher-order fold. Nulls are filtered first (the recurrence's
+    null semantics would otherwise be engine-defined)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ops.ewma(ev, "user_id", "value", time_col="ts", alpha=0.3)
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary stats (functions/text.py vocab_stats):
     top-100 tokens by term frequency with document frequency and
@@ -1324,6 +1333,7 @@ def queries() -> dict[str, Query]:
         "profile_columns": q_profile_columns,
         "vocab_stats": q_vocab_stats,
         "semantic_dedup": q_semantic_dedup,
+        "ewma_user_value": q_ewma_user_value,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -3212,5 +3222,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.vec_id, CAST(e.label AS BIGINT) AS label
         FROM survivors s LEFT JOIN embeddings e ON s.vec_id = e.vec_id
         ORDER BY s.vec_id
+    """
+
+    # EWMA recurrence replayed as a recursive CTE stepping row_number;
+    # both engines evaluate 0.3*v + (1.0-0.3)*s in the same op order, so
+    # the fold is bit-identical before the final ROUND
+    oracles["ewma_user_value"] = """
+        WITH RECURSIVE t AS (
+            SELECT user_id, ts, CAST(value AS DOUBLE) AS value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, value) AS rn
+            FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT user_id, ts, rn, value AS ewma FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.user_id, t.ts, t.rn,
+                   0.3 * t.value + (1.0 - 0.3) * r.ewma
+            FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+        )
+        SELECT user_id, ts, ROUND(ewma, 6) AS ewma
+        FROM r ORDER BY user_id, ts
     """
     return oracles

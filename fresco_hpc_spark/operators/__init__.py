@@ -7,6 +7,7 @@ from fresco_hpc_spark.operators.stats import (  # noqa: F401
 )
 from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     duration_seconds,
+    ewma,
     gap_fill,
     hourly_agg,
     profile_agg,

@@ -362,3 +362,65 @@ def rolling_zscore(
             F.lit(False),
         ).alias("is_anomaly"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    time_col: str = "ts",
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average:
+    ``s₀ = v₀; sᵢ = α·vᵢ + (1−α)·sᵢ₋₁`` ordered by (time, value) within
+    each key — the standard smoothing for noisy telemetry, and a window
+    shape Spark's SQL windows cannot express (the recurrence references
+    its own previous OUTPUT, not an input frame).
+
+    Catalyst-native anyway: each key's series is collected to a sorted
+    array and the recurrence runs as ONE ``aggregate`` higher-order fold
+    (JVM codegen, no Python), then ``posexplode`` restores rows. The
+    fold evaluates α·v + (1−α)·s in a fixed order, so results are
+    bit-reproducible against any engine computing the same recurrence
+    (the oracle uses a recursive CTE).
+
+    Scale: one shuffle (the groupBy); each key's series must fit in one
+    task's memory — the same bound as any per-key ordered window. For
+    series beyond ~10⁷ rows/key, segment the fold by (key, time-bucket)
+    and stitch segment boundaries with a second pass.
+    """
+    a = F.lit(float(alpha))
+    pts = F.array_sort(
+        F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v")))
+    )
+    # fold: acc is the running array of (t, s); s_prev = last element
+    folded = F.aggregate(
+        pts,
+        F.expr("CAST(array() AS array<struct<t:timestamp,s:double>>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["t"].alias("t"),
+                    # try_element_at: null (not an ANSI error) on the
+                    # empty accumulator — the first element's seed case
+                    F.coalesce(
+                        a * x["v"]
+                        + (F.lit(1.0) - a) * F.try_element_at(acc, F.lit(-1))["s"],
+                        x["v"].cast("double"),
+                    ).alias("s"),
+                )
+            ),
+        ),
+    )
+    grouped = df.groupBy(F.col(key_col)).agg(folded.alias("_e"))
+    return (
+        grouped.select(key_col, F.posexplode("_e").alias("_i", "p"))
+        .select(
+            key_col,
+            F.col("p.t").alias(time_col),
+            F.round(F.col("p.s"), round_to).alias("ewma"),
+        )
+        .orderBy(key_col, time_col)
+    )

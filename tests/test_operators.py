@@ -227,3 +227,27 @@ def test_profile_columns_empty_table(spark):
     assert out["id"].n_rows == 0 and out["id"].n_nulls == 0
     assert out["id"].null_frac == 0.0 and out["id"].n_distinct == 0
     assert out["id"].min_value is None
+
+
+def test_ewma_hand_computed(spark):
+    """s0=v0; s_i = 0.3*v + 0.7*s. Two keys, interleaved input order —
+    the fold must sort by time within each key first."""
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import ewma
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 2), 20.0),  # out of order on purpose
+        ("a", datetime(2024, 1, 1, 0, 1), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 3), 0.0),
+        ("b", datetime(2024, 1, 1, 0, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {(r.k, r.ts.minute): r.ewma for r in ewma(df, "k", "v").collect()}
+    s1 = 10.0
+    s2 = 0.3 * 20.0 + (1.0 - 0.3) * s1
+    s3 = 0.3 * 0.0 + (1.0 - 0.3) * s2
+    assert out[("a", 1)] == round(s1, 6)
+    assert out[("a", 2)] == round(s2, 6)
+    assert out[("a", 3)] == round(s3, 6)
+    assert out[("b", 1)] == 5.0

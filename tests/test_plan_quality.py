@@ -151,7 +151,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "chunk_documents", "corpus_curation_v2",
         # round 4
         "tfidf_top_terms", "unigram_logprob", "cross_corpus_dedup",
-        "profile_columns", "vocab_stats",
+        "profile_columns", "vocab_stats", "semantic_dedup", "ewma_user_value",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
