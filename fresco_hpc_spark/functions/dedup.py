@@ -278,9 +278,27 @@ def ngram_jaccard_pairs_prefix(
         F.col("n_tokens") - F.ceil(F.lit(threshold) * F.col("n_tokens")) + 1
     )
     prefix = ranked.filter(F.col("rk") <= prefix_len).select(
-        "doc", "token", "n_tokens"
+        "doc", "token", "n_tokens", "rk"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # POSITIONAL filter (PPJoin, Xiao et al. ICDE'08, lossless): J ≥ t
+    # needs overlap α = ⌈t·(|a|+|b|)/(1+t)⌉; a candidate generated at
+    # prefix positions (rkₐ, rk_b) can still reach at most
+    # 1 + min(|a|−rkₐ, |b|−rk_b) shared tokens (everything after the
+    # matching position, plus the match). Requiring ubound ≥ α prunes
+    # candidates the plain prefix filter keeps — on EVERY df
+    # distribution, since it uses positions, not frequencies. The 1e-9
+    # slack keeps float rounding at exact-integer boundaries from
+    # pruning a true pair; a kept-extra candidate is harmless (the
+    # exact array_intersect verify follows).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_tokens") + F.col("b.n_tokens"))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.n_tokens") - F.col("a.rk"), F.col("b.n_tokens") - F.col("b.rk")
+    )
     cands = (
         a.join(
             b,
@@ -288,7 +306,8 @@ def ngram_jaccard_pairs_prefix(
             & (F.col("a.doc") < F.col("b.doc"))
             # length filter: |b| in [t·|a|, |a|/t] is necessary for J ≥ t
             & (F.col("b.n_tokens") >= F.lit(threshold) * F.col("a.n_tokens"))
-            & (F.col("a.n_tokens") >= F.lit(threshold) * F.col("b.n_tokens")),
+            & (F.col("a.n_tokens") >= F.lit(threshold) * F.col("b.n_tokens"))
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
