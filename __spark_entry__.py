@@ -580,6 +580,18 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(table(spark, sf_dir, "documents"))
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (functions/sampling.py
+    temperature_mixture_sample): T=2 flattens the source distribution,
+    rates derived from per-source counts entirely inside the plan."""
+    from fresco_hpc_spark.functions import temperature_mixture_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mixture_sample(
+        docs, "doc_id", "source", temperature=2.0, target_fraction=0.5
+    ).select("doc_id", "source", "sample_rate").orderBy("doc_id")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source data mixture (functions/sampling.py):
     keep 100% of src0, 50% of src1, 10% of everything else — the
@@ -1334,6 +1346,7 @@ def queries() -> dict[str, Query]:
         "vocab_stats": q_vocab_stats,
         "semantic_dedup": q_semantic_dedup,
         "ewma_user_value": q_ewma_user_value,
+        "temperature_mixture": q_temperature_mixture,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -3243,5 +3256,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, ts, ROUND(ewma, 6) AS ewma
         FROM r ORDER BY user_id, ts
+    """
+
+    oracles["temperature_mixture"] = """
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        w AS (SELECT source, n, pow(n, 1.0 / 2.0) AS wt FROM counts),
+        tot AS (SELECT SUM(n) AS total, SUM(wt) AS wsum FROM w),
+        rates AS (
+            SELECT source,
+                   LEAST(1.0, 0.5 * total * wt / (wsum * n)) AS rate
+            FROM w, tot
+        )
+        SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS sample_rate
+        FROM documents d JOIN rates r USING (source)
+        WHERE (('0x' || substr(md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)),
+                               1, 15))::BIGINT
+               / 1152921504606846976.0) < r.rate
+        ORDER BY d.doc_id
     """
     return oracles

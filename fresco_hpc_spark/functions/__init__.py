@@ -19,6 +19,7 @@ from fresco_hpc_spark.functions.sampling import (  # noqa: F401
     hash_fraction,
     hash_sample,
     stratified_hash_sample,
+    temperature_mixture_sample,
     token_budget_sample,
 )
 from fresco_hpc_spark.functions.dedup import (  # noqa: F401

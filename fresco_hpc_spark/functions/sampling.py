@@ -116,3 +116,61 @@ def token_budget_sample(
     return df.withColumn("_cum_tokens", cum).filter(
         F.col("_cum_tokens") <= F.lit(int(budget))
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    temperature: float = 2.0,
+    target_fraction: float = 0.5,
+    rate_col: str = "sample_rate",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual-pretraining
+    data-mixture rule: source s is sampled with probability
+    ``p_s ∝ n_s^(1/T)``. ``T = 1`` reproduces natural proportions;
+    larger T flattens toward uniform, boosting small sources' share
+    relative to head sources. Per-source keep rate is
+    ``min(1, target_fraction · total · p_s / n_s)`` — downsampling
+    only, so sources whose temperature share exceeds their size cap at
+    1.0 (true upsampling needs repetition, out of scope for a sampler;
+    chain with an explode-based repeater if required).
+
+    Unlike ``stratified_hash_sample`` the rates are DERIVED FROM THE
+    DATA, fully inside the plan: per-source counts → temperature
+    weights → a broadcast rate join (source vocabularies are small and
+    bounded — genuinely broadcastable, unlike token vocabularies). No
+    driver collect, no RNG: the per-row coin is the shared md5 hash
+    fraction, so the sample is deterministic and oracle-checkable.
+
+    Output: input rows that pass their source's coin, plus ``rate_col``
+    (the applied rate, rounded) for audit/debiasing downstream.
+    """
+    counts = df.groupBy(F.col(strata_col)).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.select(
+        strata_col,
+        "_n",
+        F.pow(F.col("_n").cast("double"), F.lit(1.0 / float(temperature))).alias("_w"),
+    )
+    totals = weights.agg(
+        F.sum("_n").alias("_total"), F.sum("_w").alias("_wsum")
+    )
+    rates = weights.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_fraction))
+            * F.col("_total")
+            * F.col("_w")
+            / (F.col("_wsum") * F.col("_n")),
+        ).alias("_rate"),
+    )
+    frac = hash_fraction(
+        F.concat(F.col(strata_col), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(frac < F.col("_rate"))
+        .withColumn(rate_col, F.round(F.col("_rate"), 6))
+        .drop("_rate")
+    )

@@ -705,3 +705,44 @@ def test_semantic_dedup_greedy_semantics(spark):
         r.vec_id for r in semantic_dedup(df, threshold=0.999, num_planes=4).collect()
     )
     assert out == [1, 9]
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    """T=1 keeps natural proportions (uniform rate across sources);
+    higher T boosts the small source's keep rate relative to the head
+    source; rates never exceed 1."""
+    from fresco_hpc_spark.functions import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def rates(t):
+        out = temperature_mixture_sample(
+            df, "doc_id", "source", temperature=t, target_fraction=0.5
+        )
+        return {
+            r.source: r.rate
+            for r in out.select("source", "sample_rate")
+            .withColumnRenamed("sample_rate", "rate")
+            .distinct()
+            .collect()
+        }
+
+    r1 = rates(1.0)
+    # T=1: p_s = n_s/total -> rate = target_fraction for every source
+    assert abs(r1["big"] - 0.5) < 1e-6 and abs(r1["small"] - 0.5) < 1e-6
+    r4 = rates(4.0)
+    assert r4["small"] > r4["big"]  # flattening boosts the tail source
+    assert r4["small"] <= 1.0
+    # expected keep counts track the rates (md5 coin is ~uniform)
+    out4 = temperature_mixture_sample(
+        df, "doc_id", "source", temperature=4.0, target_fraction=0.5
+    )
+    kept = {
+        r.source: r.n
+        for r in out4.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert abs(kept["big"] / 900 - r4["big"]) < 0.08
+    assert abs(kept["small"] / 100 - r4["small"]) < 0.15
