@@ -592,6 +592,16 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "sample_rate").orderBy("doc_id")
 
 
+def q_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional upsampling (functions/sampling.py weighted_repeat):
+    every document at weight 2.3 — two copies plus a deterministic 30%
+    third. Pairs with temperature_mixture for full mixture control."""
+    from fresco_hpc_spark.functions import weighted_repeat
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return weighted_repeat(docs, "doc_id", 2.3).orderBy("doc_id", "copy_idx")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source data mixture (functions/sampling.py):
     keep 100% of src0, 50% of src1, 10% of everything else — the
@@ -1347,6 +1357,7 @@ def queries() -> dict[str, Query]:
         "semantic_dedup": q_semantic_dedup,
         "ewma_user_value": q_ewma_user_value,
         "temperature_mixture": q_temperature_mixture,
+        "weighted_repeat": q_weighted_repeat,
         # -- newest green row is r02 (displaced by the r03 window):
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
@@ -3275,5 +3286,19 @@ def oracle_sql() -> dict[str, str]:
                                1, 15))::BIGINT
                / 1152921504606846976.0) < r.rate
         ORDER BY d.doc_id
+    """
+
+    oracles["weighted_repeat"] = """
+        WITH w AS (
+            SELECT doc_id, source,
+                   2 + CASE WHEN (('0x' || substr(md5('repeat|'
+                                      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                  / 1152921504606846976.0) < (2.3 - floor(2.3))
+                            THEN 1 ELSE 0 END AS n
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(t.c AS INT) AS copy_idx
+        FROM w, UNNEST(generate_series(0, n - 1)) AS t(c)
+        ORDER BY doc_id, copy_idx
     """
     return oracles

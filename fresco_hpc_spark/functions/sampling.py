@@ -133,8 +133,8 @@ def temperature_mixture_sample(
     relative to head sources. Per-source keep rate is
     ``min(1, target_fraction · total · p_s / n_s)`` — downsampling
     only, so sources whose temperature share exceeds their size cap at
-    1.0 (true upsampling needs repetition, out of scope for a sampler;
-    chain with an explode-based repeater if required).
+    1.0; chain with ``weighted_repeat`` when a source's temperature
+    share calls for true upsampling beyond rate 1.
 
     Unlike ``stratified_hash_sample`` the rates are DERIVED FROM THE
     DATA, fully inside the plan: per-source counts → temperature
@@ -174,3 +174,35 @@ def temperature_mixture_sample(
         .withColumn(rate_col, F.round(F.col("_rate"), 6))
         .drop("_rate")
     )
+
+
+def weighted_repeat(
+    df: DataFrame,
+    key_col: str,
+    weight: Column | float,
+    copy_col: str = "copy_idx",
+    salt: str = "repeat",
+) -> DataFrame:
+    """Deterministic fractional UPSAMPLING — the other half of mixture
+    construction (``temperature_mixture_sample`` only downsamples): each
+    row is emitted ``⌊w⌋`` times plus one more when its hash coin falls
+    under ``frac(w)``, so expected multiplicity is exactly ``w`` with
+    zero RNG. ``weight`` may be a constant or a Column (e.g. a
+    per-source weight joined on). ``copy_col`` (0-based) distinguishes
+    the copies so downstream exact-dedup doesn't immediately undo the
+    repetition and shuffles spread copies across partitions.
+
+    Map-side only: ``sequence`` + ``explode`` per row, no shuffle, no
+    driver involvement; the salted coin is decorrelated from the
+    sampling/split coins on the same keys.
+    """
+    w = F.lit(float(weight)) if isinstance(weight, (int, float)) else weight
+    w = w.cast("double")
+    base = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    coin = hash_fraction(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    n_copies = base + F.when(coin < frac, F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies.cast("int") - 1)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return df.withColumn(copy_col, F.explode(copies))

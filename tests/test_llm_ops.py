@@ -746,3 +746,32 @@ def test_temperature_mixture_flattens_sources(spark):
     }
     assert abs(kept["big"] / 900 - r4["big"]) < 0.08
     assert abs(kept["small"] / 100 - r4["small"]) < 0.15
+
+
+def test_weighted_repeat_multiplicity(spark):
+    """Integer weights repeat exactly; fractional weights repeat in
+    expectation; weight < 1 downsamples; column weights per source."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import weighted_repeat
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        "doc_id bigint, source string",
+    )
+    # exact integer weight: every row exactly 3 copies, idx 0..2
+    out3 = weighted_repeat(df, "doc_id", 3.0)
+    assert out3.count() == 3000
+    assert out3.groupBy("doc_id").count().filter("count != 3").count() == 0
+    assert {r.copy_idx for r in out3.filter("doc_id = 0").collect()} == {0, 1, 2}
+    # fractional: expectation 1.5x
+    n15 = weighted_repeat(df, "doc_id", 1.5).count()
+    assert abs(n15 / 1000 - 1.5) < 0.08
+    # sub-1 weight: deterministic thinning
+    n05 = weighted_repeat(df, "doc_id", 0.5).count()
+    assert abs(n05 / 1000 - 0.5) < 0.08
+    # per-source column weight: a x2, b x0 (dropped entirely)
+    wcol = F.when(F.col("source") == "a", 2.0).otherwise(0.0)
+    outw = weighted_repeat(df, "doc_id", wcol)
+    assert outw.filter("source = 'b'").count() == 0
+    assert outw.filter("source = 'a'").count() == 1000

@@ -152,7 +152,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 4
         "tfidf_top_terms", "unigram_logprob", "cross_corpus_dedup",
         "profile_columns", "vocab_stats", "semantic_dedup", "ewma_user_value",
-        "temperature_mixture",
+        "temperature_mixture", "weighted_repeat",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
