@@ -238,3 +238,84 @@ def test_chunking_covers_every_token_with_exact_overlap(
     assert covered == set(range(len(words)))
     for r in rows[:-1]:
         assert r.n_tokens == chunk  # only the last chunk may be short
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@_settings
+def test_prefix_jaccard_equals_plain_on_any_corpus(spark, texts):
+    """Prefix + positional filtering is LOSSLESS for any corpus: the
+    PPJoin variant must return exactly the plain self-join's relation.
+    Single-letter tokens from a tiny alphabet maximize df collisions and
+    tie-heavy rank orders — the hardest case for the pruning bounds."""
+    from fresco_hpc_spark.functions import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, n=1, threshold=0.4, max_token_freq=10**9
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs_prefix(df, n=1, threshold=0.4).collect()
+    }
+    assert plain == pref
+
+
+@given(
+    vals=st.lists(finite_doubles, min_size=1, max_size=40),
+    alpha=st.floats(min_value=0.05, max_value=0.95),
+)
+@_settings
+def test_ewma_matches_python_reference(spark, vals, alpha):
+    from datetime import datetime, timedelta
+
+    from fresco_hpc_spark.operators import ewma
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = [
+        r.ewma
+        for r in ewma(df, "k", "v", alpha=alpha).orderBy("ts").collect()
+    ]
+    s, exp = None, []
+    for v in vals:
+        s = v if s is None else alpha * v + (1.0 - alpha) * s
+        exp.append(round(s, 6))
+    assert got == exp
+
+
+@given(w=st.floats(min_value=0.0, max_value=5.0))
+@_settings
+def test_weighted_repeat_multiplicity_bounds(spark, w):
+    """Every row appears either floor(w) or ceil(w) times (exactly w
+    when w is integral), and copy indices are dense from 0."""
+    import math
+
+    from fresco_hpc_spark.functions import weighted_repeat
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id bigint"
+    )
+    out = weighted_repeat(df, "doc_id", w).groupBy("doc_id").count().collect()
+    lo, hi = math.floor(w), math.ceil(w)
+    counts = {r.doc_id: r["count"] for r in out}
+    for n in counts.values():
+        assert n in (lo, hi) and n > 0
+    # rows with zero copies are absent entirely
+    assert len(counts) <= 30
