@@ -372,11 +372,21 @@ def minhash_signatures(
 
 
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc, sig, band, band_sig) from a signature relation: band sigs are
-    xxhash64 of the signature slice, all bands in ONE posexplode pass."""
+    """(doc, sig, band, band_sig) from a signature relation: band sigs
+    are xxhash64 of (band index, signature slice), all bands in ONE
+    posexplode pass. Folding the band INDEX into the hash makes
+    ``band_sig`` alone the complete LSH bucket key — candidate joins
+    need a single join key, which (a) simplifies every plan and (b)
+    lets a stored index bucketed on ``band_sig`` join future batches
+    with zero index-side exchange (Spark's bucketed-join optimization
+    engages only when the join keys equal the bucket column —
+    test_planner pins this)."""
     r = num_hashes // bands
     band_sigs = F.array(
-        *[F.xxhash64(F.slice("sig", band * r + 1, r)) for band in range(bands)]
+        *[
+            F.xxhash64(F.lit(band), F.slice("sig", band * r + 1, r))
+            for band in range(bands)
+        ]
     )
     return sig.select("doc", "sig", F.posexplode(band_sigs).alias("band", "band_sig"))
 
@@ -427,8 +437,8 @@ def minhash_dup_pairs(
     result = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            # band_sig embeds the band index (_banded): one join key
+            (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
@@ -512,8 +522,10 @@ def minhash_dup_pairs_between(
     result = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig")),
+            # single bucket key (band index folded into band_sig) — a
+            # stored index bucketed on band_sig joins with no
+            # index-side exchange
+            F.col("a.band_sig") == F.col("b.band_sig"),
         )
         .select(
             F.col("a.doc").alias("doc_a"),

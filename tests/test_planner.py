@@ -261,3 +261,50 @@ def test_compact_store_heals_crashed_swap(spark, tmp_path):
         assert not Path(p + "._compact_bak").exists()
         assert not Path(p + "._compact_tmp").exists()
     assert read_partitioned_store(spark, store).count() == before
+
+
+def test_bucketed_band_index_joins_without_index_side_exchange(spark, tmp_path):
+    """The incremental-dedup index at rest: storing minhash_band_index as
+    a table bucketed on band_sig lets every future batch's candidate
+    join read the index WITHOUT re-shuffling it — only the (small) new
+    batch pays an exchange. band_sig embeds the band index (_banded), so
+    it is the complete LSH bucket key and the single join key equals the
+    bucket column — the condition for Spark's bucketed-scan join."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import minhash_band_index
+    from fresco_hpc_spark.plans import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        train = spark.createDataFrame(
+            [(i, f"w{i} alpha w{i} bravo w{i} charlie w{i} delta w{i} echo")
+             for i in range(40)],
+            "doc_id bigint, text string",
+        )
+        batch = spark.createDataFrame(
+            [(1000 + i, f"w{i} alpha w{i} bravo w{i} charlie w{i} delta w{i} echo")
+             for i in range(5)],
+            "doc_id bigint, text string",
+        )
+        write_bucketed_table(
+            minhash_band_index(train), "band_idx_bkt", "band_sig", n_buckets=4
+        )
+        idx = spark.table("band_idx_bkt").alias("a")
+        b = minhash_band_index(batch).alias("b")
+        cands = idx.join(
+            b, F.col("a.band_sig") == F.col("b.band_sig")
+        ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        # the index side reads bucketed with ZERO exchange; the only two
+        # exchanges belong to the batch side (its signature aggregation
+        # and its alignment to the index's bucketing)
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        assert plan.count("Exchange") == 2
+        assert "SortMergeJoin" in plan
+        # the planted copies still surface through the stored index
+        found = {(r.doc_a, r.doc_b) for r in cands.distinct().collect()}
+        assert {(i, 1000 + i) for i in range(5)} <= found
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS band_idx_bkt")
