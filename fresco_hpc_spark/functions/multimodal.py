@@ -477,3 +477,107 @@ def extract_audio_features(df: DataFrame, window_samples: int = 256) -> DataFram
     return df.filter(F.col("modality") == "audio").mapInPandas(
         extract, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _avg_hash_bits(rgb: bytes, w: int, h: int, grid: int = 8) -> int:
+    """64-bit average hash: luminance → ``grid×grid`` block means → bit i
+    set when block i exceeds the global block mean. The classic
+    perceptual hash: robust to re-encoding, resizing, and small pixel
+    edits; Hamming distance ranks visual similarity."""
+    arr = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64).reshape(h, w, 3)
+    lum = arr @ np.array([0.299, 0.587, 0.114])
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    blocks = np.empty((grid, grid))
+    for by in range(grid):
+        for bx in range(grid):
+            blocks[by, bx] = lum[ys[by]:ys[by + 1], xs[bx]:xs[bx + 1]].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    # keep inside signed-64 non-negative range: fold bit 63 into bit 62's
+    # neighborhood is WRONG (loses information) — instead store the raw
+    # 64-bit pattern as Python int and let two's-complement wrap to
+    # signed; Hamming via XOR is sign-agnostic
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-image 64-bit perceptual (average) hash over DECODED pixels —
+    the multimodal near-dup key: re-encoded, resized, or slightly edited
+    copies of an image land within a few bits of each other, which pure
+    byte-level dedup (md5 of payload) can never see. One Arrow-batched
+    ``mapInPandas`` crossing; non-image rows are filtered out (same
+    contract as decode_image_features)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_hash = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(p))
+                out_ids.append(int(mid))
+                out_hash.append(_avg_hash_bits(rgb, w, h, grid))
+            yield pd.DataFrame({"media_id": out_ids, "phash": out_hash})
+
+    return df.filter(F.col("modality") == "image").mapInPandas(
+        kernel, schema=PHASH_SCHEMA
+    )
+
+
+def phash_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    sig_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs from 64-bit perceptual hashes by the
+    SimHash pigeonhole: split each hash into four 16-bit chunks — any
+    pair within Hamming distance 3 must agree on at least one full
+    chunk — candidates join on (chunk index, chunk value), exact Hamming
+    filters. Same scale shape as simhash_dup_pairs: equi-join on bucket
+    keys, no cartesian product, candidates ∝ collisions not n².
+    Composable with the hash relation stored/bucketed like the MinHash
+    band index."""
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col(sig_col), 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("_sig"),
+        F.posexplode(chunks).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a._sig").bitwiseXOR(F.col("b._sig"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias(f"{id_col}_a"),
+            F.col("b.doc").alias(f"{id_col}_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+        .orderBy(f"{id_col}_a", f"{id_col}_b")
+    )

@@ -330,3 +330,54 @@ def test_image_features_feed_embedding_near_dups(spark):
         vec_col="features",
     ).collect()
     assert any(r.id_a == 0 and r.id_b == 300 for r in pairs), pairs
+
+
+def test_perceptual_hash_near_dup_pairs(spark):
+    """pHash near-dup: an exact pixel copy hashes identically (hamming
+    0); a lightly-edited copy (a few pixels changed) lands within the
+    hamming budget; distinct gradient images never pair. Byte-level
+    dedup can see none of this — the copies are separate PNG encodes."""
+    from fresco_hpc_spark.functions import (
+        image_perceptual_hash,
+        phash_dup_pairs,
+        synthetic_media,
+    )
+    from fresco_hpc_spark.functions.codecs import encode_png
+    from fresco_hpc_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _image_rgb,
+        _media_dims,
+    )
+
+    media = synthetic_media(spark, 12, modality="image")
+    w, h = _media_dims(0)
+    base_rgb = _image_rgb(0, w, h)
+    edited = bytearray(base_rgb)
+    for i in range(0, 30, 3):  # brighten 10 pixels slightly
+        edited[i] = min(255, edited[i] + 8)
+    extra = spark.createDataFrame(
+        [
+            {
+                "media_id": 300,
+                "modality": "image",
+                "payload": encode_png(w, h, base_rgb),
+                "meta": {"width": w, "height": h, "sample_rate": None,
+                         "duration_s": None, "format": "png"},
+            },
+            {
+                "media_id": 301,
+                "modality": "image",
+                "payload": encode_png(w, h, bytes(edited)),
+                "meta": {"width": w, "height": h, "sample_rate": None,
+                         "duration_s": None, "format": "png"},
+            },
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    hashes = image_perceptual_hash(media.unionByName(extra))
+    pairs = {(r.media_id_a, r.media_id_b): r.hamming
+             for r in phash_dup_pairs(hashes, max_hamming=3).collect()}
+    assert pairs.get((0, 300)) == 0, f"exact copy not found: {pairs}"
+    assert (0, 301) in pairs or (300, 301) in pairs, f"edited copy missed: {pairs}"
+    # distinct synthetic gradients must not pair with each other
+    assert not any(a < 300 and b < 300 for a, b in pairs), pairs
