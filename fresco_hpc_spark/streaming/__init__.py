@@ -1,4 +1,5 @@
 from fresco_hpc_spark.streaming.dedup import (  # noqa: F401
+    start_incremental_ingest,
     streaming_dedup,
 )
 from fresco_hpc_spark.streaming.stateful import (  # noqa: F401

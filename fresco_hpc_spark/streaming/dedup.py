@@ -51,3 +51,94 @@ def streaming_dedup(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def start_incremental_ingest(
+    spark,
+    stream_df: DataFrame,
+    index_table: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_buckets: int = 8,
+    available_now: bool = False,
+):
+    """Continuous near-dup-free corpus ingest: every micro-batch is
+    deduplicated WITHIN itself (MinHash pairs → greedy min-id survivor)
+    and AGAINST everything previously accepted — via the persistent
+    band index (functions/dedup.py ``minhash_band_index``), never by
+    re-reading accepted text. Survivors append to ``accepted_dir``
+    (parquet) and their index rows append to the bucketed
+    ``index_table``, so the next batch's cross-check joins with zero
+    index-side exchange (test_planner pins that plan).
+
+    Failure semantics: the file-source checkpoint gives exactly-once
+    BATCHES; a crash between the two writes can leave a batch's index
+    rows without its accepted rows (or duplicated index rows on
+    replay). Both are SAFE here by construction — extra/duplicate index
+    rows only re-generate candidates against documents that are then
+    dropped as duplicates; they can never wrongly ACCEPT a document.
+    This idempotency-by-semantics is why the index append needs no
+    transactional sink.
+    """
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions.dedup import (
+        minhash_band_index,
+        minhash_dup_pairs,
+        minhash_dup_pairs_between,
+    )
+    from fresco_hpc_spark.plans.store import write_bucketed_table
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        # 1. within-batch: greedy min-id survivor per near-dup pair
+        pairs = minhash_dup_pairs(
+            batch_df, text_col, id_col, shingle_n=shingle_n, threshold=threshold
+        )
+        dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        survivors = batch_df.join(dropped, id_col, "left_anti")
+        # 2. against the accepted corpus via the stored band index
+        if spark.catalog.tableExists(index_table):
+            cross = minhash_dup_pairs_between(
+                spark.table(index_table),
+                survivors,
+                text_col,
+                id_col,
+                shingle_n=shingle_n,
+                threshold=threshold,
+                left_is_index=True,
+            )
+            dup_ids = cross.select(F.col("doc_b").alias(id_col)).distinct()
+            survivors = survivors.join(dup_ids, id_col, "left_anti")
+        # one deterministic materialization: both writes below must see
+        # the same survivor set even though the plan is nondeterministic
+        # only in ordering (localCheckpoint avoids recompute divergence)
+        survivors = survivors.localCheckpoint(eager=True)
+        if not survivors.head(1):
+            return
+        # 3. accepted corpus rows
+        survivors.write.mode("append").parquet(accepted_dir)
+        # 4. index rows for future batches
+        write_bucketed_table(
+            minhash_band_index(survivors, text_col, id_col, shingle_n=shingle_n),
+            index_table,
+            "band_sig",
+            n_buckets=n_buckets,
+            mode="append",
+        )
+        # the append runs on the micro-batch's cloned session; refresh
+        # the driver session's cached file listing or the NEXT batch's
+        # cross-check (and any outer reader) joins against a stale index
+        spark.catalog.refreshTable(index_table)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

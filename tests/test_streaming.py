@@ -571,3 +571,79 @@ def test_stateful_rates_ttl_evicts_idle_groups(spark, tmp_path):
     # eviction reset the carried state
     assert ("g1", 60, 10.0) not in got
     assert not any(k == "g1" and t == 60 for k, t, _ in got)
+
+
+def test_incremental_ingest_dedups_within_and_across_batches(spark, tmp_path):
+    """Near-dup-free continuous ingest (streaming/dedup.py
+    start_incremental_ingest): batch 1 accepts two distinct docs and
+    seeds the band index; batch 2's copy of an accepted doc is dropped
+    via the STORED index (its text is never re-read), its in-batch
+    near-dup pair collapses to the min id, and its genuinely new doc is
+    accepted and indexed."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fresco_hpc_spark.streaming import start_incremental_ingest
+
+    def doc(i):
+        return (f"w{i} alpha w{i} bravo w{i} charlie w{i} delta w{i} echo "
+                f"w{i} foxtrot w{i} golf w{i} hotel")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": [doc(1), doc(2)]}).to_csv(
+        src / "a.csv", index=False
+    )
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            # 10 duplicates accepted doc 1; 11/12 are an in-batch dup pair
+            "text": [doc(1), doc(7), doc(7)],
+        }
+    ).to_csv(src / "b.csv", index=False)
+    pd.DataFrame(
+        {
+            "doc_id": [20, 21],
+            # 20 duplicates doc 11, accepted only in the PREVIOUS batch —
+            # catches a stale index listing (the append runs on the
+            # micro-batch's cloned session); 21 is new
+            "text": [doc(7), doc(9)],
+        }
+    ).to_csv(src / "c.csv", index=False)
+    os.utime(src / "a.csv", (1000000000, 1000000000))
+    os.utime(src / "b.csv", (1000000100, 1000000100))
+    os.utime(src / "c.csv", (1000000200, 1000000200))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    spark.sql("DROP TABLE IF EXISTS ingest_band_idx")
+    try:
+        q = start_incremental_ingest(
+            spark,
+            stream,
+            index_table="ingest_band_idx",
+            accepted_dir=str(tmp_path / "accepted"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        accepted = {
+            r.doc_id for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+        }
+        assert accepted == {1, 2, 11, 21}, accepted
+        # the index covers exactly the accepted docs (16 bands each)
+        idx_docs = {
+            r.doc for r in spark.table("ingest_band_idx").select("doc").distinct().collect()
+        }
+        assert idx_docs == {1, 2, 11, 21}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_band_idx")
