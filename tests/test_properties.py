@@ -20,8 +20,17 @@ _settings = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+# allow_subnormal=False: interpolating between 0.0 and a subnormal (e.g.
+# 5e-324) lands on a halfway point below the subnormal granularity, where
+# numpy and the JVM legitimately round to different neighbors — an IEEE
+# edge with no correct answer, not an engine discrepancy (hypothesis
+# found vals=[0.0×5, 1.0, 5e-324] flipping a percentile bound by 1 ulp)
 finite_doubles = st.floats(
-    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    min_value=-1e6,
+    max_value=1e6,
+    allow_nan=False,
+    allow_infinity=False,
+    allow_subnormal=False,
 )
 
 
