@@ -693,9 +693,20 @@ def simhash_dup_pairs(
     # through the band join so Hamming distance is computed in-join —
     # two shuffles total instead of union + distinct + two back-joins.
     sig = simhash_signatures(df, text_col, id_col)
+    # composite bucket key: chunk values are 16-bit, so band*2^16 + value
+    # is exact (no hashing) and makes band_key ALONE the complete LSH
+    # bucket key — one join key, and a stored simhash index bucketed on
+    # band_key joins with zero index-side exchange, same mechanics as
+    # the MinHash band index (test_planner)
     chunks = F.array(*[F.col(f"chunk_{c}") for c in range(4)])
+    band_keys = F.array(
+        *[
+            (F.lit(c * 65536).cast("bigint") + F.col(f"chunk_{c}"))
+            for c in range(4)
+        ]
+    )
     banded = sig.select(
-        "doc", chunks.alias("chunks"), F.posexplode(chunks).alias("band", "band_val")
+        "doc", chunks.alias("chunks"), F.posexplode(band_keys).alias("band", "band_key")
     )
 
     if materialize:
@@ -710,8 +721,7 @@ def simhash_dup_pairs(
     result = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
