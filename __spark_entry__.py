@@ -375,8 +375,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by smoothed TF-IDF
     (functions/text.py tf_idf_top_terms): keyword extraction for corpus
-    curation. Integer-triple ranking (tf desc, df asc, token) keeps the
-    ranks engine-reproducible; the float score is display-only."""
+    curation. Ranked by the rounded score itself (ADVICE r4: tf-first
+    ranking could omit the true top-TF-IDF terms), with the integer
+    triple (tf desc, df asc, token) as deterministic tiebreak."""
     return tf_idf_top_terms(table(spark, sf_dir, "documents"), k=5)
 
 
@@ -3160,7 +3161,9 @@ def oracle_sql() -> dict[str, str]:
                        AS tf_idf,
                    ROW_NUMBER() OVER (
                        PARTITION BY tf.doc
-                       ORDER BY tf.tf DESC, f.df ASC, tf.token ASC
+                       ORDER BY ROUND(tf.tf * (ln((n.n_docs + 1.0)
+                                               / (f.df + 1.0)) + 1), 6) DESC,
+                                tf.tf DESC, f.df ASC, tf.token ASC
                    ) AS term_rank
             FROM tf JOIN docfreq f USING (token), n
         )

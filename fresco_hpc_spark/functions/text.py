@@ -440,13 +440,15 @@ def tf_idf_top_terms(
     topic tagging, and building per-domain vocabularies.
 
     ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn-style smooth
-    idf: never zero, never divides by zero). Ranking is by the INTEGER
-    triple (tf desc, df asc, token asc), not the float score — ranks are
-    then bit-reproducible in any engine regardless of libm's ln rounding,
-    while the emitted score stays the familiar float (rounded to 6 dp,
-    which is far coarser than any 1-ulp ln divergence). Note the triple
-    is consistent with the score ordering: within a doc, higher tf ⇒
-    higher score, and at equal tf, lower df ⇒ higher idf ⇒ higher score.
+    idf: never zero, never divides by zero). Ranking is by the SCORE
+    itself (rounded to 6 dp — the same rounded value the column emits
+    and the oracle hash-compares, so ranking by it adds no new
+    cross-engine risk beyond the value comparison that already holds),
+    with the integer triple (tf desc, df asc, token asc) as a
+    deterministic tiebreak at equal rounded score. Ranking by tf alone
+    would be wrong: a tf=1 rare term (idf ≈ ln((N+1)/2)+1) outscores a
+    tf=2 everywhere-term (idf = 1) whenever N ≥ 9, so ``term_rank`` is
+    guaranteed monotonic in ``tf_idf`` only under score-first ordering.
 
     Scale shape: tokenize (map) → (doc, token) counts and (token) df
     (two partial-agg shuffles) → equi-join on token (df is
@@ -481,7 +483,10 @@ def tf_idf_top_terms(
         )
     )
     w = Window.partitionBy("doc").orderBy(
-        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+        F.col("tf_idf").desc(),
+        F.col("tf").desc(),
+        F.col("df").asc(),
+        F.col("token").asc(),
     )
     return (
         scored.withColumn("term_rank", F.row_number().over(w))

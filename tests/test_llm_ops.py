@@ -495,10 +495,10 @@ def test_pair_generators_leave_no_persisted_rdds(spark, docs_with_dups):
 
 
 def test_tfidf_top_terms_hand_computed(spark):
-    """Ranking is by (tf desc, df asc, token asc): within doc 1, 'apple'
-    (tf=3) outranks 'banana' (tf=2) outranks the corpus-wide 'the'
-    (tf=2 but df=3 — at equal tf, rarer wins). Scores use smooth idf
-    ln((N+1)/(df+1)) + 1."""
+    """Ranking is by the rounded score with (tf desc, df asc, token asc)
+    tiebreak: within doc 1, 'apple' (tf=3) outranks 'banana' (tf=2)
+    outranks the corpus-wide 'the' (tf=2 but df=3 — rarer wins on
+    score). Scores use smooth idf ln((N+1)/(df+1)) + 1."""
     import math
 
     from fresco_hpc_spark.functions import tf_idf_top_terms
@@ -522,6 +522,23 @@ def test_tfidf_top_terms_hand_computed(spark):
     # doc 2: 'cherry' (df=1) must outrank 'the' (df=3) despite equal tf
     d2 = [r for r in out if r.doc_id == 2]
     assert [r.token for r in d2] == ["cherry", "the"]
+
+
+def test_tfidf_rank_is_monotonic_in_score(spark):
+    """ADVICE r4 regression: a tf=1 rare term must outrank a tf=2
+    everywhere-term when its score is higher. Corpus of 9 docs where
+    'the' appears in all 9 (idf=1): doc 1 holds 'the the rare' — score
+    'rare' = ln(10/2)+1 ≈ 2.609 > score 'the' = 2.0, so 'rare' takes
+    rank 1 despite the lower tf. tf-first ranking would invert this."""
+    from fresco_hpc_spark.functions import tf_idf_top_terms
+
+    rows = [(1, "the the rare")] + [(i, "the") for i in range(2, 10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = tf_idf_top_terms(df, k=2).collect()
+    d1 = [(r.term_rank, r.token) for r in out if r.doc_id == 1]
+    assert d1 == [(1, "rare"), (2, "the")]
+    scores = {r.token: r.tf_idf for r in out if r.doc_id == 1}
+    assert scores["rare"] > scores["the"]
 
 
 def test_tfidf_empty_and_whitespace_documents(spark):
