@@ -116,6 +116,74 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup across the corpus — the C4/CCNet-style
+    boilerplate-removal pass: every paragraph (``sep``-split segment of
+    ``text_col``) is kept only at its FIRST occurrence corpus-wide
+    (global order: min (doc, paragraph index)); later copies — headers,
+    footers, license blocks, navboxes — are stripped and each document
+    is reassembled from its surviving paragraphs.
+
+    Matching is on the normalized paragraph (lower, collapse whitespace,
+    trim); empty segments are dropped. Output: one row per input
+    document with ``n_paras`` (non-empty paragraphs in), ``n_kept``
+    (survivors), and ``clean_text`` (survivors re-joined by
+    ``join_sep`` in original order; '' when everything was boilerplate).
+
+    Scale shape (100 TB): split+explode is map-only; the first-occurrence
+    winner per paragraph is ``min(struct(doc, idx, para))`` under a
+    groupBy on the md5 fingerprint — a partial-aggregatable min, so the
+    one fingerprint shuffle carries pre-combined partials even for a
+    boilerplate paragraph repeated in millions of documents (a window
+    ``row_number`` over the fingerprint would instead sort that entire
+    skewed group). Reassembly is a per-doc groupBy over survivors only.
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+        )
+        .withColumn(
+            "_norm",
+            F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")),
+        )
+        .filter(F.col("_norm") != "")
+        .withColumn("_fp", F.md5(F.col("_norm")))
+    )
+    keepers = (
+        paras.groupBy("_fp")
+        .agg(F.min(F.struct("doc", "idx", "para")).alias("k"))
+        .select(F.col("k.doc").alias("doc"), F.col("k.idx").alias("idx"), F.col("k.para").alias("para"))
+    )
+    totals = paras.groupBy("doc").agg(F.count(F.lit(1)).alias("n_paras"))
+    kept = keepers.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(kept, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_paras").cast("bigint").alias("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def _tokens_with_stats(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:

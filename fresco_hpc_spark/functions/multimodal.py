@@ -494,6 +494,11 @@ def _avg_hash_bits(rgb: bytes, w: int, h: int, grid: int = 8) -> int:
     edits; Hamming distance ranks visual similarity."""
     arr = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64).reshape(h, w, 3)
     lum = arr @ np.array([0.299, 0.587, 0.114])
+    # ADVICE r4: a width or height below the grid would make some block
+    # slices empty (mean() -> NaN, every comparison False, hash 0 — all
+    # tiny images would pair as Hamming-0 duplicates). Clamp to an
+    # effective grid so every block holds >= 1 pixel.
+    grid = max(1, min(grid, w, h))
     ys = (np.arange(grid + 1) * h) // grid
     xs = (np.arange(grid + 1) * w) // grid
     blocks = np.empty((grid, grid))

@@ -617,3 +617,79 @@ def vocab_stats(
         )
         .orderBy("token_rank")
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """Exact substring-duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    re-expressed relationally): for every document, the fraction of its
+    word ``n``-gram positions whose n-gram also appears in at least one
+    OTHER document. High ``dup_frac`` marks near-verbatim recopies,
+    templated pages, and licence boilerplate that document-level
+    MinHash misses when the surrounding text differs; a threshold on
+    this column (or span-level removal keyed on the same relation) is a
+    standard pretraining cleanup.
+
+    Output: one row per document — ``n_grams`` (sliding positions,
+    0 for docs shorter than n), ``n_dup_grams`` (positions whose gram's
+    corpus document-frequency ≥ 2), ``dup_frac`` (rounded ratio, 0.0
+    when no grams).
+
+    Scale shape (100 TB): tokenize + sliding slice is map-only; grams
+    travel as md5 fingerprints (16 B fixed, not the raw 10-gram
+    string, so the shuffle width is independent of n); gram document
+    frequency is a partial-aggregated groupBy; the dup flag rejoins on
+    the fingerprint (equi-join) and the per-doc rollup is a second
+    partial agg. No windows, no cartesian products.
+    """
+    df = _fan_out(df)
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # guard: F.sequence(1, m) steps DOWNWARD when m < 1 — emit no
+    # positions for docs shorter than n instead of a reversed range
+    npos = F.size(words) - F.lit(n - 1)
+    starts = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                starts, lambda s: F.md5(F.array_join(F.slice(words, s, n), " "))
+            )
+        ).alias("gram_fp"),
+    )
+    gram_df = (
+        grams.select("doc", "gram_fp")
+        .distinct()
+        .groupBy("gram_fp")
+        .agg(F.count(F.lit(1)).alias("gram_docs"))
+    )
+    dup_counts = (
+        grams.join(gram_df.filter(F.col("gram_docs") >= 2), "gram_fp")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    totals = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    base = df.select(F.col(id_col).alias("doc")).distinct()
+    return (
+        base.join(totals, "doc", "left")
+        .join(dup_counts, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                _ROUND,
+            ).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )

@@ -8,7 +8,9 @@ from fresco_hpc_spark.operators.stats import (  # noqa: F401
 from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     duration_seconds,
     ewma,
+    ewma_scan,
     gap_fill,
+    hopping_window_agg,
     hourly_agg,
     profile_agg,
     ohlc_downsample,

@@ -100,12 +100,18 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     cols = columns or df.columns
     dtypes = dict(df.dtypes)
 
+    # exact token match, not prefix (ADVICE r4: startswith('int') also
+    # matched 'interval ...' dtypes, whose cast-to-double raises an
+    # AnalysisException instead of taking the NULL min/max branch)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
     def _minmax(c: str):
         t = dtypes[c]
-        if t.startswith(("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")):
+        if t in numeric or t.startswith("decimal("):
             return F.col(c).cast("double")
-        if t.startswith("timestamp"):
+        if t in ("timestamp", "timestamp_ntz"):
             return F.col(c).cast("double")  # epoch seconds
+        # strings, binary, date, interval, arrays, structs: no min/max
         return F.lit(None).cast("double")
 
     aggs = [F.count(F.lit(1)).alias("_n")]

@@ -386,29 +386,36 @@ def ewma(
     (the oracle uses a recursive CTE).
 
     Scale: one shuffle (the groupBy); each key's series must fit in one
-    task's memory — the same bound as any per-key ordered window. For
-    series beyond ~10⁷ rows/key, segment the fold by (key, time-bucket)
-    and stitch segment boundaries with a second pass.
+    task's memory — the same bound as any per-key ordered window. The
+    fold's per-element ``concat`` copies the accumulator array, so the
+    fold itself is O(n²) per key (ADVICE r4) — fine to ~10⁴–10⁵
+    rows/key; beyond that use :func:`ewma_scan`, the linear
+    Arrow-batched scan with bit-identical output (test_properties pins
+    the equivalence).
     """
     a = F.lit(float(alpha))
     pts = F.array_sort(
         F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v")))
     )
-    # fold: acc is the running array of (t, s); s_prev = last element
+    # fold: acc is the running array of (t, s); s_prev = last element.
+    # Seeded with the FIRST point (s₀ = v₀), so the zero value's element
+    # type is derived from the input — any orderable time_col works, not
+    # just timestamp (ADVICE r4: the old hard-coded
+    # array<struct<t:timestamp,...>> zero broke epoch-long time columns)
+    first = F.element_at(pts, 1)
+    seed = F.array(
+        F.struct(first["t"].alias("t"), first["v"].cast("double").alias("s"))
+    )
     folded = F.aggregate(
-        pts,
-        F.expr("CAST(array() AS array<struct<t:timestamp,s:double>>)"),
+        F.slice(pts, 2, F.greatest(F.size(pts) - 1, F.lit(0))),
+        seed,
         lambda acc, x: F.concat(
             acc,
             F.array(
                 F.struct(
                     x["t"].alias("t"),
-                    # try_element_at: null (not an ANSI error) on the
-                    # empty accumulator — the first element's seed case
-                    F.coalesce(
-                        a * x["v"]
-                        + (F.lit(1.0) - a) * F.try_element_at(acc, F.lit(-1))["s"],
-                        x["v"].cast("double"),
+                    (
+                        a * x["v"] + (F.lit(1.0) - a) * F.element_at(acc, -1)["s"]
                     ).alias("s"),
                 )
             ),
@@ -423,4 +430,119 @@ def ewma(
             F.round(F.col("p.s"), round_to).alias("ewma"),
         )
         .orderBy(key_col, time_col)
+    )
+
+
+def ewma_scan(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    time_col: str = "ts",
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear-time per-key EWMA — the scale path for :func:`ewma`
+    (VERDICT r4 item 3: the JVM fold's per-element accumulator copy is
+    O(n²)/key). Identical semantics and BIT-IDENTICAL output: the scan
+    evaluates ``α·v + (1−α)·s`` with the exact IEEE-double operation
+    sequence the fold (and the recursive-CTE oracle) uses, so the
+    outputs agree before rounding, not just after.
+
+    Why a scan and not a segmented fold: an EWMA segmented by
+    (key, bucket) must stitch via the linear form
+    ``sᵢ = aᵢ + βⁱ·s_in``, whose float rounding differs from the
+    sequential recurrence — segment-and-stitch can match only to a few
+    ulps, never bit-for-bit. A per-key ordered scan preserves the exact
+    op order AND is O(n), so it dominates the segmented design on both
+    axes. The rounding stays JVM-side (``F.round``, HALF_UP) so it is
+    the same rounding `ewma` applies — Python's banker's ``round``
+    would diverge on .5 boundaries.
+
+    Scale shape: one shuffle (the groupBy), Arrow-batched
+    ``applyInPandas``; each key's series must fit one task (~16 B/row —
+    10⁷ rows/key ≈ 160 MB, measured linear in SCALE.md). This is the
+    one deliberate Python crossing outside multimodal decode: the
+    self-referential recurrence has no Catalyst expression, and the
+    fold's quadratic copy is the only JVM alternative.
+    """
+    import pandas as pd
+
+    a = float(alpha)
+    ktype = df.schema[key_col].dataType.simpleString()
+    ttype = df.schema[time_col].dataType.simpleString()
+    out_schema = (
+        f"`{key_col}` {ktype}, `{time_col}` {ttype}, `ewma` double"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        # same tie order as the fold's array_sort over struct(t, v)
+        pdf = pdf.sort_values([time_col, value_col], kind="mergesort")
+        out = []
+        s = None
+        for v in pdf[value_col].tolist():  # python floats: IEEE doubles
+            v = float(v)
+            s = v if s is None else a * v + (1.0 - a) * s
+            out.append(s)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].values,
+                time_col: pdf[time_col].values,
+                "ewma": out,
+            }
+        )
+
+    return (
+        df.select(key_col, time_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(scan, schema=out_schema)
+        .select(
+            key_col, time_col, F.round(F.col("ewma"), round_to).alias("ewma")
+        )
+        .orderBy(key_col, time_col)
+    )
+
+
+def hopping_window_agg(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Hopping (sliding) time-window aggregation — the batch twin of the
+    Structured-Streaming windowed aggregate (``F.window`` with a slide):
+    every event lands in window/slide overlapping windows, giving the
+    smoothed event-rate / rolling-average views dashboards build on.
+    Only windows containing at least one event are emitted (``F.window``
+    semantics; epoch-aligned boundaries).
+
+    The mean rides integer micro-units (Σ round(value·10⁶) as bigint)
+    so the per-window average is summation-order-free and engine-exact
+    (oracle contract rule 8); nulls are excluded from both n and sum.
+
+    Scale shape: the window assignment is a map-side explode of
+    window/slide (here 4) rows per event — no self-join — followed by
+    ONE partial-aggregated groupBy on the window struct. Group-key
+    cardinality is the covered time range over the slide, independent
+    of row count.
+    """
+    w = F.window(time_col, window, slide)
+    v = F.col(value_col)
+    micro = F.round(v * 1_000_000, 0).cast("bigint")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro).alias("_sum_u"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(
+                F.col("_sum_u") / (F.lit(1_000_000.0) * F.col("n_events")), _ROUND
+            ).alias("avg_value"),
+        )
+        .orderBy("window_start")
     )

@@ -70,71 +70,43 @@ def start_incremental_ingest(
     deduplicated WITHIN itself (MinHash pairs → greedy min-id survivor)
     and AGAINST everything previously accepted — via the persistent
     band index (functions/dedup.py ``minhash_band_index``), never by
-    re-reading accepted text. Survivors append to ``accepted_dir``
-    (parquet) and their index rows append to the bucketed
-    ``index_table``, so the next batch's cross-check joins with zero
-    index-side exchange (test_planner pins that plan).
+    re-reading accepted text. Survivors land in ``accepted_dir``
+    (parquet, partitioned by ``_ingest_batch``) and their index rows
+    append to the bucketed ``index_table``, so the next batch's
+    cross-check joins with zero index-side exchange (test_planner pins
+    that plan).
 
-    Failure semantics: the file-source checkpoint gives exactly-once
-    BATCHES; a crash between the two writes can leave a batch's index
-    rows without its accepted rows (or duplicated index rows on
-    replay). Both are SAFE here by construction — extra/duplicate index
-    rows only re-generate candidates against documents that are then
-    dropped as duplicates; they can never wrongly ACCEPT a document.
-    This idempotency-by-semantics is why the index append needs no
-    transactional sink.
+    Failure semantics (ADVICE r4): the file-source checkpoint gives
+    exactly-once BATCHES, but ``foreachBatch`` bodies replay after a
+    crash, so each write must be idempotent per batch. The accepted
+    write runs FIRST, so the reachable crash state is
+    accepted-without-index; the replayed batch then recomputes the
+    identical survivor set (deterministic MinHash over the identical
+    replayed file-batch, and the index still holds no rows for them)
+    and must not append it a second time — accepted rows are therefore
+    written partitioned by ``_ingest_batch`` with writer-scoped dynamic
+    partition overwrite: the replay rewrites its own partition in place
+    instead of duplicating it. A crash AFTER the index write is also
+    safe: the replay's cross-check now sees the batch's own index rows,
+    drops every document as a self-duplicate, and writes nothing — the
+    pre-crash accepted partition stays intact. The index append itself
+    is idempotent-by-semantics: duplicate index rows only re-generate
+    candidates against documents that are then dropped; they can never
+    wrongly ACCEPT a document.
     """
-    from pyspark.sql import functions as F
-
-    from fresco_hpc_spark.functions.dedup import (
-        minhash_band_index,
-        minhash_dup_pairs,
-        minhash_dup_pairs_between,
-    )
-    from fresco_hpc_spark.plans.store import write_bucketed_table
-
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        # 1. within-batch: greedy min-id survivor per near-dup pair
-        pairs = minhash_dup_pairs(
-            batch_df, text_col, id_col, shingle_n=shingle_n, threshold=threshold
-        )
-        dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        survivors = batch_df.join(dropped, id_col, "left_anti")
-        # 2. against the accepted corpus via the stored band index
-        if spark.catalog.tableExists(index_table):
-            cross = minhash_dup_pairs_between(
-                spark.table(index_table),
-                survivors,
-                text_col,
-                id_col,
-                shingle_n=shingle_n,
-                threshold=threshold,
-                left_is_index=True,
-            )
-            dup_ids = cross.select(F.col("doc_b").alias(id_col)).distinct()
-            survivors = survivors.join(dup_ids, id_col, "left_anti")
-        # one deterministic materialization: both writes below must see
-        # the same survivor set even though the plan is nondeterministic
-        # only in ordering (localCheckpoint avoids recompute divergence)
-        survivors = survivors.localCheckpoint(eager=True)
-        if not survivors.head(1):
-            return
-        # 3. accepted corpus rows
-        survivors.write.mode("append").parquet(accepted_dir)
-        # 4. index rows for future batches
-        write_bucketed_table(
-            minhash_band_index(survivors, text_col, id_col, shingle_n=shingle_n),
-            index_table,
-            "band_sig",
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_ingest_batch(
+            spark,
+            batch_df,
+            batch_id,
+            index_table=index_table,
+            accepted_dir=accepted_dir,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            shingle_n=shingle_n,
             n_buckets=n_buckets,
-            mode="append",
         )
-        # the append runs on the micro-batch's cloned session; refresh
-        # the driver session's cached file listing or the NEXT batch's
-        # cross-check (and any outer reader) joins against a stale index
-        spark.catalog.refreshTable(index_table)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -142,3 +114,80 @@ def start_incremental_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def process_ingest_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_table: str,
+    accepted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_buckets: int = 8,
+) -> None:
+    """One micro-batch of the incremental ingest, exposed module-level so
+    the foreachBatch REPLAY contract is testable: calling this twice with
+    the same (batch_df, batch_id) must leave the accepted corpus and the
+    correctness of the index unchanged (see start_incremental_ingest's
+    failure-semantics docstring; test_streaming pins both replay states).
+    """
+    from fresco_hpc_spark.functions.dedup import (
+        minhash_band_index,
+        minhash_dup_pairs,
+        minhash_dup_pairs_between,
+    )
+    from fresco_hpc_spark.plans.store import write_bucketed_table
+
+    if not batch_df.head(1):
+        return
+    # 1. within-batch: greedy min-id survivor per near-dup pair
+    pairs = minhash_dup_pairs(
+        batch_df, text_col, id_col, shingle_n=shingle_n, threshold=threshold
+    )
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    survivors = batch_df.join(dropped, id_col, "left_anti")
+    # 2. against the accepted corpus via the stored band index
+    if spark.catalog.tableExists(index_table):
+        cross = minhash_dup_pairs_between(
+            spark.table(index_table),
+            survivors,
+            text_col,
+            id_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            left_is_index=True,
+        )
+        dup_ids = cross.select(F.col("doc_b").alias(id_col)).distinct()
+        survivors = survivors.join(dup_ids, id_col, "left_anti")
+    # one deterministic materialization: both writes below must see
+    # the same survivor set even though the plan is nondeterministic
+    # only in ordering (localCheckpoint avoids recompute divergence)
+    survivors = survivors.localCheckpoint(eager=True)
+    if not survivors.head(1):
+        return
+    # 3. accepted corpus rows — partitioned by batch id with dynamic
+    # partition overwrite so a foreachBatch replay rewrites its own
+    # partition instead of appending exact duplicates (ADVICE r4)
+    (
+        survivors.withColumn("_ingest_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_batch")
+        .parquet(accepted_dir)
+    )
+    # 4. index rows for future batches
+    write_bucketed_table(
+        minhash_band_index(survivors, text_col, id_col, shingle_n=shingle_n),
+        index_table,
+        "band_sig",
+        n_buckets=n_buckets,
+        mode="append",
+    )
+    # the append runs on the micro-batch's cloned session; refresh
+    # the driver session's cached file listing or the NEXT batch's
+    # cross-check (and any outer reader) joins against a stale index
+    spark.catalog.refreshTable(index_table)

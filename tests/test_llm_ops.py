@@ -792,3 +792,82 @@ def test_weighted_repeat_multiplicity(spark):
     outw = weighted_repeat(df, "doc_id", wcol)
     assert outw.filter("source = 'b'").count() == 0
     assert outw.filter("source = 'a'").count() == 1000
+
+
+def test_paragraph_dedup_hand_computed(spark):
+    """Corpus-wide first occurrence wins (global order = min (doc, idx)):
+    the shared 'header x' paragraph survives only in doc 1; doc 3, made
+    entirely of seen paragraphs, comes back with clean_text '' but keeps
+    its row. Matching is on the normalized form (case/whitespace)."""
+    from fresco_hpc_spark.functions import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "header x\nbody one\nfooter z"),
+            (2, "HEADER   X\nbody two\nfooter z"),
+            (3, "header x\nfooter z"),
+            (4, "\n\n"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert out[1].n_paras == 3 and out[1].n_kept == 3
+    assert out[1].clean_text == "header x\nbody one\nfooter z"
+    # doc 2 keeps only its unique body; normalized header matched doc 1's
+    assert out[2].n_paras == 3 and out[2].n_kept == 1
+    assert out[2].clean_text == "body two"
+    assert out[3].n_kept == 0 and out[3].clean_text == ""
+    # all-empty doc: no non-empty paragraphs at all -> absent from output
+    # (nothing to profile), same contract as tokenize-family operators
+    assert 4 not in out
+
+
+def test_paragraph_dedup_keeps_intra_doc_order(spark):
+    """Survivors rejoin in original paragraph order even when the dropped
+    ones interleave."""
+    from fresco_hpc_spark.functions import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "dup\nalpha\ndup2\nbeta"), (0, "dup\ndup2")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    # doc 0 wins both shared paragraphs (lower doc id)
+    assert out[0].clean_text == "dup\ndup2"
+    assert out[1].clean_text == "alpha\nbeta"
+
+
+def test_duplicate_ngram_spans_hand_computed(spark):
+    """3-grams: doc 1 and doc 2 share 'a b c' and 'b c d' (both their
+    grams), doc 3 shares nothing, doc 4 is too short for any gram."""
+    from fresco_hpc_spark.functions import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: 'a b c', 'b c d' — both shared
+            (2, "x a b c d y"),      # grams: 'x a b', 'a b c', 'b c d', 'c d y'
+            (3, "p q r s"),          # grams unique
+            (4, "too short"),        # 2 tokens < n -> zero grams
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_ngram_spans(df, n=3).collect()}
+    assert (out[1].n_grams, out[1].n_dup_grams, out[1].dup_frac) == (2, 2, 1.0)
+    assert (out[2].n_grams, out[2].n_dup_grams) == (4, 2)
+    assert out[2].dup_frac == 0.5
+    assert (out[3].n_grams, out[3].n_dup_grams, out[3].dup_frac) == (2, 0, 0.0)
+    assert (out[4].n_grams, out[4].n_dup_grams, out[4].dup_frac) == (0, 0, 0.0)
+
+
+def test_duplicate_ngram_spans_within_doc_repeat_not_flagged(spark):
+    """Document frequency counts DISTINCT docs: a gram repeated inside
+    one document only is not cross-document duplication."""
+    from fresco_hpc_spark.functions import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "z z z z")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_ngram_spans(df, n=3).collect()}
+    assert out[1].n_dup_grams == 0
+    assert out[2].n_dup_grams == 0

@@ -381,3 +381,32 @@ def test_perceptual_hash_near_dup_pairs(spark):
     assert (0, 301) in pairs or (300, 301) in pairs, f"edited copy missed: {pairs}"
     # distinct synthetic gradients must not pair with each other
     assert not any(a < 300 and b < 300 for a, b in pairs), pairs
+
+
+def test_perceptual_hash_tiny_images_get_meaningful_hashes():
+    """ADVICE r4: images narrower/shorter than the grid used to produce
+    empty block slices (NaN means -> hash 0 for EVERY tiny image, so all
+    tiny images paired as Hamming-0 duplicates). With the effective-grid
+    clamp, two tiny images with opposite patterns hash differently and
+    no NaN warnings fire."""
+    import warnings
+
+    from fresco_hpc_spark.functions.multimodal import _avg_hash_bits
+
+    # 4x4 image, grid 8: left-bright/right-dark vs its inverse
+    def rgb(bright_left):
+        px = []
+        for _y in range(4):
+            for x in range(4):
+                v = 255 if (x < 2) == bright_left else 0
+                px += [v, v, v]
+        return bytes(px)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # NaN mean would raise RuntimeWarning
+        h1 = _avg_hash_bits(rgb(True), 4, 4, grid=8)
+        h2 = _avg_hash_bits(rgb(False), 4, 4, grid=8)
+    assert h1 != h2
+    assert h1 != 0 and h2 != 0
+    # 1x1 degenerates to a single block: hash 0 (block == mean), no error
+    assert _avg_hash_bits(b"\x80\x80\x80", 1, 1, grid=8) == 0

@@ -647,3 +647,60 @@ def test_incremental_ingest_dedups_within_and_across_batches(spark, tmp_path):
         assert idx_docs == {1, 2, 11, 21}
     finally:
         spark.sql("DROP TABLE IF EXISTS ingest_band_idx")
+
+
+def test_incremental_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r4: foreachBatch bodies replay after a crash, and the
+    reachable crash state is accepted-without-index (the accepted write
+    runs first). Replaying the same (batch, batch_id) must not duplicate
+    rows in the accepted corpus — the per-batch dynamic-partition
+    overwrite rewrites the batch's own partition in place. Both replay
+    states are exercised: after-both-writes (full replay of batch 0) and
+    accepted-without-index (index dropped before the replay)."""
+    from fresco_hpc_spark.streaming.dedup import process_ingest_batch
+
+    def doc(i):
+        return (f"w{i} alpha w{i} bravo w{i} charlie w{i} delta w{i} echo "
+                f"w{i} foxtrot w{i} golf w{i} hotel")
+
+    batch = spark.createDataFrame(
+        [(1, doc(1)), (2, doc(2))], "doc_id bigint, text string"
+    )
+    accepted_dir = str(tmp_path / "accepted")
+    spark.sql("DROP TABLE IF EXISTS replay_band_idx")
+    try:
+        kw = dict(index_table="replay_band_idx", accepted_dir=accepted_dir)
+        process_ingest_batch(spark, batch, 0, **kw)
+        baseline = sorted(
+            (r.doc_id, r._ingest_batch)
+            for r in spark.read.parquet(accepted_dir).collect()
+        )
+        assert [d for d, _ in baseline] == [1, 2]
+
+        # replay state A: crash AFTER both writes — the cross-check sees
+        # the batch's own index rows, drops everything, writes nothing
+        process_ingest_batch(spark, batch, 0, **kw)
+        assert sorted(
+            (r.doc_id, r._ingest_batch)
+            for r in spark.read.parquet(accepted_dir).collect()
+        ) == baseline
+
+        # replay state B: crash BETWEEN the writes (accepted present,
+        # index rows absent) — the recomputed identical survivor set
+        # must overwrite the batch's partition, not append to it
+        spark.sql("DROP TABLE replay_band_idx")
+        process_ingest_batch(spark, batch, 0, **kw)
+        assert sorted(
+            (r.doc_id, r._ingest_batch)
+            for r in spark.read.parquet(accepted_dir).collect()
+        ) == baseline
+        # a LATER batch still appends alongside, never clobbers batch 0
+        batch2 = spark.createDataFrame([(3, doc(3))], "doc_id bigint, text string")
+        process_ingest_batch(spark, batch2, 1, **kw)
+        got = sorted(
+            (r.doc_id, r._ingest_batch)
+            for r in spark.read.parquet(accepted_dir).collect()
+        )
+        assert got == baseline + [(3, 1)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS replay_band_idx")
