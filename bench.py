@@ -55,6 +55,23 @@ def _stage_totals(ui_url: str | None, app_id: str) -> tuple[int, int] | None:
         return None
 
 
+def _gc_total_ms(ui_url: str | None, app_id: str) -> int | None:
+    """Cumulative JVM GC milliseconds across executors (the driver, in
+    local mode) — diffing per query shows whose numbers are inflated by
+    a neighbor's garbage (the r4 artifact showed +27-55%% on the three
+    similarity queries that ran after the 1.5 GB-shuffle Zipf exhibit)."""
+    if not ui_url:
+        return None
+    try:
+        with urllib.request.urlopen(
+            f"{ui_url}/api/v1/applications/{app_id}/executors", timeout=10
+        ) as resp:
+            execs = json.load(resp)
+        return sum(int(e.get("totalGCTime", 0)) for e in execs)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -69,8 +86,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
-    # warmup: flagship hourly agg primes JVM/codegen/file-cache
-    force(next(iter(qs.values()))(spark, sf_dir))
+    # warmup primes JVM/codegen/file-cache (flagship hourly agg when
+    # present; otherwise whatever leads the dict)
+    warm = qs.get("hourly_agg") or next(iter(qs.values()))
+    force(warm(spark, sf_dir))
 
     # two passes, report the min per query: steady-state execution time,
     # insulated from one-off codegen compilation and GC pauses
@@ -80,16 +99,22 @@ def main() -> None:
     for pass_i in range(passes):
         for name, fn in qs.items():
             before = _stage_totals(ui_url, app_id) if pass_i == 0 else None
+            gc_before = _gc_total_ms(ui_url, app_id) if pass_i == 0 else None
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 4)
             if pass_i == 0:
                 after = _stage_totals(ui_url, app_id)
+                gc_after = _gc_total_ms(ui_url, app_id)
                 if before is not None and after is not None:
                     plan_metrics[name] = {
                         "shuffle_bytes": after[0] - before[0],
                         "tasks": after[1] - before[1],
                     }
+                if gc_before is not None and gc_after is not None:
+                    plan_metrics.setdefault(name, {})["gc_ms"] = (
+                        gc_after - gc_before
+                    )
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 

@@ -153,6 +153,9 @@ def test_lazy_default_keeps_plan_composable(spark):
         "tfidf_top_terms", "unigram_logprob", "cross_corpus_dedup",
         "profile_columns", "vocab_stats", "semantic_dedup", "ewma_user_value",
         "temperature_mixture", "weighted_repeat",
+        # round 5 (ewma_scan and phash_dup_pairs are Python-path by
+        # design: the recurrence scan and the pixel decode)
+        "paragraph_dedup", "dup_ngram_spans", "hopping_window",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
