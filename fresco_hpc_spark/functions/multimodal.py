@@ -541,6 +541,23 @@ def image_perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def _phash_banded(hashes: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """Pigeonhole banding for 64-bit hashes: four 16-bit chunks — any
+    pair within Hamming distance 3 must agree on at least one full
+    chunk, so (chunk index, chunk value) is a lossless candidate key."""
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col(sig_col), 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
+    )
+    return hashes.select(
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("_sig"),
+        F.posexplode(chunks).alias("band", "band_val"),
+    )
+
+
 def phash_dup_pairs(
     hashes: DataFrame,
     id_col: str = "media_id",
@@ -548,24 +565,12 @@ def phash_dup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-duplicate image pairs from 64-bit perceptual hashes by the
-    SimHash pigeonhole: split each hash into four 16-bit chunks — any
-    pair within Hamming distance 3 must agree on at least one full
-    chunk — candidates join on (chunk index, chunk value), exact Hamming
-    filters. Same scale shape as simhash_dup_pairs: equi-join on bucket
-    keys, no cartesian product, candidates ∝ collisions not n².
-    Composable with the hash relation stored/bucketed like the MinHash
-    band index."""
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col(sig_col), 16 * c).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
-        ]
-    )
-    banded = hashes.select(
-        F.col(id_col).alias("doc"),
-        F.col(sig_col).alias("_sig"),
-        F.posexplode(chunks).alias("band", "band_val"),
-    )
+    SimHash pigeonhole: candidates join on (chunk index, chunk value),
+    exact Hamming filters. Same scale shape as simhash_dup_pairs:
+    equi-join on bucket keys, no cartesian product, candidates ∝
+    collisions not n². Composable with the hash relation stored/bucketed
+    like the MinHash band index."""
+    banded = _phash_banded(hashes, id_col, sig_col)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(
         F.col("a._sig").bitwiseXOR(F.col("b._sig"))
@@ -585,4 +590,38 @@ def phash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
         .orderBy(f"{id_col}_a", f"{id_col}_b")
+    )
+
+
+def phash_dup_pairs_between(
+    index: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "media_id",
+    sig_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-relation phash near-dup pairs: ``index`` is the stored hash
+    relation of everything previously accepted (media ids + 64-bit
+    phash — 16 B/image, the corpus's raw pixels are never re-read);
+    ``incoming`` is a new batch's hash relation. Output pairs
+    (``{id}_a`` from the index, ``{id}_b`` incoming) within the Hamming
+    budget — the incremental form of :func:`phash_dup_pairs`, mirroring
+    minhash_dup_pairs_between for text. Equi-join on the pigeonhole
+    chunk key; candidates ∝ cross-collisions, not |index|·|batch|."""
+    a = _phash_banded(index, id_col, sig_col).alias("a")
+    b = _phash_banded(incoming, id_col, sig_col).alias("b")
+    hamming = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.doc").alias(f"{id_col}_a"),
+            F.col("b.doc").alias(f"{id_col}_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
     )

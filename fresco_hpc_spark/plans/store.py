@@ -114,6 +114,7 @@ def compact_store(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    _wrap_fs=None,
 ) -> list[str]:
     """Small-file compaction for the hour-partitioned store: rewrite any
     hour partition whose parquet files are numerous and under-sized into
@@ -156,6 +157,11 @@ def compact_store(
     # "any depth", and the store may live on hdfs:// / s3a://).
     root = _jp(path)
     fs = root.getFileSystem(fs_conf)
+    if _wrap_fs is not None:
+        # test seam: Hadoop FileSystems signal most failures by RETURNING
+        # FALSE, and only a wrapper can force that branch deterministically
+        # (test_planner pins that a false rename aborts before any delete)
+        fs = _wrap_fs(fs)
     if not fs.exists(root):
         return []
     leftovers: list[str] = []

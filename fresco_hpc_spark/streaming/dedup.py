@@ -191,3 +191,92 @@ def process_ingest_batch(
     # the driver session's cached file listing or the NEXT batch's
     # cross-check (and any outer reader) joins against a stale index
     spark.catalog.refreshTable(index_table)
+
+
+def process_media_ingest_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_table: str,
+    accepted_dir: str,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> None:
+    """One micro-batch of near-dup-free IMAGE ingest — the multimodal
+    twin of :func:`process_ingest_batch` (VERDICT r4 item 9): images are
+    deduplicated within the batch by perceptual hash
+    (functions/multimodal.py image_perceptual_hash + phash_dup_pairs,
+    greedy min-id survivor) and against everything previously accepted
+    via the stored 16 B/image phash index (phash_dup_pairs_between) —
+    accepted pixels are never re-decoded. Survivor media rows land in
+    ``accepted_dir`` partitioned by ``_ingest_batch`` (idempotent under
+    foreachBatch replay, same contract as the text ingest); survivor
+    (id, phash) rows append to ``index_table``. Batches are expected to
+    hold image-modality rows (the hash kernel filters to them; other
+    modalities are not admitted)."""
+    from fresco_hpc_spark.functions.multimodal import (
+        image_perceptual_hash,
+        phash_dup_pairs,
+        phash_dup_pairs_between,
+    )
+
+    if not batch_df.head(1):
+        return
+    hashes = image_perceptual_hash(batch_df)
+    pairs = phash_dup_pairs(hashes, id_col=id_col, max_hamming=max_hamming)
+    dropped = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    survivors = hashes.join(dropped, id_col, "left_anti")
+    if spark.catalog.tableExists(index_table):
+        cross = phash_dup_pairs_between(
+            spark.table(index_table), survivors,
+            id_col=id_col, max_hamming=max_hamming,
+        )
+        dup_ids = cross.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+        survivors = survivors.join(dup_ids, id_col, "left_anti")
+    # one decode pass total: the checkpointed relation is just (id, hash)
+    survivors = survivors.localCheckpoint(eager=True)
+    if not survivors.head(1):
+        return
+    accepted = batch_df.join(survivors.select(id_col), id_col, "left_semi")
+    (
+        accepted.withColumn("_ingest_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_batch")
+        .parquet(accepted_dir)
+    )
+    survivors.write.mode("append").format("parquet").saveAsTable(index_table)
+    spark.catalog.refreshTable(index_table)
+
+
+def start_incremental_media_ingest(
+    spark,
+    stream_df: DataFrame,
+    index_table: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    available_now: bool = False,
+):
+    """Continuous near-dup-free image ingest over a media stream — see
+    :func:`process_media_ingest_batch` for the per-batch contract."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_media_ingest_batch(
+            spark,
+            batch_df,
+            batch_id,
+            index_table=index_table,
+            accepted_dir=accepted_dir,
+            id_col=id_col,
+            max_hamming=max_hamming,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -263,6 +263,84 @@ def test_compact_store_heals_crashed_swap(spark, tmp_path):
     assert read_partitioned_store(spark, store).count() == before
 
 
+def test_compact_store_false_rename_aborts_before_any_delete(spark, tmp_path):
+    """VERDICT r4 item 5 / ADVICE r03: Hadoop FileSystems signal most
+    failures by RETURNING FALSE, not raising. A false rename on the swap
+    path must abort with IOError BEFORE any delete runs — rows stay
+    readable in live+staging — and the next clean invocation heals and
+    completes the compaction."""
+    from pathlib import Path
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.plans import (
+        compact_store,
+        read_partitioned_store,
+        write_partitioned_store,
+    )
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    store = str(tmp_path / "store")
+    ev = table(spark, SF_SMALL, "events").select(
+        F.col("ts").alias("time"), "event_id", "user_id", "value"
+    )
+    write_partitioned_store(ev.repartition(8), store)
+    before = ev.count()
+
+    calls = []
+
+    class FailingRenameFS:
+        """Delegates to the real JVM FileSystem, but the first
+        live->backup rename RETURNS FALSE (the Hadoop failure mode)
+        without moving anything."""
+
+        def __init__(self, real):
+            self._real = real
+            self.failed = False
+
+        def rename(self, src, dst):
+            if not self.failed and str(dst).endswith("._compact_bak"):
+                self.failed = True
+                calls.append(("rename-false", str(src)))
+                return False
+            calls.append(("rename", str(src)))
+            return self._real.rename(src, dst)
+
+        def delete(self, p, recursive):
+            calls.append(("delete", str(p)))
+            return self._real.delete(p, recursive)
+
+        def __getattr__(self, name):  # exists/listStatus/listFiles/...
+            return getattr(self._real, name)
+
+    with _pytest.raises(IOError, match="returned false"):
+        compact_store(spark, store, _wrap_fs=FailingRenameFS)
+
+    # the failed rename is the LAST fs mutation: nothing was deleted
+    # after it (the only prior delete is the staging _SUCCESS marker)
+    idx = next(i for i, c in enumerate(calls) if c[0] == "rename-false")
+    assert all(c[0] != "delete" for c in calls[idx:])
+    assert all("_SUCCESS" in c[1] for c in calls[:idx] if c[0] == "delete")
+    # live partition intact and fully readable (read it directly — the
+    # store as a whole is in documented mid-swap state while the
+    # leftover staging dir exists); staging retained
+    stagings = list(Path(store).glob("year=*/month=*/day=*/hour=*._compact_tmp"))
+    assert stagings, "staging dir must survive the abort"
+    live = str(stagings[0]).removesuffix("._compact_tmp")
+    assert Path(live).is_dir()
+    assert (
+        spark.read.parquet(live).count()
+        == spark.read.parquet(str(stagings[0])).count()
+    )
+    # next clean run heals the leftover staging and completes
+    rewritten = compact_store(spark, store)
+    assert rewritten
+    assert not list(Path(store).glob("**/*._compact_tmp"))
+    assert read_partitioned_store(spark, store).count() == before
+
+
 def test_bucketed_band_index_joins_without_index_side_exchange(spark, tmp_path):
     """The incremental-dedup index at rest: storing minhash_band_index as
     a table bucketed on band_sig lets every future batch's candidate

@@ -704,3 +704,86 @@ def test_incremental_ingest_batch_replay_is_idempotent(spark, tmp_path):
         assert got == baseline + [(3, 1)]
     finally:
         spark.sql("DROP TABLE IF EXISTS replay_band_idx")
+
+
+def test_incremental_media_ingest_phash_dedups_across_batches(spark, tmp_path):
+    """VERDICT r4 item 9 — the multimodal → incremental-dedup loop:
+    start_incremental_media_ingest drops an exact pixel copy of a
+    previously-ACCEPTED image via the stored phash index (no pixel
+    re-decode), collapses an in-batch near-dup pair (1-bit pattern
+    edit) to the min id, and catches a near-dup of an image accepted
+    only in the PREVIOUS batch. Patterns are 8x8 block images whose
+    average hash equals the pattern exactly."""
+    import os
+    import time
+
+    from fresco_hpc_spark.functions.codecs import encode_bmp
+    from fresco_hpc_spark.functions.multimodal import MEDIA_SCHEMA
+    from fresco_hpc_spark.streaming import start_incremental_media_ingest
+
+    def rgb(v):
+        px = bytearray()
+        for y in range(64):
+            for x in range(64):
+                val = 255 if (v >> ((y // 8) * 8 + (x // 8))) & 1 else 0
+                px += bytes((val, val, val))
+        return bytes(px)
+
+    P1 = 0x00F0_F0F0_0F0F_0F01
+    P2 = 0x1234_5678_9ABC_DEF0
+    P3 = 0x0FF0_00FF_FF00_0FF0
+    P4 = 0x7070_0707_7070_0707
+    def media_row(mid, pat):
+        return {
+            "media_id": mid, "modality": "image",
+            "payload": encode_bmp(64, 64, rgb(pat)),
+            "meta": {"width": 64, "height": 64, "sample_rate": None,
+                     "duration_s": None, "format": "bmp"},
+        }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batches = [
+        [media_row(1, P1), media_row(2, P2)],
+        # 10 = exact copy of accepted 1; 11/12 near-dup pair (1 bit)
+        [media_row(10, P1), media_row(11, P3), media_row(12, P3 ^ 1)],
+        # 20 = near-dup of 11 (accepted in the PREVIOUS batch); 21 new
+        [media_row(20, P3 ^ (1 << 40)), media_row(21, P4)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        # order the part files' mtimes so maxFilesPerTrigger honors
+        # batch order (file source sorts by modification time)
+        t = 1_000_000_000 + i * 100
+        for f in src.glob("part-*.parquet"):
+            if os.path.getmtime(f) > t - 50:
+                os.utime(f, (t, t))
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    spark.sql("DROP TABLE IF EXISTS media_phash_idx")
+    try:
+        q = start_incremental_media_ingest(
+            spark,
+            stream,
+            index_table="media_phash_idx",
+            accepted_dir=str(tmp_path / "accepted"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        accepted = {
+            r.media_id
+            for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+        }
+        assert accepted == {1, 2, 11, 21}, accepted
+        idx = {r.media_id for r in spark.table("media_phash_idx").collect()}
+        assert idx == {1, 2, 11, 21}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS media_phash_idx")
