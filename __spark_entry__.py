@@ -1448,7 +1448,10 @@ def _phash_corpus(spark: SparkSession) -> DataFrame:
         }
         for m, v in _phash_patterns()
     ]
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    # 23 images on a handful of partitions: the default 32-way
+    # parallelize spins 32 Arrow workers per mapInPandas pass for a
+    # sub-MB corpus (a real corpus arrives from storage pre-split)
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(4)
 
 
 def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -458,43 +458,59 @@ def ewma_scan(
     the same rounding `ewma` applies — Python's banker's ``round``
     would diverge on .5 boundaries.
 
-    Scale shape: one shuffle (the groupBy), Arrow-batched
-    ``applyInPandas``; each key's series must fit one task (~16 B/row —
-    10⁷ rows/key ≈ 160 MB, measured linear in SCALE.md). This is the
-    one deliberate Python crossing outside multimodal decode: the
-    self-referential recurrence has no Catalyst expression, and the
-    fold's quadratic copy is the only JVM alternative.
+    Scale shape: ONE shuffle (hash repartition on the key) + a
+    per-partition sort, then a single ``mapInPandas`` pass that scans
+    whole Arrow batches with the running state carried across batch and
+    key boundaries — per-BATCH Python overhead, not per-key (an
+    ``applyInPandas`` per-group kernel pays ~5-10 ms per key, which at
+    10⁵ small keys is minutes of pure overhead; the partition scan is
+    flat). Each key's series must fit one task only in the sense that
+    one partition holds it (~16 B/row — 10⁷ rows/key ≈ 160 MB, measured
+    linear in SCALE.md). This is the one deliberate Python crossing
+    outside multimodal decode: the self-referential recurrence has no
+    Catalyst expression, and the fold's quadratic copy is the only JVM
+    alternative.
     """
+    from collections.abc import Iterator
+
     import pandas as pd
 
     a = float(alpha)
     ktype = df.schema[key_col].dataType.simpleString()
     ttype = df.schema[time_col].dataType.simpleString()
-    out_schema = (
-        f"`{key_col}` {ktype}, `{time_col}` {ttype}, `ewma` double"
-    )
+    out_schema = f"`{key_col}` {ktype}, `{time_col}` {ttype}, `ewma` double"
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        # same tie order as the fold's array_sort over struct(t, v)
-        pdf = pdf.sort_values([time_col, value_col], kind="mergesort")
-        out = []
-        s = None
-        for v in pdf[value_col].tolist():  # python floats: IEEE doubles
-            v = float(v)
-            s = v if s is None else a * v + (1.0 - a) * s
-            out.append(s)
-        return pd.DataFrame(
-            {
-                key_col: pdf[key_col].values,
-                time_col: pdf[time_col].values,
-                "ewma": out,
-            }
-        )
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive sorted by (key, t, v) within the partition — the
+        # same (t, v) tie order as the fold's array_sort; the running
+        # state carries across Arrow batches, resetting on key change
+        prev_key = object()  # sentinel unequal to any real key
+        s = 0.0
+        for pdf in batches:
+            keys = pdf[key_col].tolist()
+            vals = pdf[value_col].tolist()  # python floats: IEEE doubles
+            out = []
+            for k, v in zip(keys, vals):
+                v = float(v)
+                if k != prev_key:
+                    prev_key = k
+                    s = v
+                else:
+                    s = a * v + (1.0 - a) * s
+                out.append(s)
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    time_col: pdf[time_col].values,
+                    "ewma": out,
+                }
+            )
 
     return (
         df.select(key_col, time_col, value_col)
-        .groupBy(key_col)
-        .applyInPandas(scan, schema=out_schema)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, time_col, value_col)
+        .mapInPandas(scan, schema=out_schema)
         .select(
             key_col, time_col, F.round(F.col("ewma"), round_to).alias("ewma")
         )

@@ -10,6 +10,7 @@ from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
     exactly_once_store_writer,
     start_etl_stream,
     stream_csv_directory,
+    streaming_hopping_agg,
     streaming_hourly_agg,
     streaming_ohlc,
     streaming_session_agg,

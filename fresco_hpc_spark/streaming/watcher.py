@@ -113,6 +113,44 @@ def streaming_hourly_agg(
     )
 
 
+def streaming_hopping_agg(
+    stream_df: DataFrame,
+    value_col: str,
+    time_col: str = "time",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental twin of the batch hopping-window aggregate
+    (operators/timeseries.py ``hopping_window_agg``): watermarked
+    sliding ``F.window`` with the SAME micro-unit mean, so a drained
+    stream equals the batch operator row-for-row (equivalence pinned in
+    test_streaming). The count and the bigint micro-unit sum are both
+    mergeable, so partial window state stays exact across micro-batches
+    — a float running mean would drift with arrival order. State is one
+    (count, sum) pair per open window per slide: bounded by the
+    watermark horizon, independent of row count."""
+    v = F.col(value_col)
+    micro = F.round(v * 1_000_000, 0).cast("bigint")
+    return (
+        stream_df.filter(v.isNotNull())
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro).alias("_sum_u"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(
+                F.col("_sum_u") / (F.lit(1_000_000.0) * F.col("n_events")), 6
+            ).alias("avg_value"),
+        )
+    )
+
+
 def streaming_session_agg(
     stream_df: DataFrame,
     key_col: str,

@@ -787,3 +787,37 @@ def test_incremental_media_ingest_phash_dedups_across_batches(spark, tmp_path):
         assert idx == {1, 2, 11, 21}
     finally:
         spark.sql("DROP TABLE IF EXISTS media_phash_idx")
+
+
+def test_streaming_hopping_agg_matches_batch(spark, tmp_path):
+    """The watermarked sliding-window aggregate must equal the batch
+    hopping_window_agg row-for-row on a drained stream — the mergeable
+    (count, micro-unit sum) state makes the mean exact regardless of
+    micro-batch arrival order."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import hopping_window_agg
+    from fresco_hpc_spark.streaming import streaming_hopping_agg
+
+    events_pq = str(tmp_path / "events_pq")
+    events = table(spark, SF_SMALL, "events").select(
+        F.col("ts").alias("time"), "value"
+    )
+    events.write.parquet(events_pq)
+
+    stream = spark.readStream.schema(events.schema).parquet(events_pq)
+    agg = streaming_hopping_agg(stream, "value")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hopping_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("hopping_stream")
+    want = hopping_window_agg(events, "value", time_col="time")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
