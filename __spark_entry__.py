@@ -1332,15 +1332,9 @@ def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style corpus-wide paragraph dedup (functions/dedup.py
-    paragraph_dedup): documents are segmented into 12-word paragraphs
-    (the testdata texts carry no newlines, so segmentation is injected
-    deterministically), every paragraph survives only at its first
-    corpus occurrence (min (doc, idx)), and documents are reassembled
-    from survivors. The first-occurrence winner is a partial-aggregated
-    min(struct) under a fingerprint groupBy — no skewed window sort."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+def _segment_12(docs: DataFrame) -> DataFrame:
+    """Inject 12-word paragraph boundaries (the testdata texts carry no
+    newlines, so segmentation is deterministic and oracle-replicable)."""
     words = F.split(F.trim(F.col("text")), r"\s+")
     n_paras = F.ceil(F.size(words) / F.lit(12.0)).cast("int")
     paras_txt = F.array_join(
@@ -1350,10 +1344,54 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "\n",
     )
-    segmented = docs.filter(F.trim(F.col("text")) != "").select(
+    return docs.filter(F.trim(F.col("text")) != "").select(
         "doc_id", paras_txt.alias("text")
     )
-    return paragraph_dedup(segmented)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup (functions/dedup.py
+    paragraph_dedup): documents are segmented into 12-word paragraphs,
+    every paragraph survives only at its first corpus occurrence
+    (min (doc, idx)), and documents are reassembled from survivors. The
+    first-occurrence winner is a partial-aggregated min(struct) under a
+    fingerprint groupBy — no skewed window sort."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(_segment_12(docs))
+
+
+def q_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation pipeline end-to-end: paragraph-level boilerplate
+    removal (corpus-wide first occurrence wins) → drop hollowed-out
+    documents (≥2 surviving paragraphs) → exact substring-duplication
+    gate on the CLEANED text (≤50% of 8-gram positions shared with
+    another doc) → per-source rollup of documents, surviving
+    paragraphs, and clean tokens. Each stage is an already-oracle-
+    checked r5 operator; this query proves they compose — the
+    boilerplate-then-substring order is the standard corpus-build
+    sequence (paragraph dedup first, or shared boilerplate would count
+    as substring duplication everywhere)."""
+    from fresco_hpc_spark.functions import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    cleaned = (
+        paragraph_dedup(_segment_12(docs.select("doc_id", "text")))
+        .filter(F.col("n_kept") >= 2)
+        .select("doc_id", F.col("clean_text").alias("text"), "n_kept")
+    )
+    spans = duplicate_ngram_spans(cleaned, n=8)
+    final = cleaned.join(
+        spans.filter(F.col("dup_frac") <= 0.5).select("doc_id"), "doc_id"
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept").cast("bigint").alias("kept_paras"),
+            F.sum(token_count(F.col("text")).cast("bigint")).alias("clean_tokens"),
+        )
+        .orderBy("source")
+    )
 
 
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,6 +1621,10 @@ def queries() -> dict[str, Query]:
         "class_centroids": q_class_centroids,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
+        # new in r5 but placed OUTSIDE the 50-query window so the 8+42
+        # rotation above stays intact; full-parity covers it locally and
+        # it rotates into the r6 window
+        "corpus_curation_v3": q_corpus_curation_v3,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3532,6 +3574,78 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    # v3 curation: the paragraph-dedup CTEs feed the substring gate on
+    # the CLEANED text, then a per-source rollup — each stage the exact
+    # SQL of its standalone oracle.
+    oracles["corpus_curation_v3"] = r"""
+        WITH src AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents WHERE trim(text) <> ''
+        ),
+        paras AS (
+            SELECT doc_id, t.c AS idx,
+                   array_to_string(ws[(t.c*12 + 1):(t.c*12 + 12)], ' ') AS para
+            FROM src,
+                 UNNEST(generate_series(
+                     0, CAST(ceil(array_length(ws) / 12.0) AS BIGINT) - 1
+                 )) AS t(c)
+        ),
+        norm AS (
+            SELECT doc_id, idx, para,
+                   trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS fp
+            FROM paras
+            WHERE trim(regexp_replace(lower(para), '\s+', ' ', 'g')) <> ''
+        ),
+        ranked AS (
+            SELECT doc_id, idx, para,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY fp ORDER BY doc_id, idx
+                   ) AS rn
+            FROM norm
+        ),
+        cleaned AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(para, chr(10) ORDER BY idx) AS text
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+            HAVING COUNT(*) >= 2
+        ),
+        ws2 AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM cleaned
+        ),
+        grams AS (
+            SELECT doc_id, md5(array_to_string(w[t.i:(t.i + 7)], ' ')) AS g
+            FROM ws2,
+                 UNNEST(generate_series(1, array_length(w) - 7)) AS t(i)
+            WHERE array_length(w) >= 8
+        ),
+        gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+        tot2 AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        dup2 AS (
+            SELECT grams.doc_id, COUNT(*) AS n_dup
+            FROM grams JOIN gd USING (g) WHERE gd.nd >= 2
+            GROUP BY grams.doc_id
+        ),
+        gate AS (
+            SELECT c.doc_id FROM cleaned c
+            LEFT JOIN tot2 t USING (doc_id)
+            LEFT JOIN dup2 d USING (doc_id)
+            WHERE ROUND(COALESCE(d.n_dup, 0)
+                        / CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS DOUBLE),
+                        6) <= 0.5
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(c.n_kept) AS BIGINT) AS kept_paras,
+               CAST(SUM(len(regexp_split_to_array(trim(c.text), '\s+')))
+                    AS BIGINT) AS clean_tokens
+        FROM cleaned c
+        JOIN gate USING (doc_id)
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
     """
 
     # Hopping windows: each event lands in the 4 windows starting at

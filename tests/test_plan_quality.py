@@ -156,6 +156,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 5 (ewma_scan and phash_dup_pairs are Python-path by
         # design: the recurrence scan and the pixel decode)
         "paragraph_dedup", "dup_ngram_spans", "hopping_window",
+        "corpus_curation_v3",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
