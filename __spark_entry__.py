@@ -1402,6 +1402,18 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_spans(_docs_with_dups(spark, sf_dir), n=8)
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication surgery (functions/text.py
+    remove_duplicate_ngram_spans): every cross-document 8-gram
+    occurrence is excised except its corpus-wide first occurrence, and
+    documents are rebuilt from surviving tokens — exact copies hollow
+    out to '', near copies keep only their novel suffix, and the
+    earliest document keeps the passage."""
+    from fresco_hpc_spark.functions import remove_duplicate_ngram_spans
+
+    return remove_duplicate_ngram_spans(_docs_with_dups(spark, sf_dir), n=8)
+
+
 def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window event aggregation (operators/timeseries.py
     hopping_window_agg): 1-hour windows sliding every 15 minutes — the
@@ -1625,6 +1637,7 @@ def queries() -> dict[str, Query]:
         # rotation above stays intact; full-parity covers it locally and
         # it rotates into the r6 window
         "corpus_curation_v3": q_corpus_curation_v3,
+        "remove_dup_spans": q_remove_dup_spans,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3574,6 +3587,68 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    # Span surgery: winner = first occurrence per gram (row_number in
+    # SQL; the engine uses an equivalent partial-agg min(struct)),
+    # covered positions = union of removed occurrences' ranges.
+    oracles["remove_dup_spans"] = rf"""
+        WITH corpus AS ({_DOCS_WITH_DUPS_SQL}),
+        src AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+            FROM corpus
+        ),
+        toks AS (
+            SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS word
+            FROM src, UNNEST(generate_series(1, array_length(ws))) AS t(i)
+            WHERE ws[t.i] <> ''
+        ),
+        grams AS (
+            SELECT doc_id, t.i - 1 AS pos,
+                   md5(array_to_string(ws[t.i:(t.i + 7)], ' ')) AS fp
+            FROM src,
+                 UNNEST(generate_series(1, array_length(ws) - 7)) AS t(i)
+            WHERE array_length(ws) >= 8
+        ),
+        nd AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY fp),
+        winner AS (
+            SELECT fp, doc_id AS wdoc, pos AS wpos FROM (
+                SELECT fp, doc_id, pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY fp ORDER BY doc_id, pos
+                       ) AS rn
+                FROM grams
+            ) WHERE rn = 1
+        ),
+        removed AS (
+            SELECT g.doc_id, g.pos
+            FROM grams g JOIN nd USING (fp) JOIN winner w USING (fp)
+            WHERE nd.nd >= 2
+              AND (g.doc_id <> w.wdoc OR g.pos <> w.wpos)
+        ),
+        covered AS (
+            SELECT DISTINCT r.doc_id, r.pos + t.k AS pos
+            FROM removed r, UNNEST(generate_series(0, 7)) AS t(k)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.word
+            FROM toks t LEFT JOIN covered c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+        ),
+        totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+        rebuilt AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n_tokens AS BIGINT) AS n_tokens,
+               CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY t.doc_id
     """
 
     # v3 curation: the paragraph-dedup CTEs feed the substring gate on

@@ -693,3 +693,99 @@ def duplicate_ngram_spans(
         )
         .orderBy(id_col)
     )
+
+
+def remove_duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """Exact substring-duplication SURGERY — the removal counterpart of
+    :func:`duplicate_ngram_spans` (Lee et al. 2022 deduplicate the
+    spans themselves, not whole documents): every occurrence of a word
+    ``n``-gram that appears in ≥2 distinct documents is removed EXCEPT
+    its corpus-wide first occurrence (min (doc, position)), and each
+    document is rebuilt from its surviving tokens. Exactly one copy of
+    every duplicated passage survives, in the earliest document.
+
+    A token is dropped when ANY removed gram occurrence covers it
+    (positions i..i+n−1), so overlapping duplicated spans merge into
+    one excision, as in the reference implementation's byte-range cuts.
+
+    Output: one row per document — ``n_tokens`` (before), ``n_removed``,
+    ``clean_text`` ('' when everything was duplicated elsewhere first).
+
+    Scale shape (100 TB): tokenize + gram fingerprints are map-only
+    (md5, 16 B each); the winner per gram is a partial-aggregatable
+    ``min(struct(doc,pos))`` and the cross-doc count a distinct+count
+    pair — both partial-combine before their fingerprint shuffle (no
+    windows, so a boilerplate gram in 10⁶ docs never sorts on one
+    task); covered positions explode map-side from removed occurrences;
+    the final anti-join and per-doc rebuild are equi-key operations.
+    """
+    df = _fan_out(df)
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(words).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    npos = F.size(words) - F.lit(n - 1)
+    starts = F.when(npos >= 1, F.sequence(F.lit(0), npos - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("pos"),
+                    F.md5(F.array_join(F.slice(words, s + 1, n), " ")).alias(
+                        "fp"
+                    ),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    winner = grams.groupBy("fp").agg(F.min(F.struct("doc", "pos")).alias("w"))
+    nd = (
+        grams.select("fp", "doc")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    removed = (
+        grams.join(nd.filter(F.col("nd") >= 2), "fp")
+        .join(winner, "fp")
+        .filter(
+            (F.col("doc") != F.col("w.doc")) | (F.col("pos") != F.col("w.pos"))
+        )
+    )
+    covered = removed.select(
+        "doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos")
+    ).distinct()
+    kept = toks.join(covered, ["doc", "pos"], "left_anti")
+    totals = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy(id_col)
+    )

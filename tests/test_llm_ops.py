@@ -871,3 +871,44 @@ def test_duplicate_ngram_spans_within_doc_repeat_not_flagged(spark):
     out = {r.doc_id: r for r in duplicate_ngram_spans(df, n=3).collect()}
     assert out[1].n_dup_grams == 0
     assert out[2].n_dup_grams == 0
+
+
+def test_remove_duplicate_ngram_spans_hand_computed(spark):
+    """3-gram surgery: doc 1 (earliest) keeps the shared passage; doc
+    2's copy is excised (covered positions = union of its dup-gram
+    ranges); unique text survives everywhere; a doc that is entirely a
+    later copy comes back empty."""
+    from fresco_hpc_spark.functions import remove_duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d unique tail here"),
+            (2, "x y a b c d z"),      # 'a b c'/'b c d' dup -> cut a..d
+            (3, "a b c d"),            # entirely a later copy -> ''
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_ngram_spans(df, n=3).collect()}
+    assert out[1].clean_text == "a b c d unique tail here"
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "x y z"
+    assert out[2].n_removed == 4
+    assert out[3].clean_text == "" and out[3].n_removed == 4
+
+
+def test_remove_duplicate_ngram_spans_overlap_merges(spark):
+    """Overlapping duplicated grams merge into one excision; the
+    within-doc second copy of a cross-doc gram is removed too (only the
+    corpus-wide first occurrence survives)."""
+    from fresco_hpc_spark.functions import remove_duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [(1, "p q r p q r"), (2, "p q r s")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_ngram_spans(df, n=3).collect()}
+    # doc 1 pos0 'p q r' is the winner; its pos3 copy is removed
+    assert out[1].clean_text == "p q r"
+    assert out[1].n_removed == 3
+    # doc 2's 'p q r' removed; 'q r s' is unique so 's' survives
+    assert out[2].clean_text == "s"

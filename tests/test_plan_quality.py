@@ -156,7 +156,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 5 (ewma_scan and phash_dup_pairs are Python-path by
         # design: the recurrence scan and the pixel decode)
         "paragraph_dedup", "dup_ngram_spans", "hopping_window",
-        "corpus_curation_v3",
+        "corpus_curation_v3", "remove_dup_spans",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -291,3 +291,50 @@ def test_decontaminate_broadcasts_eval_ngrams(spark):
     n-gram relation, the exact cost the operator exists to avoid."""
     plan = plan_of(spark, "decontaminate")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_paragraph_dedup_winner_is_partial_aggregated(spark):
+    """The first-occurrence winner must be a partial-aggregatable
+    min(struct) under the fingerprint groupBy — a window row_number
+    over the fingerprint would sort each skewed boilerplate group on
+    one task. Plan: HashAggregate/ObjectHashAggregate pairs around the
+    fingerprint exchange, and NO Window node anywhere."""
+    plan = plan_of(spark, "paragraph_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_ngram_spans_no_window_no_cartesian(spark):
+    """Gram document-frequency and the per-doc rollup are partial
+    aggregations; the dup flag rejoins on the md5 fingerprint equi-key."""
+    plan = plan_of(spark, "dup_ngram_spans")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hopping_window_single_aggregation(spark):
+    """The window assignment is a map-side explode — exactly ONE
+    aggregate exchange (plus the presentation sort), no join at all."""
+    plan = plan_of(spark, "hopping_window")
+    assert "Join" not in plan
+    # one partial+final aggregate pair over the window struct (formatted
+    # explain lists each node twice: tree + details)
+    assert plan.count("HashAggregate") == 4
+
+
+def test_ewma_scan_single_shuffle_before_python(spark):
+    """The scan's only data shuffle is the hash repartition on the key
+    (the final orderBy adds a range exchange on the tiny result). The
+    Python crossing is exactly one MapInPandas over the sorted
+    partitions."""
+    from fresco_hpc_spark.operators import ewma_scan
+    from fresco_hpc_spark.sources import table as load_table
+
+    ev = load_table(spark, SF_SMALL, "events").filter("value IS NOT NULL")
+    plan = _explain(spark, ewma_scan(ev, "user_id", "value", time_col="ts"))
+    # formatted explain lists each node twice (tree + details)
+    assert plan.count("MapInPandas") == 2
+    assert "hashpartitioning(user_id" in plan
+    # exactly two exchange nodes: repartition(key) + presentation orderBy
+    assert plan.count("Exchange") == 4
