@@ -1414,6 +1414,28 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_ngram_spans(_docs_with_dups(spark, sf_dir), n=8)
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus's own top-100 vocabulary
+    (functions/text.py oov_rate): the bounded vocabulary broadcasts, so
+    the membership probe is a map-side lookup — no token-stream
+    shuffle (contrast the unbounded tf-idf/unigram vocabulary joins)."""
+    from fresco_hpc_spark.functions import oov_rate
+
+    return oov_rate(table(spark, sf_dir, "documents"), vocab_size=100)
+
+
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length trim (functions/text.py
+    length_percentile_filter): keep docs inside the corpus's
+    [p5, p95] token-count band — bounds from the distributed
+    order-statistics machinery, applied as broadcast literals."""
+    from fresco_hpc_spark.functions import length_percentile_filter
+
+    return length_percentile_filter(
+        table(spark, sf_dir, "documents"), p_low=0.05, p_high=0.95
+    )
+
+
 def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window event aggregation (operators/timeseries.py
     hopping_window_agg): 1-hour windows sliding every 15 minutes — the
@@ -1638,6 +1660,8 @@ def queries() -> dict[str, Query]:
         # it rotates into the r6 window
         "corpus_curation_v3": q_corpus_curation_v3,
         "remove_dup_spans": q_remove_dup_spans,
+        "oov_rate": q_oov_rate,
+        "length_filter": q_length_filter,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3587,6 +3611,47 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    oracles["oov_rate"] = r"""
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        ),
+        t2 AS (SELECT doc, token FROM toks WHERE token <> ''),
+        tf AS (SELECT token, COUNT(*) AS tf FROM t2 GROUP BY token),
+        vocab AS (
+            SELECT token FROM tf ORDER BY tf DESC, token ASC LIMIT 100
+        )
+        SELECT t2.doc AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        FROM t2 LEFT JOIN vocab v USING (token)
+        GROUP BY t2.doc ORDER BY doc_id
+    """
+
+    oracles["length_filter"] = r"""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_words
+            FROM documents
+        ),
+        b AS (
+            SELECT ROUND(PERCENTILE_CONT(0.05)
+                         WITHIN GROUP (ORDER BY n_words), 6) AS lo,
+                   ROUND(PERCENTILE_CONT(0.95)
+                         WITHIN GROUP (ORDER BY n_words), 6) AS hi
+            FROM c
+        )
+        SELECT doc_id, n_words FROM c, b
+        WHERE n_words >= lo AND n_words <= hi
+        ORDER BY doc_id
     """
 
     # Span surgery: winner = first occurrence per gram (row_number in

@@ -789,3 +789,86 @@ def remove_duplicate_ngram_spans(
         )
         .orderBy(id_col)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` term-frequency vocabulary — the tokenizer-prep
+    question vocab_stats answers in aggregate ("how much does a k-token
+    vocabulary cover?"), asked per document: a high OOV rate marks
+    documents a fixed vocabulary will shred into UNK/bytes (foreign
+    scripts, code, gibberish), another standard curation threshold.
+
+    Ties at the vocabulary boundary break deterministically by
+    (tf desc, token asc) — the same order vocab_stats ranks by.
+
+    Scale shape: one tokenize pass feeds both the (token, tf) aggregate
+    (partial-agg) and the membership probe; the vocabulary is BOUNDED by
+    ``vocab_size``, so it broadcasts — the probe is a map-side hash
+    lookup, no shuffle of the token stream (contrast the unbounded
+    vocabulary joins in tf_idf/unigram_logprob, which must stay
+    shuffle joins). Per-doc rollup is a second partial agg.
+    """
+    df = _fan_out(df)
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("token"))
+    toks = toks.filter(F.col("token") != "")
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = (
+        tf.orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), _ROUND).alias("oov_rate"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def length_percentile_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+) -> DataFrame:
+    """Keep documents whose token count lies within the corpus's
+    [p_low, p_high] length percentiles (inclusive) — the
+    tails-trimming curation pass that drops both fragments and
+    concatenation blobs without hand-picked thresholds.
+
+    The bounds come from :func:`...percentiles.distributed_exact_percentiles`
+    (range-shuffle order statistics — exact PERCENTILE_CONT semantics
+    with no single-reducer buffer, the same machinery as the A5 global
+    percentiles), then apply as broadcast literals in a map-side
+    filter: two bounded jobs at build time, zero shuffle of the corpus.
+    """
+    from fresco_hpc_spark.operators.percentiles import (
+        distributed_exact_percentiles,
+    )
+
+    counts = df.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_words")
+    )
+    lo, hi = distributed_exact_percentiles(counts, "n_words", [p_low, p_high])
+    lo = round(lo, _ROUND)
+    hi = round(hi, _ROUND)
+    return counts.filter(
+        (F.col("n_words") >= lo) & (F.col("n_words") <= hi)
+    ).orderBy(id_col)

@@ -912,3 +912,31 @@ def test_remove_duplicate_ngram_spans_overlap_merges(spark):
     assert out[1].n_removed == 3
     # doc 2's 'p q r' removed; 'q r s' is unique so 's' survives
     assert out[2].clean_text == "s"
+
+
+def test_oov_rate_hand_computed(spark):
+    """vocab_size=2 over tf {the:4, cat:3, dog:1, owl:1}: vocab =
+    {the, cat} (tf desc, token asc at ties); doc 2's 'dog owl' are both
+    OOV."""
+    from fresco_hpc_spark.functions import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "the cat the cat"), (2, "the dog owl cat"), (3, "the owl")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert (out[1].n_tokens, out[1].n_oov, out[1].oov_rate) == (4, 0, 0.0)
+    assert (out[2].n_tokens, out[2].n_oov, out[2].oov_rate) == (4, 2, 0.5)
+    assert (out[3].n_tokens, out[3].n_oov, out[3].oov_rate) == (2, 1, 0.5)
+
+
+def test_length_percentile_filter_trims_tails(spark):
+    """21 docs with 1..21 words, [p25, p75] keeps word counts 6..16
+    (PERCENTILE_CONT on 1..21: p25=6, p75=16, inclusive)."""
+    from fresco_hpc_spark.functions import length_percentile_filter
+
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 22)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = length_percentile_filter(df, p_low=0.25, p_high=0.75).collect()
+    kept = sorted(r.n_words for r in out)
+    assert kept == list(range(6, 17))

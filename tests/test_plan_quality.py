@@ -156,7 +156,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 5 (ewma_scan and phash_dup_pairs are Python-path by
         # design: the recurrence scan and the pixel decode)
         "paragraph_dedup", "dup_ngram_spans", "hopping_window",
-        "corpus_curation_v3", "remove_dup_spans",
+        "corpus_curation_v3", "remove_dup_spans", "oov_rate", "length_filter",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -338,3 +338,11 @@ def test_ewma_scan_single_shuffle_before_python(spark):
     assert "hashpartitioning(user_id" in plan
     # exactly two exchange nodes: repartition(key) + presentation orderBy
     assert plan.count("Exchange") == 4
+
+
+def test_oov_vocab_probe_is_broadcast(spark):
+    """The bounded top-N vocabulary must broadcast — the membership
+    probe is a map-side lookup, never a shuffle of the token stream."""
+    plan = plan_of(spark, "oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
