@@ -302,10 +302,18 @@ def test_ewma_matches_python_reference(spark, vals, alpha):
         r.ewma
         for r in ewma(df, "k", "v", alpha=alpha).orderBy("ts").collect()
     ]
+    # HALF_UP at 6 dp, matching Spark's F.round / DuckDB's ROUND —
+    # Python's built-in round() is banker's and disagrees on exact .5
+    # boundaries (hypothesis found 0.75 * 0.96875 = 0.7265625 exactly)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
     s, exp = None, []
     for v in vals:
         s = v if s is None else alpha * v + (1.0 - alpha) * s
-        exp.append(round(s, 6))
+        exp.append(r6(s))
     assert got == exp
 
 
