@@ -1414,6 +1414,19 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_ngram_spans(_docs_with_dups(spark, sf_dir), n=8)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (functions/dedup.py
+    ngram_containment_pairs): the subdocument/quote signal Jaccard
+    misses — every base document is fully contained (containment 1.0)
+    in its appended-suffix near copy, while the pair's Jaccard can sit
+    below any symmetric threshold."""
+    from fresco_hpc_spark.functions import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.9, materialize=True
+    )
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate vs the corpus's own top-100 vocabulary
     (functions/text.py oov_rate): the bounded vocabulary broadcasts, so
@@ -1662,6 +1675,7 @@ def queries() -> dict[str, Query]:
         "remove_dup_spans": q_remove_dup_spans,
         "oov_rate": q_oov_rate,
         "length_filter": q_length_filter,
+        "containment_pairs": q_containment_pairs,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3611,6 +3625,45 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    oracles["containment_pairs"] = f"""
+        WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+        words AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM docs
+        ),
+        toks AS (
+            SELECT DISTINCT doc, token FROM (
+                SELECT doc_id AS doc,
+                       unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS token
+                FROM words
+            )
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM toks GROUP BY doc),
+        freq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+        rare AS (
+            SELECT t.doc, t.token FROM toks t
+            JOIN freq f ON t.token = f.token WHERE f.df <= 1000
+        ),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+            FROM rare a JOIN rare b
+              ON a.token = b.token AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+               ROUND(n_common / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+               ROUND(n_common / CAST(sb.n AS DOUBLE), 6) AS containment_b,
+               ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE ROUND(n_common / CAST(sa.n AS DOUBLE), 6) >= 0.9
+           OR ROUND(n_common / CAST(sb.n AS DOUBLE), 6) >= 0.9
+        ORDER BY doc_a, doc_b
     """
 
     oracles["oov_rate"] = r"""

@@ -287,6 +287,78 @@ def ngram_jaccard_pairs(
     return _finish_pairs(result, [rare], materialize)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_token_freq: int = 1000,
+    materialize: bool = False,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    ``C(A⊆B) = |A∩B| / |A|``. Jaccard misses the subdocument case —
+    a page quoted wholesale inside a much larger page has
+    ``J = |A|/|B| ≈ 0`` but ``C(A⊆B) = 1`` — and containment is the
+    standard signal for quote/subset/wrapper detection in corpus
+    curation (Broder's resemblance vs containment distinction).
+
+    Emits each unordered pair once with BOTH directions
+    (``containment_a`` = fraction of A's shingles found in B,
+    ``containment_b`` symmetric) when either direction reaches
+    ``threshold``; ``jaccard`` rides along for context.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` (token
+    self-join with document-frequency pruning — candidates ∝ Σdf², the
+    cap bounds any token's fan-out). The same caveats and the same
+    cure apply: at Zipfian 100 TB scale route through prefix filtering
+    or MinHash first and use this as the exact verifier on candidates.
+    """
+    toks = _tokens_with_stats(df, text_col, id_col, n)
+    rare = toks.filter(F.col("df") <= max_token_freq).select(
+        "doc", "token", "n_tokens"
+    )
+    if materialize:
+        rare = rare.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n_tokens").alias("size_a"),
+            F.first("b.n_tokens").alias("size_b"),
+        )
+    )
+    c_a = F.round(F.col("n_common") / F.col("size_a"), 6)
+    c_b = F.round(F.col("n_common") / F.col("size_b"), 6)
+    jacc = F.round(
+        F.col("n_common")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        6,
+    )
+    result = (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            jacc.alias("jaccard"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return _finish_pairs(result, [rare], materialize)
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",

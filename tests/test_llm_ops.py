@@ -940,3 +940,35 @@ def test_length_percentile_filter_trims_tails(spark):
     out = length_percentile_filter(df, p_low=0.25, p_high=0.75).collect()
     kept = sorted(r.n_words for r in out)
     assert kept == list(range(6, 17))
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc fully quoted inside a 10x larger one: containment_a
+    = 1.0 while Jaccard is tiny — the asymmetric signal Jaccard-based
+    dedup cannot see. Unrelated docs produce no pair."""
+    from fresco_hpc_spark.functions import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"pad{i} fil{i} word{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("pad", "tail")),
+            (3, "nothing shared here at all friends"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r
+        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.containment_a == 1.0  # every 3-gram of the quote is in doc 2
+    assert r.containment_b < 0.1 and r.jaccard < 0.1
+    assert not any(3 in p for p in pairs)
+    # the same corpus at Jaccard >= 0.5 finds NOTHING
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.5).collect() == []
