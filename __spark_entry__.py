@@ -1414,6 +1414,23 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_ngram_spans(_docs_with_dups(spark, sf_dir), n=8)
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split (functions/sampling.py
+    cluster_aware_split): the split coin lands on the near-dup CLUSTER
+    representative, so exact/near copies never straddle the eval
+    boundary; singleton documents get exactly corpus_split's coin."""
+    from fresco_hpc_spark.functions import cluster_aware_split
+
+    docs = _docs_with_dups(spark, sf_dir)
+    return (
+        cluster_aware_split(
+            docs, _dup_pairs(spark, sf_dir), eval_frac=0.1
+        )
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup pairs (functions/dedup.py
     ngram_containment_pairs): the subdocument/quote signal Jaccard
@@ -1676,6 +1693,7 @@ def queries() -> dict[str, Query]:
         "oov_rate": q_oov_rate,
         "length_filter": q_length_filter,
         "containment_pairs": q_containment_pairs,
+        "cluster_split": q_cluster_split,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3625,6 +3643,43 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    # Cluster-aware split: clusters replayed with the same 2-round
+    # min-label CTE the dup_clusters oracle uses (exact for this
+    # corpus's diameter<=2 clusters); the coin is the corpus_split
+    # 60-bit md5 fraction on the representative.
+    oracles["cluster_split"] = f"""
+        WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+        pairs AS (
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 2000000
+            FROM documents WHERE doc_id % 7 = 0
+        ), adj AS (
+            SELECT doc_a AS doc, doc_b AS nbr FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), l1 AS (
+            SELECT doc, LEAST(doc, MIN(nbr)) AS label FROM adj GROUP BY doc
+        ), cl AS (
+            SELECT a.doc, LEAST(MIN(ld.label), MIN(ln.label)) AS cluster_id
+            FROM adj a
+            JOIN l1 ld ON ld.doc = a.doc
+            JOIN l1 ln ON ln.doc = a.nbr
+            GROUP BY a.doc
+        ), labeled AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+            FROM docs d LEFT JOIN cl ON cl.doc = d.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN (('0x' || substr(md5('split|'
+                               || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                          / 1152921504606846976.0) < 0.1
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM labeled ORDER BY doc_id
     """
 
     oracles["containment_pairs"] = f"""

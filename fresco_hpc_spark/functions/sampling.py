@@ -206,3 +206,45 @@ def weighted_repeat(
         n_copies > 0, F.sequence(F.lit(0), n_copies.cast("int") - 1)
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    eval_frac: float = 0.1,
+    split_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/eval split: the split coin is thrown on the
+    near-dup CLUSTER representative, not the document id, so every
+    member of a duplicate cluster lands on the SAME side. A plain
+    per-document split leaks — a near copy of an eval document in train
+    lets the model memorize the "held-out" text (the exact failure
+    cross-corpus dedup papers flag in public benchmarks).
+
+    ``pairs`` is any near-dup pair relation (MinHash, SimHash, phash,
+    containment — columns ``doc_a``/``doc_b``); clusters come from
+    :func:`...dedup.dup_clusters` (large-star/small-star CC), documents
+    absent from every pair are their own singleton cluster. The coin
+    itself is :func:`corpus_split`'s salted hash on the representative,
+    so singleton documents get EXACTLY the split corpus_split gives
+    them — the cluster pass only coordinates duplicates.
+
+    Scale shape: clustering is the O(log² n) CC rounds over the pair
+    relation (pairs ∝ near-dups, not corpus); the membership join is an
+    equi left join; the coin is a map-side expression. Output adds
+    ``cluster_id`` (the representative) and ``split``.
+    """
+    from fresco_hpc_spark.functions.dedup import dup_clusters
+
+    clusters = dup_clusters(pairs).withColumnRenamed("doc", key_col)
+    labeled = df.join(clusters, key_col, "left")
+    rep = F.coalesce(F.col("cluster_id"), F.col(key_col))
+    frac = hash_fraction(F.concat(F.lit(salt + "|"), rep.cast("string")))
+    return labeled.withColumn("cluster_id", rep.cast("bigint")).withColumn(
+        split_col,
+        F.when(frac < F.lit(float(eval_frac)), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

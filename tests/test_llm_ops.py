@@ -972,3 +972,36 @@ def test_containment_catches_subdocument_jaccard_misses(spark):
     assert not any(3 in p for p in pairs)
     # the same corpus at Jaccard >= 0.5 finds NOTHING
     assert ngram_jaccard_pairs(df, n=3, threshold=0.5).collect() == []
+
+
+def test_cluster_aware_split_never_straddles(spark):
+    """Anti-leakage: every near-dup cluster lands wholly in train or
+    wholly in eval; singletons get exactly the corpus_split coin."""
+    from fresco_hpc_spark.functions import cluster_aware_split, corpus_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(0, 50)]      # 50 two-doc clusters
+        + [(0, 150), (150, 151)],                  # one 4-doc chain
+        ["doc_a", "doc_b"],
+    )
+    out = cluster_aware_split(docs, pairs, eval_frac=0.3).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    # members agree with their cluster-mates
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the 4-doc chain 0-100-150-151 shares one cluster and one side
+    assert cluster_of[0] == cluster_of[100] == cluster_of[150] == cluster_of[151] == 0
+    # singletons match plain corpus_split exactly
+    singles = [i for i in range(200) if cluster_of[i] == i and i not in
+               {d for p in [(i, i+100) for i in range(50)] + [(0,150),(150,151)] for d in p}]
+    plain = {r.doc_id: r.split
+             for r in corpus_split(docs, "doc_id", eval_frac=0.3).collect()}
+    assert singles and all(split_of[i] == plain[i] for i in singles)
+    # both sides non-empty at this fraction
+    assert {"train", "eval"} == set(split_of.values())
