@@ -1414,6 +1414,17 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_ngram_spans(_docs_with_dups(spark, sf_dir), n=8)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (functions/text.py bigram_logprob_score),
+    self-scored: mean transition log-probability under the corpus's own
+    Laplace-smoothed bigram model — the order-sensitive quality signal
+    (keyword-stuffed/shuffled text collapses here while the unigram
+    score cannot see it)."""
+    from fresco_hpc_spark.functions import bigram_logprob_score
+
+    return bigram_logprob_score(table(spark, sf_dir, "documents"))
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split (functions/sampling.py
     cluster_aware_split): the split coin lands on the near-dup CLUSTER
@@ -1694,6 +1705,7 @@ def queries() -> dict[str, Query]:
         "length_filter": q_length_filter,
         "containment_pairs": q_containment_pairs,
         "cluster_split": q_cluster_split,
+        "bigram_logprob": q_bigram_logprob,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3643,6 +3655,41 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    oracles["bigram_logprob"] = r"""
+        WITH words AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id AS doc, w[t.i] AS prev, w[t.i + 1] AS cur
+            FROM words,
+                 UNNEST(generate_series(1, array_length(w) - 1)) AS t(i)
+            WHERE array_length(w) >= 2
+              AND w[t.i] <> '' AND w[t.i + 1] <> ''
+        ),
+        model AS (SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY prev, cur),
+        marg AS (SELECT prev, SUM(c2) AS c1 FROM model GROUP BY prev),
+        vocab AS (
+            SELECT COUNT(*) AS v FROM (
+                SELECT cur AS w FROM bi UNION SELECT prev FROM bi
+            )
+        ),
+        lp AS (
+            SELECT bi.doc,
+                   CAST(ROUND(ln((m.c2 + 1)
+                              / CAST(g.c1 + vocab.v AS DOUBLE)) * 1e6, 0)
+                        AS BIGINT) AS lp_u
+            FROM bi
+            JOIN model m USING (prev, cur)
+            JOIN marg g USING (prev), vocab
+        )
+        SELECT doc AS doc_id,
+               ROUND(SUM(lp_u) / (1e6 * COUNT(*)), 6) AS mean_logprob,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM lp GROUP BY doc ORDER BY doc_id
     """
 
     # Cluster-aware split: clusters replayed with the same 2-round

@@ -872,3 +872,82 @@ def length_percentile_filter(
     return counts.filter(
         (F.col("n_words") >= lo) & (F.col("n_words") <= hi)
     ).orderBy(id_col)
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean TRANSITION log-probability under a Laplace-
+    smoothed bigram language model — the order-sensitive upgrade of
+    :func:`unigram_logprob_score`: a document whose words are plausible
+    but shuffled (spam keyword-stuffing, bag-of-words boilerplate)
+    scores high under a unigram model and collapses under bigrams,
+    because ``P(wᵢ | wᵢ₋₁) = (c(wᵢ₋₁,wᵢ) + 1) / (c(wᵢ₋₁) + V)``
+    punishes transitions the corpus never makes. Score = mean ln P per
+    transition (docs with <2 tokens have no transitions and are
+    omitted, like tokenize-family operators omit empty docs).
+
+    The model comes from ``reference`` (a trusted corpus) or, when
+    None, from ``df`` itself. Micro-unit integer summation keeps the
+    mean order-free (oracle contract rule 8).
+
+    Scale shape: bigrams are a map-side self-zip of the token array
+    (no join against the doc's own tokens); the model is ONE
+    (prev, cur, count) relation plus a (prev, count) marginal — both
+    corpus-vocabulary-sized and therefore JOINED on their keys, never
+    broadcast; V rides a broadcast 1-row cross join. Two partial-agg
+    shuffles build the model, one equi-join scores, one groupBy rolls
+    up per doc.
+    """
+    df = _fan_out(df)
+
+    def bigrams(frame: DataFrame, with_doc: bool) -> DataFrame:
+        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        pairs = F.when(
+            F.size(words) >= 2,
+            F.zip_with(
+                F.slice(words, 1, F.size(words) - 1),
+                F.slice(words, 2, F.size(words) - 1),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        cols = [F.col(id_col).alias("doc")] if with_doc else []
+        out = frame.select(*cols, F.explode(pairs).alias("b")).select(
+            *(["doc"] if with_doc else []),
+            F.col("b.prev").alias("prev"),
+            F.col("b.cur").alias("cur"),
+        )
+        return out.filter((F.col("prev") != "") & (F.col("cur") != ""))
+
+    doc_bi = bigrams(df, with_doc=True)
+    ref_bi = doc_bi if reference is None else bigrams(_fan_out(reference), False)
+    model = ref_bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    marg = model.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = ref_bi.select(F.col("cur").alias("w")).union(
+        ref_bi.select(F.col("prev").alias("w"))
+    ).distinct().agg(F.count(F.lit(1)).alias("v"))
+
+    lp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    scored = (
+        doc_bi.join(model, ["prev", "cur"], "left")
+        .join(marg, "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc", F.round(lp * 1_000_000, 0).cast("bigint").alias("lp_u"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.round(
+                F.sum("lp_u") / (F.lit(1_000_000.0) * F.count(F.lit(1))), _ROUND
+            ).alias("mean_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        )
+        .select(F.col("doc").alias(id_col), "mean_logprob", "n_transitions")
+        .orderBy(id_col)
+    )

@@ -1005,3 +1005,57 @@ def test_cluster_aware_split_never_straddles(spark):
     assert singles and all(split_of[i] == plain[i] for i in singles)
     # both sides non-empty at this fraction
     assert {"train", "eval"} == set(split_of.values())
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Self-scored model over {(a,b):2, (b,a):2, (a,c):1}, marginals
+    {a:3, b:2}, V=3: P(b|a)=3/6, P(a|b)=3/5, P(c|a)=2/6. Micro-unit
+    arithmetic replicated exactly."""
+    import math
+
+    from fresco_hpc_spark.functions import bigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "a c"), (4, "solo")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+
+    def mean_lp(ps):
+        u = [round(math.log(p) * 1e6) for p in ps]
+        return round(sum(u) / (1e6 * len(u)), 6)
+
+    assert out[1].n_transitions == 3
+    assert out[1].mean_logprob == mean_lp([0.5, 0.6, 0.5])
+    assert out[2].mean_logprob == mean_lp([0.6])
+    assert out[3].mean_logprob == mean_lp([2 / 6])
+    assert 4 not in out  # single token: no transitions
+
+
+def test_bigram_model_punishes_shuffled_text(spark):
+    """The order signal: a scrambled copy of fluent text scores
+    strictly below the fluent original under a reference bigram model —
+    the case the unigram score cannot distinguish at all."""
+    from fresco_hpc_spark.functions import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the cat")
+         for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),
+            (101, "mat the sat cat the on"),  # same bag of words
+        ],
+        "doc_id bigint, text string",
+    )
+    bi = {r.doc_id: r.mean_logprob
+          for r in bigram_logprob_score(probe, reference=ref).collect()}
+    assert bi[100] > bi[101]
+    uni = {r.doc_id: r.mean_logprob
+           for r in unigram_logprob_score(probe, reference=ref).collect()}
+    assert uni[100] == uni[101]  # unigram is blind to order
