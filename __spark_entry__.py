@@ -1414,6 +1414,19 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_ngram_spans(_docs_with_dups(spark, sf_dir), n=8)
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized event values (operators/percentiles.py winsorize):
+    the clip counterpart of the trim family — [p5, p95] bounds from
+    distributed order statistics pull tails to the band edges while
+    preserving every row."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ops.winsorize(ev, "value", 0.05, 0.95)
+        .select("event_id", "value", "value_winsorized", "was_clipped")
+        .orderBy("event_id")
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score (functions/text.py bigram_logprob_score),
     self-scored: mean transition log-probability under the corpus's own
@@ -1706,6 +1719,7 @@ def queries() -> dict[str, Query]:
         "containment_pairs": q_containment_pairs,
         "cluster_split": q_cluster_split,
         "bigram_logprob": q_bigram_logprob,
+        "winsorize_values": q_winsorize,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3655,6 +3669,22 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    oracles["winsorize_values"] = """
+        WITH b AS (
+            SELECT ROUND(PERCENTILE_CONT(0.05)
+                         WITHIN GROUP (ORDER BY value), 6) AS lo,
+                   ROUND(PERCENTILE_CONT(0.95)
+                         WITHIN GROUP (ORDER BY value), 6) AS hi
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_id, value,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE ROUND(LEAST(GREATEST(value, lo), hi), 6)
+               END AS value_winsorized,
+               COALESCE(value < lo OR value > hi, FALSE) AS was_clipped
+        FROM events, b ORDER BY event_id
     """
 
     oracles["bigram_logprob"] = r"""

@@ -28,6 +28,7 @@ from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     percentile_trim,
     percentile_trimmed_hourly_agg,
     quantile_bucket,
+    winsorize,
 )
 from fresco_hpc_spark.operators.topn import (  # noqa: F401
     category_counts,

@@ -255,3 +255,36 @@ def percentile_trimmed_hourly_agg(
         high,
     )
     return hourly_agg(trimmed, value_col, time_col)
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization — the CLIP counterpart of :func:`percentile_trim`:
+    values outside the [p_low, p_high] percentile band are pulled to
+    the band edges instead of dropped, preserving row count (the choice
+    when downstream joins/counts must see every row but tail outliers
+    would wreck means and regressions).
+
+    Bounds come from :func:`distributed_exact_percentiles` (exact
+    PERCENTILE_CONT, no single-reducer buffer) and apply as broadcast
+    literals in one map-side projection — two bounded jobs at build
+    time, zero shuffle of the data. Adds ``{out_col}`` (clipped,
+    rounded) and ``was_clipped``; NULL values pass through unclipped.
+    """
+    out_col = out_col or f"{col}_winsorized"
+    lo, hi = distributed_exact_percentiles(df, col, [p_low, p_high])
+    lo = round(lo, _ROUND)
+    hi = round(hi, _ROUND)
+    c = F.col(col)
+    clipped = F.round(F.least(F.greatest(c, F.lit(lo)), F.lit(hi)), _ROUND)
+    return df.withColumn(
+        out_col, F.when(c.isNull(), F.lit(None).cast("double")).otherwise(clipped)
+    ).withColumn(
+        "was_clipped",
+        F.coalesce((c < F.lit(lo)) | (c > F.lit(hi)), F.lit(False)),
+    )

@@ -351,3 +351,20 @@ def test_hopping_window_agg_hand_computed(spark):
     assert out[datetime(2024, 1, 1, 2, 0)] == (1, 7.0)
     # 5 windows cover the 00:40/00:50 cluster (23:45..00:45), 4 cover 02:00
     assert len(out) == 5 + 4
+
+
+def test_winsorize_clips_and_preserves_rows(spark):
+    """[p25, p75] over 1..21 (PERCENTILE_CONT: 6 and 16): tails pull to
+    the edges, interior values pass through, nulls survive unclipped,
+    row count unchanged."""
+    from fresco_hpc_spark.operators import winsorize
+
+    rows = [(i, float(i)) for i in range(1, 22)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out = {r.id: r for r in winsorize(df, "v", 0.25, 0.75).collect()}
+    assert len(out) == 22
+    assert out[1].v_winsorized == 6.0 and out[1].was_clipped
+    assert out[21].v_winsorized == 16.0 and out[21].was_clipped
+    assert out[10].v_winsorized == 10.0 and not out[10].was_clipped
+    assert out[6].v_winsorized == 6.0 and not out[6].was_clipped  # edge: not clipped
+    assert out[99].v_winsorized is None and not out[99].was_clipped
