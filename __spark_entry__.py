@@ -40,6 +40,8 @@ from fresco_hpc_spark.functions import (
     image_perceptual_hash,
     language_id,
     ivf_ann_topk,
+    ivf_build_index,
+    ivf_query_index,
     ivf_train_centroids,
     lsh_ann_topk,
     minhash_dup_pairs,
@@ -579,6 +581,28 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_cells=8, iterations=2, seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8))
     )
     return ivf_ann_topk(emb, _query_vector(spark, sf_dir), centroids, k=10, nprobe=4)
+
+
+def q_embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index AT REST (functions/vectors.py ivf_build_index /
+    ivf_query_index): the inverted lists are persisted hive-partitioned
+    on the cell id and the query reads ONLY the nprobe probed
+    directories (PartitionFilters pinned in test_planner) — the vector
+    twin of the stored MinHash band index. Same codebook and semantics
+    as embedding_ann_ivf, so the queries share the oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(
+        emb, n_cells=8, iterations=2,
+        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
+    )
+    ivf_build_index(emb, centroids, "entry_ivf_index")
+    return ivf_query_index(
+        spark.table("entry_ivf_index"),
+        _query_vector(spark, sf_dir),
+        centroids,
+        k=10,
+        nprobe=4,
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1720,6 +1744,7 @@ def queries() -> dict[str, Query]:
         "cluster_split": q_cluster_split,
         "bigram_logprob": q_bigram_logprob,
         "winsorize_values": q_winsorize,
+        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3670,6 +3695,12 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
     """
+
+    # The stored-index IVF query shares embedding_ann_ivf's oracle: same
+    # codebook (oracle replays the training), same probe set, identical
+    # output — the only difference is reading the persisted inverted
+    # lists instead of re-assigning the corpus.
+    oracles["embedding_ann_ivf_index"] = _ivf_oracle_sql()
 
     oracles["winsorize_values"] = """
         WITH b AS (

@@ -469,3 +469,86 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.join(dropped, id_col, "left_anti")
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted lists AT REST: every vector's cell
+    assignment is stored as a table HIVE-PARTITIONED on ``_cell`` — the
+    classic inverted-list layout (one directory per cell) — completing
+    the index-at-rest trio (MinHash band index for text, phash index
+    for images, IVF cells for vectors). Queries then read only the
+    probed cells' directories: the ``_cell IN (probes)`` filter becomes
+    ``PartitionFilters`` on the scan (pinned by test_planner), so the
+    probed fraction IS the I/O fraction, and no query ever re-runs
+    assignment over the corpus. (Partitioning is chosen over bucketing
+    here deliberately: Spark's DisableUnnecessaryBucketedScan can turn
+    a bucketed scan — and with it bucket pruning — off for scans with
+    no join, while partition pruning is unconditional.)
+
+    The codebook (``centroids``) stays driver-held like any ANN index's
+    metadata (bounded: n_cells × dim floats); persist it beside the
+    table. Rebuild cadence is the usual IVF operational question —
+    append-only growth skews cell sizes, not correctness.
+    """
+    spark = embeddings.sparkSession
+    # a FRESH session's catalog may not know the table while its
+    # warehouse location survives from a previous session (managed-table
+    # overwrite then fails with LOCATION_ALREADY_EXISTS): drop the
+    # metadata if present, then clear any orphaned location
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        F.col("_cell"), F.col(id_col), F.col(vec_col)
+    )
+    (
+        assigned.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("_cell")
+        .saveAsTable(table_name)
+    )
+
+
+def ivf_query_index(
+    index_df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a STORED IVF index (``ivf_build_index`` output): rank
+    the driver-held codebook against the query, read only the nprobe
+    nearest cells (bucket-pruned scan), exact cosine inside. Identical
+    output to :func:`ivf_ann_topk` on the same codebook — without
+    re-assigning the corpus."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe_cells = [
+        i for i, _ in sorted(
+            enumerate(centroids), key=lambda t: -cos(t[1], query_vec)
+        )[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine_similarity_col(F.col(vec_col), q), _ROUND)
+    return (
+        index_df.filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

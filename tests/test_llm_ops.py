@@ -1059,3 +1059,40 @@ def test_bigram_model_punishes_shuffled_text(spark):
     uni = {r.doc_id: r.mean_logprob
            for r in unigram_logprob_score(probe, reference=ref).collect()}
     assert uni[100] == uni[101]  # unigram is blind to order
+
+
+def test_ivf_stored_index_matches_live_query(spark):
+    """Index-at-rest: querying the bucketed IVF table returns exactly
+    what ivf_ann_topk computes live on the same codebook — and without
+    re-assigning the corpus."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        ivf_ann_topk,
+        ivf_build_index,
+        ivf_query_index,
+        ivf_train_centroids,
+    )
+    from fresco_hpc_spark.sources import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    cents = ivf_train_centroids(
+        emb, n_cells=8, iterations=2,
+        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
+    )
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    spark.sql("DROP TABLE IF EXISTS test_ivf_idx")
+    try:
+        ivf_build_index(emb, cents, "test_ivf_idx")
+        stored = [
+            tuple(r)
+            for r in ivf_query_index(
+                spark.table("test_ivf_idx"), q, cents, k=10, nprobe=4
+            ).collect()
+        ]
+        live = [
+            tuple(r) for r in ivf_ann_topk(emb, q, cents, k=10, nprobe=4).collect()
+        ]
+        assert stored == live and len(stored) == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_ivf_idx")

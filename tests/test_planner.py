@@ -386,3 +386,39 @@ def test_bucketed_band_index_joins_without_index_side_exchange(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS band_idx_bkt")
+
+
+def test_ivf_index_scan_prunes_buckets(spark):
+    """The stored IVF index is hive-partitioned on _cell (one directory
+    per inverted list), so the nprobe cell filter must prune at the
+    DIRECTORY level: the scan carries the _cell probes as
+    PartitionFilters — the probed fraction is the I/O fraction, which
+    is the entire point of an IVF index at rest."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_train_centroids,
+    )
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    cents = ivf_train_centroids(
+        emb, n_cells=8, iterations=1,
+        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
+    )
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    spark.sql("DROP TABLE IF EXISTS plan_ivf_idx")
+    try:
+        ivf_build_index(emb, cents, "plan_ivf_idx")
+        df = ivf_query_index(spark.table("plan_ivf_idx"), q, cents, k=10, nprobe=4)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "PartitionFilters" in plan
+        import re as _re
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+        assert "_cell" in pf and "IN" in pf.upper(), pf
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plan_ivf_idx")
