@@ -146,3 +146,91 @@ def expected_rates(samples: list[tuple[str, int, float]]) -> list[tuple[str, int
                 dv = v1 - v0
                 out.append((k, t1, dv / dt if dv >= 0 else 0.0))
     return out
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType(), False),
+        T.StructField("ts_seconds", T.LongType(), False),
+        T.StructField("ewma", T.DoubleType(), False),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType([T.StructField("s", T.DoubleType(), True)])
+
+
+def _make_ewma_fn(alpha: float, ttl_seconds: int | None):
+    a = float(alpha)
+
+    def _ewma_fn(
+        key: tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-group kernel: sort this batch's samples, seed the
+        recurrence from the carried state (or the first sample), emit
+        one smoothed value per sample, store the running state back —
+        the EXACT IEEE op sequence of the batch scan
+        (operators/timeseries.py ewma_scan), so a drained stream equals
+        the batch operator bit-for-bit (test_streaming pins it)."""
+        if ttl_seconds is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"group_key": [], "ts_seconds": [], "ewma": []}
+            ).astype({"group_key": str, "ts_seconds": "int64", "ewma": "float64"})
+            return
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["ts_seconds", "value"]
+        )
+        s = state.get[0] if state.exists else None
+        out_ts: list[int] = []
+        out_s: list[float] = []
+        for ts, v in zip(rows["ts_seconds"], rows["value"]):
+            v = float(v)
+            s = v if s is None else a * v + (1.0 - a) * s
+            out_ts.append(int(ts))
+            out_s.append(s)
+        state.update((s,))
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+        yield pd.DataFrame(
+            {"group_key": key[0], "ts_seconds": out_ts, "ewma": out_s}
+        )
+
+    return _ewma_fn
+
+
+def streaming_ewma(
+    stream_df: DataFrame,
+    key_col: str = "group_key",
+    ts_col: str = "ts_seconds",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming per-key EWMA with the recurrence state carried ACROSS
+    micro-batches — the streaming-native twin of the batch
+    ``ewma_scan`` (state = one double per key, so the state store is
+    O(keys) like the rate operator; the same TTL/backfill caveats
+    apply). Out-of-order arrivals are ordered only WITHIN a micro-batch
+    (the state cannot rewind); feed event-time-ordered sources or
+    accept processing-order smoothing, the standard streaming-EWMA
+    contract. Raw smoothed doubles are emitted; round at presentation
+    if comparing against the batch operator's rounded column.
+    """
+    renamed = stream_df.selectExpr(
+        f"CAST(`{key_col}` AS STRING) AS group_key",
+        f"CAST(`{ts_col}` AS LONG) AS ts_seconds",
+        f"CAST(`{value_col}` AS DOUBLE) AS value",
+    )
+    return renamed.groupBy("group_key").applyInPandasWithState(
+        _make_ewma_fn(alpha, ttl_seconds),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

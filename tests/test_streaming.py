@@ -821,3 +821,76 @@ def test_streaming_hopping_agg_matches_batch(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_ewma_matches_batch_scan(spark, tmp_path):
+    """Drained stream == batch ewma_scan bit-for-bit: the stateful
+    kernel evaluates a*v + (1-a)*s in the same IEEE op order, and the
+    recurrence state carries across the three per-file micro-batches
+    (the file-boundary samples are exactly where a stateless per-file
+    pass would diverge)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import ewma_scan
+    from fresco_hpc_spark.streaming import streaming_ewma
+
+    samples = [
+        ("g1", 10, 100.0), ("g1", 20, 300.0), ("g1", 30, 250.0),
+        ("g1", 40, 500.0), ("g1", 50, 900.0), ("g1", 60, 960.0),
+        ("g2", 10, 0.5), ("g2", 25, 150.25), ("g2", 55, 450.0),
+    ]
+    files = [samples[0:3] + samples[6:7], samples[3:5] + samples[7:8],
+             samples[5:6] + samples[8:9]]
+    src = tmp_path / "src"
+    src.mkdir()
+    import time as _time
+
+    base = _time.time() - 100
+    for i, rows in enumerate(files):
+        path = src / f"part_{i}.csv"
+        pd.DataFrame(rows, columns=["group_key", "ts_seconds", "value"]).to_csv(
+            path, index=False
+        )
+        os.utime(path, (base + i, base + i))
+
+    schema = "group_key string, ts_seconds long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_stream")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.group_key, r.ts_seconds): r.ewma
+        for r in spark.table("ewma_stream").collect()
+    }
+    batch_df = spark.createDataFrame(samples, schema)
+    want = {
+        (r.group_key, r.ts_seconds): r.ewma
+        for r in ewma_scan(
+            batch_df, "group_key", "value", time_col="ts_seconds", alpha=0.3,
+            round_to=6,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    # batch rounds to 6 dp; the stream emits raw doubles — rounding the
+    # stream's output the same way must match EXACTLY (bit-identical
+    # recurrence), including across the file boundaries
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r6 = lambda x: float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+    assert {k: r6(v) for k, v in got.items()} == want
