@@ -479,10 +479,14 @@ def test_pair_generators_leave_no_persisted_rdds(spark, docs_with_dups):
     # materialize the module fixture's own .cache() before baselining
     docs_with_dups.count()
     base = n_persisted()
-    # lazy default: plan composes, executing it persists nothing
+    # lazy default: plan composes, executing it persists nothing.
+    # One-sided check: the async ContextCleaner may CONCURRENTLY free
+    # blocks left by earlier test files between the baseline and this
+    # assert (observed in full-suite runs), so the count may shrink —
+    # only growth would be a leak.
     lazy = ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5)
     lazy.count()
-    assert n_persisted() == base
+    assert n_persisted() <= base
     # materialized: the BUILD-side persist is released before return; the
     # one block a call may add is the result's own eager checkpoint (it
     # IS the materialized result the caller holds — ContextCleaner frees
