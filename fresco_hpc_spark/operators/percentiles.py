@@ -278,6 +278,12 @@ def winsorize(
     """
     out_col = out_col or f"{col}_winsorized"
     lo, hi = distributed_exact_percentiles(df, col, [p_low, p_high])
+    if lo is None or hi is None:
+        # empty / all-null column: nothing to clip — same degenerate
+        # contract as global_percentiles (NULL bounds)
+        return df.withColumn(
+            out_col, F.lit(None).cast("double")
+        ).withColumn("was_clipped", F.lit(False))
     lo = round(lo, _ROUND)
     hi = round(hi, _ROUND)
     c = F.col(col)

@@ -368,3 +368,14 @@ def test_winsorize_clips_and_preserves_rows(spark):
     assert out[10].v_winsorized == 10.0 and not out[10].was_clipped
     assert out[6].v_winsorized == 6.0 and not out[6].was_clipped  # edge: not clipped
     assert out[99].v_winsorized is None and not out[99].was_clipped
+
+
+def test_winsorize_all_null_column_degenerates_gracefully(spark):
+    from fresco_hpc_spark.operators import winsorize
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, v double"
+    )
+    out = winsorize(df, "v").collect()
+    assert len(out) == 2
+    assert all(r.v_winsorized is None and not r.was_clipped for r in out)
