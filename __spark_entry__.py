@@ -1451,6 +1451,29 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_standardize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type feature standardization (operators/stats.py
+    standardize): z = (x − mean)/sd with mean/variance computed from
+    EXACT fixed-point integer sums, so the moments are engine-identical
+    and only the final sqrt/divide touch floats."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ops.standardize(ev, "value", group_cols=["event_type"], decimals=2)
+        .select("event_id", "event_type", "value", "value_z")
+        .orderBy("event_id")
+    )
+
+
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (functions/text.py
+    source_quality_report): docs, tokens, mean quality (micro-unit
+    exact), and the 0.5-threshold pass rate per source — the first
+    table a curation run prints."""
+    from fresco_hpc_spark.functions import source_quality_report
+
+    return source_quality_report(table(spark, sf_dir, "documents"))
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score (functions/text.py bigram_logprob_score),
     self-scored: mean transition log-probability under the corpus's own
@@ -1745,6 +1768,8 @@ def queries() -> dict[str, Query]:
         "bigram_logprob": q_bigram_logprob,
         "winsorize_values": q_winsorize,
         "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
+        "standardize_values": q_standardize_values,
+        "source_quality": q_source_quality,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3694,6 +3719,65 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    oracles["standardize_values"] = """
+        WITH fx AS (
+            SELECT event_id, event_type, value,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS f
+            FROM events
+        ),
+        st AS (
+            SELECT event_type, COUNT(f) AS n, SUM(f) AS s1, SUM(f * f) AS s2
+            FROM fx WHERE f IS NOT NULL GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n,
+                   s1 / (100.0 * n) AS mean,
+                   sqrt((s2 - (CAST(s1 AS DOUBLE) * s1) / n)
+                        / (10000.0 * (n - 1))) AS sd
+            FROM st
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN m.n >= 2 AND m.sd > 0 AND e.value IS NOT NULL
+                    THEN ROUND((e.value - m.mean) / m.sd, 6) END AS value_z
+        FROM fx e LEFT JOIN m USING (event_type)
+        ORDER BY e.event_id
+    """
+
+    oracles["source_quality"] = """
+        WITH s AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+                       AS punct_count,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\\b(the|a|of|to|and|is|in|that|it|for|on|with|as|at|by)\\b'))
+                        AS BIGINT) AS stop
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, source, n_words,
+                   ROUND(0.4 * LEAST(n_words / 50.0, 1.0)
+                       + 0.3 * (1.0 - LEAST(punct_count
+                             / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10, 1.0))
+                       + 0.3 * LEAST(stop
+                             / CAST(GREATEST(n_words, 1) AS DOUBLE) * 5, 1.0),
+                       6) AS quality_score
+            FROM s
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+               ROUND(SUM(n_words) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
+               ROUND(SUM(CAST(ROUND(quality_score * 1000000, 0) AS BIGINT))
+                     / (1000000.0 * COUNT(*)), 6) AS mean_quality,
+               ROUND(SUM(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+        FROM q GROUP BY source ORDER BY source
     """
 
     # The stored-index IVF query shares embedding_ann_ivf's oracle: same

@@ -951,3 +951,40 @@ def bigram_logprob_score(
         .select(F.col("doc").alias(id_col), "mean_logprob", "n_transitions")
         .orderBy(id_col)
     )
+
+
+def source_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus health report — the table a curation run
+    prints first: documents, total/mean tokens, mean quality score, and
+    the share of documents passing the quality threshold (0.5), per
+    source. Composes :func:`text_stats` with one partial-aggregated
+    rollup; the mean of the (already 6-dp-rounded) quality scores rides
+    integer micro-units so the cross-engine hash is summation-order
+    free.
+    """
+    stats = text_stats(df, text_col, id_col)
+    src = df.select(F.col(id_col), F.col(group_col))
+    q_u = F.round(F.col("quality_score") * 1_000_000, 0).cast("bigint")
+    return (
+        stats.join(src, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_words") / F.count(F.lit(1)), 6).alias("mean_tokens"),
+            F.round(
+                F.sum(q_u) / (F.lit(1_000_000.0) * F.count(F.lit(1))), 6
+            ).alias("mean_quality"),
+            F.round(
+                F.count(F.when(F.col("quality_score") >= 0.5, 1))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy(group_col)
+    )

@@ -3,6 +3,7 @@ from fresco_hpc_spark.operators.stats import (  # noqa: F401
     column_stats,
     linear_trend,
     profile_columns,
+    standardize,
     time_extent,
 )
 from fresco_hpc_spark.operators.timeseries import (  # noqa: F401

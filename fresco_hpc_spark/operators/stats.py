@@ -154,3 +154,69 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         )
         .orderBy("column")
     )
+
+
+def standardize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    decimals: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Feature standardization: ``z = (x − mean) / stddev`` per group
+    (or globally) — the classic scaling pass before regression /
+    clustering / embedding-adjacent features. Unlike
+    ``rolling_zscore`` (trailing per-key window for anomaly flags),
+    this is the whole-population transform.
+
+    Engine-exact means: the value is assumed to carry ≤ ``decimals``
+    decimal places (telemetry with fixed precision); sums run over the
+    EXACT integer fixed-point representation (value·10^d and its
+    square, both bigint — no float summation-order drift), so mean and
+    variance are identical in any engine, and only the final
+    sqrt/divide touch floats (rounded to 6 dp like every aggregate).
+    Sample variance (n−1); groups with n < 2 or zero variance emit
+    NULL z.
+
+    Scale shape: ONE partial-aggregated groupBy over the group keys
+    builds the (n, Σx, Σx²) relation, broadcast back onto the rows for
+    a map-side transform (group cardinality ≪ rows; for a global
+    standardize it is a 1-row broadcast cross join).
+    """
+    out_col = out_col or f"{value_col}_z"
+    scale = 10 ** decimals
+    v = F.col(value_col)
+    fx = F.round(v * scale, 0).cast("bigint")
+    keys = [F.col(c) for c in (group_cols or [])]
+    stats = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(fx).alias("_s1"),
+            F.sum(fx * fx).alias("_s2"),
+        )
+    )
+    mean = F.col("_s1") / (F.lit(float(scale)) * F.col("_n"))
+    # sample variance from exact integer sums:
+    # var = (Σx² − (Σx)²/n) / (scale²·(n−1)).
+    # (Σx)² is computed in DOUBLE — squaring the bigint would overflow
+    # for Σx beyond ~3e9; Σx itself stays ≤ 2^53 (exact as double) for
+    # any realistic fixed-point telemetry volume per group, which is
+    # the documented bound of this exactness scheme.
+    s1d = F.col("_s1").cast("double")
+    var = (
+        (F.col("_s2") - (s1d * s1d) / F.col("_n"))
+        / (F.lit(float(scale * scale)) * (F.col("_n") - 1))
+    )
+    sd = F.sqrt(var)
+    joined = (
+        df.join(F.broadcast(stats), group_cols, "left")
+        if group_cols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.when(
+        (F.col("_n") >= 2) & (sd > 0) & v.isNotNull(),
+        F.round((v - mean) / sd, 6),
+    )
+    return joined.withColumn(out_col, z).drop("_n", "_s1", "_s2")

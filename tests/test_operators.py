@@ -379,3 +379,29 @@ def test_winsorize_all_null_column_degenerates_gracefully(spark):
     out = winsorize(df, "v").collect()
     assert len(out) == 2
     assert all(r.v_winsorized is None and not r.was_clipped for r in out)
+
+
+def test_standardize_per_group_hand_computed(spark):
+    """Per-group z over exact fixed-point sums: group 'a' = {1, 2, 3}
+    (mean 2, sd 1), group 'b' has one row (NULL z), nulls pass through."""
+    from fresco_hpc_spark.operators import standardize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 9.0), ("a", None)],
+        "g string, v double",
+    )
+    out = standardize(df, "v", group_cols=["g"]).collect()
+    zs = {(r.g, r.v): r.v_z for r in out}
+    assert zs[("a", 1.0)] == -1.0 and zs[("a", 2.0)] == 0.0
+    assert zs[("a", 3.0)] == 1.0
+    assert zs[("b", 9.0)] is None  # n < 2
+    assert zs[("a", None)] is None
+    assert len(out) == 5  # every row preserved
+
+
+def test_standardize_global_and_constant_column(spark):
+    from fresco_hpc_spark.operators import standardize
+
+    df = spark.createDataFrame([(i, 5.0) for i in range(4)], "id bigint, v double")
+    out = standardize(df, "v").collect()
+    assert all(r.v_z is None for r in out)  # zero variance -> NULL
