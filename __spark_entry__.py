@@ -1451,6 +1451,16 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (functions/sampling.py
+    pack_sequences): documents assigned to 512-token bins per source
+    via a partitioned prefix sum — the concatenate-short-docs step
+    every pretraining pipeline runs before tokenization."""
+    from fresco_hpc_spark.functions import pack_sequences
+
+    return pack_sequences(table(spark, sf_dir, "documents"), budget_tokens=512)
+
+
 def q_standardize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type feature standardization (operators/stats.py
     standardize): z = (x − mean)/sd with mean/variance computed from
@@ -1770,6 +1780,7 @@ def queries() -> dict[str, Query]:
         "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
         "standardize_values": q_standardize_values,
         "source_quality": q_source_quality,
+        "pack_sequences": q_pack_sequences,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3719,6 +3730,22 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN dup d USING (doc_id)
         ORDER BY c.doc_id
+    """
+
+    oracles["pack_sequences"] = r"""
+        WITH c AS (
+            SELECT source, doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT source, doc_id, n_tokens,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) / 512.0) AS BIGINT) AS bin_id
+        FROM c ORDER BY source, doc_id
     """
 
     oracles["standardize_values"] = """

@@ -248,3 +248,53 @@ def cluster_aware_split(
             F.lit("train")
         ),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Sequence packing — assign documents to fixed-token-budget
+    training bins (the pre-tokenization step that turns a document
+    corpus into ~budget-sized concatenated training sequences, so short
+    documents don't waste context length as padding). Deterministic
+    contiguous first-fit in (stratum, id) order: a document opens a new
+    bin when the stratum's EXCLUSIVE running token count crosses a
+    budget boundary, so ``bin_id = floor(prefix_sum / budget)``. Bins
+    may overrun the budget by at most one document's tokens minus one
+    (the standard streaming-pack bound — the trainer truncates or
+    rolls the tail into the next sequence).
+
+    Scale shape: the prefix sum is a window WITHIN each stratum
+    (partitioned — no single-partition global sort; packing per
+    shard/source is also what training pipelines actually do, keeping
+    mixtures intact). One shuffle on the stratum key; token counting is
+    map-side.
+
+    Output: one row per document — stratum, id, ``n_tokens``,
+    ``bin_id`` (0-based within the stratum).
+    """
+    from pyspark.sql import Window
+
+    from fresco_hpc_spark.functions.text import token_count
+
+    counts = df.select(
+        F.col(strata_col),
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return counts.select(
+        strata_col,
+        id_col,
+        "n_tokens",
+        F.floor(prefix / F.lit(int(budget_tokens))).cast("bigint").alias("bin_id"),
+    ).orderBy(strata_col, id_col)

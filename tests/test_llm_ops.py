@@ -1100,3 +1100,25 @@ def test_ivf_stored_index_matches_live_query(spark):
         assert stored == live and len(stored) == 10
     finally:
         spark.sql("DROP TABLE IF EXISTS test_ivf_idx")
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Budget 100 within source 'a': docs of 60/60/90 tokens pack as
+    prefix sums 0/60/120 -> bins 0/0/1; a 250-token doc overruns its
+    own bin (the documented bound); source 'b' restarts at bin 0."""
+    from fresco_hpc_spark.functions import pack_sequences
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, words(60)), ("a", 2, words(60)), ("a", 3, words(90)),
+            ("a", 4, words(250)), ("a", 5, words(10)),
+            ("b", 10, words(40)),
+        ],
+        "source string, doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.bin_id for r in pack_sequences(df, 100).collect()}
+    # prefix sums (excl.): 0, 60, 120, 210, 460 -> bins 0, 0, 1, 2, 4
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 4, 10: 0}

@@ -158,7 +158,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "paragraph_dedup", "dup_ngram_spans", "hopping_window",
         "corpus_curation_v3", "remove_dup_spans", "oov_rate", "length_filter",
         "containment_pairs", "cluster_split", "bigram_logprob", "winsorize_values",
-        "standardize_values", "source_quality",
+        "standardize_values", "source_quality", "pack_sequences",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
