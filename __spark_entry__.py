@@ -3976,9 +3976,10 @@ def oracle_sql() -> dict[str, str]:
                          WITHIN GROUP (ORDER BY n_words), 6) AS hi
             FROM c
         )
-        SELECT doc_id, n_words FROM c, b
-        WHERE n_words >= lo AND n_words <= hi
-        ORDER BY doc_id
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, c.n_words
+        FROM documents d JOIN c USING (doc_id), b
+        WHERE c.n_words >= b.lo AND c.n_words <= b.hi
+        ORDER BY d.doc_id
     """
 
     # Span surgery: winner = first occurrence per gram (row_number in

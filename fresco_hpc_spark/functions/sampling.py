@@ -242,7 +242,11 @@ def cluster_aware_split(
     labeled = df.join(clusters, key_col, "left")
     rep = F.coalesce(F.col("cluster_id"), F.col(key_col))
     frac = hash_fraction(F.concat(F.lit(salt + "|"), rep.cast("string")))
-    return labeled.withColumn("cluster_id", rep.cast("bigint")).withColumn(
+    # cluster_id keeps the key column's NATIVE type (ADVICE r5: a
+    # hard-coded bigint cast silently nulled the column for string/uuid
+    # document ids while the split itself still worked)
+    key_type = df.schema[key_col].dataType
+    return labeled.withColumn("cluster_id", rep.cast(key_type)).withColumn(
         split_col,
         F.when(frac < F.lit(float(eval_frac)), F.lit("eval")).otherwise(
             F.lit("train")

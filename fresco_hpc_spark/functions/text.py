@@ -853,6 +853,12 @@ def length_percentile_filter(
     tails-trimming curation pass that drops both fragments and
     concatenation blobs without hand-picked thresholds.
 
+    Returns the surviving documents with ALL their payload columns plus
+    ``n_words`` (ADVICE r5: the old (id, n_words)-only relation forced
+    callers to re-join for the text they asked to keep). ``n_words`` is
+    a map-side expression on the full rows, so keeping the payload
+    costs no join.
+
     The bounds come from :func:`...percentiles.distributed_exact_percentiles`
     (range-shuffle order statistics — exact PERCENTILE_CONT semantics
     with no single-reducer buffer, the same machinery as the A5 global
@@ -863,13 +869,15 @@ def length_percentile_filter(
         distributed_exact_percentiles,
     )
 
-    counts = df.select(
-        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_words")
+    with_n = df.withColumn(
+        "n_words", token_count(F.col(text_col)).cast("bigint")
     )
-    lo, hi = distributed_exact_percentiles(counts, "n_words", [p_low, p_high])
+    lo, hi = distributed_exact_percentiles(
+        with_n.select("n_words"), "n_words", [p_low, p_high]
+    )
     lo = round(lo, _ROUND)
     hi = round(hi, _ROUND)
-    return counts.filter(
+    return with_n.filter(
         (F.col("n_words") >= lo) & (F.col("n_words") <= hi)
     ).orderBy(id_col)
 

@@ -502,8 +502,16 @@ def ivf_build_index(
     # overwrite then fails with LOCATION_ALREADY_EXISTS): drop the
     # metadata if present, then clear any orphaned location
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
+    # resolve the managed location the CREATE below will use via the
+    # CATALOG, not string concat off the warehouse root (ADVICE r5: a
+    # qualified db.tbl lives at {warehouse}/db.db/tbl, and a non-default
+    # current database relocates unqualified names too)
+    if "." in table_name:
+        db, tbl = table_name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table_name
+    db_loc = spark.catalog.getDatabase(db).locationUri.rstrip("/")
+    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{db_loc}/{tbl.lower()}")
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jp):
         fs.delete(jp, True)

@@ -939,11 +939,34 @@ def test_length_percentile_filter_trims_tails(spark):
     (PERCENTILE_CONT on 1..21: p25=6, p75=16, inclusive)."""
     from fresco_hpc_spark.functions import length_percentile_filter
 
-    rows = [(i, " ".join(["w"] * i)) for i in range(1, 22)]
-    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    rows = [(i, " ".join(["w"] * i), f"src{i % 3}") for i in range(1, 22)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
     out = length_percentile_filter(df, p_low=0.25, p_high=0.75).collect()
     kept = sorted(r.n_words for r in out)
     assert kept == list(range(6, 17))
+    # ADVICE r5: payload columns survive the filter (no re-join needed)
+    assert set(out[0].asDict()) == {"doc_id", "text", "source", "n_words"}
+    assert all(r.source == f"src{r.doc_id % 3}" for r in out)
+
+
+def test_cluster_aware_split_string_ids_keep_native_cluster_id(spark):
+    """ADVICE r5: with string doc ids the cluster_id column must carry
+    the representative in the key's NATIVE type, not a silently-NULL
+    bigint cast."""
+    from fresco_hpc_spark.functions import cluster_aware_split
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", f"text {i}") for i in range(20)],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-0", "doc-1"), ("doc-2", "doc-3")], ["doc_a", "doc_b"]
+    )
+    out = cluster_aware_split(docs, pairs, eval_frac=0.3).collect()
+    assert all(r.cluster_id is not None for r in out)
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    assert cluster_of["doc-0"] == cluster_of["doc-1"] == "doc-0"
+    assert cluster_of["doc-19"] == "doc-19"  # singleton is its own rep
 
 
 def test_containment_catches_subdocument_jaccard_misses(spark):

@@ -305,6 +305,58 @@ def test_ewma_scan_bit_identical_to_fold(spark):
     assert fold == scan
 
 
+def test_ewma_scan_null_propagation_matches_fold(spark):
+    """ADVICE r5: a NULL value must poison the rest of the key's series
+    with SQL NULL in BOTH variants (α·v + (1−α)·NULL = NULL), not
+    become NaN or raise in the scan. Covers null at series start, null
+    mid-series, and an untouched clean key."""
+    from datetime import datetime, timedelta
+
+    from fresco_hpc_spark.operators import ewma, ewma_scan
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("start_null", t0, None),
+        ("start_null", t0 + timedelta(seconds=1), 5.0),
+        ("mid_null", t0, 10.0),
+        ("mid_null", t0 + timedelta(seconds=1), None),
+        ("mid_null", t0 + timedelta(seconds=2), 7.0),
+        ("clean", t0, 4.0),
+        ("clean", t0 + timedelta(seconds=1), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    fold = [tuple(r) for r in ewma(df, "k", "v").collect()]
+    scan = [tuple(r) for r in ewma_scan(df, "k", "v").collect()]
+    assert fold == scan
+    by_key = {}
+    for k, _, s in scan:
+        by_key.setdefault(k, []).append(s)
+    assert by_key["start_null"] == [None, None]
+    assert by_key["mid_null"] == [10.0, None, None]
+    assert by_key["clean"] == [4.0, round(0.3 * 8.0 + 0.7 * 4.0, 6)]
+
+
+def test_ewma_autoroutes_to_scan_above_threshold(spark, monkeypatch):
+    """VERDICT r5 item 5: one code path — ewma() probes max rows/key
+    and routes to the linear scan when any key exceeds the threshold.
+    The threshold is patched down so the route is observable on small
+    data; output is bit-identical either way (pinned above)."""
+    from datetime import datetime, timedelta
+
+    from fresco_hpc_spark.operators import timeseries as ts_mod
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("k", t0 + timedelta(seconds=i), float(i % 7)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    routed = ts_mod.ewma(df, "k", "v")
+    assert "MapInPandas" not in routed._jdf.queryExecution().analyzed().toString()
+    monkeypatch.setattr(ts_mod, "EWMA_SCAN_THRESHOLD", 5)
+    routed = ts_mod.ewma(df, "k", "v")
+    assert "MapInPandas" in routed._jdf.queryExecution().analyzed().toString()
+
+
 def test_ewma_accepts_epoch_long_time_col(spark):
     """ADVICE r4: the fold's zero value is now derived from the input,
     so a non-timestamp time column (epoch long) works in both variants

@@ -320,9 +320,12 @@ def test_hopping_window_single_aggregation(spark):
     aggregate exchange (plus the presentation sort), no join at all."""
     plan = plan_of(spark, "hopping_window")
     assert "Join" not in plan
-    # one partial+final aggregate pair over the window struct (formatted
-    # explain lists each node twice: tree + details)
-    assert plan.count("HashAggregate") == 4
+    # structural, not layout-exact (ADVICE r5): one partial+final
+    # aggregate pair means at most one aggregate exchange; count the
+    # Exchange nodes (tree+details each appear twice in formatted
+    # explain) rather than pinning one Spark version's node layout
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 4  # agg exchange + presentation sort
 
 
 def test_ewma_scan_single_shuffle_before_python(spark):
@@ -335,11 +338,12 @@ def test_ewma_scan_single_shuffle_before_python(spark):
 
     ev = load_table(spark, SF_SMALL, "events").filter("value IS NOT NULL")
     plan = _explain(spark, ewma_scan(ev, "user_id", "value", time_col="ts"))
-    # formatted explain lists each node twice (tree + details)
-    assert plan.count("MapInPandas") == 2
+    # structural, not layout-exact (ADVICE r5): the Python crossing
+    # exists, the key repartition exists, and no exchange beyond
+    # repartition(key) + presentation orderBy sneaks in
+    assert "MapInPandas" in plan
     assert "hashpartitioning(user_id" in plan
-    # exactly two exchange nodes: repartition(key) + presentation orderBy
-    assert plan.count("Exchange") == 4
+    assert plan.count("Exchange") <= 4
 
 
 def test_oov_vocab_probe_is_broadcast(spark):
