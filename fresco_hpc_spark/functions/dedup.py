@@ -483,6 +483,132 @@ def ngram_jaccard_pairs_prefix(
     return _finish_pairs(result, [ranked], materialize)
 
 
+def ngram_containment_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    materialize: bool = False,
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT pairs via ASYMMETRIC prefix filtering —
+    same output relation as :func:`ngram_containment_pairs`, scale-safe
+    and LOSSLESS candidate generation (VERDICT r5 item 2: the plain
+    variant's Σ df² token self-join plus its lossy ``max_token_freq``
+    cap was the one dedup operator without a 100 TB-safe exact route).
+
+    Why the filter is asymmetric: "either direction reaches t" means
+    ``max(C_a, C_b) = n_common / min(|A|,|B|) ≥ t`` — only the SMALLER
+    document's size constrains the overlap, so only the smaller side
+    needs a prefix. Order each doc's shingles by ascending global
+    document frequency (rarest first); if ``|A∩B| ≥ ⌈t·|A|⌉`` with
+    ``|A| ≤ |B|``, then by pigeonhole A and B must share a token inside
+    A's first ``|A| − ⌈t·|A|⌉ + 1`` tokens (skipping the prefix leaves
+    only ``⌈t·|A|⌉ − 1 < ⌈t·|A|⌉`` tokens to overlap on). The join is
+    therefore prefix(smaller side) ⋈ FULL token list (larger side):
+    a Zipf-head stop-shingle may have df = 10⁶ on the full side, but it
+    sorts to the END of every rarity order and lands in almost no
+    prefix, so its fan-out is (≈0 prefix occurrences) × df instead of
+    the plain join's df². Candidates ∝ Σ_token prefix_df·df, not Σ df².
+    There is no length filter (unlike Jaccard, B may be arbitrarily
+    larger than A), but the PPJoin-style positional upper bound applies
+    unchanged: a match at rarity ranks (rkₐ, rk_b) caps the total
+    overlap at ``1 + min(|A|−rkₐ, |B|−rk_b)``, which must reach
+    ``⌈t·|A|⌉`` (lossless: the bound holds at the pair's FIRST common
+    token in global order; the 1e-9 slack guards exact-integer float
+    boundaries, and an extra surviving candidate is harmless because
+    the exact array_intersect verify follows).
+
+    Verification and output are identical to the plain variant:
+    ``(doc_a, doc_b, n_common, containment_a, containment_b, jaccard)``
+    with ``doc_a < doc_b``, emitted when either containment ≥ t.
+
+    Measured crossover vs the plain variant on a Zipfian corpus:
+    tools/stress_zipf_containment.py, recorded in SCALE.md.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens_with_stats(df, text_col, id_col, n)
+    rk = F.row_number().over(
+        Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("token").asc())
+    )
+    ranked = toks.withColumn("rk", rk)
+    if materialize:
+        # one persist feeds the prefix side, the full side, and the
+        # verify-set aggregation (tokenize + both window passes paid once)
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    prefix_len = (
+        F.col("n_tokens") - F.ceil(F.lit(threshold) * F.col("n_tokens")) + 1
+    )
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select(
+        "doc", "token", "n_tokens", "rk"
+    )
+    a = prefix.alias("a")  # the (potentially) contained, smaller side
+    b = ranked.select("doc", "token", "n_tokens", "rk").alias("b")  # full side
+    alpha = F.ceil(F.lit(threshold) * F.col("a.n_tokens") - F.lit(1e-9))
+    ubound = 1 + F.least(
+        F.col("a.n_tokens") - F.col("a.rk"), F.col("b.n_tokens") - F.col("b.rk")
+    )
+    smaller_first = (F.col("a.n_tokens") < F.col("b.n_tokens")) | (
+        (F.col("a.n_tokens") == F.col("b.n_tokens"))
+        & (F.col("a.doc") < F.col("b.doc"))
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & smaller_first
+            & (ubound >= alpha),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = ranked.groupBy("doc").agg(
+        F.array_sort(F.collect_set("token")).alias("toks"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    joined = (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks"))).alias(
+                "n_common"
+            ),
+            F.col("sa.n_tokens").alias("size_a"),
+            F.col("sb.n_tokens").alias("size_b"),
+        )
+    )
+    c_a = F.round(F.col("n_common") / F.col("size_a"), 6)
+    c_b = F.round(F.col("n_common") / F.col("size_b"), 6)
+    jacc = F.round(
+        F.col("n_common")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        6,
+    )
+    result = (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            jacc.alias("jaccard"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return _finish_pairs(result, [ranked], materialize)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -1001,6 +1001,81 @@ def test_containment_catches_subdocument_jaccard_misses(spark):
     assert ngram_jaccard_pairs(df, n=3, threshold=0.5).collect() == []
 
 
+def test_containment_prefix_matches_plain(spark):
+    """VERDICT r5 item 2: the asymmetric-prefix variant must produce
+    the IDENTICAL output relation to the plain Σdf² generator on the
+    same corpus — same pairs, same n_common/containment/jaccard values
+    — while joining only prefix tokens on the contained side."""
+    from fresco_hpc_spark.functions import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_prefix,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"pad{i} fil{i} word{i}" for i in range(20))
+    mid = " ".join(f"mid{i} core{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("pad", "tail")),
+            (3, "nothing shared here at all friends"),
+            (4, mid),
+            (5, mid + " extra tail words here"),  # high mutual containment
+        ],
+        "doc_id bigint, text string",
+    )
+    plain = [
+        tuple(r)
+        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    ]
+    prefix = [
+        tuple(r)
+        for r in ngram_containment_pairs_prefix(
+            df, n=3, threshold=0.9
+        ).collect()
+    ]
+    assert plain == prefix
+    assert {(p[0], p[1]) for p in prefix} == {(1, 2), (4, 5)}
+
+
+def test_containment_prefix_survives_stop_shingle(spark):
+    """The property that makes the prefix variant the 100 TB route: a
+    shingle present in EVERY document (df = corpus size) would cost the
+    plain join df² candidates — or silent recall loss under its
+    max_token_freq cap. Here the plain variant with a tiny cap LOSES
+    the true pair; the prefix variant keeps it, exactly."""
+    from fresco_hpc_spark.functions import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_prefix,
+    )
+
+    stop = "the quick brown"  # one 3-gram shared by all docs
+    rows = [(i, stop + " " + f"u{i} v{i} w{i} x{i}") for i in range(1, 9)]
+    # doc 9 fully contains doc 1's shingle set
+    rows.append((9, rows[0][1] + " long appended suffix of extra words"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # cap=0 drops every token in the plain variant -> no pairs at all
+    capped = ngram_containment_pairs(
+        df, n=3, threshold=0.9, max_token_freq=0
+    ).collect()
+    assert capped == []
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in ngram_containment_pairs_prefix(df, n=3, threshold=0.9).collect()
+    }
+    assert (1, 9) in out and out[(1, 9)].containment_a == 1.0
+    # and with no cap the two variants agree exactly
+    plain = [
+        tuple(r)
+        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    ]
+    prefix = [
+        tuple(r)
+        for r in ngram_containment_pairs_prefix(df, n=3, threshold=0.9).collect()
+    ]
+    assert plain == prefix
+
+
 def test_cluster_aware_split_never_straddles(spark):
     """Anti-leakage: every near-dup cluster lands wholly in train or
     wholly in eval; singletons get exactly the corpus_split coin."""

@@ -52,6 +52,12 @@ def lazy_plan_of(spark, name: str) -> str:
         "ngram_jaccard_prefix": lambda: ngram_jaccard_pairs_prefix(
             entrymod._docs_with_dups(spark, SF_SMALL), n=3, threshold=0.5
         ),
+        "containment_pairs_prefix": lambda: __import__(
+            "fresco_hpc_spark.functions",
+            fromlist=["ngram_containment_pairs_prefix"],
+        ).ngram_containment_pairs_prefix(
+            entrymod._docs_with_dups(spark, SF_SMALL), n=3, threshold=0.9
+        ),
         "cross_corpus_dedup": lambda: __import__(
             "fresco_hpc_spark.functions", fromlist=["minhash_dup_pairs_between"]
         ).minhash_dup_pairs_between(
@@ -121,6 +127,20 @@ def test_embedding_near_dups_join_is_equi(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_containment_prefix_join_is_equi_not_cartesian(spark):
+    """The asymmetric prefix filter must still generate candidates with
+    an EQUI join on the token (the size/positional conditions ride as
+    join filters, never degrade to a nested-loop product)."""
+    plan = lazy_plan_of(spark, "containment_pairs_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
 def test_lazy_default_keeps_plan_composable(spark):
     # materialize=False (the default) must return a plan with the join
     # visible (no eager checkpoint) and must not leave anything persisted
@@ -159,6 +179,8 @@ def test_lazy_default_keeps_plan_composable(spark):
         "corpus_curation_v3", "remove_dup_spans", "oov_rate", "length_filter",
         "containment_pairs", "cluster_split", "bigram_logprob", "winsorize_values",
         "standardize_values", "source_quality", "pack_sequences",
+        # round 6
+        "containment_pairs_prefix",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -166,7 +188,12 @@ def test_no_python_eval_in_sql_paths(spark, name):
     # zero UDFs needed). Python evaluation nodes mean a 10-100x hot-path
     # regression at scale. Eagerly-checkpointed wrappers are probed via
     # their lazy variant (a checkpointed plan is an opaque ExistingRDD).
-    if name in ("minhash_dup_pairs", "ngram_jaccard_prefix", "cross_corpus_dedup"):
+    if name in (
+        "minhash_dup_pairs",
+        "ngram_jaccard_prefix",
+        "cross_corpus_dedup",
+        "containment_pairs_prefix",
+    ):
         plan = lazy_plan_of(spark, name)
     else:
         plan = plan_of(spark, name)
