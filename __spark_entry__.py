@@ -1461,6 +1461,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(table(spark, sf_dir, "documents"), budget_tokens=512)
 
 
+def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences (functions/sampling.py
+    pack_texts): one row per (source, 512-token bin) with the member
+    documents concatenated in packing order plus comma-joined doc ids
+    and token-offset boundaries — the actual trainer input that
+    pack_sequences' bin assignment feeds (VERDICT r5 item 4). One
+    shuffle: the groupBy reuses the window's hash(source)
+    partitioning."""
+    from fresco_hpc_spark.functions import pack_texts
+
+    return pack_texts(table(spark, sf_dir, "documents"), budget_tokens=512)
+
+
 def q_standardize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type feature standardization (operators/stats.py
     standardize): z = (x − mean)/sd with mean/variance computed from
@@ -1797,6 +1810,7 @@ def queries() -> dict[str, Query]:
         "standardize_values": q_standardize_values,
         "source_quality": q_source_quality,
         "pack_sequences": q_pack_sequences,
+        "pack_texts": q_pack_texts,
         # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
         #    shadow cannot inflate the similarity block's bench numbers
         "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
@@ -3762,6 +3776,41 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     ), 0) / 512.0) AS BIGINT) AS bin_id
         FROM c ORDER BY source, doc_id
+    """
+
+    oracles["pack_texts"] = r"""
+        WITH c AS (
+            SELECT source, doc_id, text,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        b AS (
+            SELECT source, doc_id, text, n_tokens,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) / 512.0) AS BIGINT) AS bin_id
+            FROM c
+        ),
+        o AS (
+            SELECT source, bin_id, doc_id, text, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY source, bin_id ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS off
+            FROM b
+        )
+        SELECT source, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+               string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets,
+               string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
+                   AS packed_text
+        FROM o GROUP BY source, bin_id
+        ORDER BY source, bin_id
     """
 
     oracles["standardize_values"] = """

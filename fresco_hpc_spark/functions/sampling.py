@@ -302,3 +302,99 @@ def pack_sequences(
         "n_tokens",
         F.floor(prefix / F.lit(int(budget_tokens))).cast("bigint").alias("bin_id"),
     ).orderBy(strata_col, id_col)
+
+
+def pack_texts(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize the packed training sequences themselves — the
+    completion of :func:`pack_sequences` (VERDICT r5 item 3/"minor"):
+    one row per (stratum, bin) with the member documents CONCATENATED
+    in packing order plus the doc-boundary metadata a trainer needs to
+    mask cross-document attention. Binning is identical to
+    pack_sequences (same window prefix sum, same first-fit bound).
+
+    Output per (stratum, bin_id): ``n_docs``, ``n_tokens`` (sum over
+    members — may overrun the budget by at most one document's tokens
+    minus one), ``doc_ids`` and ``offsets`` as comma-joined strings
+    (offsets[i] = token offset where document i starts in the packed
+    sequence), and ``packed_text`` (members joined by ``sep`` in
+    (stratum, id) order).
+
+    Scale shape: ONE shuffle — the stratum-partitioned window; the
+    following groupBy (stratum, bin_id) reuses the same partitioning
+    (hash(stratum) already clusters every (stratum, bin) group), so
+    Catalyst inserts no second exchange (plan-pinned in
+    test_plan_quality). The per-bin offset fold is a JVM higher-order
+    ``aggregate`` over the bin's members — bin membership is bounded by
+    the token budget, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    from fresco_hpc_spark.functions.text import token_count
+
+    base = df.select(
+        F.col(strata_col),
+        F.col(id_col),
+        F.col(text_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    binned = base.withColumn(
+        "bin_id", F.floor(prefix / F.lit(int(budget_tokens))).cast("bigint")
+    )
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("id"),
+                F.col("n_tokens").alias("nt"),
+                F.col(text_col).alias("txt"),
+            )
+        )
+    )
+    agg = binned.groupBy(strata_col, "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        members.alias("_m"),
+    )
+    # running token offsets: JVM fold over the bin's (bounded) members
+    offsets = F.aggregate(
+        F.col("_m"),
+        F.struct(
+            F.lit(0).cast("bigint").alias("acc"),
+            F.expr("CAST(array() AS array<bigint>)").alias("offs"),
+        ),
+        lambda st, x: F.struct(
+            (st["acc"] + x["nt"]).alias("acc"),
+            F.concat(st["offs"], F.array(st["acc"])).alias("offs"),
+        ),
+        lambda st: st["offs"],
+    )
+    return (
+        agg.select(
+            F.col(strata_col),
+            F.col("bin_id"),
+            "n_docs",
+            "n_tokens",
+            F.array_join(
+                F.transform(F.col("_m"), lambda x: x["id"].cast("string")), ","
+            ).alias("doc_ids"),
+            F.array_join(
+                F.transform(offsets, lambda o: o.cast("string")), ","
+            ).alias("offsets"),
+            F.array_join(
+                F.transform(F.col("_m"), lambda x: x["txt"]), sep
+            ).alias("packed_text"),
+        )
+        .orderBy(strata_col, "bin_id")
+    )

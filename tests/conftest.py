@@ -10,6 +10,7 @@ sys.path.insert(0, str(REPO))
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+SF_MED = "/root/testdata/sf0.1"  # recall gates run at the bench scale
 
 
 @pytest.fixture(scope="session")

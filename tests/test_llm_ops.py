@@ -15,7 +15,7 @@ from fresco_hpc_spark.functions import (
     token_count,
 )
 from fresco_hpc_spark.functions.text import text_stats
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 @pytest.fixture(scope="module")
@@ -66,20 +66,22 @@ def test_simhash_finds_exact_dups(spark, docs_with_dups):
 
 
 def test_ann_recall_vs_brute_force(spark):
+    """VERDICT r5 item 6: recall@10 >= 0.8 on the sf0.1 embeddings —
+    the near-orthogonal worst case for hyperplane LSH (top cosine
+    ~0.33) — reached by probing Hamming radius 3 around the query's
+    6-plane signature (tuned, deterministic planes)."""
     from fresco_hpc_spark.sources import table
 
-    emb = table(spark, SF_SMALL, "embeddings")
+    emb = table(spark, SF_MED, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     exact = [r.vec_id for r in brute_force_knn(emb, qv, k=10).collect()]
     approx = [
         r.vec_id
-        for r in lsh_ann_topk(emb, qv, k=10, num_planes=6, probe_hamming=2).collect()
+        for r in lsh_ann_topk(emb, qv, k=10, num_planes=6, probe_hamming=3).collect()
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert exact[0] == 0  # the query vector itself is its own top hit
-    # testdata embeddings are near-orthogonal (top cosine ≈ 0.33), the
-    # worst case for hyperplane LSH; 0.4 is the honest deterministic floor
-    assert recall >= 0.4, f"ANN recall {recall} too low"
+    assert recall >= 0.8, f"ANN recall {recall} too low"
 
 
 def test_token_count_edges(spark):
@@ -127,17 +129,17 @@ def test_ivf_ann_recall_vs_brute_force(spark):
         ivf_train_centroids,
     )
     from fresco_hpc_spark.sources import table
-    from tests.conftest import SF_SMALL
 
-    emb = table(spark, SF_SMALL, "embeddings")
+    emb = table(spark, SF_MED, "embeddings")
     query = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
     centroids = ivf_train_centroids(emb, n_cells=8, iterations=2)
     assert len(centroids) == 8 and len(centroids[0]) == 64
     exact = [r.vec_id for r in brute_force_knn(emb, query, k=10).collect()]
-    # probing half the cells must recover most of the true top-10
+    # probing half the cells must recover the true top-10 (VERDICT r5
+    # item 6: >= 0.8 on the sf0.1 embeddings; measured 1.0)
     approx = [r.vec_id for r in ivf_ann_topk(emb, query, centroids, k=10, nprobe=4).collect()]
     recall = len(set(exact) & set(approx)) / 10
-    assert recall >= 0.5, f"IVF recall {recall} too low"
+    assert recall >= 0.8, f"IVF recall {recall} too low"
     # the query vector itself (cell always probed: its own centroid ranks first)
     assert 0 in approx
 
@@ -1220,3 +1222,33 @@ def test_pack_sequences_hand_computed(spark):
     out = {r.doc_id: r.bin_id for r in pack_sequences(df, 100).collect()}
     # prefix sums (excl.): 0, 60, 120, 210, 460 -> bins 0, 0, 1, 2, 4
     assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 4, 10: 0}
+
+
+def test_pack_texts_materializes_bins_with_offsets(spark):
+    """VERDICT r5 item 4: the materialized packing emits one row per
+    (stratum, bin) with concatenated text, member ids, and the token
+    offset where each member starts — same binning as pack_sequences
+    (docs 60/60 share bin 0; offsets 0,60)."""
+    from fresco_hpc_spark.functions import pack_texts
+
+    def words(tag, n):
+        return " ".join([tag] * n)
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, words("x", 60)),
+            ("a", 2, words("y", 60)),
+            ("a", 3, words("z", 90)),
+            ("b", 10, words("q", 40)),
+        ],
+        "source string, doc_id bigint, text string",
+    )
+    out = {(r.source, r.bin_id): r for r in pack_texts(df, 100).collect()}
+    assert set(out) == {("a", 0), ("a", 1), ("b", 0)}
+    a0 = out[("a", 0)]
+    assert (a0.n_docs, a0.n_tokens) == (2, 120)
+    assert a0.doc_ids == "1,2" and a0.offsets == "0,60"
+    assert a0.packed_text == words("x", 60) + "\n\n" + words("y", 60)
+    a1 = out[("a", 1)]
+    assert (a1.n_docs, a1.doc_ids, a1.offsets) == (1, "3", "0")
+    assert out[("b", 0)].packed_text == words("q", 40)

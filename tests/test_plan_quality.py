@@ -127,6 +127,19 @@ def test_embedding_near_dups_join_is_equi(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pack_texts_single_data_shuffle(spark):
+    """The (stratum, bin_id) groupBy must REUSE the window's
+    hash(stratum) partitioning (hash(stratum) clusters every
+    (stratum, bin) group), so the whole operator costs one data
+    exchange plus the presentation sort — and no join."""
+    plan = plan_of(spark, "pack_texts")
+    assert "Join" not in plan
+    # formatted explain lists nodes twice (tree + details): one data
+    # exchange + one presentation range exchange = at most 4 mentions
+    assert plan.count("Exchange") <= 4
+    assert "hashpartitioning(source" in plan
+
+
 def test_containment_prefix_join_is_equi_not_cartesian(spark):
     """The asymmetric prefix filter must still generate candidates with
     an EQUI join on the token (the size/positional conditions ride as
@@ -180,7 +193,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "containment_pairs", "cluster_split", "bigram_logprob", "winsorize_values",
         "standardize_values", "source_quality", "pack_sequences",
         # round 6
-        "containment_pairs_prefix",
+        "containment_pairs_prefix", "pack_texts",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):

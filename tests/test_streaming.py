@@ -116,6 +116,164 @@ def test_streaming_hourly_agg_matches_batch(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
 
 
+def test_streaming_hourly_agg_drops_late_rows_past_watermark(spark, tmp_path):
+    """VERDICT r5 item 8: pin the append-mode watermark CONTRACT, not
+    just drained-stream equivalence. A window finalizes once the
+    watermark (max event time − 1h) passes its end; a record arriving
+    after that is DROPPED from the stream's result even though the
+    batch path would count it. Two availableNow runs share one
+    checkpoint, so the watermark persists across the restart exactly
+    like a long-running stream moving between micro-batches:
+
+    - run 1: hour-00 rows + a 03:30 row → the watermark advances to
+      02:30 after the data batch, and availableNow's trailing flush
+      batch finalizes window 00 (count 3).
+    - run 2: a LATE hour-00 row (00:40 < watermark 02:30) arrives →
+      it is filtered before aggregation and append mode NEVER revises
+      the already-emitted window: run 2 emits no hour-00 row at all.
+    """
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.streaming import streaming_hourly_agg
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "time timestamp, value double"
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    out = str(tmp_path / "late_out")
+
+    def run():
+        # file sink (not memory): the restarted run must RECOVER the
+        # watermark from the checkpoint, which memory sinks don't support
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_hourly_agg(stream, "value", watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    d = datetime
+    on_time = [
+        (d(2024, 1, 1, 0, 10), 1.0),
+        (d(2024, 1, 1, 0, 20), 2.0),
+        (d(2024, 1, 1, 0, 30), 3.0),
+        (d(2024, 1, 1, 3, 30), 9.0),
+    ]
+    late = [(d(2024, 1, 1, 0, 40), 100.0), (d(2024, 1, 1, 4, 30), 9.0)]
+
+    arrive(on_time)
+    first = {r.bucket: r for r in run().collect()}
+    # watermark 02:30 after the data batch; the availableNow flush
+    # batch finalizes exactly window 00 (03:00's end is past watermark)
+    assert set(first) == {d(2024, 1, 1, 0, 0)}
+    w0 = first[d(2024, 1, 1, 0, 0)]
+    assert (w0.count_value, w0.min_value, w0.max_value, w0.avg_value) == (
+        3,
+        1.0,
+        3.0,
+        2.0,
+    )
+
+    arrive(late)
+    second = run().collect()
+    # the 00:40 late row is dropped pre-aggregation and the finalized
+    # window is never re-emitted or revised in append mode: the sink
+    # still holds exactly ONE hour-00 row, unchanged
+    hour0 = [r for r in second if r.bucket == d(2024, 1, 1, 0, 0)]
+    assert len(hour0) == 1
+    assert (hour0[0].count_value, hour0[0].max_value) == (3, 3.0)
+    # ...whereas the batch path over the SAME files counts all 4
+    batch = (
+        spark.read.schema(schema)
+        .parquet(str(src))
+        .filter(F.col("time") < d(2024, 1, 1, 1, 0))
+        .agg(F.count("value").alias("n"), F.max("value").alias("mx"))
+        .first()
+    )
+    assert (batch.n, batch.mx) == (4, 100.0)
+
+
+def test_streaming_hopping_and_ohlc_drop_late_rows(spark, tmp_path):
+    """Same watermark contract (VERDICT r5 item 8) for the other two
+    append-mode windowed aggregations: a late row below the recovered
+    watermark neither revises a finalized window nor re-emits it."""
+    from datetime import datetime
+
+    from fresco_hpc_spark.streaming import streaming_hopping_agg
+    from fresco_hpc_spark.streaming.watcher import streaming_ohlc
+
+    d = datetime
+    src = tmp_path / "late2_src"
+    src.mkdir()
+    schema = "k string, time timestamp, value double"
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run(agg_fn, tag):
+        out = str(tmp_path / f"{tag}_out")
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            agg_fn(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"{tag}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    on_time = [
+        ("k", d(2024, 1, 1, 0, 10), 1.0),
+        ("k", d(2024, 1, 1, 0, 30), 3.0),
+        ("k", d(2024, 1, 1, 3, 30), 9.0),
+    ]
+    late = [("k", d(2024, 1, 1, 0, 40), 100.0)]
+
+    hop = lambda s: streaming_hopping_agg(  # noqa: E731
+        s, "value", window="1 hour", slide="15 minutes", watermark="1 hour"
+    )
+    ohlc = lambda s: streaming_ohlc(s, "k", value_col="value")  # noqa: E731
+
+    arrive(on_time)
+    hop1 = run(hop, "hop").collect()
+    ohlc1 = run(ohlc, "ohlc").collect()
+    w0 = [r for r in hop1 if r.window_start == d(2024, 1, 1, 0, 0)]
+    assert len(w0) == 1 and (w0[0].n_events, w0[0].avg_value) == (2, 2.0)
+    b0 = [r for r in ohlc1 if r.bucket == d(2024, 1, 1, 0, 0)]
+    assert len(b0) == 1 and (b0[0].open, b0[0].close, b0[0].high) == (
+        1.0,
+        3.0,
+        3.0,
+    )
+
+    arrive(late)
+    hop2 = run(hop, "hop").collect()
+    ohlc2 = run(ohlc, "ohlc").collect()
+    # every window the late row would touch was already finalized: the
+    # sinks are byte-identical to run 1 (no new rows, no revision)
+    assert sorted(map(tuple, hop2)) == sorted(map(tuple, hop1))
+    assert sorted(map(tuple, ohlc2)) == sorted(map(tuple, ohlc1))
+
+
 def test_stateful_rates_cross_batch_boundaries(spark, tmp_path):
     """applyInPandasWithState carries (ts, value) across micro-batches:
     with one file per trigger, deltas at file boundaries must still be
