@@ -1461,6 +1461,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(table(spark, sf_dir, "documents"), budget_tokens=512)
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact kNN graph (functions/vectors.py knn_graph_blocked):
+    every vector's 5 nearest same-label neighbors by exact cosine — the
+    SemDeDup/clustering primitive. Candidates come from an EQUI join on
+    the block key (label here; an IVF cell at corpus scale), never an
+    all-pairs product; per-vector top-k is a bounded rank window."""
+    from fresco_hpc_spark.functions import knn_graph_blocked
+
+    return knn_graph_blocked(table(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (functions/sampling.py cap_per_group):
+    keep at most 50 docs per source, selected as the 50 smallest
+    content-stable hash coins — the domain-balancing ceiling web-corpus
+    curation applies before mixing. Two-phase exact: big groups
+    prefilter map-side to ~4n coin survivors before the rank window,
+    so a head domain ranks the same ~200 rows as everyone else."""
+    from fresco_hpc_spark.functions import cap_per_group
+
+    return cap_per_group(table(spark, sf_dir, "documents"), n=50)
+
+
 def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed training sequences (functions/sampling.py
     pack_texts): one row per (source, 512-token bin) with the member
@@ -1680,32 +1703,82 @@ def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Query]:
     return {
-        # --- ORDER MATTERS twice over: the driver's correctness run
-        # caps at 50 queries per round taken in dict order, and bench.py
-        # runs in dict order (so heavy demo queries are quarantined at
-        # the END — their GC shadow inflated neighbors in BENCH_r04).
-        # Round-5 rotation (VERDICT r4 item 1):
-        # (1) new r5 queries + the three whose IMPLEMENTATION changed
-        #     this round (tfidf ranking, ewma fold seed, profile_columns
-        #     dtype match) — their r04 green predates the change;
-        # (2) the 42 queries displaced from the r04 window (newest
-        #     driver-green row is r03, and the driver regenerates
-        #     testdata between rounds) — 8 + 42 = the full 50-window;
-        # (3) the remaining r04-green set, with the two deliberately
-        #     heavy Zipf-crossover exhibits LAST (bench quarantine,
-        #     VERDICT r4 item 2).
-        # Union r04 ∪ r05 covers every query.
-        # -- (1) new in r5 / changed in r5:
+        # --- ORDER MATTERS: the driver's correctness run caps at 50
+        # queries per round taken in dict order. (bench.py no longer
+        # depends on dict order — it explicitly quarantines the heavy
+        # Zipf exhibits at the end of its suite.)
+        # Round-6 window (VERDICT r5 item 1), 50 = 16 + 8 + 26:
+        # (1) the 14 queries with NO driver CORRECTNESS row in any
+        #     round (added after the r5 window was registered), plus
+        #     the two whose implementation changed this round
+        #     (ewma_scan null propagation, ewma auto-routing);
+        # (2) the 8 r4-green queries certified only once ever;
+        # (3) 26 of the 39 multi-certified r4-green queries (newest
+        #     row r04 — the driver regenerates testdata per round).
+        # -- (1) never windowed / changed this round:
+        "corpus_curation_v3": q_corpus_curation_v3,
+        "remove_dup_spans": q_remove_dup_spans,
+        "oov_rate": q_oov_rate,
+        "length_filter": q_length_filter,
+        "containment_pairs": q_containment_pairs,
+        "containment_pairs_prefix": q_containment_pairs_prefix,
+        "cluster_split": q_cluster_split,
+        "bigram_logprob": q_bigram_logprob,
+        "winsorize_values": q_winsorize,
+        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
+        "standardize_values": q_standardize_values,
+        "source_quality": q_source_quality,
+        "pack_sequences": q_pack_sequences,
+        "pack_texts": q_pack_texts,
+        "domain_cap": q_domain_cap,
+        "knn_graph": q_knn_graph,
+        "ewma_scan": q_ewma_scan,
+        "ewma_user_value": q_ewma_user_value,
+        # -- (2) single-certified (r04 only):
+        "unigram_logprob": q_unigram_logprob,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "vocab_stats": q_vocab_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "temperature_mixture": q_temperature_mixture,
+        "weighted_repeat": q_weighted_repeat,
+        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
+        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
+        # -- (3) multi-certified, newest row r04:
+        "topn_others": q_topn_others,
+        "histogram_bin_index": q_histogram_bin_index,
+        "histogram_range_join": q_histogram_range_join,
+        "etl_block_rates": q_etl_block,
+        "etl_cpu_percent": q_etl_cpu,
+        "etl_mem_metrics": q_etl_mem,
+        "etl_nfs_rates": q_etl_nfs,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "repetition_stats": q_repetition_stats,
+        "minhash_dup_pairs": q_minhash_dups,
+        "simhash_dup_pairs": q_simhash_dups,
+        "embedding_knn": q_embedding_knn,
+        "embedding_ann_lsh": q_embedding_ann,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "dedup_corpus": q_dedup_corpus,
+        "corpus_curation": q_corpus_curation,
+        "dup_clusters": q_dup_clusters,
+        "embedding_near_dups": q_embedding_near_dups,
+        "asof_click_purchase": q_asof_click_purchase,
+        "decontaminate": q_decontaminate,
+        "quality_rules": q_quality_rules,
+        "class_centroids": q_class_centroids,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        # --- outside the 50-query window: freshly green in r05 (the
+        # driver re-certified them last round) or multi-certified and
+        # deferred to the r7 rotation; full-parity covers all locally.
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
         "hopping_window": q_hopping_window,
-        "ewma_scan": q_ewma_scan,
         "phash_dup_pairs": q_phash_dup_pairs,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "ewma_user_value": q_ewma_user_value,
         "profile_columns": q_profile_columns,
-        # -- (2) newest driver-green row is r03 (displaced by the r04
-        #    window):
         "corpus_curation_v2": q_corpus_curation_v2,
         "lead_ntile_events": q_lead_ntile_events,
         "lead_quartile_events": q_lead_quartile_events,
@@ -1748,73 +1821,19 @@ def queries() -> dict[str, Query]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "histogram2d": q_histogram2d,
-        # -- (3) green in CORRECTNESS_r04.json (rows+schema+hash):
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
-        "unigram_logprob": q_unigram_logprob,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "vocab_stats": q_vocab_stats,
-        "semantic_dedup": q_semantic_dedup,
-        "temperature_mixture": q_temperature_mixture,
-        "weighted_repeat": q_weighted_repeat,
         "value_cdf": q_value_cdf,
         "category_counts": q_category_counts,
-        "topn_others": q_topn_others,
-        "histogram_bin_index": q_histogram_bin_index,
-        "histogram_range_join": q_histogram_range_join,
-        "etl_block_rates": q_etl_block,
-        "etl_cpu_percent": q_etl_cpu,
-        "etl_mem_metrics": q_etl_mem,
-        "etl_nfs_rates": q_etl_nfs,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "stratified_sample": q_stratified_sample,
-        "corpus_split": q_corpus_split,
         "token_budget": q_token_budget,
-        "repetition_stats": q_repetition_stats,
-        "minhash_dup_pairs": q_minhash_dups,
-        "simhash_dup_pairs": q_simhash_dups,
-        "embedding_knn": q_embedding_knn,
-        "embedding_ann_lsh": q_embedding_ann,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "dedup_corpus": q_dedup_corpus,
-        "corpus_curation": q_corpus_curation,
-        "dup_clusters": q_dup_clusters,
+        "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "embedding_near_dups": q_embedding_near_dups,
         "session_duration": q_session_duration,
-        "asof_click_purchase": q_asof_click_purchase,
-        "decontaminate": q_decontaminate,
-        "quality_rules": q_quality_rules,
-        "class_centroids": q_class_centroids,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-        # new in r5 but placed OUTSIDE the 50-query window so the 8+42
-        # rotation above stays intact; full-parity covers it locally and
-        # it rotates into the r6 window
-        "corpus_curation_v3": q_corpus_curation_v3,
-        "remove_dup_spans": q_remove_dup_spans,
-        "oov_rate": q_oov_rate,
-        "length_filter": q_length_filter,
-        "containment_pairs": q_containment_pairs,
-        "containment_pairs_prefix": q_containment_pairs_prefix,
-        "cluster_split": q_cluster_split,
-        "bigram_logprob": q_bigram_logprob,
-        "winsorize_values": q_winsorize,
-        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
-        "standardize_values": q_standardize_values,
-        "source_quality": q_source_quality,
-        "pack_sequences": q_pack_sequences,
-        "pack_texts": q_pack_texts,
-        # -- heavy-by-design Zipf crossover exhibits: LAST so their GC
-        #    shadow cannot inflate the similarity block's bench numbers
-        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
-        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
     }
 
 
@@ -3776,6 +3795,53 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     ), 0) / 512.0) AS BIGINT) AS bin_id
         FROM c ORDER BY source, doc_id
+    """
+
+    oracles["knn_graph"] = """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id, a.label,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS cosine_sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC
+                   ) AS rank
+            FROM pairs
+        )
+        SELECT vec_id, neighbor_id, label, cosine_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY vec_id, rank
+    """
+
+    oracles["domain_cap"] = """
+        WITH c AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   (('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT
+                    / 1152921504606846976.0) AS coin
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY coin, doc_id
+                   ) AS cap_rank
+            FROM c
+        )
+        SELECT doc_id, text, lang, source, n_chars,
+               CAST(cap_rank AS INT) AS cap_rank
+        FROM r WHERE cap_rank <= 50
+        ORDER BY source, cap_rank
     """
 
     oracles["pack_texts"] = r"""

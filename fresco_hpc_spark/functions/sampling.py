@@ -208,6 +208,83 @@ def weighted_repeat(
     return df.withColumn(copy_col, F.explode(copies))
 
 
+def cap_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+    prefilter_factor: int = 4,
+) -> DataFrame:
+    """Per-group document cap — domain/source balancing, web-corpus
+    curation's standard defense against one domain dominating the
+    mixture (the reference keeps per-source mixing ratios; the cap is
+    the hard ceiling variant): keep AT MOST ``n`` documents per group,
+    selected as the n smallest salted-hash coins (content-stable, so
+    survival is reproducible across partitionings, retries, engines —
+    not "first n by arrival"). Ties on the coin break by the key.
+    Output adds ``cap_rank`` (1-based rank within the group).
+
+    Scale shape — the head-domain problem: a per-group rank is a
+    window sort, and at web scale one domain can hold 10⁸ documents,
+    which would sort (and spill) in a single task. This implementation
+    is TWO-PHASE and stays exact:
+
+    1. group counts (one partial-aggregated shuffle, relation sized by
+       the number of groups);
+    2. groups bigger than ``prefilter_factor·n`` are PRE-FILTERED
+       map-side to coins below ``prefilter_factor·n / count`` — an
+       expected ``prefilter_factor·n`` survivors per group, so the
+       window input is bounded by ~p·n rows per group regardless of
+       group size. Because the selection criterion and the prefilter
+       use the SAME coin, the n smallest coins always survive a
+       prefilter that keeps ≥ n rows; any group the filter leaves
+       short (P ≤ exp(−p·n·ln(p/e)/…) — astronomically rare, but
+       checked, not assumed) falls back to ranking ALL its rows, so
+       the result is deterministically exact, never sampled.
+
+    The final window therefore sorts ≤ max(p·n, shortfall-group size)
+    rows per group — head domains cost the same as everyone else.
+    """
+    from pyspark.sql import Window
+
+    coin = hash_fraction(
+        F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))
+    )
+    with_coin = df.withColumn("_coin", coin)
+    p = int(prefilter_factor)
+    counts = with_coin.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_gn")
+    )
+    joined = with_coin.join(counts, group_col)
+    thresh = F.lit(float(p * n)) / F.col("_gn")
+    pre = joined.filter(
+        (F.col("_gn") <= F.lit(p * n)) | (F.col("_coin") < thresh)
+    )
+    # exactness check: a big group whose prefilter kept < n rows (in
+    # practice: never) re-ranks over all of its rows. Anchored on the
+    # FULL group list (counts), not pre — a group whose prefilter kept
+    # ZERO rows is absent from pre's groupBy and would otherwise
+    # silently vanish instead of falling back.
+    kept = pre.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kept"))
+    short = (
+        counts.join(kept, group_col, "left")
+        .filter(F.coalesce(F.col("_kept"), F.lit(0)) < F.lit(n))
+        .select(group_col)
+    )
+    fallback = joined.join(short, group_col, "left_semi")
+    final_input = pre.join(short, group_col, "left_anti").unionByName(fallback)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_coin").asc(), F.col(key_col).asc()
+    )
+    return (
+        final_input.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= F.lit(n))
+        .drop("_coin", "_gn")
+        .orderBy(group_col, "cap_rank")
+    )
+
+
 def cluster_aware_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -61,6 +61,63 @@ def brute_force_knn(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def knn_graph_blocked(
+    embeddings: DataFrame,
+    k: int = 5,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH within blocks — the primitive
+    SemDeDup-style semantic clustering and kNN-LM retrieval build on:
+    for EVERY vector, its k most-cosine-similar neighbors sharing
+    ``block_col``, as one relation (vec, neighbor, sim, rank). The
+    block key can be a class label (here), an IVF cell assignment, or
+    an LSH bucket — any blocking relation that bounds comparisons.
+
+    Scale shape: the self-join is an EQUI join on the block key, so
+    candidate pairs are Σ block² — the standard blocked kNN-graph
+    construction (never corpus²; at 100 TB the block is an IVF cell of
+    ~corpus/n_cells vectors and the same code applies unchanged). The
+    per-vector top-k is a rank window partitioned by the vector id —
+    partition size = that vector's block, bounded by the blocking.
+    Similarity is rounded to the shared precision BEFORE ranking so
+    rank boundaries are stable across engines; ties break on the
+    neighbor id.
+    """
+    a = embeddings.select(
+        F.col(block_col), F.col(id_col).alias("_id"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(block_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vb"),
+    )
+    sim = F.round(cosine_similarity_col(F.col("_va"), F.col("_vb")), _ROUND)
+    pairs = (
+        a.join(b, block_col)
+        .filter(F.col("_id") != F.col("neighbor_id"))
+        .select(
+            F.col(block_col), F.col("_id"), F.col("neighbor_id"), sim.alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(
+            F.col("_id").alias(id_col),
+            "neighbor_id",
+            F.col(block_col),
+            "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy(id_col, "rank")
+    )
+
+
 def _plane_constants(num_planes: int, dim: int, seed: int = 11) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane normals (LCG; values in
     [-1, 1]); fixed so signatures are reproducible across runs."""

@@ -951,6 +951,98 @@ def test_length_percentile_filter_trims_tails(spark):
     assert all(r.source == f"src{r.doc_id % 3}" for r in out)
 
 
+def test_knn_graph_blocked_hand_computed(spark):
+    """2-D vectors in two blocks: within block A, the unit-x and the
+    (1,0.1) vectors are mutual rank-1 neighbors, unit-y ranks them by
+    the 0.1 component; block B never mixes with A."""
+    from fresco_hpc_spark.functions import knn_graph_blocked
+
+    rows = [
+        (1, "A", [1.0, 0.0]),
+        (2, "A", [1.0, 0.1]),
+        (3, "A", [0.0, 1.0]),
+        (4, "B", [1.0, 0.0]),
+        (5, "B", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>"
+    )
+    out = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in knn_graph_blocked(df, k=2, block_col="label").collect()
+    }
+    assert out[(1, 1)][0] == 2 and out[(1, 2)][0] == 3
+    assert out[(2, 1)][0] == 1 and out[(2, 2)][0] == 3
+    # unit-y is closer to (1, 0.1) than to (1, 0)
+    assert out[(3, 1)][0] == 2 and out[(3, 2)][0] == 1
+    # block B: only each other, k=2 truncates to the block size - 1
+    assert out[(4, 1)][0] == 5 and (4, 2) not in out
+    assert out[(5, 1)][0] == 4
+    assert out[(1, 1)][1] > out[(1, 2)][1]
+
+
+def test_cap_per_group_selects_n_smallest_coins(spark):
+    """The cap keeps exactly the n smallest salted-hash coins per group
+    — content-stable selection, not first-n-by-arrival — through BOTH
+    routes: the small-group direct window and the big-group prefilter
+    (group of 40 > prefilter_factor*n = 12)."""
+    from fresco_hpc_spark.functions import cap_per_group
+    from fresco_hpc_spark.functions.sampling import hash_fraction
+    from pyspark.sql import functions as F
+
+    rows = [("big", i) for i in range(40)] + [("small", 100 + i) for i in range(2)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint")
+    out = cap_per_group(df, n=3, group_col="source", key_col="doc_id").collect()
+    # brute-force expectation from the same coin
+    coins = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id",
+            hash_fraction(
+                F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))
+            ).alias("c"),
+        ).collect()
+    }
+    want_big = sorted(range(40), key=lambda i: (coins[i], i))[:3]
+    got = {}
+    for r in out:
+        got.setdefault(r.source, []).append((r.cap_rank, r.doc_id))
+    assert [d for _, d in sorted(got["big"])] == want_big
+    # the small group (2 < n) survives whole, ranked
+    assert [d for _, d in sorted(got["small"])] == sorted(
+        [100, 101], key=lambda i: (coins[i], i)
+    )
+    assert all(rk == i + 1 for g in got.values() for i, (rk, _) in enumerate(sorted(g)))
+
+
+def test_cap_per_group_shortfall_fallback_stays_exact(spark):
+    """prefilter_factor=1 with n=1 makes the threshold 1/count — small
+    enough that groups routinely keep <n survivors and take the
+    fallback path; output must STILL be the exact n smallest coins."""
+    from fresco_hpc_spark.functions import cap_per_group
+    from fresco_hpc_spark.functions.sampling import hash_fraction
+    from pyspark.sql import functions as F
+
+    rows = [(f"g{i % 5}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint")
+    out = cap_per_group(
+        df, n=1, group_col="source", key_col="doc_id", prefilter_factor=1
+    ).collect()
+    coins = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id",
+            hash_fraction(
+                F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))
+            ).alias("c"),
+        ).collect()
+    }
+    assert len(out) == 5
+    for r in out:
+        members = [i for i in range(100) if f"g{i % 5}" == r.source]
+        assert r.doc_id == min(members, key=lambda i: (coins[i], i))
+
+
 def test_cluster_aware_split_string_ids_keep_native_cluster_id(spark):
     """ADVICE r5: with string doc ids the cluster_id column must carry
     the representative in the key's NATIVE type, not a silently-NULL

@@ -127,6 +127,20 @@ def test_embedding_near_dups_join_is_equi(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_knn_graph_join_is_equi_on_block(spark):
+    """The kNN-graph self-join must stay an EQUI join on the block key
+    — the blocking IS the scale contract (candidates ∝ Σ block², never
+    corpus²)."""
+    plan = plan_of(spark, "knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
 def test_pack_texts_single_data_shuffle(spark):
     """The (stratum, bin_id) groupBy must REUSE the window's
     hash(stratum) partitioning (hash(stratum) clusters every
@@ -193,7 +207,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "containment_pairs", "cluster_split", "bigram_logprob", "winsorize_values",
         "standardize_values", "source_quality", "pack_sequences",
         # round 6
-        "containment_pairs_prefix", "pack_texts",
+        "containment_pairs_prefix", "pack_texts", "domain_cap", "knn_graph",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
