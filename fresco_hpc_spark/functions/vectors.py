@@ -386,6 +386,51 @@ def embedding_near_dup_pairs(
     return _finish_pairs(result, [bucketed], materialize)
 
 
+def embedding_near_dup_pairs_between(
+    index_df: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-corpus embedding near-dup pairs: INCOMING vectors against a
+    STORED signature index — the vector twin of the MinHash
+    ``minhash_dup_pairs_between`` / phash ``phash_dup_pairs_between``
+    cross-checks. ``index_df`` holds ``(id, vector, _bucket)`` rows as
+    written by the incremental vector ingest; accepted vectors are
+    never re-hashed, and with the index table bucketed on ``_bucket``
+    the equi-join reads it with zero index-side exchange. Incoming
+    signatures use the SAME deterministic hyperplanes (seeded
+    constants, dimension-derived), so index and batch always agree on
+    bucketing. Output: ``(id_a=index, id_b=incoming, cosine_sim)`` for
+    pairs at or above ``threshold``.
+    """
+    if dim is None:
+        dim = len(incoming.select(vec_col).head()[0])
+    planes = _plane_constants(num_planes, dim)
+    inc = incoming.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a, b = index_df.alias("a"), inc.alias("b")
+    sim = F.round(
+        cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), _ROUND
+    )
+    return (
+        a.join(b, F.col("a._bucket") == F.col("b._bucket"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],

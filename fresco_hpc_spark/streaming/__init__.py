@@ -1,6 +1,7 @@
 from fresco_hpc_spark.streaming.dedup import (  # noqa: F401
     start_incremental_ingest,
     start_incremental_media_ingest,
+    start_incremental_vector_ingest,
     streaming_dedup,
 )
 from fresco_hpc_spark.streaming.stateful import (  # noqa: F401

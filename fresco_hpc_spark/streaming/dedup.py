@@ -250,6 +250,124 @@ def process_media_ingest_batch(
     spark.catalog.refreshTable(index_table)
 
 
+def process_vector_ingest_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_table: str,
+    accepted_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    n_buckets: int = 8,
+) -> None:
+    """One micro-batch of near-dup-free EMBEDDING ingest — the vector
+    member of the incremental-ingest trio (text via MinHash bands,
+    images via phash, vectors via hyperplane-LSH signatures): each
+    batch is deduplicated within itself (LSH-bucketed cosine pairs →
+    greedy min-id survivor) and against everything previously accepted
+    via the stored ``(id, vector, _bucket)`` signature index
+    (functions/vectors.py ``embedding_near_dup_pairs_between``) —
+    accepted vectors are never re-hashed. Survivor rows land in
+    ``accepted_dir`` partitioned by ``_ingest_batch`` (dynamic
+    partition overwrite: idempotent under foreachBatch replay, the
+    same contract as the text/media ingests); survivor index rows
+    append to ``index_table`` BUCKETED on ``_bucket`` so the next
+    batch's cross-check joins with zero index-side exchange.
+    """
+    from fresco_hpc_spark.functions.vectors import (
+        _plane_constants,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_between,
+        lsh_signature,
+    )
+    from fresco_hpc_spark.plans.store import write_bucketed_table
+
+    if not batch_df.head(1):
+        return
+    dim = len(batch_df.select(vec_col).head()[0])
+    pairs = embedding_near_dup_pairs(
+        batch_df,
+        threshold=threshold,
+        num_planes=num_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = batch_df.join(dropped, id_col, "left_anti")
+    if spark.catalog.tableExists(index_table):
+        cross = embedding_near_dup_pairs_between(
+            spark.table(index_table),
+            survivors,
+            threshold=threshold,
+            num_planes=num_planes,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
+        dup_ids = cross.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = survivors.join(dup_ids, id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+    if not survivors.head(1):
+        return
+    (
+        survivors.withColumn("_ingest_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_batch")
+        .parquet(accepted_dir)
+    )
+    planes = _plane_constants(num_planes, dim)
+    index_rows = survivors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    write_bucketed_table(
+        index_rows, index_table, "_bucket", n_buckets=n_buckets, mode="append"
+    )
+    spark.catalog.refreshTable(index_table)
+
+
+def start_incremental_vector_ingest(
+    spark,
+    stream_df: DataFrame,
+    index_table: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    available_now: bool = False,
+):
+    """Continuous near-dup-free embedding ingest over a vector stream —
+    see :func:`process_vector_ingest_batch` for the per-batch contract."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_vector_ingest_batch(
+            spark,
+            batch_df,
+            batch_id,
+            index_table=index_table,
+            accepted_dir=accepted_dir,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            num_planes=num_planes,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_media_ingest(
     spark,
     stream_df: DataFrame,

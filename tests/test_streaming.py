@@ -864,6 +864,115 @@ def test_incremental_ingest_batch_replay_is_idempotent(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS replay_band_idx")
 
 
+def test_incremental_vector_ingest_replay_is_idempotent(spark, tmp_path):
+    """The vector ingest inherits the text ingest's replay contract:
+    re-running the same (batch, batch_id) leaves the accepted corpus
+    unchanged in both reachable crash states (after-both-writes, and
+    accepted-without-index)."""
+    from fresco_hpc_spark.streaming.dedup import process_vector_ingest_batch
+
+    def unit(axis, dim=8):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    batch = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(1))], "vec_id bigint, embedding array<double>"
+    )
+    accepted_dir = str(tmp_path / "vraccepted")
+    spark.sql("DROP TABLE IF EXISTS vreplay_idx")
+    try:
+        kw = dict(index_table="vreplay_idx", accepted_dir=accepted_dir)
+        process_vector_ingest_batch(spark, batch, 0, **kw)
+        baseline = sorted(
+            (r.vec_id, r._ingest_batch)
+            for r in spark.read.parquet(accepted_dir).collect()
+        )
+        assert [v for v, _ in baseline] == [1, 2]
+        # replay after both writes: all rows drop as self-duplicates
+        process_vector_ingest_batch(spark, batch, 0, **kw)
+        assert sorted(
+            (r.vec_id, r._ingest_batch)
+            for r in spark.read.parquet(accepted_dir).collect()
+        ) == baseline
+        # replay with the index lost: partition overwritten in place
+        spark.sql("DROP TABLE vreplay_idx")
+        process_vector_ingest_batch(spark, batch, 0, **kw)
+        assert sorted(
+            (r.vec_id, r._ingest_batch)
+            for r in spark.read.parquet(accepted_dir).collect()
+        ) == baseline
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vreplay_idx")
+
+
+def test_incremental_vector_ingest_dedups_across_batches(spark, tmp_path):
+    """The vector member of the incremental-ingest trio:
+    start_incremental_vector_ingest drops an exact copy of a
+    previously-ACCEPTED embedding via the stored LSH-signature index
+    (no re-hash of accepted vectors), collapses an in-batch near-dup
+    pair to the min id, and keeps orthogonal newcomers. Identical
+    vectors always share a bucket, so recall at threshold→1 is exact."""
+    import os
+    import time
+
+    from fresco_hpc_spark.streaming import start_incremental_vector_ingest
+
+    def unit(axis, dim=8, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        if eps:
+            v[(axis + 1) % dim] = eps
+        return v
+
+    schema = "vec_id bigint, embedding array<double>"
+    batches = [
+        [(1, unit(0)), (2, unit(1))],
+        # 10 = exact copy of accepted 1; 11/12 in-batch near-dup pair
+        [(10, unit(0)), (11, unit(2)), (12, unit(2, eps=1e-4))],
+        # 20 = near-copy of 11 (accepted the PREVIOUS batch); 21 new
+        [(20, unit(2, eps=2e-4)), (21, unit(3))],
+    ]
+    src = tmp_path / "vin"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        t = 1_000_000_000 + i * 100
+        for f in src.glob("part-*.parquet"):
+            if os.path.getmtime(f) > t - 50:
+                os.utime(f, (t, t))
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    spark.sql("DROP TABLE IF EXISTS vec_lsh_idx")
+    try:
+        q = start_incremental_vector_ingest(
+            spark,
+            stream,
+            index_table="vec_lsh_idx",
+            accepted_dir=str(tmp_path / "vaccepted"),
+            checkpoint_dir=str(tmp_path / "vckpt"),
+            threshold=0.999,
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        accepted = {
+            r.vec_id
+            for r in spark.read.parquet(str(tmp_path / "vaccepted")).collect()
+        }
+        assert accepted == {1, 2, 11, 21}, accepted
+        idx = {r.vec_id for r in spark.table("vec_lsh_idx").collect()}
+        assert idx == {1, 2, 11, 21}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vec_lsh_idx")
+
+
 def test_incremental_media_ingest_phash_dedups_across_batches(spark, tmp_path):
     """VERDICT r4 item 9 — the multimodal → incremental-dedup loop:
     start_incremental_media_ingest drops an exact pixel copy of a
