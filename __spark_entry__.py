@@ -1461,6 +1461,47 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(table(spark, sf_dir, "documents"), budget_tokens=512)
 
 
+def q_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 curation pipeline end-to-end, composing this round's
+    operators in the standard corpus-build order: per-source domain cap
+    (60 smallest content-stable coins) → corpus [p5, p95] length trim →
+    asymmetric-prefix CONTAINMENT dedup (either direction ≥ 0.9 drops
+    the contained side: fewer words loses, ties drop the larger id) →
+    pack survivors into 512-token training bins with doc-boundary
+    offsets. Every stage is an individually oracle-checked operator;
+    this query proves the composition. Scale: cap = two-phase rank,
+    length = broadcast bounds, containment = prefix·full equi-join,
+    pack = one stratum shuffle — nothing in the chain is corpus²."""
+    from fresco_hpc_spark.functions import (
+        cap_per_group,
+        length_percentile_filter,
+        ngram_containment_pairs_prefix,
+        pack_texts,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, n=60).drop("cap_rank")
+    kept = length_percentile_filter(capped, p_low=0.05, p_high=0.95)
+    pairs = ngram_containment_pairs_prefix(
+        kept, n=3, threshold=0.9, materialize=True
+    )
+    na = kept.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("_nwa"))
+    nb = kept.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("_nwb"))
+    dropped = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            F.when(F.col("_nwa") < F.col("_nwb"), F.col("doc_a"))
+            .when(F.col("_nwb") < F.col("_nwa"), F.col("doc_b"))
+            .otherwise(F.greatest("doc_a", "doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    survivors = kept.join(dropped, "doc_id", "left_anti").drop("n_words")
+    return pack_texts(survivors, budget_tokens=512)
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact kNN graph (functions/vectors.py knn_graph_blocked):
     every vector's 5 nearest same-label neighbors by exact cosine — the
@@ -1732,6 +1773,7 @@ def queries() -> dict[str, Query]:
         "pack_texts": q_pack_texts,
         "domain_cap": q_domain_cap,
         "knn_graph": q_knn_graph,
+        "corpus_curation_v4": q_corpus_curation_v4,
         "ewma_scan": q_ewma_scan,
         "ewma_user_value": q_ewma_user_value,
         # -- (2) single-certified (r04 only):
@@ -3795,6 +3837,98 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     ), 0) / 512.0) AS BIGINT) AS bin_id
         FROM c ORDER BY source, doc_id
+    """
+
+    # v4 pipeline: every fragment below is the proven oracle of its
+    # stage (cap coin, PERCENTILE_CONT trim, distinct-shingle
+    # containment, prefix-sum packing), composed in order.
+    oracles["corpus_curation_v4"] = r"""
+        WITH c0 AS (
+            SELECT doc_id, text, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                       (('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT
+                        / 1152921504606846976.0), doc_id) AS rk
+            FROM documents
+        ),
+        capped AS (SELECT doc_id, text, source FROM c0 WHERE rk <= 60),
+        w AS (
+            SELECT *, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                           END AS BIGINT) AS n_words
+            FROM capped
+        ),
+        b AS (
+            SELECT ROUND(PERCENTILE_CONT(0.05)
+                         WITHIN GROUP (ORDER BY n_words), 6) AS lo,
+                   ROUND(PERCENTILE_CONT(0.95)
+                         WITHIN GROUP (ORDER BY n_words), 6) AS hi
+            FROM w
+        ),
+        kept AS (
+            SELECT w.* FROM w, b WHERE n_words >= lo AND n_words <= hi
+        ),
+        words AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+            FROM kept
+        ),
+        toks AS (
+            SELECT DISTINCT doc, token FROM (
+                SELECT doc_id AS doc,
+                       unnest(list_transform(generate_series(1, len(ws) - 2),
+                              i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS token
+                FROM words
+            )
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM toks GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS da, b.doc AS db, COUNT(*) AS nc
+            FROM toks a JOIN toks b ON a.token = b.token AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT da, db FROM inter
+            JOIN sizes sa ON sa.doc = da JOIN sizes sb ON sb.doc = db
+            WHERE ROUND(nc / CAST(sa.n AS DOUBLE), 6) >= 0.9
+               OR ROUND(nc / CAST(sb.n AS DOUBLE), 6) >= 0.9
+        ),
+        contained AS (
+            SELECT DISTINCT CASE
+                       WHEN ka.n_words < kb.n_words THEN p.da
+                       WHEN kb.n_words < ka.n_words THEN p.db
+                       ELSE greatest(p.da, p.db) END AS doc_id
+            FROM pairs p
+            JOIN kept ka ON ka.doc_id = p.da
+            JOIN kept kb ON kb.doc_id = p.db
+        ),
+        surv AS (
+            SELECT k.* FROM kept k
+            LEFT JOIN contained d USING (doc_id) WHERE d.doc_id IS NULL
+        ),
+        pb AS (
+            SELECT source, doc_id, text, n_words,
+                   CAST(floor(COALESCE(SUM(n_words) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) / 512.0) AS BIGINT) AS bin_id
+            FROM surv
+        ),
+        po AS (
+            SELECT *, COALESCE(SUM(n_words) OVER (
+                        PARTITION BY source, bin_id ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS off
+            FROM pb
+        )
+        SELECT source, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+               string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets,
+               string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
+                   AS packed_text
+        FROM po GROUP BY source, bin_id
+        ORDER BY source, bin_id
     """
 
     oracles["knn_graph"] = """

@@ -208,6 +208,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "standardize_values", "source_quality", "pack_sequences",
         # round 6
         "containment_pairs_prefix", "pack_texts", "domain_cap", "knn_graph",
+        "corpus_curation_v4",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):

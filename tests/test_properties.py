@@ -336,3 +336,115 @@ def test_weighted_repeat_multiplicity_bounds(spark, w):
         assert n in (lo, hi) and n > 0
     # rows with zero copies are absent entirely
     assert len(counts) <= 30
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@_settings
+def test_prefix_containment_equals_plain_on_any_corpus(spark, texts, threshold):
+    """The ASYMMETRIC prefix filter is lossless for any corpus and any
+    threshold: the prefix variant must return exactly the uncapped plain
+    self-join's relation. Single-letter tokens from a tiny alphabet
+    maximize df collisions and equal-size ties — the hardest case for
+    the smaller-side ordering and the positional bound."""
+    from fresco_hpc_spark.functions import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    plain = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment_a, r.containment_b)
+        for r in ngram_containment_pairs(
+            df, n=1, threshold=threshold, max_token_freq=10**9
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment_a, r.containment_b)
+        for r in ngram_containment_pairs_prefix(
+            df, n=1, threshold=threshold
+        ).collect()
+    }
+    assert plain == pref
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    budget=st.integers(min_value=1, max_value=40),
+)
+@_settings
+def test_pack_texts_offsets_partition_the_bins(spark, lens, budget):
+    """For any corpus and budget: every document lands in exactly one
+    bin, per-bin offsets are the exclusive prefix sums of member token
+    counts (offsets[0] == 0, last offset + last n == bin n_tokens), and
+    bin token totals sum to the corpus total."""
+    from fresco_hpc_spark.functions import pack_texts
+
+    rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(lens)]
+    df = (
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        .selectExpr("'s' AS source", "doc_id", "text")
+    )
+    out = pack_texts(df, budget).collect()
+    seen_docs = []
+    total = 0
+    for r in out:
+        ids = [int(x) for x in r.doc_ids.split(",")]
+        offs = [int(x) for x in r.offsets.split(",")]
+        seen_docs += ids
+        total += r.n_tokens
+        assert r.n_docs == len(ids) == len(offs)
+        assert offs[0] == 0
+        # offsets are the exclusive running sum of member counts
+        member_counts = [lens[i] for i in ids]
+        run = 0
+        for o, c in zip(offs, member_counts):
+            assert o == run
+            run += c
+        assert run == r.n_tokens
+    assert sorted(seen_docs) == list(range(len(lens)))
+    assert total == sum(lens)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5),
+)
+@_settings
+def test_cap_per_group_cap_and_determinism(spark, n, sizes):
+    """For any group sizes and cap: every group keeps min(size, n) rows,
+    ranks are dense from 1, and the output is identical under a
+    different input partitioning (selection is content-stable)."""
+    from fresco_hpc_spark.functions import cap_per_group
+
+    rows = []
+    base = 0
+    for g, sz in enumerate(sizes):
+        rows += [(f"g{g}", base + i) for i in range(sz)]
+        base += 1000
+    df = spark.createDataFrame(rows, "source string, doc_id bigint")
+    out = sorted(
+        (r.source, r.cap_rank, r.doc_id)
+        for r in cap_per_group(df, n, prefilter_factor=2).collect()
+    )
+    re_out = sorted(
+        (r.source, r.cap_rank, r.doc_id)
+        for r in cap_per_group(df.repartition(7), n, prefilter_factor=2).collect()
+    )
+    assert out == re_out
+    per_group = {}
+    for g, rk, _ in out:
+        per_group.setdefault(g, []).append(rk)
+    for g, sz in enumerate(sizes):
+        ranks = per_group[f"g{g}"]
+        assert sorted(ranks) == list(range(1, min(sz, n) + 1))
