@@ -1748,13 +1748,15 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py no longer
         # depends on dict order — it explicitly quarantines the heavy
         # Zipf exhibits at the end of its suite.)
-        # Round-6 window (VERDICT r5 item 1), 50 = 16 + 8 + 26:
-        # (1) the 14 queries with NO driver CORRECTNESS row in any
-        #     round (added after the r5 window was registered), plus
-        #     the two whose implementation changed this round
-        #     (ewma_scan null propagation, ewma auto-routing);
+        # Round-6 window (VERDICT r5 item 1), 50 = 19 + 8 + 23:
+        # (1) the 12 round-5 queries with NO driver CORRECTNESS row
+        #     in any round (added after the r5 window was registered),
+        #     the 5 new round-6 queries (containment_pairs_prefix,
+        #     pack_texts, domain_cap, knn_graph, corpus_curation_v4),
+        #     and the two whose implementation changed this round
+        #     (ewma_scan null propagation, ewma auto-routing) = 19;
         # (2) the 8 r4-green queries certified only once ever;
-        # (3) 26 of the 39 multi-certified r4-green queries (newest
+        # (3) 23 of the 39 multi-certified r4-green queries (newest
         #     row r04 — the driver regenerates testdata per round).
         # -- (1) never windowed / changed this round:
         "corpus_curation_v3": q_corpus_curation_v3,
@@ -1809,12 +1811,12 @@ def queries() -> dict[str, Query]:
         "asof_click_purchase": q_asof_click_purchase,
         "decontaminate": q_decontaminate,
         "quality_rules": q_quality_rules,
-        "class_centroids": q_class_centroids,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
         # --- outside the 50-query window: freshly green in r05 (the
         # driver re-certified them last round) or multi-certified and
         # deferred to the r7 rotation; full-parity covers all locally.
+        "class_centroids": q_class_centroids,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
         "hopping_window": q_hopping_window,

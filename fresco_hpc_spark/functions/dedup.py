@@ -414,8 +414,15 @@ def ngram_jaccard_pairs_prefix(
         # recomputing the window lineage per consumer (three reads here,
         # not two — the lazy default recomputes it per consumer).
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    # the 1e-9 slack guards exact-integer boundaries where the FLOAT
+    # product rounds above the exact value (e.g. 0.54·450 floats to
+    # 243.00000000000003, ceil→244, shortening the prefix by one and
+    # silently losing true pairs — r6 review finding, now also covered
+    # by the threshold-sweep property test)
     prefix_len = (
-        F.col("n_tokens") - F.ceil(F.lit(threshold) * F.col("n_tokens")) + 1
+        F.col("n_tokens")
+        - F.ceil(F.lit(threshold) * F.col("n_tokens") - F.lit(1e-9))
+        + 1
     )
     prefix = ranked.filter(F.col("rk") <= prefix_len).select(
         "doc", "token", "n_tokens", "rk"
@@ -444,9 +451,18 @@ def ngram_jaccard_pairs_prefix(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc") < F.col("b.doc"))
-            # length filter: |b| in [t·|a|, |a|/t] is necessary for J ≥ t
-            & (F.col("b.n_tokens") >= F.lit(threshold) * F.col("a.n_tokens"))
-            & (F.col("a.n_tokens") >= F.lit(threshold) * F.col("b.n_tokens"))
+            # length filter: |b| in [t·|a|, |a|/t] is necessary for J ≥ t;
+            # the 1e-9 slack keeps a float product that rounds above the
+            # exact integer boundary (0.54·450 → 243.000…03) from
+            # excluding a true boundary-sized pair
+            & (
+                F.col("b.n_tokens")
+                >= F.lit(threshold) * F.col("a.n_tokens") - F.lit(1e-9)
+            )
+            & (
+                F.col("a.n_tokens")
+                >= F.lit(threshold) * F.col("b.n_tokens") - F.lit(1e-9)
+            )
             & (ubound >= alpha),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
@@ -537,8 +553,15 @@ def ngram_containment_pairs_prefix(
         # one persist feeds the prefix side, the full side, and the
         # verify-set aggregation (tokenize + both window passes paid once)
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    # prefix_len must be exactly n − α + 1 with the SAME 1e-9 slack α
+    # uses below: without it a float product that rounds above the
+    # exact integer (0.54·450 → 243.000…03, ceil→244) shortens the
+    # prefix by one and silently loses true pairs (r6 review finding,
+    # pinned by the threshold-sweep property test)
     prefix_len = (
-        F.col("n_tokens") - F.ceil(F.lit(threshold) * F.col("n_tokens")) + 1
+        F.col("n_tokens")
+        - F.ceil(F.lit(threshold) * F.col("n_tokens") - F.lit(1e-9))
+        + 1
     )
     prefix = ranked.filter(F.col("rk") <= prefix_len).select(
         "doc", "token", "n_tokens", "rk"

@@ -253,10 +253,19 @@ def cap_per_group(
     )
     with_coin = df.withColumn("_coin", coin)
     p = int(prefilter_factor)
-    counts = with_coin.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("_gn")
+    # every join below is NULL-SAFE on the group key: a NULL group
+    # (missing domain metadata) is a legitimate group of its own —
+    # window PARTITION BY already treats it as one, and a plain
+    # equi-join would silently drop every NULL-group row instead of
+    # capping it (r6 review finding)
+    counts = (
+        with_coin.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_gn"))
+        .withColumnRenamed(group_col, "_g")
     )
-    joined = with_coin.join(counts, group_col)
+    joined = with_coin.join(
+        counts, F.col(group_col).eqNullSafe(F.col("_g"))
+    ).drop("_g")
     thresh = F.lit(float(p * n)) / F.col("_gn")
     pre = joined.filter(
         (F.col("_gn") <= F.lit(p * n)) | (F.col("_coin") < thresh)
@@ -266,14 +275,22 @@ def cap_per_group(
     # FULL group list (counts), not pre — a group whose prefilter kept
     # ZERO rows is absent from pre's groupBy and would otherwise
     # silently vanish instead of falling back.
-    kept = pre.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kept"))
-    short = (
-        counts.join(kept, group_col, "left")
-        .filter(F.coalesce(F.col("_kept"), F.lit(0)) < F.lit(n))
-        .select(group_col)
+    kept = (
+        pre.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_kept"))
+        .withColumnRenamed(group_col, "_g")
     )
-    fallback = joined.join(short, group_col, "left_semi")
-    final_input = pre.join(short, group_col, "left_anti").unionByName(fallback)
+    short = (
+        counts.join(kept, counts["_g"].eqNullSafe(kept["_g"]), "left")
+        .filter(F.coalesce(F.col("_kept"), F.lit(0)) < F.lit(n))
+        .select(counts["_g"].alias("_gshort"))
+    )
+    fallback = joined.join(
+        short, F.col(group_col).eqNullSafe(F.col("_gshort")), "left_semi"
+    )
+    final_input = pre.join(
+        short, F.col(group_col).eqNullSafe(F.col("_gshort")), "left_anti"
+    ).unionByName(fallback)
     w = Window.partitionBy(group_col).orderBy(
         F.col("_coin").asc(), F.col(key_col).asc()
     )

@@ -89,12 +89,17 @@ def knn_graph_blocked(
     sf0.1): norms are computed ONCE PER VECTOR before the join — the
     per-pair cosine then pays one dot product instead of three (the
     fold order of each dot is unchanged, so values are bit-identical);
-    and the probe side is explicitly spread across default parallelism
-    BEFORE the join — a single-file corpus otherwise computes every
-    Σ block² cosine in one task when the build side broadcasts (an
-    explicit partition count so AQE cannot coalesce the ~MB-sized
-    shuffle back to one partition; at cluster scale the join is SMJ
-    and both sides shuffle by block anyway).
+    and the probe side is explicitly spread ROUND-ROBIN across default
+    parallelism BEFORE the join — a single-file corpus otherwise
+    computes every Σ block² cosine in one task when the build side
+    broadcasts. Round-robin, not hash(block): under a broadcast join
+    every probe row matches independently, so even a 2-block corpus
+    spreads across all cores, where hash(block) would keep ≤ n_blocks
+    tasks busy (r6 review finding). The explicit partition count stops
+    AQE from coalescing the ~MB-sized shuffle back to one partition;
+    if the optimizer picks SMJ instead (large build side), the join
+    inserts its own by-block exchanges and the round-robin pass is a
+    no-op cost-wise.
     """
     va = _as_double(F.col(vec_col))
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
@@ -109,7 +114,7 @@ def knn_graph_blocked(
         F.col(id_col).alias("_id"),
         F.col("_v").alias("_va"),
         F.col("_nrm").alias("_na"),
-    ).repartition(n_parts, F.col(block_col))
+    ).repartition(n_parts)
     b = base.select(
         F.col(block_col),
         F.col(id_col).alias("neighbor_id"),
@@ -370,7 +375,8 @@ def embedding_near_dup_pairs(
     from pyspark.storagelevel import StorageLevel
 
     if dim is None:
-        dim = len(embeddings.select(vec_col).head()[0])
+        head = embeddings.select(vec_col).head()
+        dim = len(head[0]) if head is not None else 1  # empty -> empty pairs
     if target_bucket_size is not None:
         import math
 
@@ -442,7 +448,11 @@ def embedding_near_dup_pairs_between(
     pairs at or above ``threshold``.
     """
     if dim is None:
-        dim = len(incoming.select(vec_col).head()[0])
+        # an empty incoming batch has no row to measure; any plane dim
+        # yields the correct (empty) pair relation (r6 review finding:
+        # head()[0] raised TypeError on empty input)
+        head = incoming.select(vec_col).head() or index_df.select(vec_col).head()
+        dim = len(head[0]) if head is not None else 1
     planes = _plane_constants(num_planes, dim)
     inc = incoming.select(
         F.col(id_col),

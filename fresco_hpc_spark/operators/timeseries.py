@@ -380,6 +380,7 @@ def ewma(
     time_col: str = "ts",
     alpha: float = 0.3,
     round_to: int = 6,
+    auto_route: bool = True,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average:
     ``s₀ = v₀; sᵢ = α·vᵢ + (1−α)·sᵢ₋₁`` ordered by (time, value) within
@@ -404,18 +405,32 @@ def ewma(
     not a caller decision — this function probes ``max(rows per key)``
     with one map-side-combined count aggregate (cost: one extra scan,
     negligible next to the fold itself) and routes to the linear scan
-    when any key exceeds :data:`EWMA_SCAN_THRESHOLD`. Callers that
-    already know their shape can call either path directly and skip the
-    probe.
+    when any key exceeds :data:`EWMA_SCAN_THRESHOLD`. The probe is the
+    ONE eager job in the operator library (r6 review): it executes the
+    upstream plan once at CONSTRUCTION time, which is wasteful when
+    ``df`` is an expensive uncached pipeline and wrong for tooling that
+    assembles plans before data exists — pass ``auto_route=False`` (or
+    call :func:`ewma_scan` directly) to keep the call fully lazy.
     """
-    probe = (
-        df.groupBy(F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(F.max("_n").alias("_m"))
-        .first()
-    )
-    if probe is not None and (probe["_m"] or 0) > EWMA_SCAN_THRESHOLD:
-        return ewma_scan(df, key_col, value_col, time_col, alpha, round_to)
+    # NaN values normalize to SQL NULL up front so BOTH paths agree: a
+    # float NaN is indistinguishable from NULL in the scan's float64
+    # Arrow batch, and the fold would otherwise propagate NaN where the
+    # scan propagates NULL (r6 review finding). Poison semantics are
+    # identical either way — the rest of the key's series nulls out.
+    if df.schema[value_col].dataType.simpleString() in ("double", "float"):
+        df = df.withColumn(
+            value_col,
+            F.when(~F.isnan(F.col(value_col)), F.col(value_col)),
+        )
+    if auto_route:
+        probe = (
+            df.groupBy(F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_m"))
+            .first()
+        )
+        if probe is not None and (probe["_m"] or 0) > EWMA_SCAN_THRESHOLD:
+            return ewma_scan(df, key_col, value_col, time_col, alpha, round_to)
     a = F.lit(float(alpha))
     pts = F.array_sort(
         F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v")))

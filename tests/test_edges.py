@@ -109,3 +109,29 @@ def test_driver_contract_consistency():
     qs, oracles = set(m.queries()), set(m.oracle_sql())
     assert oracles <= qs, f"orphan oracles: {oracles - qs}"
     assert qs - oracles == set(), f"queries without oracle: {qs - oracles}"
+
+
+def test_correctness_window_contains_priority_queries():
+    """The driver certifies the FIRST 50 queries() keys each round. The
+    round-6 window must hold every query that has never been
+    driver-certified plus everything new or changed this round — an
+    accidental insertion above them silently pushes the tail out of the
+    window while the comments still claim coverage (r6 review finding:
+    three queries drifted to positions 51-53)."""
+    import __spark_entry__ as m
+
+    window = list(m.queries())[:50]
+    priority = {
+        # round-5 queries never driver-certified (VERDICT r5 item 1)
+        "corpus_curation_v3", "remove_dup_spans", "oov_rate",
+        "length_filter", "containment_pairs", "cluster_split",
+        "bigram_logprob", "winsorize_values", "embedding_ann_ivf_index",
+        "standardize_values", "source_quality", "pack_sequences",
+        # new in round 6
+        "containment_pairs_prefix", "pack_texts", "domain_cap",
+        "knn_graph", "corpus_curation_v4",
+        # implementation changed in round 6
+        "ewma_scan", "ewma_user_value",
+    }
+    missing = priority - set(window)
+    assert not missing, f"priority queries outside the 50-window: {missing}"

@@ -1015,6 +1015,22 @@ def test_cap_per_group_selects_n_smallest_coins(spark):
     assert all(rk == i + 1 for g in got.values() for i, (rk, _) in enumerate(sorted(g)))
 
 
+def test_cap_per_group_null_group_is_its_own_group(spark):
+    """r6 review finding: rows with a NULL group key (missing domain
+    metadata) must be capped as their own group — the window's
+    PARTITION BY semantics — not silently dropped by a non-null-safe
+    join."""
+    from fresco_hpc_spark.functions import cap_per_group
+
+    rows = [("a", i) for i in range(10)] + [(None, 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint")
+    out = cap_per_group(df, n=3, group_col="source", key_col="doc_id").collect()
+    null_rows = [r for r in out if r.source is None]
+    assert len(null_rows) == 3
+    assert sorted(r.cap_rank for r in null_rows) == [1, 2, 3]
+    assert len([r for r in out if r.source == "a"]) == 3
+
+
 def test_cap_per_group_shortfall_fallback_stays_exact(spark):
     """prefilter_factor=1 with n=1 makes the threshold 1/count — small
     enough that groups routinely keep <n survivors and take the
