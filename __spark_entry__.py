@@ -1651,6 +1651,18 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (operators/timeseries.py
+    holt_scan): per-user level + trend states and the one-step-ahead
+    forecast — the trend-aware upgrade of the EWMA family, same linear
+    Arrow-batched scan machinery and the same exact-IEEE-op-order
+    contract against a recursive-CTE oracle."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ops.holt_scan(
+        ev, "user_id", "value", time_col="ts", alpha=0.3, beta=0.1
+    )
+
+
 def q_ewma_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-time EWMA (operators/timeseries.py ewma_scan): the same
     recurrence as ewma_user_value via the O(n) Arrow-batched per-key
@@ -1748,15 +1760,16 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py no longer
         # depends on dict order — it explicitly quarantines the heavy
         # Zipf exhibits at the end of its suite.)
-        # Round-6 window (VERDICT r5 item 1), 50 = 19 + 8 + 23:
+        # Round-6 window (VERDICT r5 item 1), 50 = 20 + 8 + 22:
         # (1) the 12 round-5 queries with NO driver CORRECTNESS row
         #     in any round (added after the r5 window was registered),
-        #     the 5 new round-6 queries (containment_pairs_prefix,
-        #     pack_texts, domain_cap, knn_graph, corpus_curation_v4),
-        #     and the two whose implementation changed this round
-        #     (ewma_scan null propagation, ewma auto-routing) = 19;
+        #     the 6 new round-6 queries (containment_pairs_prefix,
+        #     pack_texts, domain_cap, knn_graph, corpus_curation_v4,
+        #     holt_forecast), and the two whose implementation changed
+        #     this round (ewma_scan null propagation, ewma
+        #     auto-routing) = 20;
         # (2) the 8 r4-green queries certified only once ever;
-        # (3) 23 of the 39 multi-certified r4-green queries (newest
+        # (3) 22 of the 39 multi-certified r4-green queries (newest
         #     row r04 — the driver regenerates testdata per round).
         # -- (1) never windowed / changed this round:
         "corpus_curation_v3": q_corpus_curation_v3,
@@ -1778,6 +1791,7 @@ def queries() -> dict[str, Query]:
         "corpus_curation_v4": q_corpus_curation_v4,
         "ewma_scan": q_ewma_scan,
         "ewma_user_value": q_ewma_user_value,
+        "holt_forecast": q_holt_forecast,
         # -- (2) single-certified (r04 only):
         "unigram_logprob": q_unigram_logprob,
         "cross_corpus_dedup": q_cross_corpus_dedup,
@@ -1810,10 +1824,10 @@ def queries() -> dict[str, Query]:
         "embedding_near_dups": q_embedding_near_dups,
         "asof_click_purchase": q_asof_click_purchase,
         "decontaminate": q_decontaminate,
-        "quality_rules": q_quality_rules,
         # --- outside the 50-query window: freshly green in r05 (the
         # driver re-certified them last round) or multi-certified and
         # deferred to the r7 rotation; full-parity covers all locally.
+        "quality_rules": q_quality_rules,
         "class_centroids": q_class_centroids,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
@@ -3746,6 +3760,31 @@ def oracle_sql() -> dict[str, str]:
     # ewma_scan is the linear-time twin of ewma_user_value with
     # bit-identical output (test_operators pins it): same oracle.
     oracles["ewma_scan"] = oracles["ewma_user_value"]
+
+    # Holt: the level expression appears twice in the recursive arm —
+    # SQL has no LET — but both occurrences are the same deterministic
+    # double expression, so it equals the engine's single evaluation.
+    oracles["holt_forecast"] = """
+        WITH RECURSIVE t AS (
+            SELECT user_id, ts, CAST(value AS DOUBLE) AS value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, value) AS rn
+            FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT user_id, ts, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.user_id, t.ts, t.rn,
+                   0.3 * t.value + (1.0 - 0.3) * (r.l + r.b),
+                   0.1 * ((0.3 * t.value + (1.0 - 0.3) * (r.l + r.b)) - r.l)
+                       + (1.0 - 0.1) * r.b
+            FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+        )
+        SELECT user_id, ts, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+               ROUND(l + b, 6) AS forecast
+        FROM r ORDER BY user_id, ts
+    """
 
     # Paragraph dedup: 12-word segmentation injected exactly as the
     # Spark query does, first occurrence per normalized paragraph wins

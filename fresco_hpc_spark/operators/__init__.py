@@ -10,6 +10,7 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     duration_seconds,
     ewma,
     ewma_scan,
+    holt_scan,
     gap_fill,
     hopping_window_agg,
     hourly_agg,

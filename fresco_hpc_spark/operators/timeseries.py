@@ -565,6 +565,100 @@ def ewma_scan(
     )
 
 
+def holt_scan(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    time_col: str = "ts",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key HOLT double-exponential smoothing — the trend-aware
+    upgrade of :func:`ewma` (a plain EWMA lags behind any trending
+    series; Holt carries an explicit trend state and is the standard
+    next step for telemetry forecasting):
+
+    ``l₁ = v₁; b₁ = 0;``
+    ``lᵢ = α·vᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁);``
+    ``bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁``
+
+    Output per row: ``level`` (the smoothed value), ``trend`` (per-step
+    drift), and ``forecast`` = level + trend (the one-step-ahead
+    prediction — the alerting primitive: actual vs yesterday's
+    forecast). All rounded JVM-side on the unrounded states.
+
+    Same machinery and contracts as :func:`ewma_scan`: ONE shuffle
+    (hash repartition on the key) + per-partition sort + a single
+    linear ``mapInPandas`` scan with (level, trend) state carried
+    across Arrow batches; the recurrences evaluate in a fixed
+    documented IEEE-double op order, so a recursive-CTE oracle
+    computing the same expressions agrees bit-for-bit; NULL (or NaN)
+    values poison the rest of the key's series with NULL.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    a = float(alpha)
+    bt = float(beta)
+    ktype = df.schema[key_col].dataType.simpleString()
+    ttype = df.schema[time_col].dataType.simpleString()
+    out_schema = (
+        f"`{key_col}` {ktype}, `{time_col}` {ttype}, `_l` double, `_b` double"
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prev_key = object()
+        lv: float | None = 0.0
+        tr: float | None = 0.0
+        for pdf in batches:
+            keys = pdf[key_col].tolist()
+            vals = [
+                None if pd.isna(v) else float(v)
+                for v in pdf[value_col].tolist()
+            ]
+            ls, bs = [], []
+            for k, v in zip(keys, vals):
+                if k != prev_key:
+                    prev_key = k
+                    lv, tr = v, (0.0 if v is not None else None)
+                elif v is None or lv is None or tr is None:
+                    lv, tr = None, None
+                else:
+                    # EXACT op order of the recursive-CTE oracle:
+                    # l = a·v + (1−a)·(l_prev + b_prev);
+                    # b = β·(l − l_prev) + (1−β)·b_prev
+                    new_l = a * v + (1.0 - a) * (lv + tr)
+                    tr = bt * (new_l - lv) + (1.0 - bt) * tr
+                    lv = new_l
+                ls.append(lv)
+                bs.append(tr)
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    time_col: pdf[time_col].values,
+                    "_l": ls,
+                    "_b": bs,
+                }
+            )
+
+    return (
+        df.select(key_col, time_col, value_col)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, time_col, value_col)
+        .mapInPandas(scan, schema=out_schema)
+        .select(
+            key_col,
+            time_col,
+            F.round(F.col("_l"), round_to).alias("level"),
+            F.round(F.col("_b"), round_to).alias("trend"),
+            F.round(F.col("_l") + F.col("_b"), round_to).alias("forecast"),
+        )
+        .orderBy(key_col, time_col)
+    )
+
+
 def hopping_window_agg(
     df: DataFrame,
     value_col: str,

@@ -129,7 +129,7 @@ def test_correctness_window_contains_priority_queries():
         "standardize_values", "source_quality", "pack_sequences",
         # new in round 6
         "containment_pairs_prefix", "pack_texts", "domain_cap",
-        "knn_graph", "corpus_curation_v4",
+        "knn_graph", "corpus_curation_v4", "holt_forecast",
         # implementation changed in round 6
         "ewma_scan", "ewma_user_value",
     }

@@ -357,6 +357,40 @@ def test_ewma_autoroutes_to_scan_above_threshold(spark, monkeypatch):
     assert "MapInPandas" in routed._jdf.queryExecution().analyzed().toString()
 
 
+def test_holt_scan_hand_computed(spark):
+    """l1=v1, b1=0; l_i = 0.5*v + 0.5*(l+b); b_i = 0.5*(l_i - l_prev)
+    + 0.5*b_prev — a perfectly linear series locks the trend onto the
+    slope and the forecast converges to the next value. Also pins the
+    null-poison contract and per-key state isolation."""
+    from datetime import datetime, timedelta
+
+    from fresco_hpc_spark.operators import holt_scan
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("k", t0 + timedelta(seconds=i), float(10 + 2 * i)) for i in range(4)]
+    rows += [("p", t0, 5.0), ("p", t0 + timedelta(seconds=1), None)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.ts.second): (r.level, r.trend, r.forecast)
+        for r in holt_scan(df, "k", "v", alpha=0.5, beta=0.5).collect()
+    }
+    # hand-rolled recurrence
+    l, b = 10.0, 0.0
+    expect = [(l, b)]
+    for v in (12.0, 14.0, 16.0):
+        nl = 0.5 * v + (1.0 - 0.5) * (l + b)
+        b = 0.5 * (nl - l) + (1.0 - 0.5) * b
+        l = nl
+        expect.append((l, b))
+    for i, (el, eb) in enumerate(expect):
+        gl, gb, gf = out[("k", i)]
+        assert gl == round(el, 6) and gb == round(eb, 6)
+        assert gf == round(el + eb, 6)
+    # null poisons the rest of the key; other keys untouched
+    assert out[("p", 0)] == (5.0, 0.0, 5.0)
+    assert out[("p", 1)] == (None, None, None)
+
+
 def test_ewma_accepts_epoch_long_time_col(spark):
     """ADVICE r4: the fold's zero value is now derived from the input,
     so a non-timestamp time column (epoch long) works in both variants
