@@ -7,6 +7,7 @@ from fresco_hpc_spark.streaming.dedup import (  # noqa: F401
 from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
     streaming_counter_rates,
     streaming_ewma,
+    streaming_holt,
 )
 from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
     exactly_once_store_writer,

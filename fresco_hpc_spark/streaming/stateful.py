@@ -200,6 +200,124 @@ def _make_ewma_fn(alpha: float, ttl_seconds: int | None):
     return _ewma_fn
 
 
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType(), False),
+        T.StructField("ts_seconds", T.LongType(), False),
+        T.StructField("level", T.DoubleType(), False),
+        T.StructField("trend", T.DoubleType(), False),
+        T.StructField("forecast", T.DoubleType(), False),
+    ]
+)
+
+_HOLT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("l", T.DoubleType(), True),
+        T.StructField("b", T.DoubleType(), True),
+    ]
+)
+
+
+def _make_holt_fn(alpha: float, beta: float, ttl_seconds: int | None):
+    a, bt = float(alpha), float(beta)
+
+    def _holt_fn(
+        key: tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-group Holt kernel: (level, trend) carried across
+        micro-batches in the EXACT IEEE op order of the batch
+        holt_scan, so a drained stream equals the batch operator
+        bit-for-bit (test_streaming pins it)."""
+        if ttl_seconds is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "group_key": [],
+                    "ts_seconds": [],
+                    "level": [],
+                    "trend": [],
+                    "forecast": [],
+                }
+            ).astype(
+                {
+                    "group_key": str,
+                    "ts_seconds": "int64",
+                    "level": "float64",
+                    "trend": "float64",
+                    "forecast": "float64",
+                }
+            )
+            return
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(
+            ["ts_seconds", "value"]
+        )
+        lv, tr = (state.get[0], state.get[1]) if state.exists else (None, None)
+        out_ts: list[int] = []
+        out_l: list[float] = []
+        out_b: list[float] = []
+        for ts, v in zip(rows["ts_seconds"], rows["value"]):
+            v = float(v)
+            if lv is None:
+                lv, tr = v, 0.0
+            else:
+                new_l = a * v + (1.0 - a) * (lv + tr)
+                tr = bt * (new_l - lv) + (1.0 - bt) * tr
+                lv = new_l
+            out_ts.append(int(ts))
+            out_l.append(lv)
+            out_b.append(tr)
+        state.update((lv, tr))
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "group_key": key[0],
+                "ts_seconds": out_ts,
+                "level": out_l,
+                "trend": out_b,
+                "forecast": [x + y for x, y in zip(out_l, out_b)],
+            }
+        )
+
+    return _holt_fn
+
+
+def streaming_holt(
+    stream_df: DataFrame,
+    key_col: str = "group_key",
+    ts_col: str = "ts_seconds",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming per-key Holt double-exponential smoothing — the
+    streaming twin of the batch ``holt_scan`` (operators/timeseries.py):
+    state = ONE (level, trend) pair per key, the same O(keys) state
+    store and TTL contract as the rate/EWMA operators, and the same
+    processing-order caveat (ordering only within a micro-batch). Emits
+    raw doubles — round at presentation when comparing to the batch
+    operator's rounded columns."""
+    renamed = stream_df.selectExpr(
+        f"CAST(`{key_col}` AS STRING) AS group_key",
+        f"CAST(`{ts_col}` AS LONG) AS ts_seconds",
+        f"CAST(`{value_col}` AS DOUBLE) AS value",
+    )
+    return renamed.groupBy("group_key").applyInPandasWithState(
+        _make_holt_fn(alpha, beta, ttl_seconds),
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def streaming_ewma(
     stream_df: DataFrame,
     key_col: str = "group_key",

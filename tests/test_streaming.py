@@ -1090,6 +1090,79 @@ def test_streaming_hopping_agg_matches_batch(spark, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_streaming_holt_matches_batch_scan(spark, tmp_path):
+    """Drained stream == batch holt_scan bit-for-bit: (level, trend)
+    state carries across per-file micro-batches with the same IEEE op
+    order, so the file-boundary samples — where a stateless per-file
+    pass would re-seed l=v, b=0 — agree with the batch operator."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import holt_scan
+    from fresco_hpc_spark.streaming import streaming_holt
+
+    samples = [
+        ("g1", 10, 100.0), ("g1", 20, 300.0), ("g1", 30, 250.0),
+        ("g1", 40, 500.0), ("g1", 50, 900.0), ("g1", 60, 960.0),
+        ("g2", 10, 0.5), ("g2", 25, 150.25), ("g2", 55, 450.0),
+    ]
+    files = [samples[0:3] + samples[6:7], samples[3:5] + samples[7:8],
+             samples[5:6] + samples[8:9]]
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    base = _time.time() - 100
+    for i, rows in enumerate(files):
+        path = src / f"part_{i}.csv"
+        pd.DataFrame(rows, columns=["group_key", "ts_seconds", "value"]).to_csv(
+            path, index=False
+        )
+        os.utime(path, (base + i, base + i))
+
+    schema = "group_key string, ts_seconds long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        streaming_holt(stream, alpha=0.3, beta=0.1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("holt_stream")
+        .option("checkpointLocation", str(tmp_path / "hcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # HALF_UP like the batch operator's F.round — Python's banker's
+    # round() would diverge on exactly-representable .5 boundaries
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r6 = lambda x: float(  # noqa: E731
+        Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+    )
+    got = {
+        (r.group_key, r.ts_seconds): (
+            r6(r.level), r6(r.trend), r6(r.forecast)
+        )
+        for r in spark.table("holt_stream").collect()
+    }
+    batch_df = spark.createDataFrame(samples, schema)
+    want = {
+        (r.group_key, r.ts_seconds): (r.level, r.trend, r.forecast)
+        for r in holt_scan(
+            batch_df, "group_key", "value", time_col="ts_seconds",
+            alpha=0.3, beta=0.1,
+        ).collect()
+    }
+    assert got == want and len(got) == len(samples)
+
+
 def test_streaming_ewma_matches_batch_scan(spark, tmp_path):
     """Drained stream == batch ewma_scan bit-for-bit: the stateful
     kernel evaluates a*v + (1-a)*s in the same IEEE op order, and the
