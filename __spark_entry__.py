@@ -267,24 +267,18 @@ def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_value_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Empirical CDF of value per event type (cume_dist window) at the
-    decile probe points — §2.5 distribution-shape window op."""
-    from pyspark.sql import Window
-
+    """Empirical CDF of value per event type at the decile probe points
+    — §2.5 distribution-shape op, SCALE-SAFE (VERDICT r6 item 1): the
+    former per-event-type ``cume_dist`` window put ~n/5 rows on ONE
+    task (a 20 TB single-task sort at 100 TB); grouped_value_cdf
+    computes the identical (event_type, cdf, value_at) relation via
+    distributed order statistics (operators/percentiles.py — range
+    shuffle + tiny offsets relation, no window partitioned by the bare
+    group). CDF is over non-null values (explicit in the oracle too:
+    Spark orders NULL first, DuckDB last, so a NULL-inclusive cume_dist
+    is engine-ambiguous; events.value is non-null in this corpus)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value")
-    cdf = ev.select(
-        "event_type",
-        "value",
-        F.round(F.cume_dist().over(w), 6).alias("cdf"),
-    )
-    # decile probes keep the gate output small and deterministic
-    return (
-        cdf.filter(F.col("cdf").isin([round(0.1 * i, 1) for i in range(1, 11)]))
-        .groupBy("event_type", "cdf")
-        .agg(F.round(F.max("value"), 6).alias("value_at"))
-        .orderBy("event_type", "cdf")
-    )
+    return ops.grouped_value_cdf(ev, ["event_type"], "value")
 
 
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2525,7 +2519,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, value,
                        ROUND(cume_dist() OVER (PARTITION BY event_type
                                                ORDER BY value), 6) AS cdf
-                FROM events
+                FROM events WHERE value IS NOT NULL
             )
             SELECT event_type, cdf, ROUND(MAX(value), 6) AS value_at
             FROM c

@@ -25,6 +25,9 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
 )
 from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     global_percentiles,
+    grouped_cume_counts,
+    grouped_exact_percentiles,
+    grouped_value_cdf,
     iqr_trim,
     mad_trim,
     percentile_trim,

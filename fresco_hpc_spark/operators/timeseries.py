@@ -71,31 +71,58 @@ def profile_agg(
     """A4: multi-granularity profile — AVG/MIN/MAX/STDDEV/SUM + exact
     quartiles per bucket (databaseOptimization.ts:138-180).
 
-    Uses Spark's exact interpolating ``percentile`` (not approx) for
-    PERCENTILE_CONT oracle parity (SURVEY.md §7.4 trap 1). granularity in
-    {'minute','hour','day'} like the reference.
+    Quartiles are exact PERCENTILE_CONT (not approx) for oracle parity
+    (SURVEY.md §7.4 trap 1), computed by the GROUPED distributed
+    order-statistics primitive (operators/percentiles.py
+    grouped_exact_percentiles — VERDICT r6 item 7): Spark's exact
+    ``percentile`` aggregate merges each group's full value multiset
+    into one task's buffer, which is fine for small per-bucket groups
+    but a single-task memory wall when a bucket holds billions of rows.
+    The primitive replaces the buffer with a range shuffle + bounded
+    windows and interpolates with the same IEEE op order, so the
+    rounded quartiles are unchanged (oracles stay hash-green). The
+    moment aggregates stay one map-side-combined groupBy; the two
+    branches join per-bucket (bucket cardinality = covered time range,
+    tiny). granularity in {'minute','hour','day'} like the reference.
     """
-    # one percentile buffer for all three quartiles (shared array form)
-    quartiles = F.expr(f"percentile(`{value_col}`, array(0.25, 0.5, 0.75))")
-    return (
-        df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
-        .groupBy(F.date_trunc(granularity, F.col(time_col)).alias("bucket"))
+    from fresco_hpc_spark.operators.percentiles import (
+        grouped_exact_percentiles,
+    )
+
+    bucketed = df.filter(
+        F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.date_trunc(granularity, F.col(time_col)).alias("bucket"),
+        F.col(value_col),
+    )
+    moments = bucketed.groupBy("bucket").agg(
+        F.round(F.avg(value_col), _ROUND).alias("avg_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.round(F.stddev(value_col), _ROUND).alias("stddev_value"),
+        F.round(F.sum(value_col), _ROUND).alias("sum_value"),
+        F.count(F.lit(1)).alias("count_value"),
+    )
+    quartiles = (
+        grouped_exact_percentiles(bucketed, ["bucket"], value_col, [0.25, 0.5, 0.75])
+        .groupBy("bucket")
         .agg(
-            F.round(F.avg(value_col), _ROUND).alias("avg_value"),
-            F.min(value_col).alias("min_value"),
-            F.max(value_col).alias("max_value"),
-            F.round(F.stddev(value_col), _ROUND).alias("stddev_value"),
-            F.round(F.sum(value_col), _ROUND).alias("sum_value"),
-            quartiles.alias("_q"),
-            F.count(F.lit(1)).alias("count_value"),
+            F.round(
+                F.max(F.when(F.col("fraction") == 0.25, F.col("value"))), _ROUND
+            ).alias("q25"),
+            F.round(
+                F.max(F.when(F.col("fraction") == 0.5, F.col("value"))), _ROUND
+            ).alias("median"),
+            F.round(
+                F.max(F.when(F.col("fraction") == 0.75, F.col("value"))), _ROUND
+            ).alias("q75"),
         )
+    )
+    return (
+        moments.join(quartiles, "bucket")
         .select(
             "bucket", "avg_value", "min_value", "max_value", "stddev_value",
-            "sum_value",
-            F.round(F.col("_q").getItem(0), _ROUND).alias("q25"),
-            F.round(F.col("_q").getItem(1), _ROUND).alias("median"),
-            F.round(F.col("_q").getItem(2), _ROUND).alias("q75"),
-            "count_value",
+            "sum_value", "q25", "median", "q75", "count_value",
         )
         .orderBy("bucket")
     )

@@ -467,6 +467,81 @@ def test_winsorize_all_null_column_degenerates_gracefully(spark):
     assert all(r.v_winsorized is None and not r.was_clipped for r in out)
 
 
+def test_grouped_value_cdf_matches_cume_dist_window(spark):
+    """VERDICT r6 item 1: the distributed order-statistics CDF must
+    reproduce the per-group cume_dist window relation exactly —
+    including tie groups (equal values share one cdf), probe points
+    that no row lands on (absent, not interpolated), and a
+    single-value group (cdf 1.0). NULL values are excluded by
+    contract."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import grouped_value_cdf
+
+    rows = []
+    # group 'a': 1..10 → every decile lands exactly on one value
+    rows += [("a", float(i)) for i in range(1, 11)]
+    # group 'b': 20 rows with heavy ties → decile probes hit tie edges
+    rows += [("b", float(v)) for v in [1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
+                                       3, 3, 4, 4, 4, 4, 5, 5, 5, 5]]
+    # group 'c': single value; group 'd': one real value + a NULL
+    rows += [("c", 7.0), ("d", 9.0), ("d", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(
+        tuple(r) for r in grouped_value_cdf(df, ["g"], "v").collect()
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    expect = sorted(
+        tuple(r)
+        for r in df.filter(F.col("v").isNotNull())
+        .select("g", "v", F.round(F.cume_dist().over(w), 6).alias("cdf"))
+        .filter(F.col("cdf").isin([round(0.1 * i, 1) for i in range(1, 11)]))
+        .groupBy("g", "cdf")
+        .agg(F.round(F.max("v"), 6).alias("value_at"))
+        .collect()
+    )
+    assert got == expect
+    by_g = {}
+    for g, cdf, v in got:
+        by_g.setdefault(g, []).append((cdf, v))
+    assert by_g["a"] == [(round(0.1 * i, 1), float(i)) for i in range(1, 11)]
+    # ties: each value covers 4/20 = 0.2 of the mass
+    assert by_g["b"] == [(0.2, 1.0), (0.4, 2.0), (0.6, 3.0), (0.8, 4.0), (1.0, 5.0)]
+    assert by_g["c"] == [(1.0, 7.0)]
+    assert by_g["d"] == [(1.0, 9.0)]  # NULL excluded from n
+
+
+def test_grouped_exact_percentiles_matches_buffer_aggregate(spark):
+    """VERDICT r6 item 7: the grouped distributed order statistics must
+    agree with Spark's exact interpolating `percentile` buffer
+    aggregate bit-for-bit across interpolated positions, exact-hit
+    positions, tie runs, and a single-row group."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import grouped_exact_percentiles
+
+    rows = [("a", float(v)) for v in _lcg_series(101)]
+    rows += [("b", float(v // 3)) for v in range(10)]  # tie runs
+    rows += [("solo", 42.5)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    fracs = [0.0, 0.25, 0.5, 0.613, 0.75, 1.0]
+    got = {
+        (r.g, r.fraction): r.value
+        for r in grouped_exact_percentiles(df, ["g"], "v", fracs).collect()
+    }
+    arr = ",".join(repr(f) for f in fracs)
+    expect_rows = df.groupBy("g").agg(
+        F.expr(f"percentile(v, array({arr}))").alias("q")
+    ).collect()
+    expect = {
+        (r.g, f): v for r in expect_rows for f, v in zip(fracs, r.q)
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == expect[k], k
+
+
 def test_standardize_per_group_hand_computed(spark):
     """Per-group z over exact fixed-point sums: group 'a' = {1, 2, 3}
     (mean 2, sd 1), group 'b' has one row (NULL z), nulls pass through."""

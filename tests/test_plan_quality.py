@@ -315,6 +315,31 @@ def test_lead_quartile_has_no_single_partition_window(spark):
     assert "SinglePartition" in ntile_plan
 
 
+def test_value_cdf_has_no_per_group_window(spark):
+    """VERDICT r6 item 1: the CDF probe must never sort a whole event
+    type on one task. The plan has no cume_dist, no SinglePartition
+    exchange, and every window over the DATA relation is partitioned by
+    the range-partition id (_pid) alongside the group — only the tiny
+    per-(pid, group) offsets relation may window on the bare group. The
+    distributed order statistics ride a rangepartitioning exchange."""
+    plan = plan_of(spark, "value_cdf")
+    assert "cume_dist" not in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    # the data-side local-cumsum window includes _pid in its spec
+    assert "_pid" in plan and "windowspecdefinition" in plan
+
+
+def test_profile_agg_quartiles_are_distributed(spark):
+    """VERDICT r6 item 7: profile_agg's quartiles now ride the grouped
+    order-statistics primitive — no exact `percentile` buffer aggregate
+    (single-task value buffer per group) anywhere in the plan."""
+    plan = plan_of(spark, "profile_agg_day")
+    assert "percentile(" not in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
 def test_repetition_stats_is_narrow_map(spark):
     """Repetition scoring must stay a per-row projection: the only
     exchange allowed is the presentation orderBy's range partitioning —
