@@ -417,9 +417,15 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word 3-gram shingles: near-unique on natural text, so candidate pairs
     # stay linear in the number of true near-dups (unigrams on a small
-    # shared vocabulary would make nearly every pair a candidate)
+    # shared vocabulary would make nearly every pair a candidate).
+    # max_token_freq OPTS INTO the capped plain self-join (r7: the
+    # lossless prefix route became the no-cap default; this registered
+    # query deliberately keeps the bounded-df escape-hatch plan as the
+    # exhibit the prefix twin is benchmarked against — on this corpus
+    # df ≪ 1000, so the cap never truncates and the relation is exact)
     return ngram_jaccard_pairs(
-        _docs_with_dups(spark, sf_dir), n=3, threshold=0.5, materialize=True
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.5,
+        max_token_freq=1000, materialize=True,
     )
 
 
@@ -1593,8 +1599,12 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     below any symmetric threshold."""
     from fresco_hpc_spark.functions import ngram_containment_pairs
 
+    # explicit max_token_freq keeps this the capped plain-self-join
+    # exhibit (r7: the lossless prefix route is the no-cap default);
+    # df ≪ 1000 on this corpus, so the relation is exact
     return ngram_containment_pairs(
-        _docs_with_dups(spark, sf_dir), n=3, threshold=0.9, materialize=True
+        _docs_with_dups(spark, sf_dir), n=3, threshold=0.9,
+        max_token_freq=1000, materialize=True,
     )
 
 

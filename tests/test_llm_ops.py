@@ -192,7 +192,9 @@ def test_ngram_prefix_equals_plain(spark, docs_with_dups):
 
     plain = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(
+            docs_with_dups, n=3, threshold=0.5, max_token_freq=10**9
+        ).collect()
     }
     pref = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -1136,7 +1138,9 @@ def test_containment_prefix_matches_plain(spark):
     )
     plain = [
         tuple(r)
-        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+        for r in ngram_containment_pairs(
+            df, n=3, threshold=0.9, max_token_freq=10**9
+        ).collect()
     ]
     prefix = [
         tuple(r)
@@ -1174,16 +1178,55 @@ def test_containment_prefix_survives_stop_shingle(spark):
         for r in ngram_containment_pairs_prefix(df, n=3, threshold=0.9).collect()
     }
     assert (1, 9) in out and out[(1, 9)].containment_a == 1.0
-    # and with no cap the two variants agree exactly
+    # and with the cap effectively disabled the two variants agree exactly
     plain = [
         tuple(r)
-        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+        for r in ngram_containment_pairs(
+            df, n=3, threshold=0.9, max_token_freq=10**9
+        ).collect()
     ]
     prefix = [
         tuple(r)
         for r in ngram_containment_pairs_prefix(df, n=3, threshold=0.9).collect()
     ]
     assert plain == prefix
+
+
+def test_default_pair_generators_are_lossless(spark):
+    """VERDICT r6 item 3: a NEW caller of ngram_jaccard_pairs /
+    ngram_containment_pairs gets the exact prefix route — on the
+    stop-shingle corpus (a shingle in every doc) the old capped default
+    silently lost recall when df crossed the cap; the default must now
+    keep the true pair with no cap argument at all."""
+    from fresco_hpc_spark.functions import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    stop = "the quick brown"
+    rows = [(i, stop + " " + f"u{i} v{i} w{i} x{i}") for i in range(1, 9)]
+    rows.append((9, rows[0][1] + " long appended suffix of extra words"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # a cap below the stop-shingle's df loses the pair (opt-in trade)
+    assert (
+        ngram_containment_pairs(
+            df, n=3, threshold=0.9, max_token_freq=0
+        ).collect()
+        == []
+    )
+    # the DEFAULT keeps it
+    cont = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    assert (1, 9) in cont
+    # jaccard default likewise routes through the exact prefix plan:
+    # doc 1 vs doc 9 share doc 1's 5 shingles of doc 9's 11 → J = 5/11
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.4).collect()
+    }
+    assert (1, 9) in jac
 
 
 def test_cluster_aware_split_never_straddles(spark):
