@@ -414,11 +414,20 @@ def pack_texts(
     pack_sequences (same window prefix sum, same first-fit bound).
 
     Output per (stratum, bin_id): ``n_docs``, ``n_tokens`` (sum over
-    members — may overrun the budget by at most one document's tokens
-    minus one), ``doc_ids`` and ``offsets`` as comma-joined strings
-    (offsets[i] = token offset where document i starts in the packed
-    sequence), and ``packed_text`` (members joined by ``sep`` in
-    (stratum, id) order).
+    members' DOCUMENT tokens — may overrun the budget by at most one
+    document's tokens minus one; separator tokens are not counted
+    here), ``doc_ids`` and ``offsets`` as comma-joined strings
+    (offsets[i] = whitespace-token offset where document i starts in
+    ``packed_text``, INCLUDING any tokens the separator itself
+    contributes — ADVICE r6), and ``packed_text`` (members joined by
+    ``sep`` in (stratum, id) order).
+
+    ``sep`` must either be pure whitespace (contributes 0 tokens) or
+    carry whitespace on BOTH ends (its interior words count as
+    tokens). A separator with word characters touching a document —
+    e.g. ``"<|doc|>"`` — would glue onto adjacent document tokens,
+    making every following offset ill-defined; that raises ValueError
+    rather than silently shifting offsets.
 
     Scale shape: ONE shuffle — the stratum-partitioned window; the
     following groupBy (stratum, bin_id) reuses the same partitioning
@@ -428,9 +437,23 @@ def pack_texts(
     ``aggregate`` over the bin's members — bin membership is bounded by
     the token budget, not the corpus.
     """
+    import re
+
     from pyspark.sql import Window
 
     from fresco_hpc_spark.functions.text import token_count
+
+    if re.fullmatch(r"\s*", sep):
+        sep_tokens = 0
+    elif re.fullmatch(r"\s.*\s", sep, re.DOTALL):
+        sep_tokens = len(sep.split())
+    else:
+        raise ValueError(
+            "pack_texts sep must be pure whitespace or whitespace-"
+            f"delimited on both ends (got {sep!r}): a separator touching "
+            "a document's text merges with its tokens and every "
+            "following offset would silently shift"
+        )
 
     base = df.select(
         F.col(strata_col),
@@ -461,7 +484,10 @@ def pack_texts(
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         members.alias("_m"),
     )
-    # running token offsets: JVM fold over the bin's (bounded) members
+    # running token offsets: JVM fold over the bin's (bounded) members;
+    # each step advances by the member's tokens PLUS the separator's own
+    # token contribution (0 for whitespace seps — ADVICE r6: a non-blank
+    # sep shifted every true offset)
     offsets = F.aggregate(
         F.col("_m"),
         F.struct(
@@ -469,7 +495,7 @@ def pack_texts(
             F.expr("CAST(array() AS array<bigint>)").alias("offs"),
         ),
         lambda st, x: F.struct(
-            (st["acc"] + x["nt"]).alias("acc"),
+            (st["acc"] + x["nt"] + F.lit(sep_tokens)).alias("acc"),
             F.concat(st["offs"], F.array(st["acc"])).alias("offs"),
         ),
         lambda st: st["offs"],

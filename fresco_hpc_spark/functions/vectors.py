@@ -74,6 +74,9 @@ def knn_graph_blocked(
     ``block_col``, as one relation (vec, neighbor, sim, rank). The
     block key can be a class label (here), an IVF cell assignment, or
     an LSH bucket — any blocking relation that bounds comparisons.
+    Vectors with a NULL block key form their OWN block (null-safe
+    join): they compare against each other rather than silently
+    vanishing, consistent with cap_per_group's NULL-group handling.
 
     Scale shape: the self-join is an EQUI join on the block key, so
     candidate pairs are Σ block² — the standard blocked kNN-graph
@@ -116,7 +119,7 @@ def knn_graph_blocked(
         F.col("_nrm").alias("_na"),
     ).repartition(n_parts)
     b = base.select(
-        F.col(block_col),
+        F.col(block_col).alias("_blk_b"),
         F.col(id_col).alias("neighbor_id"),
         F.col("_v").alias("_vb"),
         F.col("_nrm").alias("_nb"),
@@ -124,8 +127,13 @@ def knn_graph_blocked(
     sim = F.round(
         _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), _ROUND
     )
+    # eqNullSafe: vectors with a NULL block key form their OWN block
+    # instead of silently vanishing from the output (ADVICE r6) — the
+    # same native null-group handling as cap_per_group. Still a hashable
+    # equi-join key (null <=> null is an equality Catalyst plans as
+    # BHJ/SMJ, not a nested loop; plan-pinned in test_plan_quality).
     pairs = (
-        a.join(b, block_col)
+        a.join(b, F.col(block_col).eqNullSafe(F.col("_blk_b")))
         .filter(F.col("_id") != F.col("neighbor_id"))
         .select(
             F.col(block_col), F.col("_id"), F.col("neighbor_id"), sim.alias("cosine_sim")

@@ -278,6 +278,8 @@ def process_vector_ingest_batch(
     batch's cross-check joins with zero index-side exchange.
     """
     from fresco_hpc_spark.functions.vectors import (
+        _as_double,
+        _dot,
         _plane_constants,
         embedding_near_dup_pairs,
         embedding_near_dup_pairs_between,
@@ -285,6 +287,15 @@ def process_vector_ingest_batch(
     )
     from fresco_hpc_spark.plans.store import write_bucketed_table
 
+    # Zero-norm (and NULL) vectors are REJECTED at ingest (ADVICE r6):
+    # their cosine is 0/0 = NULL, so they evade both within-batch and
+    # cross-index dedup — and a foreachBatch REPLAY would then re-append
+    # them to the index (replay idempotency relies on replayed survivors
+    # self-matching the index at cosine 1.0 ≥ threshold). Cosine-space
+    # dedup has no defined semantics for the zero vector; callers who
+    # need them keep them upstream of this ingest.
+    v = _as_double(F.col(vec_col))
+    batch_df = batch_df.filter(_dot(v, v) > 0)
     if not batch_df.head(1):
         return
     dim = len(batch_df.select(vec_col).head()[0])

@@ -152,7 +152,9 @@ EWMA_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("group_key", T.StringType(), False),
         T.StructField("ts_seconds", T.LongType(), False),
-        T.StructField("ewma", T.DoubleType(), False),
+        # nullable: a NULL input poisons the rest of the key's series
+        # with SQL NULL, matching the batch ewma_scan (r7 / ADVICE r6)
+        T.StructField("ewma", T.DoubleType(), True),
     ]
 )
 
@@ -179,15 +181,29 @@ def _make_ewma_fn(alpha: float, ttl_seconds: int | None):
                 {"group_key": [], "ts_seconds": [], "ewma": []}
             ).astype({"group_key": str, "ts_seconds": "int64", "ewma": "float64"})
             return
+        # na_position='first' matches the batch scan's Spark sort (NULL
+        # first ascending); pandas would otherwise sort NaN last and the
+        # bit-for-bit batch-parity contract would break on null input
         rows = pd.concat(list(batches), ignore_index=True).sort_values(
-            ["ts_seconds", "value"]
+            ["ts_seconds", "value"], na_position="first"
         )
-        s = state.get[0] if state.exists else None
+        # state.exists distinguishes "unseeded" from "poisoned": a NULL
+        # value poisons the rest of the key with SQL NULL exactly like
+        # the batch ewma_scan (α·v + (1−α)·NULL = NULL), and the stored
+        # None state keeps the poison across micro-batches (ADVICE r6:
+        # float(v) silently propagated NaN instead)
+        seeded = state.exists
+        s = state.get[0] if seeded else None
         out_ts: list[int] = []
-        out_s: list[float] = []
+        out_s: list[float | None] = []
         for ts, v in zip(rows["ts_seconds"], rows["value"]):
-            v = float(v)
-            s = v if s is None else a * v + (1.0 - a) * s
+            v = None if pd.isna(v) else float(v)
+            if not seeded:
+                s, seeded = v, True
+            elif v is None or s is None:
+                s = None
+            else:
+                s = a * v + (1.0 - a) * s
             out_ts.append(int(ts))
             out_s.append(s)
         state.update((s,))
@@ -204,9 +220,11 @@ HOLT_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("group_key", T.StringType(), False),
         T.StructField("ts_seconds", T.LongType(), False),
-        T.StructField("level", T.DoubleType(), False),
-        T.StructField("trend", T.DoubleType(), False),
-        T.StructField("forecast", T.DoubleType(), False),
+        # nullable: NULL input poisons (level, trend, forecast) with SQL
+        # NULL, matching the batch holt_scan (r7 / ADVICE r6)
+        T.StructField("level", T.DoubleType(), True),
+        T.StructField("trend", T.DoubleType(), True),
+        T.StructField("forecast", T.DoubleType(), True),
     ]
 )
 
@@ -250,17 +268,26 @@ def _make_holt_fn(alpha: float, beta: float, ttl_seconds: int | None):
                 }
             )
             return
+        # na_position='first' matches the batch scan's Spark sort (NULL
+        # first ascending) so batch parity holds on null input too
         rows = pd.concat(list(batches), ignore_index=True).sort_values(
-            ["ts_seconds", "value"]
+            ["ts_seconds", "value"], na_position="first"
         )
-        lv, tr = (state.get[0], state.get[1]) if state.exists else (None, None)
+        # state.exists distinguishes "unseeded" from "poisoned", exactly
+        # as in the EWMA kernel (ADVICE r6): a NULL value nulls the rest
+        # of the key's (level, trend, forecast) like the batch holt_scan
+        seeded = state.exists
+        lv, tr = (state.get[0], state.get[1]) if seeded else (None, None)
         out_ts: list[int] = []
-        out_l: list[float] = []
-        out_b: list[float] = []
+        out_l: list[float | None] = []
+        out_b: list[float | None] = []
         for ts, v in zip(rows["ts_seconds"], rows["value"]):
-            v = float(v)
-            if lv is None:
-                lv, tr = v, 0.0
+            v = None if pd.isna(v) else float(v)
+            if not seeded:
+                lv, tr = v, (0.0 if v is not None else None)
+                seeded = True
+            elif v is None or lv is None or tr is None:
+                lv, tr = None, None
             else:
                 new_l = a * v + (1.0 - a) * (lv + tr)
                 tr = bt * (new_l - lv) + (1.0 - bt) * tr
@@ -277,7 +304,10 @@ def _make_holt_fn(alpha: float, beta: float, ttl_seconds: int | None):
                 "ts_seconds": out_ts,
                 "level": out_l,
                 "trend": out_b,
-                "forecast": [x + y for x, y in zip(out_l, out_b)],
+                "forecast": [
+                    None if x is None or y is None else x + y
+                    for x, y in zip(out_l, out_b)
+                ],
             }
         )
 

@@ -1403,3 +1403,54 @@ def test_pack_texts_materializes_bins_with_offsets(spark):
     a1 = out[("a", 1)]
     assert (a1.n_docs, a1.doc_ids, a1.offsets) == (1, "3", "0")
     assert out[("b", 0)].packed_text == words("q", 40)
+
+
+def test_pack_texts_counts_token_bearing_separator(spark):
+    """ADVICE r6: a separator that contributes whitespace-delimited
+    tokens must count into the running offsets (offsets[i] is defined
+    against the PACKED text), and a separator that would glue onto
+    document tokens raises instead of silently shifting offsets."""
+    import pytest as _pytest
+
+    from fresco_hpc_spark.functions import pack_texts
+
+    df = spark.createDataFrame(
+        [("a", 1, "w1 w2 w3"), ("a", 2, "x1 x2"), ("a", 3, "y1")],
+        "source string, doc_id bigint, text string",
+    )
+    out = {
+        (r.source, r.bin_id): r
+        for r in pack_texts(df, 100, sep=" <|doc|> ").collect()
+    }
+    r = out[("a", 0)]
+    # packed = "w1 w2 w3 <|doc|> x1 x2 <|doc|> y1": doc 2 starts at
+    # token 4 (3 doc tokens + 1 sep token), doc 3 at 4 + 2 + 1 = 7
+    assert r.offsets == "0,4,7"
+    assert r.packed_text.split()[4] == "x1" and r.packed_text.split()[7] == "y1"
+    assert r.n_tokens == 6  # document tokens only
+    with _pytest.raises(ValueError, match="sep"):
+        pack_texts(df, 100, sep="<|doc|>")
+
+
+def test_knn_graph_null_block_forms_own_block(spark):
+    """ADVICE r6: a NULL block key must not silently drop vectors —
+    null-safe join semantics put them in their own block, neighbors
+    drawn only from other NULL-blocked vectors."""
+    from fresco_hpc_spark.functions import knn_graph_blocked
+
+    rows = [
+        (1, "x", [1.0, 0.0]),
+        (2, "x", [0.9, 0.1]),
+        (3, None, [0.0, 1.0]),
+        (4, None, [0.1, 0.9]),
+        (5, None, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, label string, embedding array<double>")
+    out = {}
+    for r in knn_graph_blocked(df, k=1, block_col="label").collect():
+        out[r.vec_id] = (r.neighbor_id, r.label)
+    assert set(out) == {1, 2, 3, 4, 5}  # nobody vanished
+    assert out[1] == (2, "x") and out[2] == (1, "x")
+    # null-block vectors pick neighbors inside the null block only
+    assert out[3][0] in (4, 5) and out[3][1] is None
+    assert out[4][0] in (3, 5) and out[5][0] in (3, 4)

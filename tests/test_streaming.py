@@ -906,6 +906,50 @@ def test_incremental_vector_ingest_replay_is_idempotent(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS vreplay_idx")
 
 
+def test_vector_ingest_rejects_zero_norm_vectors(spark, tmp_path):
+    """ADVICE r6: a zero-norm vector has NULL cosine against everything
+    (0/0), so it evaded within-batch AND cross-index dedup and a replay
+    re-appended it to the index. Ingest now rejects zero vectors up
+    front: they never reach the accepted corpus or the index, and an
+    all-zero batch is a clean no-op."""
+    from fresco_hpc_spark.streaming.dedup import process_vector_ingest_batch
+
+    def unit(axis, dim=8):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    zero = [0.0] * 8
+    batch = spark.createDataFrame(
+        [(1, unit(0)), (2, zero), (3, unit(1))],
+        "vec_id bigint, embedding array<double>",
+    )
+    accepted_dir = str(tmp_path / "vzaccepted")
+    spark.sql("DROP TABLE IF EXISTS vzero_idx")
+    try:
+        kw = dict(index_table="vzero_idx", accepted_dir=accepted_dir)
+        process_vector_ingest_batch(spark, batch, 0, **kw)
+        accepted = sorted(r.vec_id for r in spark.read.parquet(accepted_dir).collect())
+        assert accepted == [1, 3]
+        assert sorted(r.vec_id for r in spark.table("vzero_idx").collect()) == [1, 3]
+        # replay stays idempotent with the zero vector in the batch
+        process_vector_ingest_batch(spark, batch, 0, **kw)
+        assert sorted(
+            r.vec_id for r in spark.read.parquet(accepted_dir).collect()
+        ) == [1, 3]
+        assert sorted(r.vec_id for r in spark.table("vzero_idx").collect()) == [1, 3]
+        # an all-zero batch is a no-op (head(1) empty after the guard)
+        zbatch = spark.createDataFrame(
+            [(9, zero)], "vec_id bigint, embedding array<double>"
+        )
+        process_vector_ingest_batch(spark, zbatch, 1, **kw)
+        assert sorted(
+            r.vec_id for r in spark.read.parquet(accepted_dir).collect()
+        ) == [1, 3]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vzero_idx")
+
+
 def test_incremental_vector_ingest_dedups_across_batches(spark, tmp_path):
     """The vector member of the incremental-ingest trio:
     start_incremental_vector_ingest drops an exact copy of a
@@ -1161,6 +1205,122 @@ def test_streaming_holt_matches_batch_scan(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == len(samples)
+
+
+def test_streaming_ewma_holt_null_parity_with_batch(spark, tmp_path):
+    """ADVICE r6: a NULL stream value must poison the rest of the key
+    with SQL NULL exactly like the batch scans — not become NaN — and
+    the poison must survive a micro-batch boundary (stored None state
+    vs 'unseeded'). Also pins the NULL-first sort tie (Spark sorts NULL
+    first ascending; pandas would sort NaN last without
+    na_position='first'). One source drives both stateful operators."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from fresco_hpc_spark.operators import ewma_scan, holt_scan
+    from fresco_hpc_spark.streaming import streaming_ewma, streaming_holt
+
+    samples = [
+        # start_null: poisoned from the first sample, across batches
+        ("start_null", 10, None), ("start_null", 20, 5.0),
+        # mid_null: seeds in batch 1, poisons in batch 2, stays poisoned
+        ("mid_null", 10, 10.0), ("mid_null", 30, None), ("mid_null", 40, 7.0),
+        # tie_null: NULL and value at the SAME ts (sort-order pin)
+        ("tie_null", 10, 3.0), ("tie_null", 20, None), ("tie_null", 20, 4.0),
+        # clean key: untouched
+        ("clean", 10, 4.0), ("clean", 30, 8.0),
+    ]
+    files = [samples[0:1] + samples[2:3] + samples[5:8] + samples[8:9],
+             samples[1:2] + samples[3:5] + samples[9:10]]
+    src = tmp_path / "nsrc"
+    src.mkdir()
+    base = _time.time() - 100
+    for i, rows in enumerate(files):
+        path = src / f"part_{i}.csv"
+        pd.DataFrame(rows, columns=["group_key", "ts_seconds", "value"]).to_csv(
+            path, index=False
+        )
+        os.utime(path, (base + i, base + i))
+
+    schema = "group_key string, ts_seconds long, value double"
+
+    def drain(op, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        if x is None:
+            return None
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def by_key(rows, cols):
+        """(group, ts) -> sorted multiset of output tuples (the tie rows
+        share a ts, so per-key output is a multiset, not a scalar)."""
+        out = {}
+        for r in rows:
+            out.setdefault((r.group_key, r.ts_seconds), []).append(
+                tuple(r6(getattr(r, c)) for c in cols)
+            )
+        for v in out.values():
+            v.sort(key=lambda t: tuple((x is None, x) for x in t))
+        return out
+
+    batch_df = spark.createDataFrame(samples, schema)
+
+    got_e = by_key(
+        drain(lambda s: streaming_ewma(s, alpha=0.3), "null_ewma").collect(),
+        ["ewma"],
+    )
+    want_e = by_key(
+        ewma_scan(
+            batch_df, "group_key", "value", time_col="ts_seconds", alpha=0.3
+        ).collect(),
+        ["ewma"],
+    )
+    assert got_e == want_e
+    assert got_e[("start_null", 20)] == [(None,)]
+    assert got_e[("mid_null", 40)] == [(None,)]
+    # tie row: NULL sorts FIRST, so the 4.0 sample is already poisoned —
+    # a NaN-last sort would have produced 0.3·4 + 0.7·3 = 3.3 instead
+    assert got_e[("tie_null", 20)] == [(None,), (None,)]
+    assert got_e[("clean", 30)] == [(r6(0.3 * 8.0 + 0.7 * 4.0),)]
+
+    got_h = by_key(
+        drain(
+            lambda s: streaming_holt(s, alpha=0.3, beta=0.1), "null_holt"
+        ).collect(),
+        ["level", "trend", "forecast"],
+    )
+    want_h = by_key(
+        holt_scan(
+            batch_df, "group_key", "value", time_col="ts_seconds",
+            alpha=0.3, beta=0.1,
+        ).collect(),
+        ["level", "trend", "forecast"],
+    )
+    assert got_h == want_h
+    assert got_h[("start_null", 20)] == [(None, None, None)]
+    assert got_h[("mid_null", 40)] == [(None, None, None)]
+    assert got_h[("tie_null", 20)] == [(None, None, None), (None, None, None)]
 
 
 def test_streaming_ewma_matches_batch_scan(spark, tmp_path):
