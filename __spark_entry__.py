@@ -892,36 +892,19 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.gap_fill(clicks, "user_id", time_col="ts", value_col="value")
 
 
-def q_lead_ntile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lead + ntile (the remaining §2.5 'absent' window ops): per user,
-    seconds until the next event and the event's global value quartile.
-    Both windows are deterministic: (ts, event_id) ordering breaks ties.
-    The unpartitioned ntile window is an inherent global sort (one
-    partition) — kept as the small-data NTILE-parity variant; the
-    scale-safe default is q_lead_quartile_events (bounds-bucketing, no
-    global window)."""
-    from pyspark.sql import Window
-
-    ev = table(spark, sf_dir, "events")
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_global = Window.orderBy("value", "event_id")
-    secs = F.col("ts").cast("long")
-    return (
-        ev.select(
-            "event_id",
-            "user_id",
-            "ts",
-            (F.lead(secs).over(w_user) - secs).cast("bigint").alias("secs_to_next"),
-            F.ntile(4).over(w_global).cast("bigint").alias("value_quartile"),
-        )
-        .orderBy("event_id")
-    )
+# q_lead_ntile_events was RETIRED from the registry in r7 (VERDICT r6
+# item 6): its unpartitioned ntile window is an inherent
+# Exchange SinglePartition — the one plan shape this engine forbids —
+# and keeping it as a registered query invited copying. The NTILE-parity
+# contract (bounds-bucketing == ntile labels on distinct values with
+# n ≡ 0 mod 4; divergence limited to tie positions) now lives in
+# tests/test_events_ops.py::test_ntile_parity_of_quantile_bucket.
 
 
 def q_lead_quartile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe default for global quartile labels: exact bounds from
     distributed_exact_percentiles broadcast as LITERALS, then a map-side
-    when() bucket — same shape as q_lead_ntile_events but with zero
+    when() bucket — the NTILE shape without the global sort, with zero
     unpartitioned windows (plan-asserted in test_plan_quality: no
     Exchange SinglePartition). At 100 TB the ntile variant funnels the
     full table through one task; this one is a narrow map after a
@@ -1844,7 +1827,6 @@ def queries() -> dict[str, Query]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "profile_columns": q_profile_columns,
         "corpus_curation_v2": q_corpus_curation_v2,
-        "lead_ntile_events": q_lead_ntile_events,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
@@ -3331,16 +3313,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1 ORDER BY 1
-        """,
-        "lead_ntile_events": """
-            SELECT event_id, user_id, ts,
-                   LEAD(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id)
-                       - CAST(floor(epoch(ts)) AS BIGINT) AS secs_to_next,
-                   CAST(NTILE(4) OVER (ORDER BY value, event_id) AS BIGINT)
-                       AS value_quartile
-            FROM events
-            ORDER BY event_id
         """,
         "lead_quartile_events": """
             WITH b AS (

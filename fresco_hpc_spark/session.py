@@ -66,6 +66,74 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def tune_shuffle_partitions(
+    spark: SparkSession,
+    input_bytes: int,
+    shuffle_ratio: float = 1.0,
+    target_partition_bytes: int = 128 << 20,
+    min_per_core: int = 2,
+    max_partitions: int = 200_000,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the job's estimated
+    shuffle volume (VERDICT r6 item 5 — the sf10 stress spilled 60 GB on
+    containment_prefix at 500k docs because the local default of 32
+    partitions is a fixed constant regardless of data volume).
+
+    ``partitions = clamp(ceil(input_bytes · shuffle_ratio /
+    target_partition_bytes), min_per_core · cores, max_partitions)``:
+
+    - ``shuffle_ratio`` is the operator's measured shuffle-to-input
+      amplification (1.0 for a plain agg; shingle exploders like the
+      ngram pair generators shuffle ~5–10× their input — pass what the
+      bench/SCALE.md measured for the operator family).
+    - ``target_partition_bytes`` defaults to 128 MB — post-shuffle
+      partitions that comfortably fit an executor task's memory budget
+      with room for sort/aggregate overhead. AQE still coalesces DOWN
+      when the estimate overshoots (adaptive.coalescePartitions is on
+      in :data:`_BASE_CONFS`), so the cost of overestimating is small;
+      underestimating is what spills.
+    - the ``min_per_core · cores`` floor keeps every core busy on
+      small inputs; ``max_partitions`` caps scheduler/shuffle-server
+      overhead on absurd estimates.
+
+    Sets the conf on the session and returns the chosen value. Call it
+    per-job before building the plan (the conf is read at shuffle
+    planning time); the stress tools re-tune per replication multiple.
+    """
+    import math
+
+    cores = spark.sparkContext.defaultParallelism
+    est = max(0, int(input_bytes * shuffle_ratio))
+    n = max(
+        min_per_core * cores,
+        math.ceil(est / max(1, target_partition_bytes)),
+    )
+    n = min(n, max_partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
+
+
+def input_bytes_of(paths: str | list[str]) -> int:
+    """Total on-disk bytes under the given local file/dir paths — the
+    cheap local-FS estimator :func:`tune_shuffle_partitions` pairs with
+    (on a cluster, use the catalog's table statistics or the
+    FileSystem's content summary instead)."""
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        else:
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+    return total
+
+
 # --- catalog probes (SURVEY.md §2.8 "catalog") ------------------------------
 # The reference probes sqlite_master / information_schema.tables and
 # PRAGMA table_info before composing views (web/src/util/client.ts:58-61;

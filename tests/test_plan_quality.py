@@ -302,17 +302,27 @@ def test_lead_quartile_has_no_single_partition_window(spark):
     and the bucket labels are literal-bound when() comparisons. Since the
     r04 orderBy removal the WHOLE plan is one hash exchange — no range
     partitioning, no presentation sort (it cost a second full-relation
-    shuffle for cosmetic row order the driver re-sorts anyway). The
-    ntile parity variant, by contrast, IS a global window — pinned here so
-    the two don't silently swap roles."""
+    shuffle for cosmetic row order the driver re-sorts anyway). An
+    unpartitioned ntile window, by contrast, IS a global
+    single-partition sort — built INLINE here (the registered ntile
+    query was RETIRED in r7, VERDICT r6 item 6: the registry carries no
+    unpartitioned windows) so the forbidden shape stays pinned as
+    forbidden."""
     plan = plan_of(spark, "lead_quartile_events")
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     # formatted explain lists each node twice (tree + details); count
     # only tree lines so one physical exchange counts once
     assert plan.count("- Exchange") == 1
-    ntile_plan = plan_of(spark, "lead_ntile_events")
-    assert "SinglePartition" in ntile_plan
+    assert "lead_ntile_events" not in entrymod.queries()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = entrymod.table(spark, SF_SMALL, "events")
+    ntile_df = ev.select(
+        F.ntile(4).over(Window.orderBy("value", "event_id")).alias("q")
+    )
+    assert "SinglePartition" in _explain(spark, ntile_df)
 
 
 def test_value_cdf_has_no_per_group_window(spark):

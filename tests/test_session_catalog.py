@@ -71,3 +71,38 @@ def test_day_trunc_dst_parity_new_york(spark):
     # sanity: the DST day (Mar 10) has 23 local hours in this window
     days = dict(got)
     assert days.get("2024-03-10 00:00:00") == 23
+
+
+def test_tune_shuffle_partitions_scales_with_bytes(spark, tmp_path):
+    """VERDICT r6 item 5: shuffle partitions sized from estimated
+    shuffle volume — floor of min_per_core*cores on small inputs,
+    bytes/target when the volume dominates, hard cap on absurd
+    estimates. The conf is actually set on the session, and
+    input_bytes_of sums nested dirs."""
+    from fresco_hpc_spark.session import input_bytes_of, tune_shuffle_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        # tiny input: the per-core floor wins
+        n = tune_shuffle_partitions(spark, 1 << 20)
+        assert n == 2 * cores
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+        # volume-dominated: ceil(bytes*ratio / target)
+        n = tune_shuffle_partitions(
+            spark, 100 << 30, shuffle_ratio=2.0, target_partition_bytes=128 << 20
+        )
+        assert n == (200 << 30) // (128 << 20)  # 1600
+        # capped
+        n = tune_shuffle_partitions(spark, 1 << 50, max_partitions=5000)
+        assert n == 5000
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    d = tmp_path / "ib"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.bin").write_bytes(b"x" * 1000)
+    (d / "sub" / "b.bin").write_bytes(b"y" * 500)
+    assert input_bytes_of(str(d)) == 1500
+    assert input_bytes_of(str(d / "a.bin")) == 1000
+    assert input_bytes_of([str(d), str(d / "a.bin")]) == 2500

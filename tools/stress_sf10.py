@@ -80,7 +80,11 @@ def main() -> None:
         ngram_containment_pairs_prefix,
         remove_duplicate_ngram_spans,
     )
-    from fresco_hpc_spark.session import get_spark
+    from fresco_hpc_spark.session import (
+        get_spark,
+        input_bytes_of,
+        tune_shuffle_partitions,
+    )
     from fresco_hpc_spark.sources import table
 
     spark = get_spark("sf10-stress")
@@ -135,6 +139,15 @@ def main() -> None:
             path = replicate(mult, distinct_vocab)
             corpus = spark.read.parquet(path)
             n = corpus.count()
+            # VERDICT r6 item 5: size shuffle partitions from the
+            # replicated corpus's bytes instead of the fixed local
+            # default — the shingle exploders shuffle ~8x their input
+            # (SCALE.md), and 60 GB of the x100 containment run's spill
+            # traced to 32 constant partitions.
+            parts = tune_shuffle_partitions(
+                spark, input_bytes_of(path), shuffle_ratio=8.0
+            )
+            print(json.dumps({"tuned_partitions": parts, "mult": mult}), flush=True)
             for label, dv, fn in runs:
                 if dv != distinct_vocab:
                     continue
