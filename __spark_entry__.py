@@ -1746,84 +1746,53 @@ def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Query]:
     return {
         # --- ORDER MATTERS: the driver's correctness run caps at 50
-        # queries per round taken in dict order. (bench.py no longer
-        # depends on dict order — it explicitly quarantines the heavy
-        # Zipf exhibits at the end of its suite.)
-        # Round-6 window (VERDICT r5 item 1), 50 = 20 + 8 + 22:
-        # (1) the 12 round-5 queries with NO driver CORRECTNESS row
-        #     in any round (added after the r5 window was registered),
-        #     the 6 new round-6 queries (containment_pairs_prefix,
-        #     pack_texts, domain_cap, knn_graph, corpus_curation_v4,
-        #     holt_forecast), and the two whose implementation changed
-        #     this round (ewma_scan null propagation, ewma
-        #     auto-routing) = 20;
-        # (2) the 8 r4-green queries certified only once ever;
-        # (3) 22 of the 39 multi-certified r4-green queries (newest
-        #     row r04 — the driver regenerates testdata per round).
-        # -- (1) never windowed / changed this round:
-        "corpus_curation_v3": q_corpus_curation_v3,
-        "remove_dup_spans": q_remove_dup_spans,
-        "oov_rate": q_oov_rate,
-        "length_filter": q_length_filter,
-        "containment_pairs": q_containment_pairs,
-        "containment_pairs_prefix": q_containment_pairs_prefix,
-        "cluster_split": q_cluster_split,
-        "bigram_logprob": q_bigram_logprob,
-        "winsorize_values": q_winsorize,
-        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
-        "standardize_values": q_standardize_values,
-        "source_quality": q_source_quality,
-        "pack_sequences": q_pack_sequences,
-        "pack_texts": q_pack_texts,
-        "domain_cap": q_domain_cap,
-        "knn_graph": q_knn_graph,
-        "corpus_curation_v4": q_corpus_curation_v4,
-        "ewma_scan": q_ewma_scan,
-        "ewma_user_value": q_ewma_user_value,
-        "holt_forecast": q_holt_forecast,
-        # -- (2) single-certified (r04 only):
-        "unigram_logprob": q_unigram_logprob,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "vocab_stats": q_vocab_stats,
-        "semantic_dedup": q_semantic_dedup,
-        "temperature_mixture": q_temperature_mixture,
-        "weighted_repeat": q_weighted_repeat,
-        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
-        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
-        # -- (3) multi-certified, newest row r04:
-        "topn_others": q_topn_others,
-        "histogram_bin_index": q_histogram_bin_index,
-        "histogram_range_join": q_histogram_range_join,
-        "etl_block_rates": q_etl_block,
-        "etl_cpu_percent": q_etl_cpu,
-        "etl_mem_metrics": q_etl_mem,
-        "etl_nfs_rates": q_etl_nfs,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "repetition_stats": q_repetition_stats,
-        "minhash_dup_pairs": q_minhash_dups,
-        "simhash_dup_pairs": q_simhash_dups,
-        "embedding_knn": q_embedding_knn,
-        "embedding_ann_lsh": q_embedding_ann,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "dedup_corpus": q_dedup_corpus,
-        "corpus_curation": q_corpus_curation,
-        "dup_clusters": q_dup_clusters,
-        "embedding_near_dups": q_embedding_near_dups,
-        "asof_click_purchase": q_asof_click_purchase,
-        "decontaminate": q_decontaminate,
-        # --- outside the 50-query window: freshly green in r05 (the
-        # driver re-certified them last round) or multi-certified and
-        # deferred to the r7 rotation; full-parity covers all locally.
+        # queries per round taken in dict order. (bench.py does not
+        # depend on dict order — it quarantines the heavy Zipf
+        # exhibits at the end of its own suite.)
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 10 + 4 + 19:
+        # (1) the 17 queries whose newest driver row was r04 — the
+        #     stalest set (value_cdf is also the round's headline rewrite:
+        #     grouped distributed order statistics, VERDICT r6 item 1):
         "quality_rules": q_quality_rules,
         "class_centroids": q_class_centroids,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
+        "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "value_cdf": q_value_cdf,
+        "category_counts": q_category_counts,
+        "token_budget": q_token_budget,
+        "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
+        "token_counts": q_token_counts,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "session_duration": q_session_duration,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        # (2) the 10 queries whose implementation or plan changed in
+        #     r7: profile_agg quartiles on the grouped primitive (item 7),
+        #     ewma lazy routing (item 4), knn_graph null-safe blocking,
+        #     pack_texts separator-aware offsets, the lossless-default +
+        #     half-ulp-slack prefix pair generators (item 3 / ADVICE):
+        "profile_agg_day": q_profile_agg_day,
+        "profile_agg_minute": q_profile_agg_minute,
+        "ewma_user_value": q_ewma_user_value,
+        "knn_graph": q_knn_graph,
+        "pack_texts": q_pack_texts,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
+        "containment_pairs": q_containment_pairs,
+        "containment_pairs_prefix": q_containment_pairs_prefix,
+        # (3) the 4 r05-green queries certified only once ever:
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
         "hopping_window": q_hopping_window,
         "phash_dup_pairs": q_phash_dup_pairs,
+        # (4) 19 of the 44 multi-certified r05-green queries (the
+        #     driver regenerates testdata per round; oldest rows refresh
+        #     first):
         "tfidf_top_terms": q_tfidf_top_terms,
         "profile_columns": q_profile_columns,
         "corpus_curation_v2": q_corpus_curation_v2,
@@ -1843,6 +1812,10 @@ def queries() -> dict[str, Query]:
         "scaled_view": q_scaled_view,
         "zero_fill": q_zero_fill,
         "join_broadcast_dim": q_join_broadcast_dim,
+        # --- outside the 50-query window: the remaining 22 r05-green
+        # multi-certified queries (deferred to the r8 rotation) and the
+        # 42 r06-certified ones; full-parity covers all locally.
+        # r05-certified, deferred to r8:
         "join_large_sortmerge": q_join_large_sortmerge,
         "join_semi_anti": q_join_semi_anti,
         "join_salted_skew": q_join_salted_skew,
@@ -1853,8 +1826,6 @@ def queries() -> dict[str, Query]:
         "column_stats": q_column_stats,
         "availability": q_availability,
         "time_extent": q_time_extent,
-        "profile_agg_day": q_profile_agg_day,
-        "profile_agg_minute": q_profile_agg_minute,
         "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
@@ -1867,19 +1838,49 @@ def queries() -> dict[str, Query]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "histogram2d": q_histogram2d,
-        "media_features": q_media_features,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "value_cdf": q_value_cdf,
-        "category_counts": q_category_counts,
-        "token_budget": q_token_budget,
-        "corpus_split": q_corpus_split,
-        "stratified_sample": q_stratified_sample,
-        "token_counts": q_token_counts,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "session_duration": q_session_duration,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
+        # r06-certified (fresh last round):
+        "corpus_curation_v3": q_corpus_curation_v3,
+        "remove_dup_spans": q_remove_dup_spans,
+        "oov_rate": q_oov_rate,
+        "length_filter": q_length_filter,
+        "cluster_split": q_cluster_split,
+        "bigram_logprob": q_bigram_logprob,
+        "winsorize_values": q_winsorize,
+        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
+        "standardize_values": q_standardize_values,
+        "source_quality": q_source_quality,
+        "pack_sequences": q_pack_sequences,
+        "domain_cap": q_domain_cap,
+        "corpus_curation_v4": q_corpus_curation_v4,
+        "ewma_scan": q_ewma_scan,
+        "holt_forecast": q_holt_forecast,
+        "unigram_logprob": q_unigram_logprob,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "vocab_stats": q_vocab_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "temperature_mixture": q_temperature_mixture,
+        "weighted_repeat": q_weighted_repeat,
+        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
+        "topn_others": q_topn_others,
+        "histogram_bin_index": q_histogram_bin_index,
+        "histogram_range_join": q_histogram_range_join,
+        "etl_block_rates": q_etl_block,
+        "etl_cpu_percent": q_etl_cpu,
+        "etl_mem_metrics": q_etl_mem,
+        "etl_nfs_rates": q_etl_nfs,
+        "exact_dedup": q_exact_dedup,
+        "repetition_stats": q_repetition_stats,
+        "minhash_dup_pairs": q_minhash_dups,
+        "simhash_dup_pairs": q_simhash_dups,
+        "embedding_knn": q_embedding_knn,
+        "embedding_ann_lsh": q_embedding_ann,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "dedup_corpus": q_dedup_corpus,
+        "corpus_curation": q_corpus_curation,
+        "dup_clusters": q_dup_clusters,
+        "embedding_near_dups": q_embedding_near_dups,
+        "asof_click_purchase": q_asof_click_purchase,
+        "decontaminate": q_decontaminate,
     }
 
 

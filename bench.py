@@ -47,6 +47,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: total and reported under ``value_exhibits``.
 EXHIBIT_QUERIES = {"ngram_jaccard_plain_zipf", "ngram_jaccard_prefix_zipf"}
 
+#: The documented plain-vs-prefix trade-off, tracked at BOTH corpus
+#: geometries round-over-round (VERDICT r6 item 8): Zipfian df (natural
+#: text — prefix wins) and the driver corpus's near-uniform df (no head
+#: to prune — plain wins). Cells name registered queries; bench_out.json
+#: carries their {sec, shuffle_bytes, tasks, gc_ms} under ``exhibits``.
+#: The containment pair's Zipf side is measured by
+#: tools/stress_zipf_containment.py (SCALE.md) rather than a registered
+#: query — the registered grid tracks what the suite itself runs.
+EXHIBIT_GRID = {
+    "jaccard": {
+        "zipf_plain": "ngram_jaccard_plain_zipf",
+        "zipf_prefix": "ngram_jaccard_prefix_zipf",
+        "uniform_plain": "ngram_jaccard_pairs",
+        "uniform_prefix": "ngram_jaccard_prefix",
+    },
+    "containment": {
+        "uniform_plain": "containment_pairs",
+        "uniform_prefix": "containment_pairs_prefix",
+    },
+}
+
 
 def _stage_totals(ui_url: str | None, app_id: str) -> tuple[int, int] | None:
     """Cumulative (shuffle_read+write bytes, completed tasks) across all
@@ -171,6 +192,17 @@ def main() -> None:
         "query_metrics": {
             name: {"sec": timings[name], **plan_metrics.get(name, {})}
             for name in timings
+        },
+        # the {zipf, uniform} x {plain, prefix} trade-off grid
+        # (VERDICT r6 item 8) — same numbers as query_metrics, shaped
+        # for round-over-round comparison of both crossover sides
+        "exhibits": {
+            fam: {
+                cell: {"sec": timings[q], **plan_metrics.get(q, {})}
+                for cell, q in grid.items()
+                if q in timings
+            }
+            for fam, grid in EXHIBIT_GRID.items()
         },
     }
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")

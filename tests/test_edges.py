@@ -113,25 +113,27 @@ def test_driver_contract_consistency():
 
 def test_correctness_window_contains_priority_queries():
     """The driver certifies the FIRST 50 queries() keys each round. The
-    round-6 window must hold every query that has never been
-    driver-certified plus everything new or changed this round — an
-    accidental insertion above them silently pushes the tail out of the
-    window while the comments still claim coverage (r6 review finding:
-    three queries drifted to positions 51-53)."""
+    round-7 window must hold the 17 queries whose newest driver row was
+    r04 plus everything whose implementation or plan changed this round
+    — an accidental insertion above them silently pushes the tail out
+    of the window while the comments still claim coverage (r6 review
+    finding: three queries drifted to positions 51-53)."""
     import __spark_entry__ as m
 
     window = list(m.queries())[:50]
     priority = {
-        # round-5 queries never driver-certified (VERDICT r5 item 1)
-        "corpus_curation_v3", "remove_dup_spans", "oov_rate",
-        "length_filter", "containment_pairs", "cluster_split",
-        "bigram_logprob", "winsorize_values", "embedding_ann_ivf_index",
-        "standardize_values", "source_quality", "pack_sequences",
-        # new in round 6
-        "containment_pairs_prefix", "pack_texts", "domain_cap",
-        "knn_graph", "corpus_curation_v4", "holt_forecast",
-        # implementation changed in round 6
-        "ewma_scan", "ewma_user_value",
+        # newest driver row r04 — the stalest set (VERDICT r6 item 2)
+        "quality_rules", "class_centroids", "redact_pii",
+        "chunk_documents", "media_features", "audio_features",
+        "video_frames", "value_cdf", "category_counts", "token_budget",
+        "corpus_split", "stratified_sample", "token_counts",
+        "rolling_fingerprint", "session_duration", "text_stats",
+        "lang_id",
+        # implementation/plan changed in round 7
+        "profile_agg_day", "profile_agg_minute", "ewma_user_value",
+        "knn_graph", "pack_texts", "ngram_jaccard_pairs",
+        "ngram_jaccard_prefix", "ngram_jaccard_prefix_zipf",
+        "containment_pairs", "containment_pairs_prefix",
     }
     missing = priority - set(window)
     assert not missing, f"priority queries outside the 50-window: {missing}"

@@ -141,12 +141,23 @@ def main() -> None:
             n = corpus.count()
             # VERDICT r6 item 5: size shuffle partitions from the
             # replicated corpus's bytes instead of the fixed local
-            # default — the shingle exploders shuffle ~8x their input
-            # (SCALE.md), and 60 GB of the x100 containment run's spill
-            # traced to 32 constant partitions.
-            parts = tune_shuffle_partitions(
-                spark, input_bytes_of(path), shuffle_ratio=8.0
-            )
+            # default (32 constant partitions drove the r6 run's 60 GB
+            # containment spill). shuffle_ratio=50 is measured for the
+            # shingle exploders AGAINST SNAPPY PARQUET bytes: the gram
+            # relations blow up ~8x over raw text, and snappy text
+            # compresses ~6x, so in-flight shuffle ≈ 50x on-disk input
+            # (ratio=8 still floored at 2x cores and left 33 GB of
+            # spill at x100; see SCALE.md §sf10 for the ladder).
+            # SPARK_GRAFT_STRESS_PARTITIONS pins the count for ladder
+            # measurements (the 32/64/256 spill ladder in SCALE.md)
+            pin = os.environ.get("SPARK_GRAFT_STRESS_PARTITIONS")
+            if pin:
+                spark.conf.set("spark.sql.shuffle.partitions", pin)
+                parts = int(pin)
+            else:
+                parts = tune_shuffle_partitions(
+                    spark, input_bytes_of(path), shuffle_ratio=50.0
+                )
             print(json.dumps({"tuned_partitions": parts, "mult": mult}), flush=True)
             for label, dv, fn in runs:
                 if dv != distinct_vocab:
