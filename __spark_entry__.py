@@ -281,6 +281,24 @@ def q_value_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.grouped_value_cdf(ev, ["event_type"], "value")
 
 
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type quartiles via the grouped distributed
+    order-statistics primitive (operators/percentiles.py
+    grouped_exact_percentiles — VERDICT r6 item 7): the direct oracle
+    certification of the machinery profile_agg and value_cdf ride.
+    PERCENTILE_CONT interpolation, no per-group sort, no single-reducer
+    percentile buffer (plan-pinned with value_cdf's assertions)."""
+    ev = table(spark, sf_dir, "events")
+    out = ops.grouped_exact_percentiles(
+        ev, ["event_type"], "value", [0.25, 0.5, 0.75]
+    )
+    return out.select(
+        "event_type",
+        F.col("fraction"),
+        F.round(F.col("value"), 6).alias("value"),
+    ).orderBy("event_type", "fraction")
+
+
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags per user (trailing 20 rows,
     self-excluded frame) — the alerting primitive; one window pass."""
@@ -650,6 +668,29 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc_id"))
         .orderBy("source")
     )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source A-Res weighted sample (functions/sampling.py
+    weighted_sample_k): 25 docs per source without replacement,
+    inclusion ∝ token count. Two-phase exact — the k-th-largest key
+    per group comes from the grouped distributed order-statistics
+    primitive, so no stratum ever sorts on one task; the md5 coin and
+    9-dp key rounding make the sample byte-reproducible in DuckDB."""
+    from fresco_hpc_spark.functions import weighted_sample_k
+    from fresco_hpc_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    out = weighted_sample_k(
+        docs, k=25, weight_col="n_tokens", id_col="doc_id", group_col="source"
+    )
+    return out.select(
+        "source", "doc_id", "n_tokens", "sample_key", "sample_rank"
+    ).orderBy("source", "sample_rank")
 
 
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,7 +1790,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 10 + 4 + 19:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 12 + 4 + 17:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -1777,6 +1818,8 @@ def queries() -> dict[str, Query]:
         #     half-ulp-slack prefix pair generators (item 3 / ADVICE):
         "profile_agg_day": q_profile_agg_day,
         "profile_agg_minute": q_profile_agg_minute,
+        "grouped_percentiles": q_grouped_percentiles,  # new in r7
+        "weighted_sample": q_weighted_sample,  # new in r7
         "ewma_user_value": q_ewma_user_value,
         "knn_graph": q_knn_graph,
         "pack_texts": q_pack_texts,
@@ -1810,12 +1853,12 @@ def queries() -> dict[str, Query]:
         "monthly_rollup": q_monthly_rollup,
         "cast_double_view": q_cast_double_view,
         "scaled_view": q_scaled_view,
-        "zero_fill": q_zero_fill,
-        "join_broadcast_dim": q_join_broadcast_dim,
-        # --- outside the 50-query window: the remaining 22 r05-green
+        # --- outside the 50-query window: the remaining 24 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "zero_fill": q_zero_fill,
+        "join_broadcast_dim": q_join_broadcast_dim,
         "join_large_sortmerge": q_join_large_sortmerge,
         "join_semi_anti": q_join_semi_anti,
         "join_salted_skew": q_join_salted_skew,
@@ -2508,6 +2551,46 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, s
             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
             GROUP BY x_bin, y_bin ORDER BY x_bin, y_bin
+        """,
+        "weighted_sample": r"""
+            WITH c AS (
+                SELECT source, doc_id,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents
+            ), keyed AS (
+                SELECT source, doc_id, n_tokens,
+                       ROUND(POW(
+                           (('0x' || substr(md5('ares|' || CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT
+                            / 1152921504606846976.0),
+                           1.0 / n_tokens), 9) AS sample_key
+                FROM c WHERE n_tokens > 0
+            ), r AS (
+                SELECT source, doc_id, n_tokens, sample_key,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY sample_key DESC, doc_id)
+                           AS sample_rank
+                FROM keyed
+            )
+            SELECT source, doc_id, n_tokens, sample_key, sample_rank
+            FROM r WHERE sample_rank <= 25
+            ORDER BY source, sample_rank
+        """,
+        "grouped_percentiles": """
+            SELECT event_type, CAST(0.25 AS DOUBLE) AS fraction,
+                   ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS value
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.5 AS DOUBLE),
+                   ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.75 AS DOUBLE),
+                   ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6)
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            ORDER BY event_type, fraction
         """,
         "value_cdf": """
             WITH c AS (

@@ -398,6 +398,98 @@ def pack_sequences(
     ).orderBy(strata_col, id_col)
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "ares",
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    A-Res, the missing member of the sampling family (hash_sample /
+    stratified rates = Bernoulli; weighted_repeat = with replacement;
+    this = fixed-size k, inclusion probability ∝ weight, no
+    duplicates). Each row draws ``sample_key = u^(1/w)`` with ``u`` the
+    deterministic md5-uniform coin; the k LARGEST keys are a weighted
+    reservoir sample. Content-derived coin ⇒ reproducible across
+    partitionings, retries, and engines, and fully oracle-checkable
+    (the key rounds to ``round_to`` dp before ranking so a last-ulp
+    ``pow`` difference between libm implementations cannot flip a rank;
+    ties break on the id).
+
+    Rows with NULL or non-positive weight are excluded (weight ∝
+    inclusion has no meaning for them — filter or reassign upstream).
+
+    Scale shape: the GLOBAL variant (``group_col=None``) is a
+    ``TakeOrderedAndProject`` — top-k without a global sort. The
+    grouped variant must not sort whole groups on one task (a hot
+    stratum can hold 10⁸ rows), so it is TWO-PHASE and exact, built on
+    the grouped distributed order statistics primitive:
+
+    1. :func:`~fresco_hpc_spark.operators.percentiles.grouped_cume_counts`
+       over the keys gives, per group, the EXACT k-th-largest key (the
+       smallest distinct key with ≥ min(k, n) rows at or above it) —
+       no per-group sort, no driver collect.
+    2. rows prefilter map-side to ``key ≥ bound`` — at most k plus the
+       bound's tie run per group — and only that bounded relation pays
+       the rank window. Unlike cap_per_group's probabilistic
+       coin-threshold prefilter (which needs a shortfall fallback),
+       the order-statistic bound is exact by construction: the
+       prefilter always keeps ≥ min(k, n) rows.
+
+    NULL group keys form their own group (null-safe join — same
+    contract as cap_per_group and knn_graph_blocked). Output adds
+    ``sample_key`` (rounded) and ``sample_rank`` (1-based within the
+    group, or globally).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    u = hash_fraction(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    key = F.round(F.pow(u, F.lit(1.0) / w), round_to)
+    base = df.filter(w.isNotNull() & (w > 0)).withColumn("_key", key)
+    if group_col is None:
+        return (
+            base.orderBy(F.desc("_key"), F.col(id_col))
+            .limit(int(k))
+            .withColumnRenamed("_key", "sample_key")
+            .withColumn(
+                "sample_rank",
+                F.row_number()
+                .over(Window.orderBy(F.desc("sample_key"), F.col(id_col)))
+                .cast("bigint"),
+            )
+        )
+    from fresco_hpc_spark.operators.percentiles import grouped_cume_counts
+
+    cc = grouped_cume_counts(base, [group_col], "_key")
+    at_or_above = F.col("_n") - F.col("_cume") + F.col("_cnt")
+    bounds = (
+        cc.filter(at_or_above >= F.least(F.lit(int(k)), F.col("_n")))
+        .groupBy(group_col)
+        .agg(F.max("_v").alias("_bound"))
+        .withColumnRenamed(group_col, "_g")
+    )
+    pre = base.join(
+        bounds, F.col(group_col).eqNullSafe(F.col("_g"))
+    ).filter(F.col("_key") >= F.col("_bound"))
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.desc("_key"), F.col(id_col)
+    )
+    return (
+        pre.withColumn(
+            "sample_rank", F.row_number().over(rank_w).cast("bigint")
+        )
+        .filter(F.col("sample_rank") <= F.lit(int(k)))
+        .drop("_g", "_bound")
+        .withColumnRenamed("_key", "sample_key")
+    )
+
+
 def pack_texts(
     df: DataFrame,
     budget_tokens: int,

@@ -170,12 +170,25 @@ def grouped_cume_counts(
     # AQE broadcasts the (≤ P + G − 1)-row offsets side at realistic G;
     # at extreme group cardinality it degrades to a shuffle of the
     # DISTINCT-value relation, which the local-cume window needs anyway.
+    # The join is NULL-SAFE on the group keys: a NULL group is a
+    # legitimate group (window PARTITION BY already treats it as one),
+    # and a plain equi-join would silently drop its rows — the same
+    # r6-review class of bug fixed in cap_per_group / knn_graph_blocked.
     w_local = (
         Window.partitionBy("_pid", *group_cols)
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return ranged.join(offsets, ["_pid", *group_cols]).select(
+    off_renamed = offsets.select(
+        F.col("_pid").alias("_o_pid"),
+        *[F.col(c).alias(f"_o_{i}") for i, c in enumerate(group_cols)],
+        "_off",
+        "_n",
+    )
+    cond = F.col("_pid") == F.col("_o_pid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{i}"))
+    return ranged.join(off_renamed, cond).select(
         *group_cols,
         "_v",
         "_cnt",

@@ -129,7 +129,8 @@ def test_correctness_window_contains_priority_queries():
         "corpus_split", "stratified_sample", "token_counts",
         "rolling_fingerprint", "session_duration", "text_stats",
         "lang_id",
-        # implementation/plan changed in round 7
+        # new or implementation/plan changed in round 7
+        "grouped_percentiles", "weighted_sample",
         "profile_agg_day", "profile_agg_minute", "ewma_user_value",
         "knn_graph", "pack_texts", "ngram_jaccard_pairs",
         "ngram_jaccard_prefix", "ngram_jaccard_prefix_zipf",

@@ -1229,6 +1229,108 @@ def test_default_pair_generators_are_lossless(spark):
     assert (1, 9) in jac
 
 
+def test_weighted_sample_k_matches_naive_ranking(spark):
+    """A-Res two-phase (order-statistic prefilter + bounded rank
+    window) must equal the naive full-window ranking exactly — per
+    group, including a group SMALLER than k (all rows kept), a NULL
+    group (own stratum, null-safe join), and exclusion of
+    null/zero/negative weights. The global variant matches the same
+    ranking without grouping."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import weighted_sample_k
+    from fresco_hpc_spark.functions.sampling import hash_fraction
+
+    rows = []
+    for i in range(40):
+        rows.append(("a", i, float(1 + i % 7)))
+    for i in range(40, 46):
+        rows.append(("b", i, 2.0))          # |b| = 6 > k
+    rows.append(("tiny", 100, 5.0))          # |tiny| = 1 < k
+    rows.append((None, 101, 3.0))            # NULL group
+    rows.append((None, 102, 4.0))
+    rows.append(("a", 200, None))            # excluded weights
+    rows.append(("a", 201, 0.0))
+    rows.append(("a", 202, -2.0))
+    df = spark.createDataFrame(rows, "g string, id bigint, w double")
+
+    k = 3
+    got = {
+        (r.g, r.id): (r.sample_key, r.sample_rank)
+        for r in weighted_sample_k(
+            df, k=k, weight_col="w", id_col="id", group_col="g"
+        ).collect()
+    }
+    key = F.round(
+        F.pow(
+            hash_fraction(F.concat(F.lit("ares|"), F.col("id").cast("string"))),
+            F.lit(1.0) / F.col("w"),
+        ),
+        9,
+    )
+    naive = (
+        df.filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .withColumn("sample_key", key)
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(F.desc("sample_key"), F.col("id"))
+            ),
+        )
+        .filter(F.col("sample_rank") <= k)
+    )
+    want = {
+        (r.g, r.id): (r.sample_key, r.sample_rank) for r in naive.collect()
+    }
+    assert got == want
+    by_group = {}
+    for (g, _), (_, rk) in got.items():
+        by_group.setdefault(g, []).append(rk)
+    assert sorted(by_group["a"]) == [1, 2, 3]
+    assert sorted(by_group["b"]) == [1, 2, 3]
+    assert by_group["tiny"] == [1]            # n < k keeps all
+    assert sorted(by_group[None]) == [1, 2]   # NULL group sampled, not dropped
+    assert not any(i in (200, 201, 202) for _, i in got)
+
+    got_global = [
+        (r.id, r.sample_rank)
+        for r in weighted_sample_k(df, k=5, weight_col="w", id_col="id")
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    naive_global = (
+        df.filter(F.col("w").isNotNull() & (F.col("w") > 0))
+        .withColumn("sample_key", key)
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(Window.orderBy(F.desc("sample_key"), F.col("id"))),
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )
+    assert got_global == [
+        (r.id, r.sample_rank)
+        for r in naive_global.orderBy("sample_rank").collect()
+    ]
+
+
+def test_weighted_sample_k_weights_shift_inclusion(spark):
+    """Statistical sanity on the fixed md5 coin: with weights 10 vs 1
+    over 400 rows, the heavy half must dominate a k=40 sample (A-Res
+    inclusion ∝ weight — expected ~36 heavy picks; require > 28)."""
+    from fresco_hpc_spark.functions import weighted_sample_k
+
+    rows = [(i, 10.0 if i < 200 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    picked = [
+        r.id
+        for r in weighted_sample_k(df, k=40, weight_col="w", id_col="id").collect()
+    ]
+    heavy = sum(1 for i in picked if i < 200)
+    assert len(picked) == 40
+    assert heavy > 28, f"heavy picks {heavy}/40 — weighting not applied?"
+
+
 def test_cluster_aware_split_never_straddles(spark):
     """Anti-leakage: every near-dup cluster lands wholly in train or
     wholly in eval; singletons get exactly the corpus_split coin."""

@@ -494,21 +494,27 @@ def test_grouped_value_cdf_matches_cume_dist_window(spark):
     # group 'b': 20 rows with heavy ties → decile probes hit tie edges
     rows += [("b", float(v)) for v in [1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
                                        3, 3, 4, 4, 4, 4, 5, 5, 5, 5]]
-    # group 'c': single value; group 'd': one real value + a NULL
-    rows += [("c", 7.0), ("d", 9.0), ("d", None)]
+    # group 'c': single value; group 'd': one real value + a NULL;
+    # NULL group: a legitimate group of its own (null-safe offsets join)
+    rows += [("c", 7.0), ("d", 9.0), ("d", None), (None, 2.0), (None, 4.0)]
     df = spark.createDataFrame(rows, "g string, v double")
+    nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
     got = sorted(
-        tuple(r) for r in grouped_value_cdf(df, ["g"], "v").collect()
+        (tuple(r) for r in grouped_value_cdf(df, ["g"], "v").collect()),
+        key=nkey,
     )
     w = Window.partitionBy("g").orderBy("v")
     expect = sorted(
-        tuple(r)
-        for r in df.filter(F.col("v").isNotNull())
-        .select("g", "v", F.round(F.cume_dist().over(w), 6).alias("cdf"))
-        .filter(F.col("cdf").isin([round(0.1 * i, 1) for i in range(1, 11)]))
-        .groupBy("g", "cdf")
-        .agg(F.round(F.max("v"), 6).alias("value_at"))
-        .collect()
+        (
+            tuple(r)
+            for r in df.filter(F.col("v").isNotNull())
+            .select("g", "v", F.round(F.cume_dist().over(w), 6).alias("cdf"))
+            .filter(F.col("cdf").isin([round(0.1 * i, 1) for i in range(1, 11)]))
+            .groupBy("g", "cdf")
+            .agg(F.round(F.max("v"), 6).alias("value_at"))
+            .collect()
+        ),
+        key=nkey,
     )
     assert got == expect
     by_g = {}
@@ -519,6 +525,7 @@ def test_grouped_value_cdf_matches_cume_dist_window(spark):
     assert by_g["b"] == [(0.2, 1.0), (0.4, 2.0), (0.6, 3.0), (0.8, 4.0), (1.0, 5.0)]
     assert by_g["c"] == [(1.0, 7.0)]
     assert by_g["d"] == [(1.0, 9.0)]  # NULL excluded from n
+    assert by_g[None] == [(0.5, 2.0), (1.0, 4.0)]  # NULL group kept
 
 
 def test_grouped_exact_percentiles_matches_buffer_aggregate(spark):
@@ -533,6 +540,7 @@ def test_grouped_exact_percentiles_matches_buffer_aggregate(spark):
     rows = [("a", float(v)) for v in _lcg_series(101)]
     rows += [("b", float(v // 3)) for v in range(10)]  # tie runs
     rows += [("solo", 42.5)]
+    rows += [(None, float(v)) for v in range(5)]  # NULL group kept
     df = spark.createDataFrame(rows, "g string, v double").repartition(7)
     fracs = [0.0, 0.25, 0.5, 0.613, 0.75, 1.0]
     got = {
