@@ -196,9 +196,10 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 3
         "decontaminate", "quality_rules", "class_centroids", "redact_pii",
         "chunk_documents", "corpus_curation_v2",
-        # round 4
+        # round 4 (ewma_user_value moved to the Python-by-design set in
+        # r7: ewma's default route is now the linear recurrence scan)
         "tfidf_top_terms", "unigram_logprob", "cross_corpus_dedup",
-        "profile_columns", "vocab_stats", "semantic_dedup", "ewma_user_value",
+        "profile_columns", "vocab_stats", "semantic_dedup",
         "temperature_mixture", "weighted_repeat",
         # round 5 (ewma_scan and phash_dup_pairs are Python-path by
         # design: the recurrence scan and the pixel decode)
@@ -209,6 +210,8 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 6
         "containment_pairs_prefix", "pack_texts", "domain_cap", "knn_graph",
         "corpus_curation_v4",
+        # round 7
+        "grouped_percentiles", "weighted_sample",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
