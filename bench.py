@@ -112,7 +112,17 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from fresco_hpc_spark.session import get_spark
 
-    spark = get_spark("fresco-bench")
+    # retainedStages must outlast the whole suite: the default 1000
+    # evicts early stages mid-run, making the cumulative REST totals
+    # DROP and late queries report negative shuffle/task deltas (seen
+    # in r7 as dup_clusters at -12 MB / -183 tasks).
+    spark = get_spark(
+        "fresco-bench",
+        extra_confs={
+            "spark.ui.retainedStages": "50000",
+            "spark.ui.retainedJobs": "50000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     ui_url = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId

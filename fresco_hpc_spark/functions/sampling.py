@@ -168,11 +168,22 @@ def temperature_mixture_sample(
     frac = hash_fraction(
         F.concat(F.col(strata_col), F.lit("|"), F.col(key_col).cast("string"))
     )
+    # null-safe on the stratum (r7 sweep of the r6-review join-null
+    # class): a NULL stratum is counted by the groupBy above and gets
+    # its own temperature weight, but a plain equi-join would silently
+    # drop every row of it here. NOTE: the coin concat yields NULL for
+    # a NULL stratum, so those rows use the bare-key coin instead.
+    rates_r = rates.withColumnRenamed(strata_col, "_s")
+    frac = F.coalesce(
+        frac, hash_fraction(F.concat(F.lit("|"), F.col(key_col).cast("string")))
+    )
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.join(
+            F.broadcast(rates_r), F.col(strata_col).eqNullSafe(F.col("_s"))
+        )
         .filter(frac < F.col("_rate"))
         .withColumn(rate_col, F.round(F.col("_rate"), 6))
-        .drop("_rate")
+        .drop("_rate", "_s")
     )
 
 

@@ -773,6 +773,36 @@ def test_temperature_mixture_flattens_sources(spark):
     assert abs(kept["small"] / 100 - r4["small"]) < 0.15
 
 
+def test_temperature_mixture_keeps_null_stratum(spark):
+    """r7 sweep of the join-null class: a NULL source is a legitimate
+    stratum — counted, weighted, and sampled with its own rate — not
+    silently dropped by the rate join."""
+    from fresco_hpc_spark.functions import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(300)] + [
+        (1000 + i, None) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mixture_sample(
+        df, "doc_id", "source", temperature=1.0, target_fraction=0.5
+    )
+    kept = {
+        r.source: r.n
+        for r in out.groupBy("source").count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    # T=1 -> rate 0.5 for every stratum including NULL; md5 coin ~uniform
+    assert None in kept, "NULL stratum dropped by the rate join"
+    assert abs(kept[None] / 100 - 0.5) < 0.15
+    assert abs(kept["big"] / 300 - 0.5) < 0.1
+    rates = {
+        r.source: r.sample_rate
+        for r in out.select("source", "sample_rate").distinct().collect()
+    }
+    assert abs(rates[None] - 0.5) < 1e-6
+
+
 def test_weighted_repeat_multiplicity(spark):
     """Integer weights repeat exactly; fractional weights repeat in
     expectation; weight < 1 downsamples; column weights per source."""
