@@ -454,3 +454,70 @@ def test_cap_per_group_cap_and_determinism(spark, n, sizes):
     for g, sz in enumerate(sizes):
         ranks = per_group[f"g{g}"]
         assert sorted(ranks) == list(range(1, min(sz, n) + 1))
+
+
+@given(
+    vals=st.lists(finite_doubles, min_size=1, max_size=50),
+    fracs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+@_settings
+def test_grouped_percentiles_match_global_path(spark, vals, fracs):
+    """The r7 grouped distributed order statistics and the r2 global
+    driver-side path are two implementations of the same PERCENTILE_CONT
+    definition — on a single group they must agree bit-for-bit for ANY
+    values (ties, negatives, single element) and ANY fractions
+    (including 0.0 and 1.0)."""
+    from fresco_hpc_spark.operators import grouped_exact_percentiles
+    from fresco_hpc_spark.operators.percentiles import (
+        distributed_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    ).repartition(5)
+    fracs = sorted(fracs)
+    grouped = {
+        r.fraction: r.value
+        for r in grouped_exact_percentiles(df, ["g"], "v", fracs).collect()
+    }
+    global_ = dict(zip(fracs, distributed_exact_percentiles(df, "v", fracs)))
+    assert set(grouped) == set(global_)
+    for f in fracs:
+        assert grouped[f] == global_[f], (f, grouped[f], global_[f])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    k=st.integers(min_value=1, max_value=10),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@_settings
+def test_weighted_sample_is_partition_invariant(spark, n, k, parts):
+    """The A-Res sample is a pure function of (ids, weights, k) — the
+    md5 coin and the order-statistic prefilter make it independent of
+    physical partitioning and row order, and its size is exactly
+    min(k, n) per group."""
+    from fresco_hpc_spark.functions import weighted_sample_k
+
+    rows = [(i, "g%d" % (i % 3), float(1 + (i * 7) % 11)) for i in range(n)]
+    df1 = spark.createDataFrame(rows, "id bigint, g string, w double")
+    df2 = spark.createDataFrame(list(reversed(rows)), "id bigint, g string, w double").repartition(parts)
+    pick = lambda df: sorted(  # noqa: E731
+        (r.g, r.id, r.sample_rank)
+        for r in weighted_sample_k(
+            df, k=k, weight_col="w", id_col="id", group_col="g"
+        ).collect()
+    )
+    s1, s2 = pick(df1), pick(df2)
+    assert s1 == s2
+    from collections import Counter
+
+    sizes = Counter(g for g, _, _ in s1)
+    group_n = Counter(g for _, g, _ in rows)
+    for g, gn in group_n.items():
+        assert sizes[g] == min(k, gn)
