@@ -8,6 +8,7 @@ from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
     streaming_counter_rates,
     streaming_ewma,
     streaming_holt,
+    streaming_weighted_sample,
 )
 from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
     exactly_once_store_writer,

@@ -382,3 +382,154 @@ def streaming_ewma(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+RESERVOIR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("weight", T.DoubleType(), False),
+        T.StructField("sample_key", T.DoubleType(), False),
+        T.StructField("sample_rank", T.LongType(), False),
+        T.StructField("batch_seq", T.LongType(), False),
+    ]
+)
+
+_RESERVOIR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType()), True),
+        T.StructField("ws", T.ArrayType(T.DoubleType()), True),
+        T.StructField("keys", T.ArrayType(T.DoubleType()), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def _ares_key(doc_id: int, weight: float, salt: str) -> float:
+    """The EXACT batch sample_key, recomputed in Python: md5 is md5
+    everywhere, and the HALF_UP 9-dp rounding matches Spark's F.round
+    (python round() is banker's and would diverge on .5 boundaries)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    h = hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()
+    u = int(h[:15], 16) / float(2**60)
+    return float(
+        Decimal(repr(u ** (1.0 / weight))).quantize(
+            Decimal("1e-9"), ROUND_HALF_UP
+        )
+    )
+
+
+def _make_reservoir_fn(k: int, salt: str, ttl_seconds: int | None):
+    kk = int(k)
+
+    def _reservoir_fn(
+        key: tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-group A-Res reservoir kernel: state = the current top-k
+        (id, weight, sample_key) triples; each micro-batch's rows merge
+        in and the k largest keys survive. Because A-Res is a pure
+        top-k over a content-derived key, the reservoir after ANY
+        prefix of the stream equals the batch ``weighted_sample_k``
+        over the rows seen so far — the drained-stream == batch
+        contract (test_streaming pins it)."""
+        if ttl_seconds is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {c.name: [] for c in RESERVOIR_OUTPUT_SCHEMA}
+            ).astype(
+                {
+                    "group_key": str,
+                    "id": "int64",
+                    "weight": "float64",
+                    "sample_key": "float64",
+                    "sample_rank": "int64",
+                    "batch_seq": "int64",
+                }
+            )
+            return
+        if state.exists:
+            ids, ws, keys, seq = state.get
+            pool = list(zip(ids, ws, keys))
+        else:
+            pool, seq = [], 0
+        rows = pd.concat(list(batches), ignore_index=True)
+        for i, w in zip(rows["id"], rows["weight"]):
+            if pd.isna(w) or w <= 0:
+                continue  # same exclusion as the batch operator
+            pool.append((int(i), float(w), _ares_key(int(i), float(w), salt)))
+        # top-k by (key desc, id asc) — ties identical to the batch rank
+        pool.sort(key=lambda t: (-t[2], t[0]))
+        pool = pool[:kk]
+        seq = int(seq) + 1
+        state.update(
+            (
+                [p[0] for p in pool],
+                [p[1] for p in pool],
+                [p[2] for p in pool],
+                seq,
+            )
+        )
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "group_key": key[0],
+                "id": [p[0] for p in pool],
+                "weight": [p[1] for p in pool],
+                "sample_key": [p[2] for p in pool],
+                "sample_rank": list(range(1, len(pool) + 1)),
+                "batch_seq": seq,
+            }
+        )
+
+    return _reservoir_fn
+
+
+def streaming_weighted_sample(
+    stream_df: DataFrame,
+    k: int,
+    key_col: str = "group_key",
+    id_col: str = "id",
+    weight_col: str = "weight",
+    salt: str = "ares",
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming A-Res weighted reservoir — the streaming twin of the
+    batch :func:`~fresco_hpc_spark.functions.sampling.weighted_sample_k`:
+    a fixed-size weighted-without-replacement sample per group,
+    maintained incrementally over an unbounded stream with **O(k)
+    state per group** (the whole point of A-Res: the sample after any
+    stream prefix is just the top-k content-derived keys, so the
+    reservoir IS the state — no row history).
+
+    Each micro-batch emits the group's CURRENT reservoir tagged with a
+    monotonically increasing ``batch_seq``; downstream consumers read
+    the max-seq emission per group as "the sample so far" (append mode
+    cannot retract rows, so supersession is by sequence, the standard
+    accumulating-snapshot pattern). Because the sample key is the same
+    md5-derived ``u^(1/w)`` the batch operator computes (HALF_UP 9-dp,
+    ties on id), a drained stream's final reservoir equals the batch
+    operator over all rows seen — EXACTLY (test_streaming pins it).
+    Null/non-positive weights are excluded, like the batch operator.
+    Same TTL/backfill contract as the other stateful kernels.
+    """
+    renamed = stream_df.selectExpr(
+        f"CAST(`{key_col}` AS STRING) AS group_key",
+        f"CAST(`{id_col}` AS LONG) AS id",
+        f"CAST(`{weight_col}` AS DOUBLE) AS weight",
+    )
+    return renamed.groupBy("group_key").applyInPandasWithState(
+        _make_reservoir_fn(k, salt, ttl_seconds),
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=_RESERVOIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -1323,6 +1323,90 @@ def test_streaming_ewma_holt_null_parity_with_batch(spark, tmp_path):
     assert got_h[("tie_null", 20)] == [(None, None, None), (None, None, None)]
 
 
+def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
+    """Drained-stream A-Res reservoir == batch weighted_sample_k over
+    all rows seen, exactly: same md5 coin, same u^(1/w) key with
+    HALF_UP 9-dp rounding, same (key desc, id) tie order. The winner
+    set changes ACROSS micro-batches (later rows evict earlier reservoir
+    members), state is O(k) per group, and null/non-positive weights
+    are excluded in both paths."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from fresco_hpc_spark.functions import weighted_sample_k
+    from fresco_hpc_spark.streaming import streaming_weighted_sample
+
+    samples = [
+        ("a", i, float(1 + (i * 13) % 17)) for i in range(30)
+    ] + [
+        ("b", 100 + i, float(5 + i)) for i in range(8)
+    ] + [
+        ("a", 500, None),    # excluded weights (both paths)
+        ("b", 501, 0.0),
+        ("b", 502, -3.0),
+    ]
+    files = [samples[0:10] + samples[30:32], samples[10:25] + samples[38:41],
+             samples[25:30] + samples[32:38]]
+    assert sum(len(f) for f in files) == len(samples)
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    base = _time.time() - 100
+    for i, rows in enumerate(files):
+        path = src / f"part_{i}.csv"
+        pd.DataFrame(rows, columns=["g", "id", "w"]).to_csv(path, index=False)
+        os.utime(path, (base + i, base + i))
+
+    schema = "g string, id bigint, w double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    k = 5
+    q = (
+        streaming_weighted_sample(
+            stream, k=k, key_col="g", id_col="id", weight_col="w"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("reservoir_stream")
+        .option("checkpointLocation", str(tmp_path / "wcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.table("reservoir_stream").collect()
+    # supersession: the max-seq emission per group is "the sample so far"
+    last_seq = {}
+    for r in emitted:
+        last_seq[r.group_key] = max(last_seq.get(r.group_key, 0), r.batch_seq)
+    final = {
+        (r.group_key, r.id): (r.weight, r.sample_key, r.sample_rank)
+        for r in emitted
+        if r.batch_seq == last_seq[r.group_key]
+    }
+    batch_df = spark.createDataFrame(samples, schema)
+    want = {
+        (r.g, r.id): (r.w, r.sample_key, r.sample_rank)
+        for r in weighted_sample_k(
+            batch_df, k=k, weight_col="w", id_col="id", group_col="g"
+        ).collect()
+    }
+    assert final == want
+    # the reservoir genuinely evolved: some batch-1 emission for 'a'
+    # is absent from the final sample (eviction across batches)
+    first_a = {r.id for r in emitted if r.group_key == "a" and r.batch_seq == 1}
+    final_a = {i for (g, i) in final if g == "a"}
+    assert first_a and final_a
+    assert len(final_a) == k
+    # excluded weights never appear in any emission
+    assert not any(r.id in (500, 501, 502) for r in emitted)
+
+
 def test_streaming_ewma_matches_batch_scan(spark, tmp_path):
     """Drained stream == batch ewma_scan bit-for-bit: the stateful
     kernel evaluates a*v + (1-a)*s in the same IEEE op order, and the
