@@ -625,6 +625,33 @@ def q_embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact kNN graph with the block = the IVF CELL assignment
+    — the 100 TB blocking knn_graph_blocked's docstring promises
+    (SemDeDup-style semantic clustering: candidates ∝ Σ cell², cells
+    sized corpus/n_cells by the trained codebook, never corpus²). Same
+    deterministic training as embedding_ann_ivf (pmod seeding, Lloyd
+    means at 9 dp, normalized centroids at 12 dp), so the DuckDB oracle
+    replays the full pipeline: train → assign → per-vector top-k within
+    the cell."""
+    from fresco_hpc_spark.functions import ivf_assign, knn_graph_blocked
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(
+        emb, n_cells=8, iterations=2,
+        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
+    )
+    assigned = ivf_assign(emb, centroids).select("_cell", "vec_id", "embedding")
+    g = knn_graph_blocked(assigned, k=3, block_col="_cell")
+    return g.select(
+        "vec_id",
+        "neighbor_id",
+        F.col("_cell").cast("int").alias("cell"),
+        "cosine_sim",
+        "rank",
+    ).orderBy("vec_id", "rank")
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(table(spark, sf_dir, "documents"))
 
@@ -1790,7 +1817,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 12 + 4 + 17:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 13 + 4 + 16:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -1822,6 +1849,7 @@ def queries() -> dict[str, Query]:
         "weighted_sample": q_weighted_sample,  # new in r7
         "ewma_user_value": q_ewma_user_value,
         "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -1852,11 +1880,11 @@ def queries() -> dict[str, Query]:
         "gap_fill_hourly": q_gap_fill_hourly,
         "monthly_rollup": q_monthly_rollup,
         "cast_double_view": q_cast_double_view,
-        "scaled_view": q_scaled_view,
-        # --- outside the 50-query window: the remaining 24 r05-green
+        # --- outside the 50-query window: the remaining 25 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "scaled_view": q_scaled_view,
         "zero_fill": q_zero_fill,
         "join_broadcast_dim": q_join_broadcast_dim,
         "join_large_sortmerge": q_join_large_sortmerge,
@@ -1965,24 +1993,17 @@ def _ann_lsh_oracle_sql(num_planes: int = 6, dim: int = 64, probe_hamming: int =
     """
 
 
-def _ivf_oracle_sql(
-    n_cells: int = 8,
-    iterations: int = 2,
-    dim: int = 64,
-    nprobe: int = 4,
-    k: int = 10,
-) -> str:
-    """Full SQL twin of q_embedding_ann_ivf: replays the ENTIRE training
-    (pmod seeding → Lloyd iterations unrolled as CTEs → final assign →
-    probe) in DuckDB, so the oracle holds at any sf — no frozen
-    data-dependent literals. Cross-engine float stability comes from the
-    same two rounding points the Spark side applies: Lloyd means at 9 dp
-    (kills partial-agg merge-order noise) and normalized centroid
-    components at 12 dp (so both engines argmax over bit-identical
-    codebooks). Assumes the training sample bound (100k) is not hit —
-    true for every testdata sf. Ties in argmax break to the lowest cell
-    on both sides (array_position-first ≡ ROW_NUMBER ORDER BY d DESC,
-    cell ASC)."""
+def _ivf_training_ctes(n_cells: int, iterations: int, dim: int) -> str:
+    """The shared IVF-training CTE chain (pmod seeding → Lloyd
+    iterations unrolled → normalized final codebook ``nf`` → final
+    assignment ``af``) — the replay both IVF oracles build on. Ends
+    WITHOUT a trailing comma; callers append their own query CTEs.
+    Cross-engine float stability comes from the same two rounding
+    points the Spark side applies: Lloyd means at 9 dp (kills
+    partial-agg merge-order noise) and normalized centroid components
+    at 12 dp (both engines argmax over bit-identical codebooks). Ties
+    in argmax break to the lowest cell on both sides
+    (array_position-first ≡ ROW_NUMBER ORDER BY d DESC, cell ASC)."""
     means = ", ".join(f"ROUND(AVG(v[{i + 1}]), 9)" for i in range(dim))
 
     def norm(src: str) -> str:
@@ -2017,8 +2038,7 @@ def _ivf_oracle_sql(
         )
         prev = f"c{it + 1}"
     chain = ",\n            ".join(iter_ctes)
-    return f"""
-        WITH e AS (
+    return f"""e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         seeds AS (
@@ -2030,6 +2050,23 @@ def _ivf_oracle_sql(
         ),
         {chain},
         nf AS ({norm(prev)}),
+        af AS ({assign("nf")})"""
+
+
+def _ivf_oracle_sql(
+    n_cells: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    nprobe: int = 4,
+    k: int = 10,
+) -> str:
+    """Full SQL twin of q_embedding_ann_ivf: replays the ENTIRE training
+    (see :func:`_ivf_training_ctes`) then probes the nprobe nearest
+    cells for the query vector — the oracle holds at any sf, no frozen
+    data-dependent literals. Assumes the training sample bound (100k)
+    is not hit — true for every testdata sf."""
+    return f"""
+        WITH {_ivf_training_ctes(n_cells, iterations, dim)},
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         probe AS (
             SELECT cell FROM nf, q
@@ -2037,8 +2074,7 @@ def _ivf_oracle_sql(
                      / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))) DESC,
                      cell ASC
             LIMIT {nprobe}
-        ),
-        af AS ({assign("nf")})
+        )
         SELECT af.vec_id,
                ROUND(list_dot_product(af.v, q.qv)
                      / (sqrt(list_dot_product(af.v, af.v)) * sqrt(list_dot_product(q.qv, q.qv))),
@@ -2047,6 +2083,41 @@ def _ivf_oracle_sql(
         WHERE af.cell IN (SELECT cell FROM probe)
         ORDER BY cosine_sim DESC, vec_id ASC
         LIMIT {k}
+    """
+
+
+def _ivf_knn_graph_oracle_sql(
+    n_cells: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    k: int = 3,
+) -> str:
+    """Full SQL twin of q_knn_graph_ivf: the same training replay as
+    :func:`_ivf_oracle_sql`, then every vector's k nearest CELL-mates —
+    similarity rounded to 6 dp BEFORE ranking with neighbor-id ties,
+    exactly like knn_graph_blocked."""
+    return f"""
+        WITH {_ivf_training_ctes(n_cells, iterations, dim)},
+        pairs AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   CAST(a.cell AS INT) AS cell,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS cosine_sim
+            FROM af a JOIN af b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC
+                   ) AS rank
+            FROM pairs
+        )
+        SELECT vec_id, neighbor_id, cell, cosine_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY vec_id, rank
     """
 
 
@@ -3256,6 +3327,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _simhash_oracle_sql(),
         "embedding_ann_lsh": _ann_lsh_oracle_sql(),
         "embedding_ann_ivf": _ivf_oracle_sql(),
+        "knn_graph_ivf": _ivf_knn_graph_oracle_sql(),
         "token_counts": """
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
