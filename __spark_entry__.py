@@ -516,6 +516,38 @@ def q_ngram_jaccard_prefix_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_plain_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain capped-join CONTAINMENT on the Zipfian corpus (cap
+    disabled so both variants compute the identical relation) — the
+    containment half of the crossover exhibit pair (VERDICT r6 item 8:
+    both sides of the plain-vs-prefix trade-off tracked
+    round-over-round, for BOTH pair semantics). Unigram shingles: on a
+    Zipf-head vocabulary the Σ df² self-join is the honest worst case
+    the asymmetric prefix route exists to avoid."""
+    from fresco_hpc_spark.functions import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _zipf_docs_with_dups(spark, sf_dir),
+        n=1,
+        threshold=0.8,
+        max_token_freq=10**9,
+        materialize=True,
+    )
+
+
+def q_containment_prefix_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-prefix containment on the same Zipfian corpus — the
+    measured scale winner on natural-text df (SCALE.md §containment
+    crossover). Shares the plain-zipf oracle (the prefix route is
+    lossless)."""
+    from fresco_hpc_spark.functions import ngram_containment_pairs_prefix
+
+    return ngram_containment_pairs_prefix(
+        _zipf_docs_with_dups(spark, sf_dir), n=1, threshold=0.8,
+        materialize=True,
+    )
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_pairs(
         _docs_with_dups(spark, sf_dir), threshold=0.5, materialize=True
@@ -1817,7 +1849,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 13 + 4 + 16:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 15 + 4 + 14:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -1856,6 +1888,8 @@ def queries() -> dict[str, Query]:
         "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
         "containment_pairs": q_containment_pairs,
         "containment_pairs_prefix": q_containment_pairs_prefix,
+        "containment_plain_zipf": q_containment_plain_zipf,    # new in r7
+        "containment_prefix_zipf": q_containment_prefix_zipf,  # new in r7
         # (3) the 4 r05-green queries certified only once ever:
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -1878,12 +1912,12 @@ def queries() -> dict[str, Query]:
         "topk_users_per_event": q_topk_users_per_event,
         "set_ops_events": q_set_ops_events,
         "gap_fill_hourly": q_gap_fill_hourly,
-        "monthly_rollup": q_monthly_rollup,
-        "cast_double_view": q_cast_double_view,
-        # --- outside the 50-query window: the remaining 25 r05-green
+        # --- outside the 50-query window: the remaining 27 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "monthly_rollup": q_monthly_rollup,
+        "cast_double_view": q_cast_double_view,
         "scaled_view": q_scaled_view,
         "zero_fill": q_zero_fill,
         "join_broadcast_dim": q_join_broadcast_dim,
@@ -3729,6 +3763,53 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_a, doc_b
     """
     oracles["ngram_jaccard_prefix_zipf"] = oracles["ngram_jaccard_plain_zipf"]
+
+    # Containment on the same SQL-generated Zipf corpus (r7 — the
+    # containment half of the crossover grid): identical corpus CTEs,
+    # containment emit semantics (either direction >= t), both variants
+    # share it (the asymmetric prefix route is lossless).
+    oracles["containment_plain_zipf"] = f"""
+        WITH corpus0 AS (
+            SELECT doc_id,
+                   'w' || CAST(CAST(floor(pow(20000.0, u)) AS BIGINT) AS VARCHAR)
+                       AS w
+            FROM (
+                SELECT d.doc_id, t.j,
+                       (('0x' || substring(md5(d.doc_id::VARCHAR || '-'
+                                               || t.j::VARCHAR), 1, 15))::BIGINT
+                        % 1000003) / 1000003.0 AS u
+                FROM (SELECT unnest(generate_series(0, {_ZIPF_ORACLE_DOCS - 1}))
+                             AS doc_id) d,
+                     (SELECT unnest(generate_series(0, {_ZIPF_TOKENS_PER_DOC - 1}))
+                             AS j) t
+            )
+        ),
+        toks AS (
+            SELECT DISTINCT doc_id AS doc, w AS token FROM corpus0
+            UNION ALL
+            SELECT DISTINCT doc_id + 1000000 AS doc, w AS token
+            FROM corpus0 WHERE doc_id % 10 = 0
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM toks GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+            FROM toks a JOIN toks b
+              ON a.token = b.token AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+               ROUND(n_common / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+               ROUND(n_common / CAST(sb.n AS DOUBLE), 6) AS containment_b,
+               ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE ROUND(n_common / CAST(sa.n AS DOUBLE), 6) >= 0.8
+           OR ROUND(n_common / CAST(sb.n AS DOUBLE), 6) >= 0.8
+        ORDER BY doc_a, doc_b
+    """
+    oracles["containment_prefix_zipf"] = oracles["containment_plain_zipf"]
 
     oracles["tfidf_top_terms"] = """
         WITH toks AS (

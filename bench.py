@@ -8,7 +8,7 @@ Stdout-line sizing (VERDICT r5 item 3): the driver captures only the LAST
 ~2000 chars of stdout and json-parses the final line; at 109 queries the
 full per-query map is ~2600 chars, which is why BENCH_r04/r05 recorded
 ``parsed: null``. The final line therefore carries (a) the headline
-``value`` = total seconds over OPERATOR queries (excluding the two
+``value`` = total seconds over OPERATOR queries (excluding the four
 quarantined worst-case exhibits, reported separately as
 ``value_exhibits``), (b) ``value_full`` = everything, and (c) a
 ``queries`` map of per-FAMILY subtotals (first name token) that fits the
@@ -41,20 +41,25 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-#: Deliberate worst-case exhibits (the measured Zipf crossover pair):
+#: Deliberate worst-case exhibits (the measured Zipf crossover pairs):
 #: they stay in the suite — and run LAST so their shuffle doesn't
 #: contaminate neighbors — but are excluded from the headline operator
 #: total and reported under ``value_exhibits``.
-EXHIBIT_QUERIES = {"ngram_jaccard_plain_zipf", "ngram_jaccard_prefix_zipf"}
+EXHIBIT_QUERIES = {
+    "ngram_jaccard_plain_zipf",
+    "ngram_jaccard_prefix_zipf",
+    "containment_plain_zipf",
+    "containment_prefix_zipf",
+}
 
 #: The documented plain-vs-prefix trade-off, tracked at BOTH corpus
 #: geometries round-over-round (VERDICT r6 item 8): Zipfian df (natural
 #: text — prefix wins) and the driver corpus's near-uniform df (no head
 #: to prune — plain wins). Cells name registered queries; bench_out.json
 #: carries their {sec, shuffle_bytes, tasks, gc_ms} under ``exhibits``.
-#: The containment pair's Zipf side is measured by
-#: tools/stress_zipf_containment.py (SCALE.md) rather than a registered
-#: query — the registered grid tracks what the suite itself runs.
+#: Both semantics (Jaccard + containment) cover both geometries as of
+#: r7; tools/stress_zipf_containment.py remains the larger-corpus
+#: crossover probe behind the SCALE.md analysis.
 EXHIBIT_GRID = {
     "jaccard": {
         "zipf_plain": "ngram_jaccard_plain_zipf",
@@ -63,6 +68,8 @@ EXHIBIT_GRID = {
         "uniform_prefix": "ngram_jaccard_prefix",
     },
     "containment": {
+        "zipf_plain": "containment_plain_zipf",
+        "zipf_prefix": "containment_prefix_zipf",
         "uniform_plain": "containment_pairs",
         "uniform_prefix": "containment_pairs_prefix",
     },
