@@ -322,6 +322,16 @@ def q_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.topn_others(table(spark, sf_dir, "events"), "user_id", n=10)
 
 
+def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of lineitem prices (operators/histogram.py
+    equi_depth_histogram): 8 frequency-balanced bins with edges at the
+    i/8 percentiles from the distributed order-statistics machinery —
+    the optimizer-stats/quantile-viz complement of the two equal-width
+    histograms. Map-side labeling, one tiny groupBy, no data sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return ops.equi_depth_histogram(li, "l_extendedprice", bins=8)
+
+
 def q_histogram_bin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.histogram_bin_index(table(spark, sf_dir, "lineitem"), "l_extendedprice", bins=50)
 
@@ -1849,7 +1859,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 15 + 4 + 14:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 16 + 4 + 13:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -1878,6 +1888,7 @@ def queries() -> dict[str, Query]:
         "profile_agg_day": q_profile_agg_day,
         "profile_agg_minute": q_profile_agg_minute,
         "grouped_percentiles": q_grouped_percentiles,  # new in r7
+        "histogram_equi_depth": q_histogram_equi_depth,  # new in r7
         "weighted_sample": q_weighted_sample,  # new in r7
         "ewma_user_value": q_ewma_user_value,
         "knn_graph": q_knn_graph,
@@ -1911,11 +1922,11 @@ def queries() -> dict[str, Query]:
         "daily_uniques": q_daily_uniques,
         "topk_users_per_event": q_topk_users_per_event,
         "set_ops_events": q_set_ops_events,
-        "gap_fill_hourly": q_gap_fill_hourly,
-        # --- outside the 50-query window: the remaining 27 r05-green
+        # --- outside the 50-query window: the remaining 28 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "gap_fill_hourly": q_gap_fill_hourly,
         "monthly_rollup": q_monthly_rollup,
         "cast_double_view": q_cast_double_view,
         "scaled_view": q_scaled_view,
@@ -2656,6 +2667,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, s
             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
             GROUP BY x_bin, y_bin ORDER BY x_bin, y_bin
+        """,
+        "histogram_equi_depth": """
+            WITH b AS (
+                SELECT
+                    ROUND(percentile_cont(0.125) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS b1,
+                    ROUND(percentile_cont(0.25)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS b2,
+                    ROUND(percentile_cont(0.375) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS b3,
+                    ROUND(percentile_cont(0.5)   WITHIN GROUP (ORDER BY l_extendedprice), 6) AS b4,
+                    ROUND(percentile_cont(0.625) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS b5,
+                    ROUND(percentile_cont(0.75)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS b6,
+                    ROUND(percentile_cont(0.875) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS b7
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), labeled AS (
+                SELECT l_extendedprice AS v,
+                       CAST(CASE WHEN l_extendedprice <= b.b1 THEN 1
+                                 WHEN l_extendedprice <= b.b2 THEN 2
+                                 WHEN l_extendedprice <= b.b3 THEN 3
+                                 WHEN l_extendedprice <= b.b4 THEN 4
+                                 WHEN l_extendedprice <= b.b5 THEN 5
+                                 WHEN l_extendedprice <= b.b6 THEN 6
+                                 WHEN l_extendedprice <= b.b7 THEN 7
+                                 ELSE 8 END AS BIGINT) AS bin
+                FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT bin, COUNT(*) AS n_rows,
+                   ROUND(MIN(v), 6) AS min_value,
+                   ROUND(MAX(v), 6) AS max_value
+            FROM labeled GROUP BY bin ORDER BY bin
         """,
         "weighted_sample": r"""
             WITH c AS (

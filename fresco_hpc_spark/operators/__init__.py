@@ -41,6 +41,7 @@ from fresco_hpc_spark.operators.topn import (  # noqa: F401
     topn_others,
 )
 from fresco_hpc_spark.operators.histogram import (  # noqa: F401
+    equi_depth_histogram,
     histogram2d,
     histogram_bin_index,
     histogram_range_join,

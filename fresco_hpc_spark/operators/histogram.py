@@ -159,3 +159,43 @@ def histogram2d(
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("x_bin", "y_bin")
     )
+
+
+def equi_depth_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """EQUI-DEPTH histogram — the frequency-balanced complement of the
+    two equal-WIDTH histograms above (A8/A9), and the shape optimizer
+    statistics and quantile visualizations actually want: bin edges at
+    the i/bins percentiles, so every bin holds ~n/bins rows regardless
+    of the value distribution (an equal-width histogram of a
+    heavy-tailed column puts 99% of rows in one bar).
+
+    Built entirely on the distributed order-statistics machinery:
+    bounds come from ``distributed_exact_percentiles`` (no single-node
+    value buffer), rows are labeled by the same map-side rounded-bound
+    ``when()`` chain as :func:`~fresco_hpc_spark.operators.percentiles.
+    quantile_bucket` (bounds rounded HALF_UP at 6 dp, so an oracle
+    recomputing them with its own PERCENTILE_CONT lands on identical
+    literals; equal values always share a bin), then ONE
+    partial-aggregated groupBy emits per-bin count/min/max. Ties at a
+    bound can make bins uneven — that is the standard equi-depth
+    semantics, not an error. NULLs are excluded.
+
+    Scale shape: two bounded bounds jobs at build time + a map-side
+    projection + one groupBy(bin) with ``bins`` groups. No sort of the
+    data, no window, nothing proportional to n on any single task.
+    """
+    from fresco_hpc_spark.operators.percentiles import quantile_bucket
+
+    fractions = [i / bins for i in range(1, bins)]
+    labeled = quantile_bucket(
+        df.filter(F.col(col).isNotNull()), col, fractions, label_col="bin"
+    )
+    return (
+        labeled.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(col), 6).alias("min_value"),
+            F.round(F.max(col), 6).alias("max_value"),
+        )
+        .orderBy("bin")
+    )

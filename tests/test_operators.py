@@ -583,3 +583,26 @@ def test_standardize_global_and_constant_column(spark):
     df = spark.createDataFrame([(i, 5.0) for i in range(4)], "id bigint, v double")
     out = standardize(df, "v").collect()
     assert all(r.v_z is None for r in out)  # zero variance -> NULL
+
+
+def test_equi_depth_histogram_balances_bins(spark):
+    """Edges at the i/bins percentiles: on 1..100 distinct values with
+    4 bins every bin holds exactly 25 rows with contiguous min/max;
+    ties at a bound stay in one bin (standard equi-depth semantics);
+    NULLs excluded; counts partition the non-null rows."""
+    from fresco_hpc_spark.operators import equi_depth_histogram
+
+    rows = [(float(i),) for i in range(1, 101)] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r.bin: r for r in equi_depth_histogram(df, "x", bins=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(out[b].n_rows == 25 for b in out)
+    assert out[1].min_value == 1.0 and out[1].max_value == 25.0
+    assert out[4].min_value == 76.0 and out[4].max_value == 100.0
+    # heavy ties: one value dominating → that bin swallows the ties
+    tied = spark.createDataFrame(
+        [(5.0,)] * 90 + [(float(i),) for i in range(10)], "x double"
+    )
+    tout = {r.bin: r.n_rows for r in equi_depth_histogram(tied, "x", bins=4).collect()}
+    assert sum(tout.values()) == 100
+    assert max(tout.values()) >= 90  # ties never split across bins
