@@ -211,7 +211,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "containment_pairs_prefix", "pack_texts", "domain_cap", "knn_graph",
         "corpus_curation_v4",
         # round 7
-        "grouped_percentiles", "weighted_sample",
+        "grouped_percentiles", "weighted_sample", "histogram_equi_depth",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -351,6 +351,18 @@ def test_profile_agg_quartiles_are_distributed(spark):
     assert "percentile(" not in plan
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_grouped_cdf_reuses_range_exchange(spark):
+    """grouped_cume_counts feeds TWO consumers (per-(pid,group)
+    subtotals and the probe side of the offsets join) from one range
+    exchange. The adaptive executed plan must materialize that exchange
+    ONCE (ReusedExchange) — losing reuse silently doubles the source
+    scan + tie-collapse aggregation."""
+    df = entrymod.queries()["value_cdf"](spark, SF_SMALL)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
 
 
 def test_lazy_operators_run_no_construction_jobs(spark):
