@@ -430,8 +430,13 @@ def weighted_sample_k(
     ``pow`` difference between libm implementations cannot flip a rank;
     ties break on the id).
 
-    Rows with NULL or non-positive weight are excluded (weight ∝
-    inclusion has no meaning for them — filter or reassign upstream).
+    Rows with a NULL id or NULL/non-positive weight are excluded: the
+    coin is id-derived, so a NULL id has no defined inclusion
+    probability (r7 review: without the id filter the global and
+    grouped routes disagreed — the grouped route's cume-counts dropped
+    the NULL key while the global sort could emit it), and weight ∝
+    inclusion has no meaning for non-positive weights. Filter or
+    reassign upstream if such rows must participate.
 
     Scale shape: the GLOBAL variant (``group_col=None``) is a
     ``TakeOrderedAndProject`` — top-k without a global sort. The
@@ -462,7 +467,9 @@ def weighted_sample_k(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     )
     key = F.round(F.pow(u, F.lit(1.0) / w), round_to)
-    base = df.filter(w.isNotNull() & (w > 0)).withColumn("_key", key)
+    base = df.filter(
+        F.col(id_col).isNotNull() & w.isNotNull() & (w > 0)
+    ).withColumn("_key", key)
     if group_col is None:
         return (
             base.orderBy(F.desc("_key"), F.col(id_col))

@@ -186,10 +186,17 @@ def equi_depth_histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
     """
     from fresco_hpc_spark.operators.percentiles import quantile_bucket
 
-    fractions = [i / bins for i in range(1, bins)]
-    labeled = quantile_bucket(
-        df.filter(F.col(col).isNotNull()), col, fractions, label_col="bin"
-    )
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    nonnull = df.filter(F.col(col).isNotNull())
+    if bins == 1:
+        # degenerate single bin: no bounds to compute (an empty
+        # fraction list would crash the percentile machinery — r7
+        # review); one bin holds every non-null row
+        labeled = nonnull.withColumn("bin", F.lit(1).cast("bigint"))
+    else:
+        fractions = [i / bins for i in range(1, bins)]
+        labeled = quantile_bucket(nonnull, col, fractions, label_col="bin")
     return (
         labeled.groupBy("bin")
         .agg(

@@ -136,14 +136,31 @@ def grouped_cume_counts(
        group's size. ``_cume = offset + local running count``.
 
     The range exchange feeds both the subtotal branch and the join
-    probe; Catalyst's ReuseExchange computes it once, so both sides
-    see identical ``spark_partition_id`` assignments. No window in the
-    plan is partitioned by the bare group key (plan-pinned in
-    test_plan_quality).
+    probe; Catalyst's ReuseExchange (or AQE's stage reuse) computes it
+    once, so both sides see identical ``spark_partition_id``
+    assignments. That reuse is LOAD-BEARING (r7 review): a twice-
+    materialized range exchange samples its partition boundaries with
+    rdd-id-derived seeds and the two branches could disagree on _pid,
+    silently corrupting offsets. Exchange reuse is on by default in
+    every Spark deployment; this function REFUSES to build the plan
+    when a session has turned both reuse paths off, rather than risk a
+    wrong answer, and the executed-plan ReusedExchange node is pinned
+    in test_plan_quality. No window in the plan is partitioned by the
+    bare group key (also plan-pinned).
     """
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    reuse = spark.conf.get("spark.sql.exchange.reuse.enabled", "true")
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if str(reuse).lower() != "true" and str(adaptive).lower() != "true":
+        raise ValueError(
+            "grouped_cume_counts requires exchange reuse "
+            "(spark.sql.exchange.reuse.enabled or spark.sql.adaptive."
+            "enabled): without it the two consumers of the range "
+            "exchange could see different partition boundaries and "
+            "produce silently wrong offsets"
+        )
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     dv = (
         df.select(*group_cols, F.col(value_col).alias("_v"))

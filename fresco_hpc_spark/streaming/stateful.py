@@ -26,6 +26,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -405,23 +406,7 @@ _RESERVOIR_STATE_SCHEMA = T.StructType(
 )
 
 
-def _ares_key(doc_id: int, weight: float, salt: str) -> float:
-    """The EXACT batch sample_key, recomputed in Python: md5 is md5
-    everywhere, and the HALF_UP 9-dp rounding matches Spark's F.round
-    (python round() is banker's and would diverge on .5 boundaries)."""
-    import hashlib
-    from decimal import ROUND_HALF_UP, Decimal
-
-    h = hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()
-    u = int(h[:15], 16) / float(2**60)
-    return float(
-        Decimal(repr(u ** (1.0 / weight))).quantize(
-            Decimal("1e-9"), ROUND_HALF_UP
-        )
-    )
-
-
-def _make_reservoir_fn(k: int, salt: str, ttl_seconds: int | None):
+def _make_reservoir_fn(k: int, ttl_seconds: int | None):
     kk = int(k)
 
     def _reservoir_fn(
@@ -431,11 +416,16 @@ def _make_reservoir_fn(k: int, salt: str, ttl_seconds: int | None):
     ) -> Iterator[pd.DataFrame]:
         """Per-group A-Res reservoir kernel: state = the current top-k
         (id, weight, sample_key) triples; each micro-batch's rows merge
-        in and the k largest keys survive. Because A-Res is a pure
-        top-k over a content-derived key, the reservoir after ANY
-        prefix of the stream equals the batch ``weighted_sample_k``
-        over the rows seen so far — the drained-stream == batch
-        contract (test_streaming pins it)."""
+        in and the k largest keys survive. The key arrives ALREADY
+        COMPUTED by the same JVM expression the batch operator uses
+        (r7 review: a Python-recomputed pow could land one libm-ulp
+        across a 9-dp rounding boundary and flip a rank near the
+        k-edge), so the kernel only merges and never does float math —
+        the reservoir after ANY prefix of the stream equals the batch
+        ``weighted_sample_k`` over the rows seen so far bit-for-bit
+        (test_streaming pins it). Rows whose key is NULL (null id or
+        excluded weight) are skipped, matching the batch filter —
+        and never crash the query (int(NaN) raised before)."""
         if ttl_seconds is not None and state.hasTimedOut:
             state.remove()
             yield pd.DataFrame(
@@ -457,10 +447,10 @@ def _make_reservoir_fn(k: int, salt: str, ttl_seconds: int | None):
         else:
             pool, seq = [], 0
         rows = pd.concat(list(batches), ignore_index=True)
-        for i, w in zip(rows["id"], rows["weight"]):
-            if pd.isna(w) or w <= 0:
+        for i, w, ky in zip(rows["id"], rows["weight"], rows["sample_key"]):
+            if pd.isna(i) or pd.isna(w) or pd.isna(ky) or w <= 0:
                 continue  # same exclusion as the batch operator
-            pool.append((int(i), float(w), _ares_key(int(i), float(w), salt)))
+            pool.append((int(i), float(w), float(ky)))
         # top-k by (key desc, id asc) — ties identical to the batch rank
         pool.sort(key=lambda t: (-t[2], t[0]))
         pool = pool[:kk]
@@ -510,20 +500,33 @@ def streaming_weighted_sample(
     monotonically increasing ``batch_seq``; downstream consumers read
     the max-seq emission per group as "the sample so far" (append mode
     cannot retract rows, so supersession is by sequence, the standard
-    accumulating-snapshot pattern). Because the sample key is the same
-    md5-derived ``u^(1/w)`` the batch operator computes (HALF_UP 9-dp,
-    ties on id), a drained stream's final reservoir equals the batch
-    operator over all rows seen — EXACTLY (test_streaming pins it).
-    Null/non-positive weights are excluded, like the batch operator.
-    Same TTL/backfill contract as the other stateful kernels.
+    accumulating-snapshot pattern). The sample key is computed BY THE
+    SAME JVM EXPRESSION the batch operator uses — md5-derived
+    ``u^(1/w)``, HALF_UP 9-dp, evaluated in the streaming plan before
+    the stateful kernel (r7 review: a Python-side pow recomputation
+    could land one libm-ulp across a rounding boundary and flip a
+    rank) — so a drained stream's final reservoir equals the batch
+    operator over all rows seen bit-for-bit (test_streaming pins it).
+    Null ids and null/non-positive weights are excluded, like the
+    batch operator. Same TTL/backfill contract as the other stateful
+    kernels.
     """
+    from fresco_hpc_spark.functions.sampling import hash_fraction
+
     renamed = stream_df.selectExpr(
         f"CAST(`{key_col}` AS STRING) AS group_key",
         f"CAST(`{id_col}` AS LONG) AS id",
         f"CAST(`{weight_col}` AS DOUBLE) AS weight",
     )
-    return renamed.groupBy("group_key").applyInPandasWithState(
-        _make_reservoir_fn(k, salt, ttl_seconds),
+    u = hash_fraction(
+        F.concat(F.lit(salt + "|"), F.col("id").cast("string"))
+    )
+    keyed = renamed.withColumn(
+        "sample_key",
+        F.round(F.pow(u, F.lit(1.0) / F.col("weight")), 9),
+    )
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _make_reservoir_fn(k, ttl_seconds),
         outputStructType=RESERVOIR_OUTPUT_SCHEMA,
         stateStructType=_RESERVOIR_STATE_SCHEMA,
         outputMode="append",
