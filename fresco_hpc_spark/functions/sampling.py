@@ -436,7 +436,11 @@ def weighted_sample_k(
     grouped routes disagreed — the grouped route's cume-counts dropped
     the NULL key while the global sort could emit it), and weight ∝
     inclusion has no meaning for non-positive weights. Filter or
-    reassign upstream if such rows must participate.
+    reassign upstream if such rows must participate. Ids are the
+    sampling IDENTITY and must be unique within a group: duplicate ids
+    draw the SAME coin (hence identical keys), so their relative rank
+    at the k-boundary is tie-broken arbitrarily — dedup upstream if
+    ids can repeat.
 
     Scale shape: the GLOBAL variant (``group_col=None``) is a
     ``TakeOrderedAndProject`` — top-k without a global sort. The
