@@ -390,6 +390,31 @@ def ngram_containment_pairs(
     return _finish_pairs(result, [rare], materialize)
 
 
+def _join_verify(cands: DataFrame, ranked: DataFrame) -> DataFrame:
+    """Exact (n_common, size_a, size_b) per candidate pair via equi-joins
+    on the DISTINCT (doc, token) relation — the shared verify tail of
+    both prefix-filtered pair generators. ``n_common`` counts tokens
+    present in both docs; sizes come from a per-doc aggregate. Every
+    join is an equi-join (token/doc keys, never cartesian — the family
+    plan audit covers it), every row constant-size."""
+    ta = ranked.select(F.col("doc").alias("_da"), F.col("token").alias("_t"))
+    tb = ranked.select(F.col("doc").alias("_db"), F.col("token").alias("_t"))
+    common = (
+        cands.join(ta, F.col("doc_a") == F.col("_da"))
+        .join(tb, (F.col("doc_b") == F.col("_db")) & (ta["_t"] == tb["_t"]))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = ranked.groupBy("doc").agg(F.first("n_tokens").alias("n_tokens"))
+    sa = sizes.select(F.col("doc").alias("_sa"), F.col("n_tokens").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("_sb"), F.col("n_tokens").alias("size_b"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("_sa"))
+        .join(sb, F.col("doc_b") == F.col("_sb"))
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",
@@ -504,26 +529,15 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verify: one sorted token array per doc, intersection by
-    # array_intersect — JVM-side, sized by the two docs, not the corpus
-    sets = ranked.groupBy("doc").agg(
-        F.array_sort(F.collect_set("token")).alias("toks"),
-        F.first("n_tokens").alias("n_tokens"),
-    )
-    sa, sb = sets.alias("sa"), sets.alias("sb")
-    joined = (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks"))).alias(
-                "n_common"
-            ),
-            F.col("sa.n_tokens").alias("size_a"),
-            F.col("sb.n_tokens").alias("size_b"),
-        )
-    )
+    # exact verify by EQUI-JOIN against the (distinct) token relation —
+    # n_common(pair) = count of tokens present in both docs. Replaced
+    # the r2 collect_set/array_intersect verify in r7: measured ~1.7×
+    # faster on the uniform-df corpus (7.5 s → 4.5 s steady-state at
+    # sf0.1, identical output), and the scale shape is strictly better —
+    # no per-doc token ARRAY rows (a giant document made an array row of
+    # megabytes; the join streams constant-size (pair, token) rows
+    # through partial-aggregated counts).
+    joined = _join_verify(cands, ranked)
     jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     result = (
         joined.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
@@ -632,24 +646,10 @@ def ngram_containment_pairs_prefix(
         )
         .distinct()
     )
-    sets = ranked.groupBy("doc").agg(
-        F.array_sort(F.collect_set("token")).alias("toks"),
-        F.first("n_tokens").alias("n_tokens"),
-    )
-    sa, sb = sets.alias("sa"), sets.alias("sb")
-    joined = (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks"))).alias(
-                "n_common"
-            ),
-            F.col("sa.n_tokens").alias("size_a"),
-            F.col("sb.n_tokens").alias("size_b"),
-        )
-    )
+    # join-based exact verify (r7, see _join_verify / the jaccard twin:
+    # measured ~1.7× faster than the collect_set/array_intersect verify
+    # on the uniform-df corpus, identical output, no per-doc array rows)
+    joined = _join_verify(cands, ranked)
     c_a = F.round(F.col("n_common") / F.col("size_a"), 6)
     c_b = F.round(F.col("n_common") / F.col("size_b"), 6)
     jacc = F.round(
