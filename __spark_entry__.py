@@ -1608,6 +1608,55 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_blocked(table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the blocked kNN graph
+    (operators/graph.py pagerank_fixed_point on functions/vectors.py
+    knn_graph_blocked edges): which vectors are HUBS of the semantic
+    graph — the keep-the-centroid heuristic for near-dup cluster
+    resolution and coreset selection. Three damped iterations in exact
+    BIGINT fixed-point (integer division throughout), so the result is
+    bit-identical across engines and partitionings; each iteration is
+    one equi-join + one partial-agg groupBy, nothing quadratic."""
+    from fresco_hpc_spark.functions import knn_graph_blocked
+    from fresco_hpc_spark.operators.graph import pagerank_fixed_point
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_graph_blocked(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    verts = emb.select(F.col("vec_id").alias("id"))
+    return (
+        pagerank_fixed_point(edges, verts)
+        .select(F.col("id").alias("vec_id"), "pagerank")
+        .orderBy("vec_id")
+    )
+
+
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Levenshtein record linkage on part names
+    (operators/joins.py fuzzy_match_names): the merge-candidate
+    dictionary over DISTINCT normalized names — blocking on the first
+    token, threshold-capped edit distance (Spark's 3-arg levenshtein
+    early-exits the DP), occurrence counts carried so reviewers see
+    the blast radius. Distinct-first: the n² id expansion never
+    materializes; candidates are vocab-sized per block."""
+    from fresco_hpc_spark.operators import fuzzy_match_names
+
+    return fuzzy_match_names(table(spark, sf_dir, "part"), "p_name", max_dist=4)
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    (functions/text.py source_token_divergence): the mixture-QA check —
+    a source whose KL spikes is distributionally unlike the blend it
+    feeds. Micro-unit exact (per-token contributions quantized to
+    BIGINTs before the sum), one tokenize pass, vocabulary-sized
+    re-aggregations."""
+    from fresco_hpc_spark.functions import source_token_divergence
+
+    return source_token_divergence(table(spark, sf_dir, "documents"))
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (functions/sampling.py cap_per_group):
     keep at most 50 docs per source, selected as the 50 smallest
@@ -1859,7 +1908,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 16 + 4 + 13:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 19 + 4 + 10:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -1880,8 +1929,9 @@ def queries() -> dict[str, Query]:
         "session_duration": q_session_duration,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        # (2) the 10 queries whose implementation or plan changed in
-        #     r7: profile_agg quartiles on the grouped primitive (item 7),
+        # (2) the 19 queries new or changed in r7 — never-certified
+        #     first: pagerank_knn / fuzzy_match_parts / source_divergence,
+        #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
         #     half-ulp-slack prefix pair generators (item 3 / ADVICE):
@@ -1893,6 +1943,9 @@ def queries() -> dict[str, Query]:
         "ewma_user_value": q_ewma_user_value,
         "knn_graph": q_knn_graph,
         "knn_graph_ivf": q_knn_graph_ivf,  # new in r7
+        "pagerank_knn": q_pagerank_knn,  # new in r7
+        "fuzzy_match_parts": q_fuzzy_match_parts,  # new in r7
+        "source_divergence": q_source_divergence,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -1919,13 +1972,13 @@ def queries() -> dict[str, Query]:
         "wide_table_roundtrip": q_wide_table_roundtrip,
         "rolling_hour_avg": q_rolling_hour_avg,
         "session_stats": q_session_stats,
-        "daily_uniques": q_daily_uniques,
-        "topk_users_per_event": q_topk_users_per_event,
-        "set_ops_events": q_set_ops_events,
-        # --- outside the 50-query window: the remaining 28 r05-green
+        # --- outside the 50-query window: the remaining 31 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "daily_uniques": q_daily_uniques,
+        "topk_users_per_event": q_topk_users_per_event,
+        "set_ops_events": q_set_ops_events,
         "gap_fill_hourly": q_gap_fill_hourly,
         "monthly_rollup": q_monthly_rollup,
         "cast_double_view": q_cast_double_view,
@@ -2129,6 +2182,86 @@ def _ivf_oracle_sql(
         ORDER BY cosine_sim DESC, vec_id ASC
         LIMIT {k}
     """
+
+
+# Shared by the knn_graph oracle and the pagerank_knn oracle (which
+# replays the identical edge set): label-blocked exact-cosine top-5,
+# similarity rounded to 6 dp BEFORE ranking, neighbor-id tie-break —
+# the exact semantics of functions/vectors.py knn_graph_blocked.
+_KNN_GRAPH_EDGE_CTES = """
+        e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id, a.label,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS cosine_sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC
+                   ) AS rank
+            FROM pairs
+        )
+"""
+
+
+def _pagerank_knn_oracle_sql(
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    k: int = 5,
+) -> str:
+    """SQL twin of q_pagerank_knn: the same kNN edge replay as the
+    knn_graph oracle, then ``iterations`` unrolled rounds of the
+    integer fixed-point recurrence from operators/graph.py
+    pagerank_fixed_point — BIGINT floor division (DuckDB ``//`` ==
+    Spark ``div`` on non-negative operands), so both engines compute
+    the identical integers and only the final /scale touches floats."""
+    s, dn, dd = int(scale), int(damping_num), int(damping_den)
+    ctes = [
+        _KNN_GRAPH_EDGE_CTES.strip().rstrip(),
+        f"ed AS (SELECT vec_id AS src, neighbor_id AS dst "
+        f"FROM ranked WHERE rank <= {int(k)})",
+        "v AS (SELECT vec_id AS id FROM embeddings)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
+        "deg AS (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM ed GROUP BY src)",
+        f"r0 AS (SELECT id, CAST({s} AS BIGINT) // nn.n AS r "
+        f"FROM v CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for i in range(1, int(iterations) + 1):
+        ctes.append(
+            f"s{i} AS (SELECT r.id AS u, r.r // d.deg AS share "
+            f"FROM {prev} r JOIN deg d ON r.id = d.u)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT ed.dst AS id, "
+            f"CAST(SUM(s.share) AS BIGINT) AS insum "
+            f"FROM ed JOIN s{i} s ON ed.src = s.u GROUP BY ed.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT v.id, "
+            f"((CAST({(dd - dn) * s} AS BIGINT) // {dd}) // nn.n) "
+            f"+ ((CAST({dn} AS BIGINT) * COALESCE(c.insum, CAST(0 AS BIGINT)))"
+            f" // {dd}) AS r "
+            f"FROM v CROSS JOIN nn LEFT JOIN c{i} c ON v.id = c.id)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT id AS vec_id, ROUND(r / {float(s)}, 9) AS pagerank"
+        + f"\n        FROM {prev} ORDER BY vec_id"
+    )
 
 
 def _ivf_knn_graph_oracle_sql(
@@ -4226,30 +4359,70 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY source, bin_id
     """
 
-    oracles["knn_graph"] = """
-        WITH e AS (
-            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings
-        ),
-        pairs AS (
-            SELECT a.vec_id, b.vec_id AS neighbor_id, a.label,
-                   ROUND(list_dot_product(a.v, b.v)
-                         / (sqrt(list_dot_product(a.v, a.v))
-                            * sqrt(list_dot_product(b.v, b.v))), 6)
-                       AS cosine_sim
-            FROM e a JOIN e b
-              ON a.label = b.label AND a.vec_id <> b.vec_id
-        ),
-        ranked AS (
-            SELECT *, ROW_NUMBER() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY cosine_sim DESC, neighbor_id ASC
-                   ) AS rank
-            FROM pairs
-        )
+    oracles["knn_graph"] = f"""
+        WITH {_KNN_GRAPH_EDGE_CTES.strip()}
         SELECT vec_id, neighbor_id, label, cosine_sim, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
         ORDER BY vec_id, rank
+    """
+
+    oracles["pagerank_knn"] = _pagerank_knn_oracle_sql()
+
+    oracles["fuzzy_match_parts"] = r"""
+        WITH n AS (
+            SELECT lower(trim(p_name)) AS name, COUNT(*) AS cnt
+            FROM part
+            WHERE p_name IS NOT NULL AND lower(trim(p_name)) <> ''
+            GROUP BY 1
+        ),
+        b AS (
+            SELECT name, cnt, str_split_regex(name, '\s+')[1] AS block
+            FROM n
+        )
+        SELECT a.block, a.name AS name_a, bb.name AS name_b,
+               CAST(levenshtein(a.name, bb.name) AS INT) AS dist,
+               a.cnt AS cnt_a, bb.cnt AS cnt_b
+        FROM b a JOIN b bb ON a.block = bb.block AND a.name < bb.name
+        WHERE levenshtein(a.name, bb.name) <= 4
+        ORDER BY name_a, name_b
+    """
+
+    oracles["source_divergence"] = r"""
+        WITH toks AS (
+            SELECT source AS grp,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS token
+            FROM documents
+        ),
+        t2 AS (SELECT grp, token FROM toks WHERE token <> ''),
+        gt AS (
+            SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c_gt
+            FROM t2 GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT grp, CAST(SUM(c_gt) AS BIGINT) AS n_g,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM gt GROUP BY 1
+        ),
+        tt AS (
+            SELECT token, CAST(SUM(c_gt) AS BIGINT) AS c_t
+            FROM gt GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM tt),
+        u AS (
+            SELECT gt.grp,
+                   CAST(ROUND((gt.c_gt / g.n_g)
+                              * ln((gt.c_gt * tot.n_tot) / (g.n_g * tt.c_t))
+                              * 1e6, 0) AS BIGINT) AS uu
+            FROM gt JOIN g USING (grp) JOIN tt USING (token) CROSS JOIN tot
+        ),
+        k AS (
+            SELECT grp, ROUND(SUM(uu) / 1e6, 6) AS kl_divergence
+            FROM u GROUP BY grp
+        )
+        SELECT g.grp AS source, g.n_g AS n_tokens, g.vocab AS vocab,
+               k.kl_divergence
+        FROM g JOIN k USING (grp) ORDER BY source
     """
 
     oracles["domain_cap"] = """

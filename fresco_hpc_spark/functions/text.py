@@ -996,3 +996,75 @@ def source_quality_report(
         )
         .orderBy(group_col)
     )
+
+
+def source_token_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group token-distribution divergence from the whole corpus:
+    for each value of ``group_col``, KL(p_group ‖ p_corpus) over the
+    unigram distributions, plus the group's token and vocabulary
+    counts. The mixture-QA check an LLM-data pipeline runs on its
+    sources — a source whose KL spikes is distributionally unlike the
+    blend it feeds (scraper drift, language contamination, boilerplate
+    floods) and its mixing weight needs a second look; near-zero KL
+    flags a source that adds volume but no diversity.
+
+    Exactness contract (oracle rule 8, COVERAGE.md): every per-token
+    contribution p·ln(p/q) is quantized to integer micro-units
+    (×1e6, half-up) BEFORE the per-group sum, so the aggregate is
+    summation-order-free and cross-engine identical. The ratio inside
+    the log is computed from exact integer products,
+    ``(c_gt·N) / (n_g·c_t)`` — both operands are exact BIGINTs (< 2^53
+    at any realistic vocabulary mass), so the double division and the
+    libm log see bit-identical inputs in both engines. KL ≥ 0 up to
+    quantization; tokens absent from a group contribute 0 by the
+    p·log p convention (p = 0), and every group token exists in the
+    corpus by construction so q > 0 — no smoothing needed.
+
+    Scale shape: one tokenize-explode → one (group, token) partial-agg
+    groupBy; the group totals and corpus token totals RE-AGGREGATE that
+    vocabulary-sized relation (never the token stream twice); the
+    corpus grand total rides a broadcast 1-row frame. The joins back
+    onto (group, token) are equi-joins on token / group — at 100 TB the
+    token-total side is vocabulary-sized and the group-total side is
+    #groups-sized, both far under the stream, and AQE broadcasts them
+    when small. Nothing touches Python.
+    """
+    df = _fan_out(df)
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = (
+        df.select(F.col(group_col).alias("grp"), F.explode(words).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    gt = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c_gt"))
+    g_tot = gt.groupBy("grp").agg(
+        F.sum("c_gt").alias("n_g"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    t_tot = gt.groupBy("token").agg(F.sum("c_gt").alias("c_t"))
+    corpus = t_tot.agg(F.sum("c_t").alias("n_tot"))
+
+    p = F.col("c_gt") / F.col("n_g")
+    ratio = (F.col("c_gt") * F.col("n_tot")) / (F.col("n_g") * F.col("c_t"))
+    u = F.round(p * F.log(ratio) * 1_000_000, 0).cast("bigint")
+    per_group = (
+        gt.join(t_tot, "token")
+        .join(g_tot, "grp")
+        .crossJoin(F.broadcast(corpus))
+        .select("grp", u.alias("u"))
+        .groupBy("grp")
+        .agg(F.round(F.sum("u") / 1_000_000.0, _ROUND).alias("kl_divergence"))
+    )
+    return (
+        g_tot.join(per_group, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            "kl_divergence",
+        )
+        .orderBy(group_col)
+    )

@@ -50,10 +50,14 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
     anti_join,
     asof_join,
     broadcast_dim_join,
+    fuzzy_match_names,
     interval_join,
     large_equi_join,
     salted_join,
     semi_join,
+)
+from fresco_hpc_spark.operators.graph import (  # noqa: F401
+    pagerank_fixed_point,
 )
 from fresco_hpc_spark.operators.funnel import (  # noqa: F401
     cohort_retention,

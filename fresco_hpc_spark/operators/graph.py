@@ -1,0 +1,126 @@
+"""Graph algorithms over edge relations.
+
+Beyond the reference surface (SURVEY.md §2 closes with the
+LLM-data-pipeline extension families): corpus curation builds graphs —
+the kNN graph (functions/vectors.py knn_graph_blocked), the duplicate
+graph (functions/dedup.py dup_clusters' edge input) — and then needs
+per-node importance over them (which document is the "center" of a
+near-dup cluster, which vector is a hub in the semantic graph).
+PageRank is the standard answer; ``dup_clusters`` already covers the
+connected-components half of the graph toolkit, this module adds the
+centrality half.
+
+Design: a FIXED-POINT integer PageRank. Ranks are carried as BIGINT
+micro-units (``scale`` units = total mass 1.0) and every step of the
+recurrence is integer arithmetic (integer division, integer
+multiplication), so the result is bit-identical across engines and
+across partitionings — float PageRank sums neighbor contributions in
+nondeterministic order, which breaks both the cross-engine oracle hash
+and run-to-run reproducibility. The quantization error is bounded by
+one unit per in-edge per iteration (≤ degree/scale ≈ 1e-11 at the
+default scale), far below any ranking-relevant difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """PageRank over a directed edge relation, in exact integer
+    fixed-point arithmetic.
+
+    Semantics (the documented recurrence BOTH engines compute —
+    integer division throughout, so it is reproducible bit-for-bit):
+
+    - ``S = scale`` integer units represent total rank mass 1.0 and
+      ``d = damping_num/damping_den`` (default 17/20 = 0.85).
+    - ``r0(v) = S div N`` for every vertex (N = |vertices|).
+    - each iteration: ``share(u) = r(u) div outdeg(u)`` for vertices
+      with out-edges; ``r'(v) = ((damping_den - damping_num)·S div
+      damping_den) div N + (damping_num · Σ_{u→v} share(u)) div
+      damping_den``.
+    - returned ``pagerank = round(r / S, 9)``.
+
+    Dangling vertices (no out-edges) keep receiving the base term but
+    their mass is not redistributed — the classic "dangling mass
+    dropped" simplification, stated here because it is part of the
+    oracle contract. Vertices never appearing as a destination still
+    appear in the output with the base rank.
+
+    Scale shape: each iteration is one equi-join of ranks onto the
+    edge list (on the source id) followed by one partial-aggregating
+    groupBy on the destination id, then a LEFT equi-join back onto the
+    vertex set — all key-partitioned shuffles, nothing quadratic, and
+    the rank/degree relations are one row per vertex. N rides a
+    broadcast 1-row frame (house bounded-collect rule: no driver
+    round-trip). ``iterations`` is a small constant so the lineage
+    stays shallow; on a real cluster a caller iterating to
+    convergence should checkpoint/persist every few rounds — with the
+    fixed default (3) the plan is fine as a single lazy composition.
+
+    All arithmetic stays in whole-stage codegen (BIGINT ``div``/``*``/
+    ``+``); there is no Python in the loop — the Python ``for`` only
+    unrolls the logical plan.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"need 0 < damping_num < damping_den, got {damping_num}/{damping_den}"
+        )
+    s_lit = int(scale)
+    base_num = (damping_den - damping_num) * s_lit  # (1-d)·S in units·den
+
+    n_df = vertices.agg(F.count(F.lit(1)).alias("_n"))
+    verts = (
+        vertices.select(F.col(id_col).alias("_id"))
+        .crossJoin(F.broadcast(n_df))
+    )
+    deg = edges.groupBy(F.col(src_col).alias("_u")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+
+    r = verts.select(
+        "_id", "_n", F.expr(f"CAST({s_lit} AS BIGINT) div _n").alias("_r")
+    )
+    for _ in range(int(iterations)):
+        shares = r.join(deg, F.col("_id") == F.col("_u")).select(
+            F.col("_u"), F.expr("_r div _deg").alias("_share")
+        )
+        contrib = (
+            edges.select(
+                F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+            )
+            .join(shares, "_u")
+            .groupBy("_v")
+            .agg(F.sum("_share").alias("_in"))
+        )
+        r = verts.join(contrib, F.col("_id") == F.col("_v"), "left").select(
+            "_id",
+            "_n",
+            (
+                F.expr(
+                    f"(CAST({base_num} AS BIGINT) div {damping_den}) div _n"
+                )
+                + F.expr(
+                    f"(CAST({damping_num} AS BIGINT)"
+                    f" * coalesce(_in, CAST(0 AS BIGINT))) div {damping_den}"
+                )
+            ).alias("_r"),
+        )
+    return r.select(
+        F.col("_id").alias(id_col),
+        F.round(F.col("_r") / F.lit(float(s_lit)), 9).alias("pagerank"),
+    )

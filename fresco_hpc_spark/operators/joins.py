@@ -236,3 +236,74 @@ def interval_join(
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join supports inner/left, got {how!r}")
     return p.join(i, cond, how).select(*pcols, *icols)
+
+
+def fuzzy_match_names(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Blocked-Levenshtein record linkage: the merge-candidate
+    DICTIONARY for a dirty string column — every pair of distinct
+    normalized values that (a) share a blocking key and (b) sit within
+    ``max_dist`` edits, with each value's occurrence count. The classic
+    entity-resolution preflight (same shape as Dedupe/Splink blocking):
+    a human or a downstream rule consumes the name-level pair table;
+    the id-level n² expansion of each matched pair never materializes.
+
+    Documented semantics (the oracle contract): names are
+    ``lower(trim())``-normalized; candidates are DISTINCT name pairs
+    sharing the same first whitespace token (the blocking key) with
+    ``name_a < name_b``; a pair is emitted when
+    ``levenshtein(name_a, name_b) <= max_dist``. Blocking is part of
+    the semantics — a pair differing in its first token is by
+    definition not a candidate (standard blocking recall trade-off,
+    stated rather than hidden).
+
+    Scale shape: the expensive O(|a|·|b|)-per-pair edit distance runs
+    over the DISTINCT-value relation, not the row relation — for a
+    100 TB fact table with a vocabulary-sized name domain the
+    candidate join is vocab × vocab-per-block, reached through one
+    partial-aggregating groupBy. The join itself is an EQUI join on
+    the block token (never a cartesian; plan-asserted), and the edit
+    distance uses Spark's bounded form ``levenshtein(l, r, threshold)``
+    which early-exits the DP once the running distance exceeds the
+    threshold — O(max_dist·len) instead of O(len²) per pair. Skewed
+    block keys (a stop-word first token) bound candidates by
+    block_df², the same Σ df² mass the n-gram dedup family documents;
+    for heavier skew, compose a (first_token, length_bucket) key.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    norm = F.lower(F.trim(F.col(name_col)))
+    names = (
+        df.select(norm.alias("name"))
+        .filter(F.col("name").isNotNull() & (F.col("name") != ""))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("block", F.split(F.col("name"), r"\s+").getItem(0))
+    )
+    a = names.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = names.select(
+        F.col("block").alias("_blk_b"),
+        F.col("name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("_blk_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b"), int(max_dist)),
+        )
+        .filter(F.col("dist") >= 0)
+        .select("block", "name_a", "name_b", "dist", "cnt_a", "cnt_b")
+        .orderBy("name_a", "name_b")
+    )

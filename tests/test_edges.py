@@ -133,6 +133,7 @@ def test_correctness_window_contains_priority_queries():
         "grouped_percentiles", "weighted_sample", "knn_graph_ivf",
         "containment_plain_zipf", "containment_prefix_zipf",
         "histogram_equi_depth",
+        "pagerank_knn", "fuzzy_match_parts", "source_divergence",
         "profile_agg_day", "profile_agg_minute", "ewma_user_value",
         "knn_graph", "pack_texts", "ngram_jaccard_pairs",
         "ngram_jaccard_prefix", "ngram_jaccard_prefix_zipf",

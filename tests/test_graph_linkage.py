@@ -1,0 +1,157 @@
+"""Unit tests for the round-7 graph/linkage/divergence additions:
+operators/graph.py pagerank_fixed_point, operators/joins.py
+fuzzy_match_names, functions/text.py source_token_divergence.
+
+Oracle parity for the registered queries is covered by the full_parity
+sweep; these tests pin hand-checkable semantics and the determinism
+contracts (integer fixed-point, partition invariance)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _pagerank(spark, edges, vertices, **kw):
+    from fresco_hpc_spark.operators import pagerank_fixed_point
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = spark.createDataFrame([(x,) for x in vertices], ["id"])
+    return pagerank_fixed_point(e, v, **kw)
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # A 4-cycle is already the fixed point: base + d·(S/N) = S/N exactly
+    # in the integer recurrence (no floor loss: every quantity divides).
+    out = {
+        r["id"]: r["pagerank"]
+        for r in _pagerank(
+            spark, [(1, 2), (2, 3), (3, 4), (4, 1)], [1, 2, 3, 4]
+        ).collect()
+    }
+    assert out == {1: 0.25, 2: 0.25, 3: 0.25, 4: 0.25}
+
+
+def test_pagerank_star_hub_dominates_and_mass_bounded(spark):
+    # 4 leaves all point at a hub; the hub points back at one leaf.
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)]
+    rows = _pagerank(spark, edges, [0, 1, 2, 3, 4]).collect()
+    pr = {r["id"]: r["pagerank"] for r in rows}
+    assert pr[0] == max(pr.values())
+    assert pr[0] > 2 * pr[2]
+    # leaves 2..4 are symmetric (no in-edges: base rank only)
+    assert pr[2] == pr[3] == pr[4]
+    # leaf 1 gets the hub's share on top of base
+    assert pr[1] > pr[2]
+    # total mass never exceeds 1 (floor losses + dropped dangling mass
+    # only shrink it)
+    assert sum(pr.values()) <= 1.0 + 1e-9
+
+
+def test_pagerank_dangling_vertex_keeps_base_rank(spark):
+    # vertex 9 has no out-edges (dangling) and no in-edges: it must
+    # still appear, holding exactly the base term after one iteration.
+    out = {
+        r["id"]: r["pagerank"]
+        for r in _pagerank(spark, [(1, 2)], [1, 2, 9], iterations=1).collect()
+    }
+    assert set(out) == {1, 2, 9}
+    # base = ((3e12 div 20) div 3) / 1e12 = 0.05
+    assert out[9] == 0.05
+    assert out[1] == 0.05  # no in-edges either
+    # 2 receives 1's full share: base + 17*(S div 3) div 20
+    assert out[2] == pytest.approx(0.05 + 0.85 / 3, abs=1e-9)
+
+
+def test_pagerank_is_partition_invariant(spark):
+    # integer arithmetic ⇒ bit-identical results under any partitioning
+    from fresco_hpc_spark.operators import pagerank_fixed_point
+
+    edges = [(i, (i * 7) % 23) for i in range(23)] + [
+        (i, (i + 1) % 23) for i in range(23)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = spark.createDataFrame([(x,) for x in range(23)], ["id"])
+    a = pagerank_fixed_point(e, v).collect()
+    b = pagerank_fixed_point(e.repartition(7), v.repartition(3)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pagerank_rejects_bad_params(spark):
+    from fresco_hpc_spark.operators import pagerank_fixed_point
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(e, v, iterations=-1)
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(e, v, damping_num=20, damping_den=20)
+
+
+def test_fuzzy_match_blocks_and_thresholds(spark):
+    from fresco_hpc_spark.operators import fuzzy_match_names
+
+    df = spark.createDataFrame(
+        [
+            ("Red Widget",),
+            ("red widget",),  # normalizes into the same name (cnt=2)
+            ("red widgit",),  # 1 edit away
+            ("red bolt",),    # same block, far (5 edits from widget)
+            ("blue bolt",),   # different block: never a candidate
+            (None,),
+            ("   ",),
+        ],
+        ["name"],
+    )
+    rows = fuzzy_match_names(df, "name", max_dist=2).collect()
+    pairs = {(r["name_a"], r["name_b"]): r for r in rows}
+    assert set(pairs) == {("red widget", "red widgit")}
+    r = pairs[("red widget", "red widgit")]
+    assert r["dist"] == 1 and r["cnt_a"] == 2 and r["cnt_b"] == 1
+    assert r["block"] == "red"
+    # widening the threshold admits the in-block far pair, still never
+    # the cross-block one
+    rows5 = fuzzy_match_names(df, "name", max_dist=6).collect()
+    names = {(r["name_a"], r["name_b"]) for r in rows5}
+    assert ("red bolt", "red widget") in names
+    assert not any("blue" in a or "blue" in b for a, b in names)
+
+
+def test_fuzzy_match_rejects_negative_threshold(spark):
+    from fresco_hpc_spark.operators import fuzzy_match_names
+
+    with pytest.raises(ValueError):
+        fuzzy_match_names(
+            spark.createDataFrame([("x",)], ["name"]), "name", max_dist=-1
+        )
+
+
+def test_source_divergence_identical_groups_are_zero(spark):
+    from fresco_hpc_spark.functions import source_token_divergence
+
+    df = spark.createDataFrame(
+        [("a", "x y x"), ("b", "x y x"), ("a", "z"), ("b", "z")],
+        ["source", "text"],
+    )
+    rows = source_token_divergence(df).collect()
+    out = {r["source"]: r for r in rows}
+    assert out["a"]["kl_divergence"] == 0.0 == out["b"]["kl_divergence"]
+    assert out["a"]["n_tokens"] == 4 and out["a"]["vocab"] == 3
+
+
+def test_source_divergence_disjoint_groups_are_ln2(spark):
+    import math
+
+    from fresco_hpc_spark.functions import source_token_divergence
+
+    # A emits only x, B only y, equal mass: p=1, q=1/2 ⇒ KL = ln 2
+    df = spark.createDataFrame(
+        [("a", "x x"), ("b", "y y")], ["source", "text"]
+    )
+    out = {
+        r["source"]: r["kl_divergence"]
+        for r in source_token_divergence(df).collect()
+    }
+    assert out["a"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out["b"] == pytest.approx(math.log(2), abs=1e-6)

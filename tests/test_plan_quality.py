@@ -212,6 +212,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "corpus_curation_v4",
         # round 7
         "grouped_percentiles", "weighted_sample", "histogram_equi_depth",
+        "pagerank_knn", "fuzzy_match_parts", "source_divergence",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -488,3 +489,48 @@ def test_oov_vocab_probe_is_broadcast(spark):
     plan = plan_of(spark, "oov_rate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_fuzzy_match_candidates_are_equi_join(spark):
+    """The blocked-Levenshtein candidate join must be an EQUI join on
+    the block token — never a cartesian/nested-loop over the distinct
+    names (the whole point of blocking). The inequality (name_a <
+    name_b) and the distance threshold are residual filters on the
+    equi pairs."""
+    plan = plan_of(spark, "fuzzy_match_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_pagerank_iterations_are_key_joins(spark):
+    """Every PageRank iteration is an equi-join + partial-agg groupBy:
+    no cartesian product anywhere, and the contribution aggregation
+    hash-partitions on the destination id so the recurrence scales
+    with the edge partitioning. The only SinglePartition exchanges are
+    the 1-row vertex-count aggregates (bounded by construction), and
+    the adaptive runtime must dedup the repeated count/edge subtrees
+    via stage reuse rather than recomputing them per iteration."""
+    plan = plan_of(spark, "pagerank_knn")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(_v" in plan
+    df = entrymod.queries()["pagerank_knn"](spark, SF_SMALL)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_source_divergence_tokenize_stage_is_reused(spark):
+    """The KL pipeline's (group, token) count shuffle feeds FOUR
+    consumers (the contribution join, the group totals, the token
+    totals, the corpus total). The tokenize-explode ahead of it is the
+    expensive pass over the corpus — the adaptive executed plan must
+    materialize that exchange once and ReusedExchange the rest, not
+    re-run the explode per consumer. No cartesian anywhere (the 1-row
+    corpus total rides a broadcast)."""
+    plan = plan_of(spark, "source_divergence")
+    assert "CartesianProduct" not in plan
+    df = entrymod.queries()["source_divergence"](spark, SF_SMALL)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
