@@ -1657,6 +1657,33 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_divergence(table(spark, sf_dir, "documents"))
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each user's event_type state
+    (operators/cdc.py scd2_history): consecutive same-type events
+    collapse into validity episodes with valid_from/valid_to/version/
+    is_current — the change-log → type-2 dimension transform. One hash
+    shuffle on user_id serves the lag, the lead, and the version
+    window (shared partition+order spec; plan-pinned)."""
+    from fresco_hpc_spark.operators import scd2_history
+
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tie_cols=["event_id"]
+    )
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency profile of 8 equi-depth token-length buckets
+    (functions/sampling.py length_bucket_profile): the length-sorted
+    batching pre-flight — per bucket, the padded-position waste if
+    batches pad to the bucket max. Same scale shape as the equi-depth
+    histogram: bounded bounds jobs + map-side labeling + one
+    bins-group aggregate."""
+    from fresco_hpc_spark.functions import length_bucket_profile
+
+    return length_bucket_profile(table(spark, sf_dir, "documents"), bins=8)
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (functions/sampling.py cap_per_group):
     keep at most 50 docs per source, selected as the 50 smallest
@@ -1908,7 +1935,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 19 + 4 + 10:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 21 + 4 + 8:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -1929,8 +1956,9 @@ def queries() -> dict[str, Query]:
         "session_duration": q_session_duration,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        # (2) the 19 queries new or changed in r7 — never-certified
-        #     first: pagerank_knn / fuzzy_match_parts / source_divergence,
+        # (2) the 21 queries new or changed in r7 — never-certified
+        #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
+        #     scd2_user_state / length_buckets,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -1946,6 +1974,8 @@ def queries() -> dict[str, Query]:
         "pagerank_knn": q_pagerank_knn,  # new in r7
         "fuzzy_match_parts": q_fuzzy_match_parts,  # new in r7
         "source_divergence": q_source_divergence,  # new in r7
+        "scd2_user_state": q_scd2_user_state,  # new in r7
+        "length_buckets": q_length_buckets,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -1970,12 +2000,12 @@ def queries() -> dict[str, Query]:
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
         "wide_table_roundtrip": q_wide_table_roundtrip,
-        "rolling_hour_avg": q_rolling_hour_avg,
-        "session_stats": q_session_stats,
-        # --- outside the 50-query window: the remaining 31 r05-green
+        # --- outside the 50-query window: the remaining 33 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "rolling_hour_avg": q_rolling_hour_avg,
+        "session_stats": q_session_stats,
         "daily_uniques": q_daily_uniques,
         "topk_users_per_event": q_topk_users_per_event,
         "set_ops_events": q_set_ops_events,
@@ -4423,6 +4453,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.grp AS source, g.n_g AS n_tokens, g.vocab AS vocab,
                k.kl_divergence
         FROM g JOIN k USING (grp) ORDER BY source
+    """
+
+    oracles["scd2_user_state"] = """
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(ts) OVER w AS prev_ts,
+                   LAG(event_type) OVER w AS prev_et
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        ),
+        ep AS (
+            SELECT user_id, event_type, ts AS valid_from, event_id
+            FROM o
+            WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et
+        ),
+        v AS (
+            SELECT user_id, event_type, valid_from,
+                   LEAD(valid_from) OVER w2 AS valid_to,
+                   CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+            FROM ep
+            WINDOW w2 AS (PARTITION BY user_id
+                          ORDER BY valid_from NULLS FIRST,
+                                   event_id NULLS FIRST)
+        )
+        SELECT user_id, event_type, valid_from, valid_to, version,
+               valid_to IS NULL AS is_current
+        FROM v ORDER BY user_id, version
+    """
+
+    oracles["length_buckets"] = r"""
+        WITH c AS (
+            SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        nz AS (SELECT n_tokens FROM c WHERE n_tokens > 0),
+        b AS (
+            SELECT
+                ROUND(percentile_cont(0.125) WITHIN GROUP (ORDER BY n_tokens), 6) AS b1,
+                ROUND(percentile_cont(0.25)  WITHIN GROUP (ORDER BY n_tokens), 6) AS b2,
+                ROUND(percentile_cont(0.375) WITHIN GROUP (ORDER BY n_tokens), 6) AS b3,
+                ROUND(percentile_cont(0.5)   WITHIN GROUP (ORDER BY n_tokens), 6) AS b4,
+                ROUND(percentile_cont(0.625) WITHIN GROUP (ORDER BY n_tokens), 6) AS b5,
+                ROUND(percentile_cont(0.75)  WITHIN GROUP (ORDER BY n_tokens), 6) AS b6,
+                ROUND(percentile_cont(0.875) WITHIN GROUP (ORDER BY n_tokens), 6) AS b7
+            FROM nz
+        ),
+        labeled AS (
+            SELECT n_tokens,
+                   CAST(CASE WHEN n_tokens <= b.b1 THEN 1
+                             WHEN n_tokens <= b.b2 THEN 2
+                             WHEN n_tokens <= b.b3 THEN 3
+                             WHEN n_tokens <= b.b4 THEN 4
+                             WHEN n_tokens <= b.b5 THEN 5
+                             WHEN n_tokens <= b.b6 THEN 6
+                             WHEN n_tokens <= b.b7 THEN 7
+                             ELSE 8 END AS BIGINT) AS bucket
+            FROM nz, b
+        )
+        SELECT bucket, COUNT(*) AS n_docs,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens,
+               ROUND(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS mean_tokens,
+               ROUND(1 - SUM(n_tokens)
+                         / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE), 6)
+                   AS padding_waste
+        FROM labeled GROUP BY bucket ORDER BY bucket
     """
 
     oracles["domain_cap"] = """

@@ -632,3 +632,65 @@ def pack_texts(
         )
         .orderBy(strata_col, "bin_id")
     )
+
+
+def length_bucket_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    bins: int = 8,
+) -> DataFrame:
+    """Padding-efficiency profile of length-bucketed training batches:
+    split the corpus into ``bins`` equi-depth buckets by token count
+    and report, per bucket, how much compute padding-to-the-bucket-max
+    would waste. The pre-flight for length-sorted batching (the
+    standard alternative to sequence packing): if batches are drawn
+    within a bucket and padded to that batch's max length,
+    ``padding_waste`` ≈ the fraction of padded positions that are pad
+    tokens — near 0 for well-separated buckets, and the bucket-count
+    knob trades waste against shuffle granularity. Complements
+    ``pack_sequences``/``pack_texts`` (which eliminate padding by
+    concatenation) by quantifying the do-nothing baseline.
+
+    Semantics: documents with zero tokens are excluded (they would
+    join any bucket for free and report 100% waste); bucket edges sit
+    at the i/bins percentiles of the token count via the distributed
+    order-statistics machinery (bounds rounded HALF_UP at 6 dp, equal
+    lengths always share a bucket — standard equi-depth tie
+    semantics); ``padding_waste = 1 − Σtokens/(n·max_tokens)`` rounded
+    to 6 dp.
+
+    Scale shape: identical to ``equi_depth_histogram`` — two bounded
+    bounds jobs, then a map-side ``when()`` labeling and ONE
+    partial-aggregated groupBy with ``bins`` groups. No sort of the
+    data, no window, nothing ∝ n on a single task; the token count is
+    a per-row JVM expression.
+    """
+    from fresco_hpc_spark.functions.text import token_count
+    from fresco_hpc_spark.operators.percentiles import quantile_bucket
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    lengths = df.select(
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    if bins == 1:
+        labeled = lengths.withColumn("bucket", F.lit(1).cast("bigint"))
+    else:
+        fractions = [i / bins for i in range(1, bins)]
+        labeled = quantile_bucket(lengths, "n_tokens", fractions)
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias(
+                "mean_tokens"
+            ),
+            F.round(
+                1 - F.sum("n_tokens") / (F.count(F.lit(1)) * F.max("n_tokens")),
+                6,
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )

@@ -59,6 +59,9 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
 from fresco_hpc_spark.operators.graph import (  # noqa: F401
     pagerank_fixed_point,
 )
+from fresco_hpc_spark.operators.cdc import (  # noqa: F401
+    scd2_history,
+)
 from fresco_hpc_spark.operators.funnel import (  # noqa: F401
     cohort_retention,
     funnel_counts,

@@ -155,3 +155,72 @@ def test_source_divergence_disjoint_groups_are_ln2(spark):
     }
     assert out["a"] == pytest.approx(math.log(2), abs=1e-6)
     assert out["b"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_scd2_collapses_and_chains(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import scd2_history
+
+    t = lambda s: datetime(2024, 1, s)
+    df = spark.createDataFrame(
+        [
+            (1, t(1), "a", 10),
+            (1, t(2), "a", 11),  # unchanged -> collapses into episode 1
+            (1, t(3), "b", 12),  # change -> episode 2
+            (1, t(4), None, 13),  # b -> NULL is a change (episode 3)
+            (1, t(5), None, 14),  # NULL -> NULL unchanged
+            (1, t(6), "b", 15),  # NULL -> b is a change (episode 4)
+            (2, t(1), "x", 16),  # second key: independent history
+        ],
+        "k int, ts timestamp, state string, eid int",
+    )
+    rows = scd2_history(df, ["k"], "ts", ["state"], tie_cols=["eid"]).collect()
+    k1 = [r for r in rows if r["k"] == 1]
+    assert [r["state"] for r in k1] == ["a", "b", None, "b"]
+    assert [r["version"] for r in k1] == [1, 2, 3, 4]
+    assert [r["valid_from"].day for r in k1] == [1, 3, 4, 6]
+    # each episode's valid_to is the next one's valid_from; last is open
+    assert [r["valid_to"].day if r["valid_to"] else None for r in k1] == [3, 4, 6, None]
+    assert [r["is_current"] for r in k1] == [False, False, False, True]
+    k2 = [r for r in rows if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["version"] == 1
+
+
+def test_scd2_rejects_empty_specs(spark):
+    from fresco_hpc_spark.operators import scd2_history
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError):
+        scd2_history(df, [], "ts", ["a"])
+    with pytest.raises(ValueError):
+        scd2_history(df, ["k"], "ts", [])
+
+
+def test_length_bucket_profile_balanced_and_waste(spark):
+    from fresco_hpc_spark.functions import length_bucket_profile
+
+    docs = spark.createDataFrame(
+        [("w " * n,) for n in (1, 2, 3, 4, 5, 6, 7, 8)] + [("",), ("   ",)],
+        ["text"],
+    )
+    rows = length_bucket_profile(docs, bins=4).collect()
+    assert [r["bucket"] for r in rows] == [1, 2, 3, 4]
+    # equi-depth on 1..8 with 4 bins: two docs per bucket; blank docs excluded
+    assert [r["n_docs"] for r in rows] == [2, 2, 2, 2]
+    assert rows[0]["min_tokens"] == 1 and rows[0]["max_tokens"] == 2
+    # waste for lengths {1,2} padded to 2: 1 - 3/4
+    assert rows[0]["padding_waste"] == 0.25
+    assert rows[3]["min_tokens"] == 7 and rows[3]["max_tokens"] == 8
+    assert rows[3]["padding_waste"] == pytest.approx(1 - 15 / 16, abs=1e-9)
+
+
+def test_length_bucket_profile_single_bin_and_guard(spark):
+    from fresco_hpc_spark.functions import length_bucket_profile
+
+    docs = spark.createDataFrame([("a b",), ("c d",)], ["text"])
+    rows = length_bucket_profile(docs, bins=1).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2
+    assert rows[0]["padding_waste"] == 0.0  # identical lengths: no padding
+    with pytest.raises(ValueError):
+        length_bucket_profile(docs, bins=0)

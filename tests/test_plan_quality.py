@@ -213,6 +213,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 7
         "grouped_percentiles", "weighted_sample", "histogram_equi_depth",
         "pagerank_knn", "fuzzy_match_parts", "source_divergence",
+        "scd2_user_state", "length_buckets",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -534,3 +535,30 @@ def test_source_divergence_tokenize_stage_is_reused(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_scd2_single_data_shuffle(spark):
+    """All three SCD2 windows (change-detection lag, episode lead,
+    version row_number) share one (key, order) spec and the episode
+    filter preserves partitioning — so the whole operator costs ONE
+    hash exchange on the key plus the presentation sort. A second
+    hash exchange means the shared-window contract broke."""
+    import re
+
+    plan = plan_of(spark, "scd2_user_state")
+    hash_ex = set(re.findall(r"hashpartitioning\(user_id[^)]*", plan))
+    assert len(hash_ex) == 1, hash_ex
+    # physical Exchange nodes: 1 hash (data) + 1 range (presentation)
+    ex_nodes = set(re.findall(r"\(\d+\) Exchange", plan))
+    assert len(ex_nodes) <= 2, ex_nodes
+    assert "CartesianProduct" not in plan
+
+
+def test_length_buckets_is_map_side_label_plus_bins_agg(spark):
+    """Equi-depth length bucketing must follow the histogram contract:
+    map-side when() labeling against literal bounds, one bins-group
+    aggregate — no window, no join, no sort of the data."""
+    plan = plan_of(spark, "length_buckets")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
