@@ -1684,6 +1684,35 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_profile(table(spark, sf_dir, "documents"), bins=8)
 
 
+def q_interpolate_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of NULL event values per user
+    (operators/timeseries.py interpolate_linear): the line between the
+    surrounding observations, completing the gap-healing family
+    (zero-fill constant / gap_fill LOCF / linear). One hash shuffle
+    serves both ignore-nulls windows; heals in place, no grid join."""
+    from fresco_hpc_spark.operators import interpolate_linear
+
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    out = interpolate_linear(
+        ev, "user_id", time_col="ts", value_col="value",
+        tie_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "value_interp", "is_interp"
+    ).orderBy("user_id", "ts", "event_id")
+
+
+def q_nucleus_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p language coverage per source (operators/topn.py
+    nucleus_top_p): the smallest language set covering 80% of each
+    source's documents — the coverage-mass counterpart of top-N for
+    mixture design. Exact BIGINT cumulative mass; the rank window runs
+    over distinct categories per group, never rows."""
+    from fresco_hpc_spark.operators import nucleus_top_p
+
+    return nucleus_top_p(table(spark, sf_dir, "documents"), "source", "lang", p=0.8)
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (functions/sampling.py cap_per_group):
     keep at most 50 docs per source, selected as the 50 smallest
@@ -1935,7 +1964,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 21 + 4 + 8:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 23 + 4 + 6:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -1956,9 +1985,10 @@ def queries() -> dict[str, Query]:
         "session_duration": q_session_duration,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        # (2) the 21 queries new or changed in r7 — never-certified
+        # (2) the 23 queries new or changed in r7 — never-certified
         #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
-        #     scd2_user_state / length_buckets,
+        #     scd2_user_state / length_buckets / interpolate_values /
+        #     nucleus_langs,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -1976,6 +2006,8 @@ def queries() -> dict[str, Query]:
         "source_divergence": q_source_divergence,  # new in r7
         "scd2_user_state": q_scd2_user_state,  # new in r7
         "length_buckets": q_length_buckets,  # new in r7
+        "interpolate_values": q_interpolate_values,  # new in r7
+        "nucleus_langs": q_nucleus_langs,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -1998,12 +2030,12 @@ def queries() -> dict[str, Query]:
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
-        "synthetic_gen": q_synthetic_gen,
-        "wide_table_roundtrip": q_wide_table_roundtrip,
-        # --- outside the 50-query window: the remaining 33 r05-green
+        # --- outside the 50-query window: the remaining 35 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "synthetic_gen": q_synthetic_gen,
+        "wide_table_roundtrip": q_wide_table_roundtrip,
         "rolling_hour_avg": q_rolling_hour_avg,
         "session_stats": q_session_stats,
         "daily_uniques": q_daily_uniques,
@@ -4523,6 +4555,81 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE), 6)
                    AS padding_waste
         FROM labeled GROUP BY bucket ORDER BY bucket
+    """
+
+    oracles["interpolate_values"] = """
+        WITH e AS (
+            SELECT event_id, user_id, ts, value
+            FROM events WHERE ts IS NOT NULL
+        ),
+        w AS (
+            SELECT event_id, user_id, ts, value,
+                   LAST_VALUE(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS v0,
+                   LAST_VALUE(CASE WHEN value IS NOT NULL
+                                   THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS t0,
+                   FIRST_VALUE(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS v1,
+                   FIRST_VALUE(CASE WHEN value IS NOT NULL
+                                    THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS t1
+            FROM e
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN value IS NOT NULL THEN value
+                    WHEN v0 IS NULL AND v1 IS NULL THEN NULL
+                    WHEN v0 IS NULL THEN v1
+                    WHEN v1 IS NULL THEN v0
+                    WHEN t1 = t0 THEN v0
+                    ELSE ROUND(v0 + (v1 - v0)
+                               * (CAST(epoch_us(ts) - t0 AS DOUBLE)
+                                  / CAST(t1 - t0 AS DOUBLE)), 6)
+               END AS value_interp,
+               value IS NULL AS is_interp
+        FROM w ORDER BY user_id, ts, event_id
+    """
+
+    oracles["nucleus_langs"] = """
+        WITH counts AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT source, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM counts GROUP BY 1
+        ),
+        r AS (
+            SELECT c.source, c.lang, c.cnt, t.total,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY c.source
+                       ORDER BY c.cnt DESC, c.lang ASC NULLS FIRST
+                   ) AS BIGINT) AS nucleus_rank,
+                   CAST(SUM(c.cnt) OVER (
+                       PARTITION BY c.source
+                       ORDER BY c.cnt DESC, c.lang ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM counts c JOIN tot t USING (source)
+        )
+        SELECT source, lang, cnt, nucleus_rank,
+               ROUND(cnt / CAST(total AS DOUBLE), 6) AS share,
+               ROUND(cum / CAST(total AS DOUBLE), 6) AS cum_share
+        FROM r
+        WHERE CAST(cum - cnt AS DOUBLE) < 0.8 * total
+        ORDER BY source, nucleus_rank
     """
 
     oracles["domain_cap"] = """

@@ -14,6 +14,7 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     gap_fill,
     hopping_window_agg,
     hourly_agg,
+    interpolate_linear,
     profile_agg,
     ohlc_downsample,
     rolling_zscore,
@@ -37,6 +38,7 @@ from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
 )
 from fresco_hpc_spark.operators.topn import (  # noqa: F401
     category_counts,
+    nucleus_top_p,
     topk_per_group,
     topn_others,
 )

@@ -730,3 +730,88 @@ def hopping_window_agg(
         )
         .orderBy("window_start")
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    time_col: str = "ts",
+    value_col: str = "value",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation of missing values — the third member of the
+    gap-healing family (``zero_fill_missing`` substitutes a constant,
+    ``gap_fill`` carries the last observation forward; this one draws
+    the line between the surrounding observations, the right call for
+    continuously-varying telemetry). Per key, a NULL value becomes
+
+        v0 + (v1 − v0) · (t − t0)/(t1 − t0)
+
+    where (t0, v0) / (t1, v1) are the nearest non-null observations
+    before/after by ``time_col``. Edge semantics: only a previous
+    neighbor → carry it forward; only a next → carry it backward; no
+    neighbor on either side (an all-null key) → NULL; a neighbor pair
+    with t1 = t0 (duplicate timestamps) → v0, guarded explicitly so no
+    division-by-zero semantics leak in. Non-null rows pass through
+    unchanged (``value_interp = value``); ``is_interp`` marks healed
+    rows. Timestamps enter the ratio as epoch MICROseconds (Spark
+    ``unix_micros`` == DuckDB ``epoch_us``, exact longs — a plain
+    seconds cast would truncate sub-second spacing); the result is
+    rounded HALF_UP at 6 dp with the multiply/divide association fixed,
+    so an oracle computing the identical expression hash-matches.
+    Integer ``time_col`` inputs are used as-is.
+
+    Scale shape: ONE hash shuffle on the key serves both windows (the
+    backward last-ignore-nulls and the forward first-ignore-nulls share
+    the same partition spec; the forward window is the reversed frame
+    over the same sort). Per-task memory is bounded by the per-key
+    series length — the ETL lag-diff contract. No join, no grid
+    materialization: this heals in place, it does not densify (compose
+    with ``gap_fill`` when a regular grid is also wanted).
+    """
+    from pyspark.sql import Window
+
+    tie_cols = tie_cols or []
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tie_cols]
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    dtype = dict(df.dtypes).get(time_col, "")
+    t = (
+        F.unix_micros(F.col(time_col))
+        if dtype.startswith("timestamp")
+        else F.col(time_col).cast("long")
+    )
+    obs_t = F.when(v.isNotNull(), t)
+    v0 = F.last(v, ignorenulls=True).over(back)
+    t0 = F.last(obs_t, ignorenulls=True).over(back)
+    v1 = F.first(v, ignorenulls=True).over(fwd)
+    t1 = F.first(obs_t, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(v0.isNull() & v1.isNull(), F.lit(None).cast("double"))
+        .when(v0.isNull(), v1)
+        .when(v1.isNull(), v0)
+        .when(t1 == t0, v0)
+        .otherwise(
+            F.round(
+                v0
+                + (v1 - v0)
+                * ((t - t0).cast("double") / (t1 - t0).cast("double")),
+                _ROUND,
+            )
+        )
+    )
+    return df.select(
+        "*",
+        interp.alias("value_interp"),
+        v.isNull().alias("is_interp"),
+    )

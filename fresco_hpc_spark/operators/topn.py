@@ -82,3 +82,65 @@ def topk_per_group(
         .filter(F.col("rank") <= k)
         .orderBy("grp", "rank")
     )
+
+
+def nucleus_top_p(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    p: float = 0.9,
+) -> DataFrame:
+    """Top-p ("nucleus") category selection per group: the smallest set
+    of categories — taken in (count desc, category asc) order — whose
+    combined share reaches ``p`` of the group's rows. The coverage-mass
+    counterpart of top-N: a mixing pipeline asks "which languages cover
+    95% of this source" / "which domains cover 90% of the crawl", where
+    a fixed N either over- or under-selects per group.
+
+    Selection rule (the oracle contract): a category is kept while the
+    cumulative count BEFORE it is still short of ``p·total`` — so the
+    category that crosses the threshold is included and coverage is
+    always ≥ p (for p > 0). All mass arithmetic stays in exact BIGINT
+    cumulative counts; only the reported shares divide.
+
+    Scale shape: one partial-aggregated groupBy builds the per-(group,
+    category) counts; the rank/cumsum window then runs over DISTINCT
+    categories per group — bounded by the category domain, not the row
+    count (same contract as ``topk_per_group``). Group totals
+    re-aggregate the counts relation; the equi-join back is
+    categories-sized on both sides.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    counts = df.groupBy(group_col, cat_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("cnt").alias("_total"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col(cat_col).asc()
+    )
+    ranked = (
+        counts.join(totals, group_col)
+        .withColumn("nucleus_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "_cum",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        ranked.filter(
+            (F.col("_cum") - F.col("cnt")).cast("double")
+            < F.lit(float(p)) * F.col("_total")
+        )
+        .select(
+            group_col,
+            cat_col,
+            "cnt",
+            "nucleus_rank",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("_cum") / F.col("_total"), 6).alias("cum_share"),
+        )
+        .orderBy(group_col, "nucleus_rank")
+    )

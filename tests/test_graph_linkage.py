@@ -224,3 +224,88 @@ def test_length_bucket_profile_single_bin_and_guard(spark):
     assert rows[0]["padding_waste"] == 0.0  # identical lengths: no padding
     with pytest.raises(ValueError):
         length_bucket_profile(docs, bins=0)
+
+
+def test_interpolate_linear_midpoint_and_edges(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import interpolate_linear
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [
+            # key 1: interpolate between (0s, 0.0) and (10s, 10.0)
+            (1, t(0), 0.0, 1),
+            (1, t(4), None, 2),
+            (1, t(10), 10.0, 3),
+            # key 2: leading null -> back-fill, trailing null -> forward-fill
+            (2, t(0), None, 4),
+            (2, t(5), 7.0, 5),
+            (2, t(9), None, 6),
+            # key 3: all null -> stays null
+            (3, t(0), None, 7),
+        ],
+        "k int, ts timestamp, v double, eid int",
+    )
+    out = {
+        r["eid"]: (r["value_interp"], r["is_interp"])
+        for r in interpolate_linear(
+            df, "k", time_col="ts", value_col="v", tie_cols=["eid"]
+        ).collect()
+    }
+    assert out[1] == (0.0, False)  # non-null passthrough
+    assert out[2] == (4.0, True)   # 0 + (10-0) * 4/10
+    assert out[4] == (7.0, True)   # back-fill
+    assert out[6] == (7.0, True)   # forward-fill
+    assert out[7] == (None, True)  # no observations at all
+
+
+def test_interpolate_linear_duplicate_timestamp_guard(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import interpolate_linear
+
+    ts = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, ts, 2.0, 1), (1, ts, None, 2), (1, ts, 8.0, 3)],
+        "k int, ts timestamp, v double, eid int",
+    )
+    out = {
+        r["eid"]: r["value_interp"]
+        for r in interpolate_linear(
+            df, "k", time_col="ts", value_col="v", tie_cols=["eid"]
+        ).collect()
+    }
+    # t1 == t0: the guard returns the previous observation, not NaN/inf
+    assert out[2] == 2.0
+
+
+def test_nucleus_top_p_threshold_inclusion(spark):
+    from fresco_hpc_spark.operators import nucleus_top_p
+
+    rows = (
+        [("g", "a")] * 50 + [("g", "b")] * 30 + [("g", "c")] * 15
+        + [("g", "d")] * 5
+    )
+    df = spark.createDataFrame(rows, ["grp", "cat"])
+    out = nucleus_top_p(df, "grp", "cat", p=0.8).collect()
+    # a (0 < 80) and b (50 < 80) kept; c's cumulative-before is exactly
+    # 80 -> excluded (coverage already reached p)
+    assert [(r["cat"], r["nucleus_rank"]) for r in out] == [("a", 1), ("b", 2)]
+    assert out[0]["share"] == 0.5 and out[1]["cum_share"] == 0.8
+    # p=1 keeps every category
+    assert len(nucleus_top_p(df, "grp", "cat", p=1.0).collect()) == 4
+    with pytest.raises(ValueError):
+        nucleus_top_p(df, "grp", "cat", p=0.0)
+
+
+def test_nucleus_top_p_tie_break_is_category_order(spark):
+    from fresco_hpc_spark.operators import nucleus_top_p
+
+    df = spark.createDataFrame(
+        [("g", "z"), ("g", "y"), ("g", "x")], ["grp", "cat"]
+    )
+    out = nucleus_top_p(df, "grp", "cat", p=0.5).collect()
+    # all counts tie at 1: deterministic (cnt desc, cat asc) order keeps
+    # x then y (cum-before 1/3 < 1/2), never z
+    assert [r["cat"] for r in out] == ["x", "y"]

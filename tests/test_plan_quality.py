@@ -213,7 +213,8 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 7
         "grouped_percentiles", "weighted_sample", "histogram_equi_depth",
         "pagerank_knn", "fuzzy_match_parts", "source_divergence",
-        "scd2_user_state", "length_buckets",
+        "scd2_user_state", "length_buckets", "interpolate_values",
+        "nucleus_langs",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -561,4 +562,33 @@ def test_length_buckets_is_map_side_label_plus_bins_agg(spark):
     plan = plan_of(spark, "length_buckets")
     assert "Window" not in plan
     assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interpolate_single_data_shuffle(spark):
+    """Both ignore-nulls windows (backward last, forward first) share
+    the (key, order) spec — one hash exchange on the key plus the
+    presentation sort. No join, no grid: interpolation heals in
+    place."""
+    import re
+
+    plan = plan_of(spark, "interpolate_values")
+    hash_ex = set(re.findall(r"hashpartitioning\(user_id[^)]*", plan))
+    assert len(hash_ex) == 1, hash_ex
+    ex_nodes = set(re.findall(r"\(\d+\) Exchange", plan))
+    assert len(ex_nodes) <= 2, ex_nodes
+    assert "Join" not in plan
+
+
+def test_nucleus_window_runs_over_counts_not_rows(spark):
+    """The rank/cumsum window must sit ABOVE the (group, category)
+    aggregate — partition size is the category domain, never the row
+    count (the same contract as topk_per_group/topn_others)."""
+    plan = plan_of(spark, "nucleus_langs")
+    assert "Window" in plan
+    # formatted explain prints the tree root-first, so the aggregate
+    # FEEDING the window appears after it textually (same assertion
+    # shape as test_topn_others_window_input_is_preaggregated)
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:]
     assert "CartesianProduct" not in plan
