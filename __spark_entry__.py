@@ -1713,6 +1713,24 @@ def q_nucleus_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nucleus_top_p(table(spark, sf_dir, "documents"), "source", "lang", p=0.8)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a stored positional inverted index
+    (functions/search.py build_text_index / phrase_search_index): the
+    postings persist hive-partitioned on a content-stable token bucket
+    and the query reads ONLY its tokens' partitions (driver-computable
+    bucket — planning needs no Spark job; PartitionFilters pinned).
+    Phrase occurrences are a k-way EQUI join on (doc, pos − i), never a
+    positional theta-join. The exact-search sibling of the MinHash /
+    phash / IVF index-at-rest trio."""
+    from fresco_hpc_spark.functions import build_text_index, phrase_search_index
+
+    docs = table(spark, sf_dir, "documents")
+    build_text_index(docs, "entry_text_index", n_buckets=32)
+    return phrase_search_index(
+        spark.table("entry_text_index"), "fast table", n_buckets=32
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (functions/sampling.py cap_per_group):
     keep at most 50 docs per source, selected as the 50 smallest
@@ -1964,7 +1982,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 23 + 4 + 6:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 24 + 4 + 5:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -1988,7 +2006,7 @@ def queries() -> dict[str, Query]:
         # (2) the 23 queries new or changed in r7 — never-certified
         #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
         #     scd2_user_state / length_buckets / interpolate_values /
-        #     nucleus_langs,
+        #     nucleus_langs / phrase_search,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -2008,6 +2026,7 @@ def queries() -> dict[str, Query]:
         "length_buckets": q_length_buckets,  # new in r7
         "interpolate_values": q_interpolate_values,  # new in r7
         "nucleus_langs": q_nucleus_langs,  # new in r7
+        "phrase_search": q_phrase_search,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2029,11 +2048,11 @@ def queries() -> dict[str, Query]:
         "corpus_curation_v2": q_corpus_curation_v2,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
-        "unpivot_long": q_unpivot_long,
-        # --- outside the 50-query window: the remaining 35 r05-green
+        # --- outside the 50-query window: the remaining 36 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
         "wide_table_roundtrip": q_wide_table_roundtrip,
         "rolling_hour_avg": q_rolling_hour_avg,
@@ -4630,6 +4649,22 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         WHERE CAST(cum - cnt AS DOUBLE) < 0.8 * total
         ORDER BY source, nucleus_rank
+    """
+
+    oracles["phrase_search"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, i - 1 AS start
+            FROM t, UNNEST(generate_series(1, len(arr) - 1)) AS s(i)
+            WHERE arr[i] = 'fast' AND arr[i + 1] = 'table'
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(start) AS BIGINT) AS first_pos
+        FROM m GROUP BY doc_id ORDER BY doc_id
     """
 
     oracles["domain_cap"] = """

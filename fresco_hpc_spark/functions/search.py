@@ -1,0 +1,147 @@
+"""Inverted text index at rest + phrase search.
+
+Completes the index-at-rest family (MinHash band index for near-dup
+text, phash chunk index for images, IVF inverted lists for vectors —
+COVERAGE.md LLM-extension table): the POSITIONAL inverted index is the
+exact-search sibling — token → (doc, position) postings persisted
+hive-partitioned on a content-stable token bucket, so a phrase query
+reads only its tokens' partitions (PartitionFilters, same contract as
+the IVF nprobe pruning) and never rescans the corpus text.
+
+Phrase matching is the classic positional-postings join, made
+EQUI-joinable by shifting: token i of the phrase contributes postings
+projected to ``start = pos − i``, so a phrase occurrence is simply a
+(doc, start) key present in ALL k projections — a k-way equi-join on
+(doc, start), never a positional theta-join. Candidates after the first
+join are bounded by the rarest token's postings.
+
+The bucket hash is the repo's shared md5-derived 60-bit value
+(functions/dedup.py::_h60) — computable identically driver-side in
+Python (`_py_bucket`), so query planning needs NO Spark job to locate
+partitions, and in any other engine for cross-checking.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fresco_hpc_spark.functions.dedup import _h60
+
+_SALT = "tok|"
+
+
+def _py_bucket(token: str, n_buckets: int) -> int:
+    """Driver-side twin of the JVM bucket expression: first 15 hex
+    chars of md5(salt+token) as int, mod n_buckets — byte-identical to
+    ``_h60`` (pinned by test_llm_ops)."""
+    h = int(hashlib.md5((_SALT + token).encode("utf-8")).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def tokenize_positions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, pos, token) postings: the house whitespace tokenization
+    (lower + trim + split on ``\\s+``) with 0-based positions. Tokens
+    are NOT filtered — ``\\s+`` on trimmed text yields no interior
+    empties, and dropping the single "" token of a blank document would
+    be the only effect; keeping it preserves position arithmetic and a
+    real phrase token never equals ""."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words).alias("pos", "token"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+
+
+def build_text_index(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Persist the positional postings AT REST, hive-partitioned on
+    ``_bkt = _h60('tok|' + token) % n_buckets``. One tokenize pass over
+    the corpus at build time; every later phrase query prunes to its
+    tokens' partitions. ``n_buckets`` trades directory count against
+    pruning selectivity (a query for k distinct tokens reads ≤ k
+    buckets); the token column stays in the data for the exact residual
+    filter, so bucket collisions cost I/O, never correctness.
+
+    Same catalog-resolved managed-table lifecycle as
+    ``vectors.ivf_build_index`` (drop stale metadata, clear an orphaned
+    location, then partitioned saveAsTable)."""
+    spark = docs.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if "." in table_name:
+        db, tbl = table_name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table_name
+    db_loc = spark.catalog.getDatabase(db).locationUri.rstrip("/")
+    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{db_loc}/{tbl.lower()}")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jp):
+        fs.delete(jp, True)
+    postings = tokenize_positions(docs, text_col, id_col).withColumn(
+        "_bkt",
+        F.pmod(_h60(F.concat(F.lit(_SALT), F.col("token"))), F.lit(n_buckets)),
+    )
+    (
+        postings.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("_bkt")
+        .saveAsTable(table_name)
+    )
+
+
+def phrase_search_index(
+    index_df: DataFrame,
+    phrase: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact phrase search over a stored positional index
+    (``build_text_index`` output): documents containing the phrase's
+    tokens CONSECUTIVELY, with the match count and first position.
+
+    The phrase is normalized with the index's own tokenization. Token i
+    contributes its postings as ``(doc_id, pos − i)``; an occurrence is
+    a (doc_id, start) key surviving all k equi-joins. The scan for each
+    token carries ``_bkt = <driver-computed bucket>`` — partition
+    pruning, no job needed to plan — plus the exact ``token =`` residual.
+    Duplicate phrase tokens reuse the same partition; a phrase of one
+    token degenerates to a postings count per doc.
+
+    Scale shape: k pruned scans (I/O ∝ the tokens' posting lists, not
+    the corpus) → (k−1) equi-joins on (doc_id, start) whose left side
+    shrinks monotonically → one groupBy(doc_id). Join order is the
+    phrase order; a cost-based engine would reorder by df — at the
+    index layer the rarest-first rewrite is a caller-side permutation
+    of the same relation (document, don't silently reorder: the result
+    is identical either way)."""
+    tokens = [t for t in phrase.lower().strip().split() if t]
+    if not tokens:
+        raise ValueError("phrase must contain at least one token")
+    matched = None
+    for i, tok in enumerate(tokens):
+        p = (
+            index_df.filter(
+                (F.col("_bkt") == F.lit(_py_bucket(tok, n_buckets)))
+                & (F.col("token") == F.lit(tok))
+            )
+            .select("doc_id", (F.col("pos") - F.lit(i)).alias("start"))
+        )
+        matched = p if matched is None else matched.join(
+            p, ["doc_id", "start"]
+        )
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("start").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

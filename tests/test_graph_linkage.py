@@ -309,3 +309,66 @@ def test_nucleus_top_p_tie_break_is_category_order(spark):
     # all counts tie at 1: deterministic (cnt desc, cat asc) order keeps
     # x then y (cum-before 1/3 < 1/2), never z
     assert [r["cat"] for r in out] == ["x", "y"]
+
+
+def test_phrase_search_index_semantics(spark):
+    from fresco_hpc_spark.functions import build_text_index, phrase_search_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "cat sat cat sat cat"),
+            (3, "the dog"),
+            (4, "a a a a"),
+            (5, "  The CAT  sat  "),  # normalization: lower + trim + \s+
+        ],
+        ["doc_id", "text"],
+    )
+    build_text_index(docs, "t_search_idx", n_buckets=8)
+    idx = spark.table("t_search_idx")
+
+    out = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search_index(idx, "cat sat", n_buckets=8).collect()
+    }
+    assert out == {1: (1, 1), 2: (2, 0), 5: (1, 1)}
+    # overlapping matches of a duplicate-token phrase all count
+    out4 = phrase_search_index(idx, "a a", n_buckets=8).collect()
+    assert [(r["doc_id"], r["n_matches"], r["first_pos"]) for r in out4] == [
+        (4, 3, 0)
+    ]
+    # single-token phrase degenerates to a postings count
+    out1 = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search_index(idx, "the", n_buckets=8).collect()
+    }
+    assert out1 == {1: 2, 3: 1, 5: 1}
+    # absent phrase: empty relation, stable schema
+    assert phrase_search_index(idx, "zebra stampede", n_buckets=8).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        phrase_search_index(idx, "   ", n_buckets=8)
+    spark.sql("DROP TABLE IF EXISTS t_search_idx")
+
+
+def test_phrase_search_bucket_hash_matches_jvm(spark):
+    # the driver-side bucket twin must agree with the JVM expression for
+    # every token it will ever prune on — divergence silently reads the
+    # WRONG partition and returns an empty (not wrong-valued) result
+    from fresco_hpc_spark.functions.dedup import _h60
+    from fresco_hpc_spark.functions.search import _SALT, _py_bucket
+
+    toks = ["cat", "the", "fast", "table", "naïve", "域", "x" * 100]
+    df = spark.createDataFrame([(t,) for t in toks], ["token"])
+    jvm = {
+        r["token"]: r["b"]
+        for r in df.select(
+            "token",
+            F.pmod(
+                _h60(F.concat(F.lit(_SALT), F.col("token"))), F.lit(32)
+            ).alias("b"),
+        ).collect()
+    }
+    for t in toks:
+        assert _py_bucket(t, 32) == jvm[t], t

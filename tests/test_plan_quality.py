@@ -214,7 +214,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "grouped_percentiles", "weighted_sample", "histogram_equi_depth",
         "pagerank_knn", "fuzzy_match_parts", "source_divergence",
         "scd2_user_state", "length_buckets", "interpolate_values",
-        "nucleus_langs",
+        "nucleus_langs", "phrase_search",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -592,3 +592,19 @@ def test_nucleus_window_runs_over_counts_not_rows(spark):
     win_pos = plan.index("Window")
     assert "HashAggregate" in plan[win_pos:]
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_prunes_token_partitions(spark):
+    """Each phrase token's postings scan must carry a PartitionFilters
+    entry on the driver-computed bucket — the I/O contract of the
+    stored index (read the tokens' directories, never the corpus), the
+    same shape as the IVF nprobe pruning."""
+    plan = plan_of(spark, "phrase_search")
+    pf_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "_bkt" in ln
+    ]
+    # two tokens -> two pruned scans (details section lists each once)
+    assert len(pf_lines) >= 2, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
