@@ -4476,34 +4476,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ),
         t2 AS (SELECT grp, token FROM toks WHERE token <> ''),
-        gt AS (
+        gt0 AS (
             SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c_gt
             FROM t2 GROUP BY 1, 2
         ),
-        g AS (
-            SELECT grp, CAST(SUM(c_gt) AS BIGINT) AS n_g,
-                   CAST(COUNT(*) AS BIGINT) AS vocab
-            FROM gt GROUP BY 1
+        gt AS (
+            -- group totals as a whole-partition window, matching the
+            -- operator's null-safe (no totals join) formulation
+            SELECT grp, token, c_gt,
+                   CAST(SUM(c_gt) OVER (PARTITION BY grp) AS BIGINT) AS n_g,
+                   CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS vocab
+            FROM gt0
         ),
         tt AS (
             SELECT token, CAST(SUM(c_gt) AS BIGINT) AS c_t
-            FROM gt GROUP BY 1
+            FROM gt0 GROUP BY 1
         ),
         tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM tt),
         u AS (
-            SELECT gt.grp,
-                   CAST(ROUND((gt.c_gt / g.n_g)
-                              * ln((gt.c_gt * tot.n_tot) / (g.n_g * tt.c_t))
+            SELECT gt.grp, gt.n_g, gt.vocab,
+                   CAST(ROUND((gt.c_gt / gt.n_g)
+                              * ln((gt.c_gt * tot.n_tot) / (gt.n_g * tt.c_t))
                               * 1e6, 0) AS BIGINT) AS uu
-            FROM gt JOIN g USING (grp) JOIN tt USING (token) CROSS JOIN tot
-        ),
-        k AS (
-            SELECT grp, ROUND(SUM(uu) / 1e6, 6) AS kl_divergence
-            FROM u GROUP BY grp
+            FROM gt JOIN tt USING (token) CROSS JOIN tot
         )
-        SELECT g.grp AS source, g.n_g AS n_tokens, g.vocab AS vocab,
-               k.kl_divergence
-        FROM g JOIN k USING (grp) ORDER BY source
+        SELECT grp AS source, n_g AS n_tokens, vocab,
+               ROUND(SUM(uu) / 1e6, 6) AS kl_divergence
+        FROM u GROUP BY grp, n_g, vocab ORDER BY source
     """
 
     oracles["scd2_user_state"] = """
@@ -4626,22 +4625,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM documents GROUP BY 1, 2
         ),
-        tot AS (
-            SELECT source, CAST(SUM(cnt) AS BIGINT) AS total
-            FROM counts GROUP BY 1
-        ),
         r AS (
-            SELECT c.source, c.lang, c.cnt, t.total,
+            -- group total as a whole-partition window, matching the
+            -- operator's null-safe (no totals join) formulation
+            SELECT source, lang, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY source)
+                       AS BIGINT) AS total,
                    CAST(ROW_NUMBER() OVER (
-                       PARTITION BY c.source
-                       ORDER BY c.cnt DESC, c.lang ASC NULLS FIRST
+                       PARTITION BY source
+                       ORDER BY cnt DESC, lang ASC NULLS FIRST
                    ) AS BIGINT) AS nucleus_rank,
-                   CAST(SUM(c.cnt) OVER (
-                       PARTITION BY c.source
-                       ORDER BY c.cnt DESC, c.lang ASC NULLS FIRST
+                   CAST(SUM(cnt) OVER (
+                       PARTITION BY source
+                       ORDER BY cnt DESC, lang ASC NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS cum
-            FROM counts c JOIN tot t USING (source)
+            FROM counts
         )
         SELECT source, lang, cnt, nucleus_rank,
                ROUND(cnt / CAST(total AS DOUBLE), 6) AS share,

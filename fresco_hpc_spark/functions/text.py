@@ -1025,14 +1025,19 @@ def source_token_divergence(
     corpus by construction so q > 0 — no smoothing needed.
 
     Scale shape: one tokenize-explode → one (group, token) partial-agg
-    groupBy; the group totals and corpus token totals RE-AGGREGATE that
-    vocabulary-sized relation (never the token stream twice); the
-    corpus grand total rides a broadcast 1-row frame. The joins back
-    onto (group, token) are equi-joins on token / group — at 100 TB the
-    token-total side is vocabulary-sized and the group-total side is
-    #groups-sized, both far under the stream, and AQE broadcasts them
+    groupBy; the group totals are a whole-partition WINDOW over that
+    vocabulary-sized relation (no totals join — which would silently
+    drop a NULL group, the recurring null-group bug class; a window
+    partition keeps NULL natively) and the final per-group aggregate
+    reuses the same hash(group) partitioning. The corpus token totals
+    re-aggregate the counts relation (never the token stream twice)
+    and join back on the never-null token; the corpus grand total
+    rides a broadcast 1-row frame. At 100 TB the token-total side is
+    vocabulary-sized — far under the stream — and AQE broadcasts it
     when small. Nothing touches Python.
     """
+    from pyspark.sql import Window
+
     df = _fan_out(df)
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     toks = (
@@ -1040,9 +1045,9 @@ def source_token_divergence(
         .filter(F.col("token") != "")
     )
     gt = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c_gt"))
-    g_tot = gt.groupBy("grp").agg(
-        F.sum("c_gt").alias("n_g"),
-        F.count(F.lit(1)).alias("vocab"),
+    wg = Window.partitionBy("grp")
+    gt = gt.withColumn("n_g", F.sum("c_gt").over(wg)).withColumn(
+        "vocab", F.count(F.lit(1)).over(wg)
     )
     t_tot = gt.groupBy("token").agg(F.sum("c_gt").alias("c_t"))
     corpus = t_tot.agg(F.sum("c_t").alias("n_tot"))
@@ -1050,16 +1055,12 @@ def source_token_divergence(
     p = F.col("c_gt") / F.col("n_g")
     ratio = (F.col("c_gt") * F.col("n_tot")) / (F.col("n_g") * F.col("c_t"))
     u = F.round(p * F.log(ratio) * 1_000_000, 0).cast("bigint")
-    per_group = (
-        gt.join(t_tot, "token")
-        .join(g_tot, "grp")
-        .crossJoin(F.broadcast(corpus))
-        .select("grp", u.alias("u"))
-        .groupBy("grp")
-        .agg(F.round(F.sum("u") / 1_000_000.0, _ROUND).alias("kl_divergence"))
-    )
     return (
-        g_tot.join(per_group, "grp")
+        gt.join(t_tot, "token")
+        .crossJoin(F.broadcast(corpus))
+        .select("grp", "n_g", "vocab", u.alias("u"))
+        .groupBy("grp", "n_g", "vocab")
+        .agg(F.round(F.sum("u") / 1_000_000.0, _ROUND).alias("kl_divergence"))
         .select(
             F.col("grp").alias(group_col),
             F.col("n_g").cast("bigint").alias("n_tokens"),

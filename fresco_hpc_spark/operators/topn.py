@@ -106,9 +106,11 @@ def nucleus_top_p(
     Scale shape: one partial-aggregated groupBy builds the per-(group,
     category) counts; the rank/cumsum window then runs over DISTINCT
     categories per group — bounded by the category domain, not the row
-    count (same contract as ``topk_per_group``). Group totals
-    re-aggregate the counts relation; the equi-join back is
-    categories-sized on both sides.
+    count (same contract as ``topk_per_group``). The group total is a
+    whole-partition window over the SAME partitioning (no totals join
+    — which would also silently drop a NULL group, the null-group bug
+    class the keyed-join operators guard against; a window partition
+    keeps NULL as its own group natively).
     """
     from pyspark.sql import Window
 
@@ -117,12 +119,13 @@ def nucleus_top_p(
     counts = df.groupBy(group_col, cat_col).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    totals = counts.groupBy(group_col).agg(F.sum("cnt").alias("_total"))
     w = Window.partitionBy(group_col).orderBy(
         F.col("cnt").desc(), F.col(cat_col).asc()
     )
     ranked = (
-        counts.join(totals, group_col)
+        counts.withColumn(
+            "_total", F.sum("cnt").over(Window.partitionBy(group_col))
+        )
         .withColumn("nucleus_rank", F.row_number().over(w).cast("bigint"))
         .withColumn(
             "_cum",

@@ -372,3 +372,29 @@ def test_phrase_search_bucket_hash_matches_jvm(spark):
     }
     for t in toks:
         assert _py_bucket(t, 32) == jvm[t], t
+
+
+def test_nucleus_and_divergence_keep_null_groups(spark):
+    # the recurring null-group bug class (ADVICE r6/r7): a NULL group
+    # must form its own group, never silently vanish through a totals
+    # join — both operators compute totals as partition windows
+    from fresco_hpc_spark.functions import source_token_divergence
+    from fresco_hpc_spark.operators import nucleus_top_p
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "a"), (None, "b"), ("g", "c")],
+        ["grp", "cat"],
+    )
+    out = nucleus_top_p(df, "grp", "cat", p=0.6).collect()
+    null_rows = [r for r in out if r["grp"] is None]
+    assert [(r["cat"], r["cnt"]) for r in null_rows] == [("a", 2)]
+
+    docs = spark.createDataFrame(
+        [(None, "x x"), ("s", "y y")], ["source", "text"]
+    )
+    kl = {r["source"]: r["kl_divergence"]
+          for r in source_token_divergence(docs).collect()}
+    assert None in kl and "s" in kl
+    import math
+
+    assert kl[None] == pytest.approx(math.log(2), abs=1e-6)
