@@ -521,3 +521,126 @@ def test_weighted_sample_is_partition_invariant(spark, n, k, parts):
     group_n = Counter(g for _, g, _ in rows)
     for g, gn in group_n.items():
         assert sizes[g] == min(k, gn)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(finite_doubles, st.none()), min_size=1, max_size=40
+    )
+)
+@_settings
+def test_interpolation_is_bounded_by_neighbors(spark, vals):
+    # For ANY series: every interpolated value lies within the closed
+    # range of the two observations it is drawn between (convexity of
+    # the linear form), healed rows are exactly the null rows, and
+    # non-null rows pass through unchanged.
+    from datetime import datetime, timedelta
+
+    from fresco_hpc_spark.operators import interpolate_linear
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base + timedelta(seconds=13 * i), v, i)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, v double, eid int"
+    )
+    out = sorted(
+        interpolate_linear(
+            df, "k", time_col="ts", value_col="v", tie_cols=["eid"]
+        ).collect(),
+        key=lambda r: r["eid"],
+    )
+    obs = [(i, v) for i, v in enumerate(vals) if v is not None]
+    for r in out:
+        i, v = r["eid"], vals[r["eid"]]
+        assert r["is_interp"] == (v is None)
+        if v is not None:
+            assert r["value_interp"] == v
+            continue
+        prev = [(j, x) for j, x in obs if j < i]
+        nxt = [(j, x) for j, x in obs if j > i]
+        if not prev and not nxt:
+            assert r["value_interp"] is None
+        elif not prev:
+            assert r["value_interp"] == nxt[0][1]
+        elif not nxt:
+            assert r["value_interp"] == prev[-1][1]
+        else:
+            lo = min(prev[-1][1], nxt[0][1])
+            hi = max(prev[-1][1], nxt[0][1])
+            assert lo - 1e-6 <= r["value_interp"] <= hi + 1e-6
+
+
+@given(
+    states=st.lists(
+        st.one_of(st.sampled_from(["a", "b", "c"]), st.none()),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_scd2_episodes_reconstruct_the_log(spark, states):
+    # For ANY change log: episodes tile the key's timeline (each
+    # valid_to equals the next valid_from), versions are 1..n, exactly
+    # one row is current, and replaying "state at time t" through the
+    # episodes reproduces the original log's state at every event time.
+    from datetime import datetime, timedelta
+
+    from fresco_hpc_spark.operators import scd2_history
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base + timedelta(minutes=i), s, i) for i, s in enumerate(states)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, state string, eid int"
+    )
+    eps = sorted(
+        scd2_history(df, ["k"], "ts", ["state"], tie_cols=["eid"]).collect(),
+        key=lambda r: r["version"],
+    )
+    assert [e["version"] for e in eps] == list(range(1, len(eps) + 1))
+    assert sum(e["is_current"] for e in eps) == 1 and eps[-1]["is_current"]
+    for a, b in zip(eps, eps[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    # collapse-correctness: consecutive episodes always differ in state
+    for a, b in zip(eps, eps[1:]):
+        assert a["state"] != b["state"] or (
+            a["state"] is None) != (b["state"] is None)
+    # point-in-time replay reproduces the log
+    for i, s in enumerate(states):
+        t = base + timedelta(minutes=i)
+        live = [
+            e for e in eps
+            if e["valid_from"] <= t and (e["valid_to"] is None or t < e["valid_to"])
+        ]
+        assert len(live) == 1 and live[0]["state"] == s
+
+
+@given(
+    names=st.lists(
+        st.sampled_from(
+            ["red cat", "red car", "red bat", "blue cat", "blue cap", "red"]
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    t1=st.integers(min_value=0, max_value=2),
+)
+@_settings
+def test_fuzzy_threshold_is_monotone(spark, names, t1):
+    # Widening max_dist can only ADD pairs (threshold monotonicity),
+    # and every reported distance respects its threshold.
+    from fresco_hpc_spark.operators import fuzzy_match_names
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    small = fuzzy_match_names(df, "name", max_dist=t1).collect()
+    big = fuzzy_match_names(df, "name", max_dist=t1 + 2).collect()
+    small_pairs = {(r["name_a"], r["name_b"]): r["dist"] for r in small}
+    big_pairs = {(r["name_a"], r["name_b"]): r["dist"] for r in big}
+    assert set(small_pairs) <= set(big_pairs)
+    assert all(d <= t1 for d in small_pairs.values())
+    for k, d in small_pairs.items():
+        assert big_pairs[k] == d  # distance itself is threshold-free
