@@ -4,6 +4,10 @@ from fresco_hpc_spark.streaming.dedup import (  # noqa: F401
     start_incremental_vector_ingest,
     streaming_dedup,
 )
+from fresco_hpc_spark.streaming.search import (  # noqa: F401
+    process_text_index_batch,
+    start_incremental_text_index,
+)
 from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
     streaming_counter_rates,
     streaming_ewma,

@@ -1478,3 +1478,93 @@ def test_streaming_ewma_matches_batch_scan(spark, tmp_path):
 
     r6 = lambda x: float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
     assert {k: r6(v) for k, v in got.items()} == want
+
+
+def test_incremental_text_index_matches_batch_build(spark, tmp_path):
+    """Drained incremental index == batch index (streaming/search.py
+    start_incremental_text_index): documents arriving over three
+    file-batches produce an index whose phrase search results equal a
+    one-shot build_text_index over the union corpus, and the layout
+    prunes on the same top-level _bkt partitions."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fresco_hpc_spark.functions import build_text_index, phrase_search_index
+    from fresco_hpc_spark.streaming import start_incremental_text_index
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "cat sat cat sat cat"),
+        (3, "the dog sat"),
+        (4, "cat sat again and cat sat"),
+        (5, "nothing to see"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, chunk in enumerate([docs[:2], docs[2:4], docs[4:]]):
+        pd.DataFrame(chunk, columns=["doc_id", "text"]).to_csv(
+            src / f"{i}.csv", index=False
+        )
+        os.utime(src / f"{i}.csv", (1000000000 + i * 100,) * 2)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    idx_dir = str(tmp_path / "idx")
+    q = start_incremental_text_index(
+        stream, idx_dir, str(tmp_path / "ckpt"), n_buckets=8,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    streamed = phrase_search_index(
+        spark.read.parquet(idx_dir), "cat sat", n_buckets=8
+    ).collect()
+    build_text_index(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        "t_stream_idx_ref",
+        n_buckets=8,
+    )
+    batch = phrase_search_index(
+        spark.table("t_stream_idx_ref"), "cat sat", n_buckets=8
+    ).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert {r["doc_id"]: r["n_matches"] for r in streamed} == {1: 1, 2: 2, 4: 2}
+    # top-level layout is the same _bkt partitioning the batch index prunes on
+    assert any(d.startswith("_bkt=") for d in os.listdir(idx_dir))
+    spark.sql("DROP TABLE IF EXISTS t_stream_idx_ref")
+
+
+def test_incremental_text_index_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay contract: re-running a batch rewrites its own
+    (bucket, batch) partitions in place — postings count and search
+    results are unchanged, no duplicates appended."""
+    from fresco_hpc_spark.functions import phrase_search_index
+    from fresco_hpc_spark.streaming import process_text_index_batch
+
+    idx_dir = str(tmp_path / "idx")
+    b0 = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(2, "b a b")], ["doc_id", "text"])
+    process_text_index_batch(b0, 0, index_dir=idx_dir, n_buckets=4)
+    process_text_index_batch(b1, 1, index_dir=idx_dir, n_buckets=4)
+    before = spark.read.parquet(idx_dir).count()
+    res_before = phrase_search_index(
+        spark.read.parquet(idx_dir), "a b", n_buckets=4
+    ).collect()
+    # crash-replay of batch 1
+    process_text_index_batch(b1, 1, index_dir=idx_dir, n_buckets=4)
+    after = spark.read.parquet(idx_dir).count()
+    res_after = phrase_search_index(
+        spark.read.parquet(idx_dir), "a b", n_buckets=4
+    ).collect()
+    assert before == after == 7
+    assert sorted(map(tuple, res_before)) == sorted(map(tuple, res_after))
+    assert {r["doc_id"]: r["n_matches"] for r in res_after} == {1: 2, 2: 1}
