@@ -920,6 +920,50 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(_dup_pairs(spark, sf_dir)).orderBy("doc")
 
 
+def q_cluster_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution by centrality: compose the dup-pair graph's
+    connected components (functions/dedup.py dup_clusters) with integer
+    fixed-point PageRank over the symmetrized pairs (operators/graph.py
+    pagerank_fixed_point) and keep each cluster's highest-ranked member
+    — "keep the hub" dedup resolution, the centrality upgrade over
+    keep-min-id (the hub is the member every duplicate points at, not
+    an arbitrary id). The per-cluster argmax is a rank window over
+    cluster members (bounded by cluster size); ties break on the doc
+    id, and the integer PageRank makes tie structure engine-identical."""
+    from pyspark.sql import Window
+
+    from fresco_hpc_spark.operators import pagerank_fixed_point
+
+    pairs = _dup_pairs(spark, sf_dir)
+    adj = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    verts = adj.select(F.col("src").alias("id")).distinct()
+    pr = pagerank_fixed_point(adj, verts)
+    clusters = dup_clusters(pairs)
+    joined = clusters.join(pr, clusters["doc"] == pr["id"]).drop("id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("pagerank"), F.asc("doc")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc").alias("hub_doc"),
+            "pagerank",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
@@ -1982,7 +2026,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 24 + 4 + 5:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 25 + 4 + 4:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -2006,7 +2050,7 @@ def queries() -> dict[str, Query]:
         # (2) the 23 queries new or changed in r7 — never-certified
         #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
         #     scd2_user_state / length_buckets / interpolate_values /
-        #     nucleus_langs / phrase_search,
+        #     nucleus_langs / phrase_search / cluster_hubs,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -2027,6 +2071,7 @@ def queries() -> dict[str, Query]:
         "interpolate_values": q_interpolate_values,  # new in r7
         "nucleus_langs": q_nucleus_langs,  # new in r7
         "phrase_search": q_phrase_search,  # new in r7
+        "cluster_hubs": q_cluster_hubs,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2047,11 +2092,11 @@ def queries() -> dict[str, Query]:
         "profile_columns": q_profile_columns,
         "corpus_curation_v2": q_corpus_curation_v2,
         "lead_quartile_events": q_lead_quartile_events,
-        "pivot_wide": q_pivot_wide,
-        # --- outside the 50-query window: the remaining 36 r05-green
+        # --- outside the 50-query window: the remaining 37 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
         "wide_table_roundtrip": q_wide_table_roundtrip,
@@ -2293,25 +2338,21 @@ _KNN_GRAPH_EDGE_CTES = """
 """
 
 
-def _pagerank_knn_oracle_sql(
+def _pagerank_iter_ctes(
     iterations: int = 3,
     scale: int = 10**12,
     damping_num: int = 17,
     damping_den: int = 20,
-    k: int = 5,
-) -> str:
-    """SQL twin of q_pagerank_knn: the same kNN edge replay as the
-    knn_graph oracle, then ``iterations`` unrolled rounds of the
-    integer fixed-point recurrence from operators/graph.py
-    pagerank_fixed_point — BIGINT floor division (DuckDB ``//`` ==
-    Spark ``div`` on non-negative operands), so both engines compute
-    the identical integers and only the final /scale touches floats."""
+) -> tuple[list[str], str]:
+    """Unrolled integer fixed-point PageRank as CTE fragments, assuming
+    relations ``ed(src, dst)`` and ``v(id)`` are already defined —
+    BIGINT floor division (DuckDB ``//`` == Spark ``div`` on
+    non-negative operands), so both engines compute the identical
+    integers and only the final /scale touches floats. Returns
+    (fragments, name-of-final-rank-relation); shared by the
+    pagerank_knn and cluster_hubs oracles."""
     s, dn, dd = int(scale), int(damping_num), int(damping_den)
     ctes = [
-        _KNN_GRAPH_EDGE_CTES.strip().rstrip(),
-        f"ed AS (SELECT vec_id AS src, neighbor_id AS dst "
-        f"FROM ranked WHERE rank <= {int(k)})",
-        "v AS (SELECT vec_id AS id FROM embeddings)",
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
         "deg AS (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS deg "
         "FROM ed GROUP BY src)",
@@ -2337,11 +2378,29 @@ def _pagerank_knn_oracle_sql(
             f"FROM v CROSS JOIN nn LEFT JOIN c{i} c ON v.id = c.id)"
         )
         prev = f"r{i}"
+    return ctes, prev
+
+
+def _pagerank_knn_oracle_sql(
+    iterations: int = 3,
+    scale: int = 10**12,
+    k: int = 5,
+) -> str:
+    """SQL twin of q_pagerank_knn: the same kNN edge replay as the
+    knn_graph oracle, then the shared unrolled integer recurrence."""
+    iters, prev = _pagerank_iter_ctes(iterations, scale)
+    ctes = [
+        _KNN_GRAPH_EDGE_CTES.strip().rstrip(),
+        f"ed AS (SELECT vec_id AS src, neighbor_id AS dst "
+        f"FROM ranked WHERE rank <= {int(k)})",
+        "v AS (SELECT vec_id AS id FROM embeddings)",
+        *iters,
+    ]
     return (
         "WITH "
         + ",\n        ".join(ctes)
-        + f"\n        SELECT id AS vec_id, ROUND(r / {float(s)}, 9) AS pagerank"
-        + f"\n        FROM {prev} ORDER BY vec_id"
+        + f"\n        SELECT id AS vec_id, ROUND(r / {float(int(scale))}, 9)"
+        + f" AS pagerank\n        FROM {prev} ORDER BY vec_id"
     )
 
 
@@ -4665,6 +4724,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
     """
+
+    pr_iters, pr_final = _pagerank_iter_ctes()
+    oracles["cluster_hubs"] = (
+        """
+        WITH pairs AS (
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 2000000
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        adj AS (
+            SELECT doc_a AS doc, doc_b AS nbr FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        ed AS (SELECT doc AS src, nbr AS dst FROM adj),
+        v AS (SELECT DISTINCT doc AS id FROM adj),
+        """
+        + ",\n        ".join(pr_iters)
+        + f""",
+        l1 AS (
+            SELECT doc, LEAST(doc, MIN(nbr)) AS label FROM adj GROUP BY doc
+        ),
+        cc AS (
+            SELECT a.doc, LEAST(MIN(ld.label), MIN(ln.label)) AS cluster_id
+            FROM adj a
+            JOIN l1 ld ON ld.doc = a.doc
+            JOIN l1 ln ON ln.doc = a.nbr
+            GROUP BY a.doc
+        ),
+        ranked_h AS (
+            SELECT cc.cluster_id, cc.doc,
+                   ROUND(r.r / {float(10**12)}, 9) AS pagerank,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cc.cluster_id
+                       ORDER BY ROUND(r.r / {float(10**12)}, 9) DESC, cc.doc
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+            FROM cc JOIN {pr_final} r ON r.id = cc.doc
+        )
+        SELECT cluster_id, doc AS hub_doc, pagerank,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked_h WHERE rn = 1 ORDER BY cluster_id
+    """
+    )
 
     oracles["domain_cap"] = """
         WITH c AS (

@@ -398,3 +398,40 @@ def test_nucleus_and_divergence_keep_null_groups(spark):
     import math
 
     assert kl[None] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_cluster_hub_resolution_picks_central_member(spark):
+    # a 4-leaf star plus an isolated pair: the star's hub (everything
+    # points at it after symmetrization... by pagerank) must be chosen,
+    # while the pair resolves by the doc-id tie-break (symmetric 2-node
+    # graph: identical integer ranks by construction)
+    from pyspark.sql import Window
+
+    from fresco_hpc_spark.functions import dup_clusters
+    from fresco_hpc_spark.operators import pagerank_fixed_point
+    from pyspark.sql import functions as SF
+
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 10), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    adj = pairs.select(
+        SF.col("doc_a").alias("src"), SF.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(SF.col("doc_b").alias("src"), SF.col("doc_a").alias("dst"))
+    )
+    verts = adj.select(SF.col("src").alias("id")).distinct()
+    pr = pagerank_fixed_point(adj, verts)
+    clusters = dup_clusters(pairs)
+    joined = clusters.join(pr, clusters["doc"] == pr["id"]).drop("id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        SF.desc("pagerank"), SF.asc("doc")
+    )
+    hubs = {
+        r["cluster_id"]: r["doc"]
+        for r in joined.withColumn("rn", SF.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert hubs[1] == 10   # the star's center, not min-id 1
+    assert hubs[20] == 20  # symmetric pair: tie broken by id
