@@ -1775,6 +1775,23 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles of the (undirected) kNN graph (operators/graph.py
+    triangle_enumerate): the clustering-structure probe — dense
+    semantic neighborhoods show up as triangle-rich regions. Wedges are
+    generated under DEGREE-ordered orientation so hub vertices never
+    pay deg²; the canonical (id_a < id_b < id_c) output is
+    orientation-independent, so the oracle replays the simple
+    id-ordered 3-way join."""
+    from fresco_hpc_spark.functions import knn_graph_blocked
+    from fresco_hpc_spark.operators import triangle_enumerate
+
+    edges = knn_graph_blocked(table(spark, sf_dir, "embeddings"), k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return triangle_enumerate(edges)
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (functions/sampling.py cap_per_group):
     keep at most 50 docs per source, selected as the 50 smallest
@@ -2026,7 +2043,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 25 + 4 + 4:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 26 + 4 + 3:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -2050,7 +2067,7 @@ def queries() -> dict[str, Query]:
         # (2) the 23 queries new or changed in r7 — never-certified
         #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
         #     scd2_user_state / length_buckets / interpolate_values /
-        #     nucleus_langs / phrase_search / cluster_hubs,
+        #     nucleus_langs / phrase_search / cluster_hubs / knn_triangles,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -2072,6 +2089,7 @@ def queries() -> dict[str, Query]:
         "nucleus_langs": q_nucleus_langs,  # new in r7
         "phrase_search": q_phrase_search,  # new in r7
         "cluster_hubs": q_cluster_hubs,  # new in r7
+        "knn_triangles": q_knn_triangles,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2091,11 +2109,11 @@ def queries() -> dict[str, Query]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "profile_columns": q_profile_columns,
         "corpus_curation_v2": q_corpus_curation_v2,
-        "lead_quartile_events": q_lead_quartile_events,
-        # --- outside the 50-query window: the remaining 37 r05-green
+        # --- outside the 50-query window: the remaining 38 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
         "synthetic_gen": q_synthetic_gen,
@@ -4723,6 +4741,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["knn_triangles"] = f"""
+        WITH {_KNN_GRAPH_EDGE_CTES.strip()},
+        e5 AS (
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rank <= 5
+        ),
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e5 WHERE src <> dst
+        )
+        -- id-ordered 3-way join: valid because the canonical triangle
+        -- relation is orientation-independent (the Spark side uses the
+        -- degree-ordered orientation for scale, same output)
+        SELECT u.a AS id_a, u.b AS id_b, w.b AS id_c
+        FROM und u
+        JOIN und w ON w.a = u.a AND w.b > u.b
+        JOIN und c ON c.a = u.b AND c.b = w.b
+        ORDER BY id_a, id_b, id_c
     """
 
     pr_iters, pr_final = _pagerank_iter_ctes()

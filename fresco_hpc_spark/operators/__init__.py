@@ -60,6 +60,7 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
 )
 from fresco_hpc_spark.operators.graph import (  # noqa: F401
     pagerank_fixed_point,
+    triangle_enumerate,
 )
 from fresco_hpc_spark.operators.cdc import (  # noqa: F401
     scd2_history,

@@ -435,3 +435,17 @@ def test_cluster_hub_resolution_picks_central_member(spark):
     }
     assert hubs[1] == 10   # the star's center, not min-id 1
     assert hubs[20] == 20  # symmetric pair: tie broken by id
+
+
+def test_triangle_enumerate_known_graphs(spark):
+    from fresco_hpc_spark.operators import triangle_enumerate
+
+    # K4: 4 triangles; plus noise (self-loop, duplicate/reversed edges)
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    noisy = k4 + [(1, 1), (2, 1), (3, 1)]
+    df = spark.createDataFrame(noisy, ["src", "dst"])
+    tris = [tuple(r) for r in triangle_enumerate(df).collect()]
+    assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+    # a path has no triangles
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert triangle_enumerate(path).count() == 0

@@ -214,7 +214,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "grouped_percentiles", "weighted_sample", "histogram_equi_depth",
         "pagerank_knn", "fuzzy_match_parts", "source_divergence",
         "scd2_user_state", "length_buckets", "interpolate_values",
-        "nucleus_langs", "phrase_search", "cluster_hubs",
+        "nucleus_langs", "phrase_search", "cluster_hubs", "knn_triangles",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):

@@ -644,3 +644,33 @@ def test_fuzzy_threshold_is_monotone(spark, names, t1):
     assert all(d <= t1 for d in small_pairs.values())
     for k, d in small_pairs.items():
         assert big_pairs[k] == d  # distance itself is threshold-free
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_triangle_enumeration_matches_brute_force(spark, edges):
+    # the degree-ordered orientation must find EXACTLY the brute-force
+    # triangle set of the underlying simple undirected graph, each once
+    from itertools import combinations
+
+    from fresco_hpc_spark.operators import triangle_enumerate
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(tuple(r) for r in triangle_enumerate(df).collect())
+    und = {frozenset((a, b)) for a, b in edges if a != b}
+    verts = sorted({v for e in und for v in e})
+    want = sorted(
+        (a, b, c)
+        for a, b, c in combinations(verts, 3)
+        if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))} <= und
+    )
+    assert got == want
