@@ -1775,6 +1775,21 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage candidates over part names
+    (operators/joins.py sorted_neighborhood_pairs): every distinct-name
+    pair within 3 positions of the global sorted order, with gap and
+    edit distance — the key-agnostic complement of fuzzy_match_parts'
+    first-token blocking. Exact global ordinals with NO single-task
+    sort: range shuffle + tiny-pid-relation offsets, then ONE equi-join
+    on ordinal+gap (no boundary cases)."""
+    from fresco_hpc_spark.operators import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        table(spark, sf_dir, "part"), "p_name", window=3
+    )
+
+
 def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles of the (undirected) kNN graph (operators/graph.py
     triangle_enumerate): the clustering-structure probe — dense
@@ -2043,7 +2058,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 26 + 4 + 3:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 27 + 4 + 2:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -2067,7 +2082,8 @@ def queries() -> dict[str, Query]:
         # (2) the 23 queries new or changed in r7 — never-certified
         #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
         #     scd2_user_state / length_buckets / interpolate_values /
-        #     nucleus_langs / phrase_search / cluster_hubs / knn_triangles,
+        #     nucleus_langs / phrase_search / cluster_hubs / knn_triangles /
+        #     sorted_neighborhood,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -2090,6 +2106,7 @@ def queries() -> dict[str, Query]:
         "phrase_search": q_phrase_search,  # new in r7
         "cluster_hubs": q_cluster_hubs,  # new in r7
         "knn_triangles": q_knn_triangles,  # new in r7
+        "sorted_neighborhood": q_sorted_neighborhood,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2108,11 +2125,11 @@ def queries() -> dict[str, Query]:
         #     first):
         "tfidf_top_terms": q_tfidf_top_terms,
         "profile_columns": q_profile_columns,
-        "corpus_curation_v2": q_corpus_curation_v2,
-        # --- outside the 50-query window: the remaining 38 r05-green
+        # --- outside the 50-query window: the remaining 39 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "corpus_curation_v2": q_corpus_curation_v2,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
@@ -4741,6 +4758,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["sorted_neighborhood"] = r"""
+        WITH n AS (
+            SELECT DISTINCT lower(trim(p_name)) AS name FROM part
+            WHERE p_name IS NOT NULL AND lower(trim(p_name)) <> ''
+        ),
+        r AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS rk FROM n)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(b.rk - a.rk AS BIGINT) AS gap,
+               CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+        ORDER BY name_a, gap
     """
 
     oracles["knn_triangles"] = f"""

@@ -57,6 +57,7 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
     large_equi_join,
     salted_join,
     semi_join,
+    sorted_neighborhood_pairs,
 )
 from fresco_hpc_spark.operators.graph import (  # noqa: F401
     pagerank_fixed_point,

@@ -307,3 +307,93 @@ def fuzzy_match_names(
         .select("block", "name_a", "name_b", "dist", "cnt_a", "cnt_b")
         .orderBy("name_a", "name_b")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    name_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage — the second classic candidate
+    generator next to :func:`fuzzy_match_names`' blocking: sort the
+    DISTINCT normalized values and emit every pair within ``window``
+    positions of each other, with the positional ``gap`` and the edit
+    distance. Sorted-neighborhood catches what blocking's first-token
+    key misses (typos IN the blocking key: "red cat" / "rwd cat" share
+    no first token but sort adjacently when the typo is late... and
+    more importantly the method is key-agnostic), while blocking
+    catches transpositions that sort far apart — production linkage
+    runs both and unions the candidates.
+
+    Distributed EXACTLY, with no global-sort single task: each distinct
+    name gets its true global ordinal from a range shuffle — per-pid
+    counts roll into offsets via a window over the TINY pid relation
+    (≤ shuffle-partitions rows), and ``ordinal = offset + local
+    row_number`` inside each range partition. Neighbor pairs are then
+    ONE equi-join on ``ordinal + gap`` after exploding gap ∈ 1..window
+    — no boundary cases, no window wider than a range partition,
+    pairs spanning any number of tiny partitions fall out of the join.
+
+    The range exchange feeds two consumers (the per-pid counts and the
+    ordinal assignment); like ``grouped_cume_counts`` this REFUSES to
+    run when both exchange-reuse paths are disabled — a twice-
+    materialized range exchange may sample different partition
+    boundaries and corrupt the ordinals (the executed-plan
+    ReusedExchange is pinned in test_plan_quality).
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    spark = df.sparkSession
+    reuse = spark.conf.get("spark.sql.exchange.reuse.enabled", "true")
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if str(reuse).lower() != "true" and str(adaptive).lower() != "true":
+        raise ValueError(
+            "sorted_neighborhood_pairs requires exchange reuse "
+            "(spark.sql.exchange.reuse.enabled or "
+            "spark.sql.adaptive.enabled): without it the two consumers "
+            "of the range exchange could see different partition "
+            "boundaries and produce wrong ordinals"
+        )
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    norm = F.lower(F.trim(F.col(name_col)))
+    names = (
+        df.select(norm.alias("name"))
+        .filter(F.col("name").isNotNull() & (F.col("name") != ""))
+        .distinct()
+    )
+    ranged = names.repartitionByRange(p, "name").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the offsets window is global BUT over the ≤ p-row pid relation —
+    # bounded by a config constant, not the data
+    offsets = part.select(
+        "_pid", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy("name")
+    ranked = (
+        ranged.join(offsets, "_pid")
+        .select(
+            "name",
+            (F.col("_off") + F.row_number().over(w_local)).alias("_ord"),
+        )
+    )
+    a = ranked.select(F.col("name").alias("name_a"), F.col("_ord"))
+    b = ranked.select(F.col("name").alias("name_b"), F.col("_ord").alias("_ord_b"))
+    return (
+        a.withColumn("gap", F.explode(F.sequence(F.lit(1), F.lit(int(window)))))
+        .withColumn("_target", F.col("_ord") + F.col("gap"))
+        .join(b, F.col("_target") == F.col("_ord_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.col("gap").cast("bigint").alias("gap"),
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("dist"),
+        )
+        .orderBy("name_a", "gap")
+    )

@@ -449,3 +449,35 @@ def test_triangle_enumerate_known_graphs(spark):
     # a path has no triangles
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     assert triangle_enumerate(path).count() == 0
+
+
+def test_sorted_neighborhood_exact_ordinals_across_tiny_partitions(spark):
+    # the hard case for distributed SNM: more range partitions than
+    # names, so neighbor chains SPAN partitions — the ordinal+gap
+    # equi-join must still find exactly the sorted-order pairs
+    from fresco_hpc_spark.operators import sorted_neighborhood_pairs
+
+    names = ["delta", "alpha", "echo", "bravo", "golf", "charlie", "foxtrot"]
+    df = spark.createDataFrame([(n,) for n in names], ["name"]).repartition(5)
+    out = sorted_neighborhood_pairs(df, "name", window=3).collect()
+    got = {(r["name_a"], r["name_b"], r["gap"]) for r in out}
+    s = sorted(names)
+    want = {
+        (s[i], s[i + g], g)
+        for i in range(len(s))
+        for g in range(1, 4)
+        if i + g < len(s)
+    }
+    assert got == want
+    # dist column is the true edit distance
+    for r in out:
+        if (r["name_a"], r["name_b"]) == ("alpha", "bravo"):
+            assert r["dist"] == 5
+
+
+def test_sorted_neighborhood_guards(spark):
+    from fresco_hpc_spark.operators import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([("x",)], ["name"])
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "name", window=0)

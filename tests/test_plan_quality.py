@@ -215,6 +215,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "pagerank_knn", "fuzzy_match_parts", "source_divergence",
         "scd2_user_state", "length_buckets", "interpolate_values",
         "nucleus_langs", "phrase_search", "cluster_hubs", "knn_triangles",
+        "sorted_neighborhood",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -608,3 +609,17 @@ def test_phrase_search_prunes_token_partitions(spark):
     assert len(pf_lines) >= 2, plan[:800]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_reuses_range_exchange(spark):
+    """The range exchange feeds both the per-pid counts and the ordinal
+    assignment — the adaptive executed plan must materialize it ONCE
+    (ReusedExchange), the same load-bearing reuse contract as
+    grouped_cume_counts; and the candidate generation is an equi-join,
+    never a cartesian."""
+    plan = plan_of(spark, "sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    df = entrymod.queries()["sorted_neighborhood"](spark, SF_SMALL)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
