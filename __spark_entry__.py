@@ -1775,6 +1775,20 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations within 2 positions
+    (functions/search.py collocation_pmi): the tokenizer/BPE
+    merge-candidate statistic. Pair stream = one shifted-position
+    EQUI join (N·max_gap rows, never tokens²); PMI computed from exact
+    BIGINT count products so both engines feed libm identical doubles;
+    ranking is TakeOrderedAndProject."""
+    from fresco_hpc_spark.functions import collocation_pmi
+
+    return collocation_pmi(
+        table(spark, sf_dir, "documents"), max_gap=2, min_count=5, top_n=100
+    )
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood linkage candidates over part names
     (operators/joins.py sorted_neighborhood_pairs): every distinct-name
@@ -2058,7 +2072,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 27 + 4 + 2:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 28 + 4 + 1:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -2083,7 +2097,7 @@ def queries() -> dict[str, Query]:
         #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
         #     scd2_user_state / length_buckets / interpolate_values /
         #     nucleus_langs / phrase_search / cluster_hubs / knn_triangles /
-        #     sorted_neighborhood,
+        #     sorted_neighborhood / collocations,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -2107,6 +2121,7 @@ def queries() -> dict[str, Query]:
         "cluster_hubs": q_cluster_hubs,  # new in r7
         "knn_triangles": q_knn_triangles,  # new in r7
         "sorted_neighborhood": q_sorted_neighborhood,  # new in r7
+        "collocations": q_collocations,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2124,11 +2139,11 @@ def queries() -> dict[str, Query]:
         #     driver regenerates testdata per round; oldest rows refresh
         #     first):
         "tfidf_top_terms": q_tfidf_top_terms,
-        "profile_columns": q_profile_columns,
-        # --- outside the 50-query window: the remaining 39 r05-green
+        # --- outside the 50-query window: the remaining 40 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
+        "profile_columns": q_profile_columns,
         "corpus_curation_v2": q_corpus_curation_v2,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
@@ -4758,6 +4773,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["collocations"] = r"""
+        WITH raw AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, i - 1 AS pos, arr[i] AS token
+            FROM raw, UNNEST(generate_series(1, len(arr))) AS s(i)
+        ),
+        t AS (SELECT doc_id, pos, token FROM toks WHERE token <> ''),
+        uni AS (
+            SELECT token AS tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM t GROUP BY 1
+        ),
+        n_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+        pairs AS (
+            SELECT a.token AS tok_a, b.token AS tok_b,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM t a JOIN t b
+              ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 2
+            GROUP BY 1, 2
+        ),
+        m_tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS m FROM pairs)
+        SELECT p.tok_a, p.tok_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+               ROUND(ln((p.c_ab * n.n * n.n) / (m.m * ca.c * cb.c)), 6)
+                   AS pmi
+        FROM pairs p
+        JOIN uni ca ON ca.tok = p.tok_a
+        JOIN uni cb ON cb.tok = p.tok_b
+        CROSS JOIN n_tot n CROSS JOIN m_tot m
+        WHERE p.c_ab >= 5
+        ORDER BY pmi DESC, tok_a, tok_b LIMIT 100
     """
 
     oracles["sorted_neighborhood"] = r"""

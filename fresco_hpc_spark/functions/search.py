@@ -145,3 +145,89 @@ def phrase_search_index(
         )
         .orderBy("doc_id")
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gap: int = 2,
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: ordered
+    token pairs co-occurring within ``max_gap`` positions, scored
+    ``PMI = ln(c_ab·N² / (M·c_a·c_b))`` — the merge-candidate statistic
+    tokenizer/BPE training starts from and the phrase-vocabulary probe
+    for corpus analysis. Directional (a strictly before b) and
+    gap-collapsed: one count per pair summed over gaps 1..max_gap.
+
+    Exactness: PMI is a PER-PAIR value (no cross-row float sum), and
+    every quantity entering the log is an exact BIGINT product of
+    counts — both engines feed libm the identical double, so plain
+    6 dp rounding hash-matches with no micro-unit machinery. N² must
+    stay under 2⁶³ (N < 3·10⁹ tokens); beyond that, shard the corpus
+    or rescale counts before the ratio — documented, not silently
+    wrong, since BIGINT overflow raises under ANSI mode.
+
+    Scale shape: the co-occurrence pair stream is ONE equi-join of the
+    postings relation against itself on ``(doc, pos + gap)`` after
+    exploding gap ∈ 1..max_gap — stream size N·max_gap, strictly
+    linear, never tokens² (the same shifted-position trick as
+    ``phrase_search_index``). Unigram counts and the two totals are
+    vocabulary-sized re-aggregations; the final ranking is
+    orderBy+limit, which Catalyst executes as TakeOrderedAndProject —
+    no global sort. Ties break on (tok_a, tok_b).
+    """
+    if max_gap < 1:
+        raise ValueError(f"max_gap must be >= 1, got {max_gap}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    postings = tokenize_positions(df, text_col, id_col).filter(
+        F.col("token") != ""
+    )
+    uni = postings.groupBy(F.col("token").alias("tok")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    a = postings.select(
+        "doc_id", F.col("token").alias("tok_a"), F.col("pos")
+    ).withColumn("gap", F.explode(F.sequence(F.lit(1), F.lit(int(max_gap)))))
+    b = postings.select(
+        "doc_id",
+        F.col("token").alias("tok_b"),
+        F.col("pos").alias("_pos_b"),
+    )
+    pairs = (
+        a.withColumn("_pos_b", F.col("pos") + F.col("gap"))
+        .join(b, ["doc_id", "_pos_b"])
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    m_tot = pairs.agg(F.sum("c_ab").alias("m"))
+    ca = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * F.col("n") * F.col("n"))
+            / (F.col("m") * F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        pairs.filter(F.col("c_ab") >= F.lit(int(min_count)))
+        .join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(int(top_n))
+    )

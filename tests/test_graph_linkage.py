@@ -481,3 +481,38 @@ def test_sorted_neighborhood_guards(spark):
     df = spark.createDataFrame([("x",)], ["name"])
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "name", window=0)
+
+
+def test_collocation_pmi_hand_computed(spark):
+    import math
+
+    from fresco_hpc_spark.functions import collocation_pmi
+
+    # "a b" always adjacent; "x"/"y" never co-occur within the window
+    df = spark.createDataFrame(
+        [(1, "a b x"), (2, "a b y"), (3, "a b x"), (4, "a b y")],
+        ["doc_id", "text"],
+    )
+    out = collocation_pmi(df, max_gap=1, min_count=2, top_n=10).collect()
+    rows = {(r["tok_a"], r["tok_b"]): r for r in out}
+    # N=12 tokens; adjacent-pair stream M=8; c_ab(a,b)=4, c_a=c_b=4
+    r = rows[("a", "b")]
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (4, 4, 4)
+    want = round(math.log((4 * 12 * 12) / (8 * 4 * 4)), 6)
+    assert r["pmi"] == want
+    # "b x" occurs twice (docs 1 and 3): kept, with its own exact counts
+    assert (rows[("b", "x")]["c_ab"], rows[("b", "x")]["c_b"]) == (2, 2)
+    # "x" and "y" never co-occur within the window at any count
+    assert ("x", "y") not in rows and ("y", "x") not in rows
+    # PMI ties break on (tok_a, tok_b): "a b" leads
+    assert out[0]["tok_a"] == "a" and out[0]["tok_b"] == "b"
+
+
+def test_collocation_pmi_guards(spark):
+    from fresco_hpc_spark.functions import collocation_pmi
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        collocation_pmi(df, max_gap=0)
+    with pytest.raises(ValueError):
+        collocation_pmi(df, min_count=0)
