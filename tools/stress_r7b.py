@@ -152,5 +152,97 @@ def main() -> None:
     spark.stop()
 
 
+def second_wave(sf_dir: str | None = None) -> None:
+    """Deterministic evidence for the round-7 third-batch operators:
+    triangle wedge mass under degree vs id orientation, SNM candidate
+    linearity, collocation pair-stream size. Run:
+
+        python -c "import tools.stress_r7b as s; s.second_wave()" [sf]
+    """
+    from fresco_hpc_spark.session import get_spark
+    from fresco_hpc_spark.sources import table
+    from fresco_hpc_spark.functions import knn_graph_blocked
+
+    sf_dir = sf_dir or (
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    )
+    spark = get_spark("stress-r7b2", shuffle_partitions=16)
+
+    # triangles: wedge mass Σ outdeg² under DEGREE orientation vs the
+    # naive ID orientation — the quantity the join actually generates
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_graph_blocked(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    und = (
+        edges.filter("src <> dst")
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .distinct()
+    )
+    deg = (
+        und.selectExpr("a AS v").unionAll(und.selectExpr("b AS v"))
+        .groupBy("v").count()
+    )
+    j = (
+        und.join(deg.selectExpr("v AS a", "count AS da"), "a")
+        .join(deg.selectExpr("v AS b", "count AS db"), "b")
+    )
+    # out-degree per vertex under each orientation, then Σ d²
+    def wedge_mass(orient_expr: str) -> int:
+        out = j.selectExpr(f"{orient_expr} AS u").groupBy("u").count()
+        return out.selectExpr("sum(count * count) AS m").collect()[0]["m"]
+
+    m_deg = wedge_mass(
+        "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END"
+    )
+    m_id = wedge_mass("a")
+    n_und = und.count()
+    print(
+        f"triangles: undirected edges={n_und}; wedge mass Σoutdeg²: "
+        f"degree-oriented={m_deg} vs id-oriented={m_id} "
+        f"(ratio {m_id / m_deg:.2f}×; gap grows with skew — on a "
+        f"power-law graph id-orientation is unbounded)"
+    )
+
+    # sorted-neighborhood: candidates are strictly linear (≤ w·n)
+    part = table(spark, sf_dir, "part")
+    n_names = (
+        part.selectExpr("lower(trim(p_name)) AS n")
+        .filter("n IS NOT NULL AND n <> ''").distinct().count()
+    )
+    from fresco_hpc_spark.operators import sorted_neighborhood_pairs
+
+    n_pairs = sorted_neighborhood_pairs(part, "p_name", window=3).count()
+    print(
+        f"sorted_neighborhood: distinct names={n_names}, window=3 -> "
+        f"candidates={n_pairs} (≤ 3·n; vs blocking's Σdf² this is "
+        f"distribution-independent)"
+    )
+
+    # collocations: pair stream is N·max_gap, never N²
+    docs = table(spark, sf_dir, "documents")
+    n_tok = (
+        docs.selectExpr(
+            "explode(split(trim(lower(text)), '\\\\s+')) AS t"
+        ).filter("t <> ''").count()
+    )
+    from fresco_hpc_spark.functions.search import tokenize_positions
+
+    p = tokenize_positions(docs).filter("token <> ''")
+    a = p.selectExpr("doc_id", "pos + 1 AS p1").unionAll(
+        p.selectExpr("doc_id", "pos + 2 AS p1")
+    )
+    stream = a.join(
+        p.selectExpr("doc_id", "pos AS p1"), ["doc_id", "p1"]
+    ).count()
+    print(
+        f"collocations: tokens={n_tok}, max_gap=2 -> pair stream="
+        f"{stream} rows ({stream / n_tok:.2f}·N; tokens² would be "
+        f"{n_tok}²)"
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     main()
+    second_wave()
