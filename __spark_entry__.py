@@ -1775,6 +1775,19 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source content-overlap matrix (functions/dedup.py
+    source_overlap_matrix): exact 3-gram shingle-set Jaccard per source
+    pair — literal content sharing (mirrors/syndication), the
+    complement of source_divergence's distribution-shape KL. Shingle
+    relation is DISTINCT (source, shingle); intersections via equi
+    self-join on the shingle (df ≤ #sources per shingle); the
+    completing pair frame is sources² over the tiny size relation."""
+    from fresco_hpc_spark.functions import source_overlap_matrix
+
+    return source_overlap_matrix(table(spark, sf_dir, "documents"), n=3)
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 PMI collocations within 2 positions
     (functions/search.py collocation_pmi): the tokenizer/BPE
@@ -2072,7 +2085,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 28 + 4 + 1:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 29 + 4:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -2097,7 +2110,7 @@ def queries() -> dict[str, Query]:
         #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
         #     scd2_user_state / length_buckets / interpolate_values /
         #     nucleus_langs / phrase_search / cluster_hubs / knn_triangles /
-        #     sorted_neighborhood / collocations,
+        #     sorted_neighborhood / collocations / source_overlap,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -2122,6 +2135,7 @@ def queries() -> dict[str, Query]:
         "knn_triangles": q_knn_triangles,  # new in r7
         "sorted_neighborhood": q_sorted_neighborhood,  # new in r7
         "collocations": q_collocations,  # new in r7
+        "source_overlap": q_source_overlap,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2135,11 +2149,12 @@ def queries() -> dict[str, Query]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "hopping_window": q_hopping_window,
         "phash_dup_pairs": q_phash_dup_pairs,
-        # (4) 19 of the 44 multi-certified r05-green queries (the
-        #     driver regenerates testdata per round; oldest rows refresh
-        #     first):
+        # (group 4 is empty this round: every backfill slot went to a
+        # never-certified query; the r05 multi-certified set rotates
+        # in r8.)
+        # --- outside the 50-query window: the r05-green multi-certified
         "tfidf_top_terms": q_tfidf_top_terms,
-        # --- outside the 50-query window: the remaining 40 r05-green
+        # --- and the remaining 40 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
         # 42 r06-certified ones; full-parity covers all locally.
         # r05-certified, deferred to r8:
@@ -4773,6 +4788,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["source_overlap"] = r"""
+        WITH words AS (
+            SELECT source,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents WHERE source IS NOT NULL
+        ),
+        sh AS (
+            SELECT DISTINCT source AS grp, token FROM (
+                SELECT source,
+                       unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(
+                                       list_slice(w, i, i + 2), ' ')))
+                           AS token
+                FROM words
+            )
+        ),
+        sizes AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b ON a.token = b.token AND a.grp < b.grp
+            GROUP BY 1, 2
+        )
+        SELECT sa.grp AS source_a, sb.grp AS source_b,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               COALESCE(i.n_shared, 0) AS n_shared,
+               ROUND(COALESCE(i.n_shared, 0)
+                     / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_shared, 0)
+                            AS DOUBLE), 6) AS jaccard
+        FROM sizes sa
+        JOIN sizes sb ON sa.grp < sb.grp
+        LEFT JOIN inter i ON i.grp_a = sa.grp AND i.grp_b = sb.grp
+        ORDER BY source_a, source_b
     """
 
     oracles["collocations"] = r"""

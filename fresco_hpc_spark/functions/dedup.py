@@ -1066,3 +1066,68 @@ def simhash_dup_pairs(
         .orderBy("doc_a", "doc_b")
     )
     return _finish_pairs(result, [banded], materialize)
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise content-overlap matrix between groups: exact Jaccard of
+    each pair's word-``n``-gram shingle SETS — the content-sharing
+    complement of ``text.source_token_divergence`` (KL compares
+    distribution SHAPES; this measures literal shared text: mirror
+    sites, syndication, cross-posting between sources) and the
+    corpus-level rollup of the per-document pair operators above.
+
+    Output: one row per unordered group pair (``group_a < group_b``)
+    with both set sizes, the shared-shingle count, and
+    ``jaccard = shared / (n_a + n_b − shared)`` — including zero rows
+    for non-overlapping pairs, so the matrix is complete. Groups with a
+    NULL key are excluded (a "source unknown" row in a provenance
+    matrix is noise; filter upstream to include it deliberately).
+
+    Scale shape: the shingle relation collapses to DISTINCT
+    (group, shingle) — vocabulary-×-groups-sized, reached through one
+    partial-agg pass over the token stream. Intersections come from an
+    EQUI self-join on the shingle (shared-mass-bounded, the Σ df²-style
+    candidate contract with df ≤ #groups per shingle — at most
+    groups²/2 pairs per shingle, and #groups is small by definition of
+    a source taxonomy). The completing pair frame is the
+    #groups-sized size relation joined with itself — groups², never
+    data². All-integer until the final division.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = df.filter(F.col(group_col).isNotNull())
+    sh = _tokens(base, text_col, group_col, n=n, distinct=True)
+    sizes = sh.groupBy(F.col("doc").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    a = sh.select(F.col("doc").alias("grp_a"), "token")
+    b = sh.select(F.col("doc").alias("grp_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("grp").alias("grp_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("grp_b"), F.col("n_sh").alias("n_b"))
+    shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
+    return (
+        sa.join(sb, F.col("grp_a") < F.col("grp_b"))
+        .join(inter, ["grp_a", "grp_b"], "left")
+        .select(
+            F.col("grp_a").alias("source_a"),
+            F.col("grp_b").alias("source_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            shared.alias("n_shared"),
+            F.round(
+                shared / (F.col("n_a") + F.col("n_b") - shared), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

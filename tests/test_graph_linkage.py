@@ -516,3 +516,28 @@ def test_collocation_pmi_guards(spark):
         collocation_pmi(df, max_gap=0)
     with pytest.raises(ValueError):
         collocation_pmi(df, min_count=0)
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    from fresco_hpc_spark.functions import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b c d"),     # shingles: {a b c, b c d}
+            ("s2", "a b c x"),     # {a b c, b c x} -> shares 1 with s1
+            ("s3", "p q r s"),     # disjoint
+            (None, "a b c d"),     # NULL source excluded
+        ],
+        ["source", "text"],
+    )
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in source_overlap_matrix(df, n=3).collect()}
+    # complete matrix over non-null sources: C(3,2) pairs, zeros included
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = rows[("s1", "s2")]
+    assert (r12["n_a"], r12["n_b"], r12["n_shared"]) == (2, 2, 1)
+    assert r12["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[("s1", "s3")]["n_shared"] == 0
+    assert rows[("s1", "s3")]["jaccard"] == 0.0
+    with pytest.raises(ValueError):
+        source_overlap_matrix(df, n=0)

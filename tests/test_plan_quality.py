@@ -215,7 +215,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "pagerank_knn", "fuzzy_match_parts", "source_divergence",
         "scd2_user_state", "length_buckets", "interpolate_values",
         "nucleus_langs", "phrase_search", "cluster_hubs", "knn_triangles",
-        "sorted_neighborhood", "collocations",
+        "sorted_neighborhood", "collocations", "source_overlap",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
