@@ -1775,6 +1775,59 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient of the kNN graph
+    (operators/graph.py local_clustering_coefficient): c(v) =
+    2·t(v)/(d(v)·(d(v)−1)) — dense semantic blobs vs bridge vectors,
+    the per-node refinement of knn_triangles. Exact BIGINT ratio,
+    degree-oriented triangle generation underneath."""
+    from fresco_hpc_spark.functions import knn_graph_blocked
+    from fresco_hpc_spark.operators import local_clustering_coefficient
+
+    edges = knn_graph_blocked(table(spark, sf_dir, "embeddings"), k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return local_clustering_coefficient(edges).withColumnRenamed("id", "vec_id")
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema
+    (operators/stats.py fk_audit): orphan rows / NULL FKs / missing
+    keys for orders→customer and lineitem→orders — the pre-join gate
+    that turns silent inner-join row loss into a visible metric. Anti
+    joins run over DISTINCT key domains, never the raw fact stream."""
+    from fresco_hpc_spark.operators import fk_audit
+
+    return fk_audit(
+        [
+            (
+                "orders.o_custkey->customer.c_custkey",
+                table(spark, sf_dir, "orders"), "o_custkey",
+                table(spark, sf_dir, "customer"), "c_custkey",
+            ),
+            (
+                "lineitem.l_orderkey->orders.o_orderkey",
+                table(spark, sf_dir, "lineitem"), "l_orderkey",
+                table(spark, sf_dir, "orders"), "o_orderkey",
+            ),
+        ]
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user
+    (operators/timeseries.py transition_matrix): Markov counts +
+    row-normalized probabilities of prev→next steps — funnel/flow
+    diagnostics. One key shuffle for the lag; normalization is a
+    null-safe whole-partition window over the states² counts."""
+    from fresco_hpc_spark.operators import transition_matrix
+
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return transition_matrix(
+        ev, "user_id", "event_type", time_col="ts", tie_cols=["event_id"]
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source content-overlap matrix (functions/dedup.py
     source_overlap_matrix): exact 3-gram shingle-set Jaccard per source
@@ -2085,7 +2138,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 29 + 4:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 32 + 1:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -2110,7 +2163,8 @@ def queries() -> dict[str, Query]:
         #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
         #     scd2_user_state / length_buckets / interpolate_values /
         #     nucleus_langs / phrase_search / cluster_hubs / knn_triangles /
-        #     sorted_neighborhood / collocations / source_overlap,
+        #     sorted_neighborhood / collocations / source_overlap /
+        #     clustering_knn / fk_audit / event_transitions,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -2136,6 +2190,9 @@ def queries() -> dict[str, Query]:
         "sorted_neighborhood": q_sorted_neighborhood,  # new in r7
         "collocations": q_collocations,  # new in r7
         "source_overlap": q_source_overlap,  # new in r7
+        "clustering_knn": q_clustering_knn,  # new in r7
+        "fk_audit": q_fk_audit,  # new in r7
+        "event_transitions": q_event_transitions,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2144,15 +2201,14 @@ def queries() -> dict[str, Query]:
         "containment_pairs_prefix": q_containment_pairs_prefix,
         "containment_plain_zipf": q_containment_plain_zipf,    # new in r7
         "containment_prefix_zipf": q_containment_prefix_zipf,  # new in r7
-        # (3) the 4 r05-green queries certified only once ever:
+        # (3) single-certified r05 (the other three — paragraph_dedup,
+        #     dup_ngram_spans, hopping_window — rotated out to fit the
+        #     never-certified set; they lead the r8 backfill):
+        "phash_dup_pairs": q_phash_dup_pairs,
+        # --- outside the 50-query window (r8 front-of-rotation):
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
         "hopping_window": q_hopping_window,
-        "phash_dup_pairs": q_phash_dup_pairs,
-        # (group 4 is empty this round: every backfill slot went to a
-        # never-certified query; the r05 multi-certified set rotates
-        # in r8.)
-        # --- outside the 50-query window: the r05-green multi-certified
         "tfidf_top_terms": q_tfidf_top_terms,
         # --- and the remaining 40 r05-green
         # multi-certified queries (deferred to the r8 rotation) and the
@@ -4788,6 +4844,102 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["clustering_knn"] = f"""
+        WITH {_KNN_GRAPH_EDGE_CTES.strip()},
+        e5 AS (
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rank <= 5
+        ),
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e5 WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY id
+        ),
+        tri AS (
+            SELECT u.a AS id_a, u.b AS id_b, w.b AS id_c
+            FROM und u
+            JOIN und w ON w.a = u.a AND w.b > u.b
+            JOIN und c ON c.a = u.b AND c.b = w.b
+        ),
+        pv AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+                SELECT id_a AS id FROM tri
+                UNION ALL SELECT id_b FROM tri
+                UNION ALL SELECT id_c FROM tri
+            ) GROUP BY id
+        )
+        SELECT d.id AS vec_id, d.degree,
+               COALESCE(pv.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.degree < 2 THEN 0.0
+                    ELSE ROUND(2 * COALESCE(pv.n_triangles, 0)
+                               / CAST(d.degree * (d.degree - 1) AS DOUBLE),
+                               6)
+               END AS clustering
+        FROM deg d LEFT JOIN pv ON pv.id = d.id
+        ORDER BY vec_id
+    """
+
+    oracles["fk_audit"] = """
+        WITH r1 AS (
+            SELECT 'orders.o_custkey->customer.c_custkey' AS relationship,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+                   (SELECT CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL)
+                        AS BIGINT) FROM orders) AS n_null_fk,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+                   (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                    FROM orders o
+                    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)) AS n_missing_keys
+        ),
+        r2 AS (
+            SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relationship,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+                   (SELECT CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL)
+                        AS BIGINT) FROM lineitem) AS n_null_fk,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+                   (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                    FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)) AS n_missing_keys
+        )
+        SELECT relationship, n_rows, n_null_fk, n_orphans, n_missing_keys,
+               ROUND(n_orphans / CAST(GREATEST(n_rows, 1) AS DOUBLE), 6)
+                   AS orphan_rate
+        FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        ORDER BY relationship
+    """
+
+    oracles["event_transitions"] = """
+        WITH s AS (
+            SELECT event_type AS state,
+                   LAG(event_type) OVER w AS prev_state,
+                   LAG(ts) OVER w AS prev_ts
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+        ),
+        c AS (
+            SELECT prev_state, state, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev_ts IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_state, state, n,
+               ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_state)
+                              AS DOUBLE), 6) AS prob
+        FROM c ORDER BY prev_state, state
     """
 
     oracles["source_overlap"] = r"""

@@ -1,6 +1,7 @@
 from fresco_hpc_spark.operators.stats import (  # noqa: F401
     availability,
     column_stats,
+    fk_audit,
     linear_trend,
     profile_columns,
     standardize,
@@ -23,6 +24,7 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     time_bound,
     time_bucket_agg,
     time_weighted_avg,
+    transition_matrix,
 )
 from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     global_percentiles,
@@ -60,6 +62,7 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
     sorted_neighborhood_pairs,
 )
 from fresco_hpc_spark.operators.graph import (  # noqa: F401
+    local_clustering_coefficient,
     pagerank_fixed_point,
     triangle_enumerate,
 )

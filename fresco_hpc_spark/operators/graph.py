@@ -207,3 +207,67 @@ def triangle_enumerate(
         ).alias("id_b"),
         F.greatest("_u", "_v1", "_v2").alias("id_c"),
     ).orderBy("id_a", "id_b", "id_c")
+
+
+def local_clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex local clustering coefficient of the undirected graph:
+    ``c(v) = 2·t(v) / (d(v)·(d(v)−1))`` where ``t(v)`` counts triangles
+    through ``v`` — how close each vertex's neighborhood is to a clique.
+    Over the kNN graph this separates vectors inside dense semantic
+    blobs (c → 1: near-dup nests, template families) from bridge
+    vectors (c → 0), the per-node refinement of
+    :func:`triangle_enumerate`'s global structure probe.
+
+    Composition: the canonical triangle relation (degree-oriented
+    generation, see :func:`triangle_enumerate`) explodes to its three
+    member vertices for per-vertex counts; degrees come from the same
+    canonicalized edge set. Vertices in no triangle report 0; vertices
+    with degree < 2 report coefficient 0 by convention (the ratio is
+    undefined). The ratio divides two exact BIGINTs, so 6 dp rounding
+    is engine-stable.
+
+    Scale: everything the triangle pass pays, plus one explode (3 rows
+    per triangle) and two vertex-sized aggregations.
+    """
+    lo = F.least(F.col(src_col), F.col(dst_col))
+    hi = F.greatest(F.col(src_col), F.col(dst_col))
+    und = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(lo.alias("_a"), hi.alias("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("id"))
+        .unionAll(und.select(F.col("_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_enumerate(edges, src_col, dst_col)
+    per_vertex = (
+        tri.select(F.col("id_a").alias("id"))
+        .unionAll(tri.select(F.col("id_b").alias("id")))
+        .unionAll(tri.select(F.col("id_c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    return (
+        deg.join(per_vertex, "id", "left")
+        .select(
+            "id",
+            F.col("degree").cast("bigint").alias("degree"),
+            t.alias("n_triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    2 * t / (F.col("degree") * (F.col("degree") - 1)), 6
+                )
+            )
+            .alias("clustering"),
+        )
+        .orderBy("id")
+    )

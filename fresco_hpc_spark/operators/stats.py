@@ -220,3 +220,68 @@ def standardize(
         F.round((v - mean) / sd, 6),
     )
     return joined.withColumn(out_col, z).drop("_n", "_s1", "_s2")
+
+
+def fk_audit(
+    pairs: list[tuple[str, "DataFrame", str, "DataFrame", str]],
+) -> "DataFrame":
+    """Referential-integrity audit across table relationships: for each
+    ``(name, child, fk_col, parent, pk_col)`` one summary row —
+    child-row count, NULL foreign keys, ORPHAN rows (non-null FK with
+    no parent), and distinct missing key values. The pre-join data-
+    quality gate a pipeline runs before trusting a star schema: a
+    non-zero orphan rate silently becomes dropped rows at the first
+    inner join.
+
+    Scale shape: per relationship, one anti equi-join of the child's
+    DISTINCT non-null FK values against the parent keys (distinct
+    first, so the join is key-domain-sized, and the full child table
+    contributes only a partial-agg count + a semi-join-shaped count
+    through the same key relation). Catalyst broadcasts the missing-key
+    side when small; relationships concatenate by unionByName — the
+    audit over K relationships is K independent subplans, no
+    cross-relationship shuffle.
+    """
+    if not pairs:
+        raise ValueError("fk_audit needs at least one relationship")
+    outs = []
+    for name, child, fk, parent, pk in pairs:
+        fk_vals = child.select(F.col(fk).alias("_k"))
+        nn = fk_vals.filter(F.col("_k").isNotNull())
+        keys = nn.distinct()
+        parents = parent.select(F.col(pk).alias("_k")).distinct()
+        missing = keys.join(parents, "_k", "left_anti")
+        orphan_rows = nn.join(missing, "_k", "left_semi")
+        totals = child.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(fk).isNull(), 1)).alias("n_null_fk"),
+        )
+        stats = (
+            totals.crossJoin(
+                F.broadcast(
+                    missing.agg(F.count(F.lit(1)).alias("n_missing_keys"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    orphan_rows.agg(F.count(F.lit(1)).alias("n_orphans"))
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_null_fk").cast("bigint").alias("n_null_fk"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                F.col("n_missing_keys").cast("bigint").alias("n_missing_keys"),
+                F.round(
+                    F.col("n_orphans")
+                    / F.greatest(F.col("n_rows"), F.lit(1)),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("relationship")

@@ -815,3 +815,59 @@ def interpolate_linear(
         interp.alias("value_interp"),
         v.isNull().alias("is_interp"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    time_col: str = "ts",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order state-transition matrix over per-key event sequences:
+    counts and row-normalized probabilities of ``prev_state → state``
+    steps, ordered by (``time_col``, ``tie_cols``) within each key —
+    the Markov-chain summary behind funnel diagnostics, session-flow
+    analysis, and synthetic-sequence generators. Each key's first event
+    has no predecessor and contributes no transition.
+
+    Null states are REAL states (a NULL event type transitions like any
+    other — the lag comparison is positional, not value-based), and the
+    per-source row normalization is a whole-partition window over the
+    transition counts, so a NULL ``prev_state`` group normalizes
+    correctly rather than vanishing through a totals join (the
+    null-group discipline).
+
+    Scale shape: one hash shuffle on the key for the lag window
+    (per-task memory = per-key history, the lag-diff family contract),
+    then one (prev, cur) partial-agg groupBy — a states²-sized relation
+    — and a states-partition window for the normalization. Probability
+    divides two exact BIGINTs (6 dp, engine-stable).
+    """
+    from pyspark.sql import Window
+
+    tie_cols = tie_cols or []
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(time_col).asc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    steps = (
+        df.select(
+            F.col(state_col).alias("state"),
+            F.lag(F.col(state_col)).over(w).alias("prev_state"),
+            F.lag(F.col(time_col)).over(w).alias("_prev_ts"),
+        )
+        .filter(F.col("_prev_ts").isNotNull())
+    )
+    counts = steps.groupBy("prev_state", "state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_state"))
+    return (
+        counts.select(
+            "prev_state",
+            "state",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / total, 6).alias("prob"),
+        )
+        .orderBy("prev_state", "state")
+    )

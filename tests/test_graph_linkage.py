@@ -541,3 +541,70 @@ def test_source_overlap_matrix_hand_computed(spark):
     assert rows[("s1", "s3")]["jaccard"] == 0.0
     with pytest.raises(ValueError):
         source_overlap_matrix(df, n=0)
+
+
+def test_local_clustering_known_graphs(spark):
+    from fresco_hpc_spark.operators import local_clustering_coefficient
+
+    # K4: every vertex has degree 3 and sits in 3 triangles -> c = 1
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        ["src", "dst"],
+    )
+    out = {r["id"]: r for r in local_clustering_coefficient(k4).collect()}
+    assert all(
+        (out[v]["degree"], out[v]["n_triangles"], out[v]["clustering"])
+        == (3, 3, 1.0)
+        for v in range(4)
+    )
+    # path 1-2-3: middle vertex degree 2 but no triangle -> 0; leaves
+    # have degree 1 -> 0 by convention
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    outp = {r["id"]: r["clustering"]
+            for r in local_clustering_coefficient(path).collect()}
+    assert outp == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_fk_audit_counts_orphans_and_nulls(spark):
+    from fresco_hpc_spark.operators import fk_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 98), (5, None)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    rows = fk_audit([("child->parent", child, "fk", parent, "pk")]).collect()
+    r = rows[0]
+    assert r["relationship"] == "child->parent"
+    assert (r["n_rows"], r["n_null_fk"], r["n_orphans"], r["n_missing_keys"]) \
+        == (5, 1, 2, 2)
+    assert r["orphan_rate"] == 0.4
+    with pytest.raises(ValueError):
+        fk_audit([])
+
+
+def test_transition_matrix_counts_and_null_states(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import transition_matrix
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [
+            (1, t(1), "a", 1),
+            (1, t(2), "b", 2),   # a -> b
+            (1, t(3), "a", 3),   # b -> a
+            (1, t(4), None, 4),  # a -> NULL (null is a real state)
+            (1, t(5), "a", 5),   # NULL -> a
+            (2, t(1), "b", 6),   # first event per key: no transition
+            (2, t(2), "a", 7),   # b -> a
+        ],
+        "k int, ts timestamp, s string, eid int",
+    )
+    rows = transition_matrix(df, "k", "s", time_col="ts", tie_cols=["eid"])
+    got = {(r["prev_state"], r["state"]): (r["n"], r["prob"])
+           for r in rows.collect()}
+    assert got[("a", "b")] == (1, 0.5)
+    assert got[("a", None)] == (1, 0.5)
+    assert got[("b", "a")] == (2, 1.0)
+    assert got[(None, "a")] == (1, 1.0)  # null prev normalizes correctly
+    assert len(got) == 4
