@@ -1775,6 +1775,19 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event_type vs the rest
+    (operators/percentiles.py ks_vs_rest): exact sup-CDF-gap with its
+    location, the nonparametric distribution-drift detector. Group CDFs
+    come from the grouped distributed order-statistics machinery fed a
+    DENSIFIED zero-count relation (exact at every corpus-distinct
+    value, no per-group sort); max and argmax are partial-agg
+    groupBys."""
+    from fresco_hpc_spark.operators.percentiles import ks_vs_rest
+
+    return ks_vs_rest(table(spark, sf_dir, "events"), "event_type", "value")
+
+
 def q_clustering_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient of the kNN graph
     (operators/graph.py local_clustering_coefficient): c(v) =
@@ -2138,7 +2151,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py does not
         # depend on dict order — it quarantines the heavy Zipf
         # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 32 + 1:
+        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 33:
         # (1) the 17 queries whose newest driver row was r04 — the
         #     stalest set (value_cdf is also the round's headline rewrite:
         #     grouped distributed order statistics, VERDICT r6 item 1):
@@ -2164,7 +2177,7 @@ def queries() -> dict[str, Query]:
         #     scd2_user_state / length_buckets / interpolate_values /
         #     nucleus_langs / phrase_search / cluster_hubs / knn_triangles /
         #     sorted_neighborhood / collocations / source_overlap /
-        #     clustering_knn / fk_audit / event_transitions,
+        #     clustering_knn / fk_audit / event_transitions / ks_drift,
         #     profile_agg quartiles on the grouped primitive (item 7),
         #     ewma lazy routing (item 4), knn_graph null-safe blocking,
         #     pack_texts separator-aware offsets, the lossless-default +
@@ -2193,6 +2206,7 @@ def queries() -> dict[str, Query]:
         "clustering_knn": q_clustering_knn,  # new in r7
         "fk_audit": q_fk_audit,  # new in r7
         "event_transitions": q_event_transitions,  # new in r7
+        "ks_drift": q_ks_drift,  # new in r7
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2201,11 +2215,10 @@ def queries() -> dict[str, Query]:
         "containment_pairs_prefix": q_containment_pairs_prefix,
         "containment_plain_zipf": q_containment_plain_zipf,    # new in r7
         "containment_prefix_zipf": q_containment_prefix_zipf,  # new in r7
-        # (3) single-certified r05 (the other three — paragraph_dedup,
-        #     dup_ngram_spans, hopping_window — rotated out to fit the
-        #     never-certified set; they lead the r8 backfill):
+        # --- outside the 50-query window (the 4 single-certified r05
+        # queries rotated out to fit the never-certified set; they lead
+        # the r8 backfill):
         "phash_dup_pairs": q_phash_dup_pairs,
-        # --- outside the 50-query window (r8 front-of-rotation):
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
         "hopping_window": q_hopping_window,
@@ -4844,6 +4857,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["ks_drift"] = """
+        WITH nn AS (
+            SELECT event_type AS g, value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        vals AS (SELECT DISTINCT v FROM nn),
+        groups AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM nn GROUP BY 1
+        ),
+        counts AS (
+            SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM nn GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT gr.g, va.v, COALESCE(c.c, 0) AS c
+            FROM groups gr CROSS JOIN vals va
+            LEFT JOIN counts c ON c.g = gr.g AND c.v = va.v
+        ),
+        cum AS (
+            SELECT g, v,
+                   CAST(SUM(c) OVER (PARTITION BY g ORDER BY v)
+                       AS BIGINT) AS cume
+            FROM dense
+        ),
+        allcdf AS (
+            SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS gcume
+            FROM (SELECT v, COUNT(*) AS cnt FROM nn GROUP BY v)
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn),
+        diffs AS (
+            SELECT c.g, c.v, gr.n_g,
+                   ABS(c.cume / CAST(gr.n_g AS DOUBLE)
+                       - (gl.gcume - c.cume)
+                         / CAST(t.n - gr.n_g AS DOUBLE)) AS d
+            FROM cum c JOIN allcdf gl USING (v)
+            JOIN groups gr ON gr.g = c.g
+            CROSS JOIN tot t WHERE t.n > gr.n_g
+        ),
+        mx AS (SELECT g, n_g, MAX(d) AS dmax FROM diffs GROUP BY 1, 2)
+        SELECT m.g AS event_type, m.n_g AS n_group,
+               ROUND(m.dmax, 6) AS ks_d,
+               ROUND(MIN(CASE WHEN d.d = m.dmax THEN d.v END), 6) AS ks_at
+        FROM mx m JOIN diffs d ON d.g = m.g
+        GROUP BY m.g, m.n_g, m.dmax ORDER BY event_type
     """
 
     oracles["clustering_knn"] = f"""

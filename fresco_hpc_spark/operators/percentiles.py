@@ -161,13 +161,41 @@ def grouped_cume_counts(
             "exchange could see different partition boundaries and "
             "produce silently wrong offsets"
         )
-    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     dv = (
         df.select(*group_cols, F.col(value_col).alias("_v"))
         .filter(F.col("_v").isNotNull())
         .groupBy(*group_cols, "_v")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
+    return grouped_cume_from_counts(dv, group_cols)
+
+
+def grouped_cume_from_counts(
+    dv: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """The post-tie-collapse core of :func:`grouped_cume_counts`,
+    exposed for callers that build the ``(group…, _v, _cnt)`` relation
+    themselves — notably :func:`ks_vs_rest`, which DENSIFIES it with
+    zero-count probe rows so the running cume materializes the group's
+    CDF at every corpus-distinct value (a zero row adds nothing to the
+    cumulative sum but emits an output row carrying F_g(v)·n_g
+    exactly). Same range-exchange reuse contract and null-safe group
+    join as the public wrapper; ``_n`` sums only real counts, so probe
+    rows never inflate group sizes."""
+    from pyspark.sql import Window
+
+    spark = dv.sparkSession
+    reuse = spark.conf.get("spark.sql.exchange.reuse.enabled", "true")
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if str(reuse).lower() != "true" and str(adaptive).lower() != "true":
+        raise ValueError(
+            "grouped_cume_from_counts requires exchange reuse "
+            "(spark.sql.exchange.reuse.enabled or spark.sql.adaptive."
+            "enabled): without it the two consumers of the range "
+            "exchange could see different partition boundaries and "
+            "produce silently wrong offsets"
+        )
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = dv.repartitionByRange(
         p, *[F.col(c) for c in group_cols], F.col("_v")
     ).withColumn("_pid", F.spark_partition_id())
@@ -486,3 +514,106 @@ def winsorize(
         "was_clipped",
         F.coalesce((c < F.lit(lo)) | (c > F.lit(hi)), F.lit(False)),
     )
+
+
+def ks_vs_rest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = _ROUND,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic of every group AGAINST
+    THE REST of the corpus: ``D_g = sup_x |F_g(x) − F_rest(x)|`` over
+    non-null values, with the value where the supremum is attained —
+    the standard distribution-drift detector (did this source/shard/
+    day's metric distribution depart from everything else?), and the
+    nonparametric complement of ``text.source_token_divergence``'s KL
+    (KS sees continuous VALUE distributions; KL sees token frequencies).
+
+    Exactness: the supremum of a difference of step functions is
+    attained at a jump point of either side — i.e. at some
+    corpus-distinct value — so evaluating at EVERY corpus-distinct
+    value is exact, not a grid approximation. Both CDFs come from
+    exact integer cumulative counts; the difference divides exact
+    BIGINTs identically in both engines, so the argmax and its
+    tie-break (minimum value at the max, exact float equality on
+    identical doubles) are engine-stable. Groups that are the whole
+    corpus have no rest-sample and report NULL.
+
+    Scale shape: the group CDF is the grouped distributed
+    order-statistics machinery (:func:`grouped_cume_from_counts`) fed
+    a DENSIFIED counts relation — (group × corpus-distinct value) with
+    zero-count probe rows — so no per-group sort ever exceeds a range
+    partition; the global CDF runs through the same machinery under a
+    constant group. The densified relation is G·D rows (G groups, D
+    distinct values): linear in the tie-collapsed data per group, the
+    inherent cost of an exact KS. Both max and argmax are
+    partial-aggregatable groupBys (argmax = equi-join back on the
+    broadcast per-group max, then a conditional min — no window over
+    the densified relation).
+    """
+    nn = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    counts = nn.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    vals = counts.select("_v").distinct()
+    groups = counts.select("_g").distinct()
+    dense = (
+        groups.crossJoin(vals)
+        .join(counts, ["_g", "_v"], "left")
+        .select(
+            "_g", "_v", F.coalesce(F.col("_cnt"), F.lit(0)).alias("_cnt")
+        )
+    )
+    gcdf = grouped_cume_from_counts(dense, ["_g"])
+    glob = (
+        grouped_cume_counts(nn.withColumn("_all", F.lit(1)), ["_all"], "_v")
+        .select(
+            F.col("_v"),
+            F.col("_cume").alias("_gc"),
+            F.col("_n").alias("_nt"),
+        )
+    )
+    diffs = (
+        gcdf.join(glob, "_v")
+        .filter(F.col("_nt") > F.col("_n"))
+        .select(
+            "_g",
+            "_v",
+            "_n",
+            F.abs(
+                F.col("_cume") / F.col("_n")
+                - (F.col("_gc") - F.col("_cume"))
+                / (F.col("_nt") - F.col("_n"))
+            ).alias("_d"),
+        )
+    )
+    dmax = diffs.groupBy("_g", "_n").agg(F.max("_d").alias("_dmax"))
+    located = (
+        diffs.join(F.broadcast(dmax.select("_g", "_dmax")), "_g")
+        .filter(F.col("_d") == F.col("_dmax"))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_at"))
+    )
+    out = (
+        dmax.join(located, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").cast("bigint").alias("n_group"),
+            F.round(F.col("_dmax"), round_to).alias("ks_d"),
+            F.round(F.col("_at"), round_to).alias("ks_at"),
+        )
+    )
+    # groups that ARE the whole corpus: no rest-sample, NULL statistic
+    whole = (
+        counts.groupBy("_g")
+        .agg(F.sum("_cnt").alias("_n"))
+        .join(dmax.select("_g"), "_g", "left_anti")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").cast("bigint").alias("n_group"),
+            F.lit(None).cast("double").alias("ks_d"),
+            F.lit(None).cast("double").alias("ks_at"),
+        )
+    )
+    return out.unionByName(whole).orderBy(group_col)

@@ -137,7 +137,7 @@ def test_correctness_window_contains_priority_queries():
         "scd2_user_state", "length_buckets", "interpolate_values",
         "nucleus_langs", "phrase_search", "cluster_hubs", "knn_triangles",
         "sorted_neighborhood", "collocations", "source_overlap",
-        "clustering_knn", "fk_audit", "event_transitions",
+        "clustering_knn", "fk_audit", "event_transitions", "ks_drift",
         "profile_agg_day", "profile_agg_minute", "ewma_user_value",
         "knn_graph", "pack_texts", "ngram_jaccard_pairs",
         "ngram_jaccard_prefix", "ngram_jaccard_prefix_zipf",

@@ -608,3 +608,29 @@ def test_transition_matrix_counts_and_null_states(spark):
     assert got[("b", "a")] == (2, 1.0)
     assert got[(None, "a")] == (1, 1.0)  # null prev normalizes correctly
     assert len(got) == 4
+
+
+def test_ks_vs_rest_hand_computed(spark):
+    from fresco_hpc_spark.operators.percentiles import ks_vs_rest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], ["g", "v"]
+    )
+    out = {r["g"]: r for r in ks_vs_rest(df, "g", "v").collect()}
+    # disjoint supports: D = 1 for both, attained first at v = 2
+    assert out["a"]["ks_d"] == 1.0 and out["a"]["ks_at"] == 2.0
+    assert out["b"]["ks_d"] == 1.0 and out["b"]["ks_at"] == 2.0
+    assert out["a"]["n_group"] == 2
+
+    # identical distributions: D = 0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], ["g", "v"]
+    )
+    out2 = {r["g"]: r["ks_d"] for r in ks_vs_rest(same, "g", "v").collect()}
+    assert out2 == {"a": 0.0, "b": 0.0}
+
+    # a group that IS the corpus has no rest-sample: NULL statistic
+    solo = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
+    rows = ks_vs_rest(solo, "g", "v").collect()
+    assert len(rows) == 1 and rows[0]["ks_d"] is None
+    assert rows[0]["n_group"] == 2

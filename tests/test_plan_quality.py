@@ -216,7 +216,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "scd2_user_state", "length_buckets", "interpolate_values",
         "nucleus_langs", "phrase_search", "cluster_hubs", "knn_triangles",
         "sorted_neighborhood", "collocations", "source_overlap",
-        "clustering_knn", "fk_audit", "event_transitions",
+        "clustering_knn", "fk_audit", "event_transitions", "ks_drift",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
