@@ -1775,6 +1775,18 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal baseline + per-slot anomaly counts
+    (operators/timeseries.py seasonal_profile): hour-of-day mean/std
+    from exact integer fixed-point sums, anomalies = |z| > 3 against
+    the slot's own population. One 24-key agg + one broadcast-join
+    recount — separates "3 am is always quiet" from "3 am was
+    anomalous"."""
+    from fresco_hpc_spark.operators import seasonal_profile
+
+    return seasonal_profile(table(spark, sf_dir, "events"), "value")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift per event_type vs the rest
     (operators/percentiles.py ks_vs_rest): exact sup-CDF-gap with its
@@ -2215,9 +2227,11 @@ def queries() -> dict[str, Query]:
         "containment_pairs_prefix": q_containment_pairs_prefix,
         "containment_plain_zipf": q_containment_plain_zipf,    # new in r7
         "containment_prefix_zipf": q_containment_prefix_zipf,  # new in r7
-        # --- outside the 50-query window (the 4 single-certified r05
-        # queries rotated out to fit the never-certified set; they lead
-        # the r8 backfill):
+        # --- outside the 50-query window. seasonal_profile arrived
+        # after the window filled with the other never-certified
+        # queries — it and the 4 single-certified r05 queries lead the
+        # r8 rotation:
+        "seasonal_profile": q_seasonal_profile,  # new in r7, r8 front
         "phash_dup_pairs": q_phash_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -4857,6 +4871,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["seasonal_profile"] = """
+        WITH nn AS (
+            SELECT CAST(hour(ts) AS INT) AS hour_of_day, value,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS f
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        st AS (
+            SELECT hour_of_day, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(f) AS BIGINT) AS s1,
+                   CAST(SUM(f * f) AS BIGINT) AS s2
+            FROM nn GROUP BY 1
+        ),
+        m AS (
+            SELECT hour_of_day, n,
+                   s1 / (100.0 * n) AS mean,
+                   sqrt((s2 - (CAST(s1 AS DOUBLE) * s1) / n)
+                        / (10000.0 * (n - 1))) AS sd
+            FROM st
+        ),
+        fl AS (
+            SELECT e.hour_of_day,
+                   CAST(COUNT(CASE WHEN m.n >= 2 AND m.sd > 0
+                                    AND ABS((e.value - m.mean) / m.sd) > 3.0
+                              THEN 1 END) AS BIGINT) AS n_anomalies
+            FROM nn e JOIN m USING (hour_of_day)
+            GROUP BY e.hour_of_day
+        )
+        SELECT m.hour_of_day, m.n,
+               ROUND(m.mean, 6) AS mean_value,
+               CASE WHEN m.n >= 2 AND m.sd > 0
+                    THEN ROUND(m.sd, 6) END AS std_value,
+               fl.n_anomalies,
+               ROUND(fl.n_anomalies / CAST(m.n AS DOUBLE), 6)
+                   AS anomaly_rate
+        FROM m JOIN fl USING (hour_of_day)
+        ORDER BY hour_of_day
     """
 
     oracles["ks_drift"] = """

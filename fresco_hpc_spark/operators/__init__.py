@@ -19,6 +19,7 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     profile_agg,
     ohlc_downsample,
     rolling_zscore,
+    seasonal_profile,
     session_stats,
     sessionize,
     time_bound,

@@ -871,3 +871,81 @@ def transition_matrix(
         )
         .orderBy("prev_state", "state")
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    z_threshold: float = 3.0,
+    decimals: int = 2,
+) -> DataFrame:
+    """Hour-of-day seasonal baseline with anomaly counts: the diurnal
+    profile (per-hour-of-day mean/stddev across the whole window) plus
+    how many observations in each hour-slot deviate beyond
+    ``z_threshold`` baseline sigmas — the telemetry-QA view that
+    separates "3 am is always quiet" from "3 am was ANOMALOUS today"
+    (a plain hourly aggregate conflates the two; ``rolling_zscore``
+    flags against a trailing window, this flags against the seasonal
+    slot's own population).
+
+    Engine-exact moments: the same fixed-point integer-sum scheme as
+    ``stats.standardize`` (value·10^decimals and its square summed as
+    BIGINTs, floats only at the final sqrt/divide), so the per-slot
+    mean/std — and therefore every z comparison against the threshold
+    — is identical in both engines. Slots with n < 2 or zero variance
+    count zero anomalies (z undefined there, stated not hidden).
+
+    Scale shape: one partial-agg groupBy over 24 hour-of-day keys
+    builds the (n, Σx, Σx²) profile; the anomaly count joins the
+    24-row profile back BROADCAST and re-aggregates map-side — two
+    passes over the data, zero wide shuffles beyond the 24-key aggs.
+    """
+    scale = 10 ** int(decimals)
+    v = F.col(value_col)
+    nn = df.filter(F.col(time_col).isNotNull() & v.isNotNull())
+    fx = F.round(v * scale, 0).cast("bigint")
+    hod = F.hour(F.col(time_col)).alias("hour_of_day")
+    stats = nn.groupBy(hod).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(fx).alias("_s1"),
+        F.sum(fx * fx).alias("_s2"),
+    )
+    s1d = F.col("_s1").cast("double")
+    mean = F.col("_s1") / (F.lit(float(scale)) * F.col("_n"))
+    var = (F.col("_s2") - (s1d * s1d) / F.col("_n")) / (
+        F.lit(float(scale * scale)) * (F.col("_n") - 1)
+    )
+    sd = F.sqrt(var)
+    z = (v - mean) / sd
+    flagged = (
+        nn.select(hod, v)
+        .join(F.broadcast(stats), "hour_of_day")
+        .groupBy("hour_of_day")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("_n") >= 2)
+                    & (sd > 0)
+                    & (F.abs(z) > F.lit(float(z_threshold))),
+                    1,
+                )
+            ).alias("n_anomalies")
+        )
+    )
+    return (
+        stats.join(flagged, "hour_of_day")
+        .select(
+            F.col("hour_of_day").cast("int").alias("hour_of_day"),
+            F.col("_n").cast("bigint").alias("n"),
+            F.round(mean, _ROUND).alias("mean_value"),
+            F.when(
+                (F.col("_n") >= 2) & (sd > 0), F.round(sd, _ROUND)
+            ).alias("std_value"),
+            F.col("n_anomalies").cast("bigint").alias("n_anomalies"),
+            F.round(F.col("n_anomalies") / F.col("_n"), _ROUND).alias(
+                "anomaly_rate"
+            ),
+        )
+        .orderBy("hour_of_day")
+    )

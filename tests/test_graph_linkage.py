@@ -634,3 +634,25 @@ def test_ks_vs_rest_hand_computed(spark):
     rows = ks_vs_rest(solo, "g", "v").collect()
     assert len(rows) == 1 and rows[0]["ks_d"] is None
     assert rows[0]["n_group"] == 2
+
+
+def test_seasonal_profile_flags_slot_anomalies(spark):
+    from datetime import datetime
+
+    from fresco_hpc_spark.operators import seasonal_profile
+
+    # hour 0: 15-point tight cluster around 10 plus one wild outlier —
+    # the slot must be large enough that the outlier cannot mask
+    # itself (a single outlier among n points caps its own z at
+    # (n−1)/√n, so |z| > 3 needs n ≥ 11); hour 1: constant (zero
+    # variance -> NULL std, zero anomalies by contract)
+    rows = [
+        (datetime(2024, 1, d, 0), 10.0 + (d % 5) * 0.01) for d in range(1, 16)
+    ] + [(datetime(2024, 1, 16, 0), 1000.0)]
+    rows += [(datetime(2024, 1, d, 1), 5.0) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["hour_of_day"]: r for r in seasonal_profile(df, "value").collect()}
+    assert out[0]["n"] == 16 and out[0]["n_anomalies"] == 1
+    assert out[0]["anomaly_rate"] == 0.0625
+    assert out[1]["n"] == 5 and out[1]["std_value"] is None
+    assert out[1]["n_anomalies"] == 0
