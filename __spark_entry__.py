@@ -1766,13 +1766,13 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Phrase occurrences are a k-way EQUI join on (doc, pos − i), never a
     positional theta-join. The exact-search sibling of the MinHash /
     phash / IVF index-at-rest trio."""
-    from fresco_hpc_spark.functions import build_text_index, phrase_search_index
+    from fresco_hpc_spark.functions import build_text_index, phrase_search_table
 
     docs = table(spark, sf_dir, "documents")
     build_text_index(docs, "entry_text_index", n_buckets=32)
-    return phrase_search_index(
-        spark.table("entry_text_index"), "fast table", n_buckets=32
-    )
+    # catalog-resolved: the query reads the index's OWN stored bucket
+    # count instead of repeating the build parameter
+    return phrase_search_table(spark, "entry_text_index", "fast table")
 
 
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,6 +96,40 @@ def build_text_index(
         .partitionBy("_bkt")
         .saveAsTable(table_name)
     )
+    # persist the bucket count WITH the index: a query run with a
+    # different n_buckets computes the wrong partition and silently
+    # returns empty — the property makes the parameter part of the
+    # index, not a caller-remembered convention
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('fresco.n_buckets' = '{int(n_buckets)}')"
+    )
+
+
+def phrase_search_table(
+    spark: SparkSession, table_name: str, phrase: str
+) -> DataFrame:
+    """Catalog-resolved phrase search: reads the index's OWN stored
+    ``n_buckets`` (written by :func:`build_text_index` as a table
+    property), eliminating the silent-empty-result footgun of passing a
+    mismatched bucket count — the same resolve-from-the-catalog
+    discipline as the IVF index location handling. Raises if the table
+    carries no bucket property (not built by ``build_text_index``)."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            f"SHOW TBLPROPERTIES {table_name}"
+        ).collect()
+    }
+    if "fresco.n_buckets" not in props:
+        raise ValueError(
+            f"{table_name} has no 'fresco.n_buckets' property — "
+            "not a build_text_index table; use phrase_search_index "
+            "with the explicit bucket count at your own risk"
+        )
+    return phrase_search_index(
+        spark.table(table_name), phrase, n_buckets=int(props["fresco.n_buckets"])
+    )
 
 
 def phrase_search_index(

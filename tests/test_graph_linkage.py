@@ -656,3 +656,31 @@ def test_seasonal_profile_flags_slot_anomalies(spark):
     assert out[0]["anomaly_rate"] == 0.0625
     assert out[1]["n"] == 5 and out[1]["std_value"] is None
     assert out[1]["n_anomalies"] == 0
+
+
+def test_phrase_search_table_resolves_bucket_count(spark):
+    from fresco_hpc_spark.functions import (
+        build_text_index,
+        phrase_search_index,
+        phrase_search_table,
+    )
+
+    docs = spark.createDataFrame([(1, "x y z"), (2, "y z w")], ["doc_id", "text"])
+    build_text_index(docs, "t_props_idx", n_buckets=5)
+    # catalog-resolved search needs no bucket count and finds matches
+    out = phrase_search_table(spark, "t_props_idx", "y z").collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    # the footgun the property closes: a mismatched count prunes the
+    # wrong partition and silently returns empty
+    wrong = phrase_search_index(
+        spark.table("t_props_idx"), "y z", n_buckets=32
+    ).count()
+    assert wrong == 0
+    # a table without the property is rejected, not silently searched
+    spark.sql("CREATE TABLE t_noprops AS SELECT * FROM t_props_idx")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        phrase_search_table(spark, "t_noprops", "y z")
+    spark.sql("DROP TABLE IF EXISTS t_props_idx")
+    spark.sql("DROP TABLE IF EXISTS t_noprops")
