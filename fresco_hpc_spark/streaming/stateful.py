@@ -536,3 +536,134 @@ def streaming_weighted_sample(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+SCD2_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType(), False),
+        T.StructField("state", T.StringType(), True),
+        T.StructField("valid_from_us", T.LongType(), False),
+        T.StructField("valid_to_us", T.LongType(), True),
+        T.StructField("version", T.LongType(), False),
+        T.StructField("is_current", T.BooleanType(), False),
+        T.StructField("batch_seq", T.LongType(), False),
+    ]
+)
+
+_SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur", T.StringType(), True),
+        T.StructField("cur_is_null", T.BooleanType(), True),
+        T.StructField("from_us", T.LongType(), True),
+        T.StructField("version", T.LongType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def _make_scd2_fn(ttl_seconds: int | None):
+    def _scd2_fn(
+        key: tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-key SCD2 kernel: state = the OPEN episode (current
+        attribute value with an explicit null flag — pandas can't
+        distinguish SQL NULL from NaN on its own — plus valid_from,
+        version, batch sequence). Each micro-batch's rows apply in
+        (ts, tie) order; a null-safe change CLOSES the open episode
+        (emitted immediately with its valid_to) and opens the next.
+        After the batch, the open episode is emitted tagged
+        ``batch_seq`` — append-mode supersession, exactly like the
+        streaming reservoir: the row with the highest batch_seq per
+        key IS the current state."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            cur, cur_null, from_us, version, seq = state.get
+        else:
+            cur, cur_null, from_us, version, seq = None, True, None, 0, 0
+        out_rows = []
+        opened = version > 0
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts_us", "tie"])
+            for ts_us, v in zip(pdf["ts_us"], pdf["state_val"]):
+                v_null = pd.isna(v)
+                v = None if v_null else str(v)
+                if not opened:
+                    cur, cur_null, from_us, version = v, v_null, int(ts_us), 1
+                    opened = True
+                elif (v_null != cur_null) or (not v_null and v != cur):
+                    out_rows.append(
+                        (key[0], cur, int(from_us), int(ts_us),
+                         int(version), False, int(seq + 1))
+                    )
+                    cur, cur_null, from_us, version = (
+                        v, v_null, int(ts_us), version + 1
+                    )
+        seq += 1
+        if opened:
+            out_rows.append(
+                (key[0], cur, int(from_us), None, int(version), True,
+                 int(seq))
+            )
+            state.update((cur, bool(cur_null), int(from_us),
+                          int(version), int(seq)))
+            if ttl_seconds is not None:
+                state.setTimeoutDuration(ttl_seconds * 1000)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[f.name for f in SCD2_OUTPUT_SCHEMA.fields],
+            )
+
+    return _scd2_fn
+
+
+def streaming_scd2_state(
+    stream_df: DataFrame,
+    key_col: str = "group_key",
+    ts_col: str = "ts_us",
+    state_col: str = "state_val",
+    tie_col: str | None = None,
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming SCD type-2 maintenance — the streaming-native twin of
+    the batch ``operators/cdc.py scd2_history``: per key, the OPEN
+    episode rides the state store (O(keys), one small tuple each) and
+    every null-safe attribute change immediately emits the CLOSED
+    episode with its valid_to; each batch also emits the open episode
+    tagged ``batch_seq`` (append-mode supersession — max batch_seq per
+    key is the current dimension row). A drained stream's closed
+    episodes plus its latest open episodes equal the batch operator's
+    history EXACTLY (same change semantics, timestamps as epoch
+    microseconds; pinned in test_streaming).
+
+    Ordering contract: rows are ordered by (ts, tie) WITHIN a
+    micro-batch; the state cannot rewind across batches — feed
+    event-time-ordered sources (a file-per-day change log) or accept
+    processing-order history, the same contract as streaming_ewma.
+    """
+    tie = (
+        f"CAST(`{tie_col}` AS LONG) AS tie"
+        if tie_col is not None
+        else "CAST(0 AS LONG) AS tie"
+    )
+    renamed = stream_df.selectExpr(
+        f"CAST(`{key_col}` AS STRING) AS group_key",
+        f"CAST(`{ts_col}` AS LONG) AS ts_us",
+        f"CAST(`{state_col}` AS STRING) AS state_val",
+        tie,
+    )
+    return renamed.groupBy("group_key").applyInPandasWithState(
+        _make_scd2_fn(ttl_seconds),
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

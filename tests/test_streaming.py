@@ -1568,3 +1568,95 @@ def test_incremental_text_index_replay_is_idempotent(spark, tmp_path):
     assert before == after == 7
     assert sorted(map(tuple, res_before)) == sorted(map(tuple, res_after))
     assert {r["doc_id"]: r["n_matches"] for r in res_after} == {1: 2, 2: 1}
+
+
+def test_streaming_scd2_matches_batch_history(spark, tmp_path):
+    """Drained streaming SCD2 == batch scd2_history exactly: closed
+    episodes stream out at the change that closes them (including
+    changes that happen ACROSS micro-batch boundaries — exactly where a
+    stateless per-file pass would open a duplicate episode), and the
+    max-batch_seq open episode per key equals the batch operator's
+    is_current row. Null states cross batches via the explicit null
+    flag, never as the string 'None'/NaN."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from fresco_hpc_spark.operators import scd2_history
+    from fresco_hpc_spark.streaming import streaming_scd2_state
+
+    rows = [
+        # key u1: a a | b None  (change at the batch boundary; then a
+        # null state opening an episode in batch 2)
+        ("u1", 1_000_000, "a", 1), ("u1", 2_000_000, "a", 2),
+        ("u1", 3_000_000, "b", 3), ("u1", 4_000_000, None, 4),
+        # key u2: single event in batch 1, unchanged repeat in batch 2
+        ("u2", 1_000_000, "x", 5), ("u2", 9_000_000, "x", 6),
+    ]
+    files = [rows[0:2] + rows[4:5], rows[2:4] + rows[5:6]]
+    src = tmp_path / "scd2src"
+    src.mkdir()
+    base = _time.time() - 100
+    for i, chunk in enumerate(files):
+        p = src / f"f{i}.csv"
+        pd.DataFrame(chunk, columns=["k", "ts_us", "s", "eid"]).to_csv(
+            p, index=False
+        )
+        os.utime(p, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema("k string, ts_us long, s string, eid long")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out_dir = str(tmp_path / "scd2out")
+    q = (
+        streaming_scd2_state(
+            stream, key_col="k", ts_col="ts_us", state_col="s",
+            tie_col="eid",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "scd2ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.read.parquet(out_dir).toPandas()
+
+    closed = streamed[~streamed.is_current]
+    latest_open = (
+        streamed[streamed.is_current]
+        .sort_values("batch_seq")
+        .groupby("group_key")
+        .tail(1)
+    )
+    got = sorted(
+        [
+            (r.group_key, r.state if pd.notna(r.state) else None,
+             int(r.valid_from_us),
+             int(r.valid_to_us) if pd.notna(r.valid_to_us) else None,
+             int(r.version), bool(r.is_current))
+            for r in pd.concat([closed, latest_open]).itertuples()
+        ],
+        key=lambda t: (t[0], t[4]),  # (key, version): total, null-safe
+    )
+
+    bdf = spark.createDataFrame(
+        [(k, ts, s, e) for k, ts, s, e in rows],
+        "k string, ts_us long, s string, eid long",
+    )
+    batch = scd2_history(bdf, ["k"], "ts_us", ["s"], tie_cols=["eid"])
+    want = sorted(
+        [
+            (r["k"], r["s"], r["valid_from"], r["valid_to"], r["version"],
+             r["is_current"])
+            for r in batch.collect()
+        ],
+        key=lambda t: (t[0], t[4]),
+    )
+    assert got == want, (got, want)
+    # cross-batch unchanged repeat (u2) never opened a second episode
+    assert sum(1 for g in got if g[0] == "u2") == 1
