@@ -1775,6 +1775,64 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search_table(spark, "entry_text_index", "fast table")
 
 
+def q_name_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names — the linkage-family
+    capstone (the production shape: run BOTH candidate generators,
+    union, threshold, then connected components): blocking candidates
+    (fuzzy_match_names) ∪ sorted-neighborhood candidates within edit
+    distance 4 → large-star/small-star components (dup_clusters is
+    type-generic: min-label on strings) → every distinct name mapped to
+    its cluster's canonical (min) name with the cluster size and the
+    name's raw-row count. Singleton names resolve to themselves. The
+    oracle replays candidates exactly and closes components with a
+    recursive transitive closure."""
+    from fresco_hpc_spark.operators import (
+        fuzzy_match_names,
+        sorted_neighborhood_pairs,
+    )
+
+    part = table(spark, sf_dir, "part")
+    blocked = fuzzy_match_names(part, "p_name", max_dist=4).select(
+        "name_a", "name_b"
+    )
+    snm = (
+        sorted_neighborhood_pairs(part, "p_name", window=3)
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b")
+    )
+    pairs = (
+        blocked.unionByName(snm)
+        .distinct()
+        .select(F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b"))
+    )
+    clusters = dup_clusters(pairs)  # (doc, cluster_id) over names
+    names = (
+        part.select(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .filter(F.col("name").isNotNull() & (F.col("name") != ""))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    from pyspark.sql import Window
+
+    resolved = names.join(
+        clusters.select(F.col("doc").alias("name"), "cluster_id"),
+        "name",
+        "left",
+    ).select(
+        "name",
+        F.coalesce(F.col("cluster_id"), F.col("name")).alias("canonical"),
+        "n_rows",
+    )
+    return (
+        resolved.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical")).cast("bigint"),
+        )
+        .select("name", "canonical", "cluster_size", "n_rows")
+        .orderBy("name")
+    )
+
+
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diurnal baseline + per-slot anomaly counts
     (operators/timeseries.py seasonal_profile): hour-of-day mean/std
@@ -2232,6 +2290,7 @@ def queries() -> dict[str, Query]:
         # queries — it and the 4 single-certified r05 queries lead the
         # r8 rotation:
         "seasonal_profile": q_seasonal_profile,  # new in r7, r8 front
+        "name_resolution": q_name_resolution,  # new in r7, r8 front
         "phash_dup_pairs": q_phash_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -4871,6 +4930,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["name_resolution"] = r"""
+        WITH RECURSIVE n AS (
+            SELECT lower(trim(p_name)) AS name, COUNT(*) AS n_rows
+            FROM part
+            WHERE p_name IS NOT NULL AND lower(trim(p_name)) <> ''
+            GROUP BY 1
+        ),
+        b AS (
+            SELECT name, str_split_regex(name, '\s+')[1] AS block FROM n
+        ),
+        blocked AS (
+            SELECT a.name AS name_a, bb.name AS name_b
+            FROM b a JOIN b bb ON a.block = bb.block AND a.name < bb.name
+            WHERE levenshtein(a.name, bb.name) <= 4
+        ),
+        r AS (
+            SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS rk FROM n
+        ),
+        snm AS (
+            SELECT a.name AS name_a, bb.name AS name_b
+            FROM r a JOIN r bb ON bb.rk > a.rk AND bb.rk <= a.rk + 3
+            WHERE levenshtein(a.name, bb.name) <= 4
+        ),
+        pairs AS (
+            SELECT name_a, name_b FROM blocked
+            UNION
+            SELECT name_a, name_b FROM snm
+        ),
+        adj AS (
+            SELECT name_a AS doc, name_b AS nbr FROM pairs
+            UNION ALL
+            SELECT name_b, name_a FROM pairs
+        ),
+        reach AS (
+            SELECT doc, doc AS rch FROM (SELECT DISTINCT doc FROM adj)
+            UNION
+            SELECT re.doc, a.nbr
+            FROM reach re JOIN adj a ON a.doc = re.rch
+        ),
+        cl AS (SELECT doc, MIN(rch) AS canonical FROM reach GROUP BY doc),
+        resolved AS (
+            SELECT nm.name,
+                   COALESCE(cl.canonical, nm.name) AS canonical,
+                   nm.n_rows
+            FROM n nm LEFT JOIN cl ON cl.doc = nm.name
+        )
+        SELECT name, canonical,
+               CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+                   AS cluster_size,
+               CAST(n_rows AS BIGINT) AS n_rows
+        FROM resolved ORDER BY name
     """
 
     oracles["seasonal_profile"] = """

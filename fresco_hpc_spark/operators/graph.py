@@ -57,7 +57,10 @@ def pagerank_fixed_point(
     their mass is not redistributed — the classic "dangling mass
     dropped" simplification, stated here because it is part of the
     oracle contract. Vertices never appearing as a destination still
-    appear in the output with the base rank.
+    appear in the output with the base rank. ``vertices`` must carry
+    DISTINCT ids: a duplicated id inflates N and emits duplicate rank
+    rows (``.distinct()`` upstream when the source is an edge
+    projection, as the registered queries do).
 
     Scale shape: each iteration is one equi-join of ranks onto the
     edge list (on the source id) followed by one partial-aggregating

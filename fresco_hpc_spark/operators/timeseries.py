@@ -836,7 +836,10 @@ def transition_matrix(
     per-source row normalization is a whole-partition window over the
     transition counts, so a NULL ``prev_state`` group normalizes
     correctly rather than vanishing through a totals join (the
-    null-group discipline).
+    null-group discipline). NULL TIMESTAMPS sort first (Spark ascending
+    order) and therefore participate as the earliest events — filter
+    them upstream when an unordered event must not anchor a key's
+    chain (the registered query does).
 
     Scale shape: one hash shuffle on the key for the lag window
     (per-task memory = per-key history, the lag-diff family contract),

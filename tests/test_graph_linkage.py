@@ -684,3 +684,42 @@ def test_phrase_search_table_resolves_bucket_count(spark):
         phrase_search_table(spark, "t_noprops", "y z")
     spark.sql("DROP TABLE IF EXISTS t_props_idx")
     spark.sql("DROP TABLE IF EXISTS t_noprops")
+
+
+def test_name_resolution_unions_both_generators(spark):
+    # "rwd cat" has a typo IN the blocking key: first-token blocking
+    # can never pair it, but it sorts adjacent to "red cat" — the union
+    # of the two generators is what resolves the full chain
+    # red bat — red cat — rwd cat into one cluster.
+    from fresco_hpc_spark.functions import dup_clusters
+    from fresco_hpc_spark.operators import (
+        fuzzy_match_names,
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("red bat",), ("red cat",), ("rwd cat",), ("zebra zone",)],
+        ["p_name"],
+    )
+    blocked = fuzzy_match_names(df, "p_name", max_dist=4).select(
+        "name_a", "name_b"
+    )
+    snm = (
+        sorted_neighborhood_pairs(df, "p_name", window=3)
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b")
+    )
+    bset = {tuple(r) for r in blocked.collect()}
+    sset = {tuple(r) for r in snm.collect()}
+    assert ("red cat", "rwd cat") not in bset  # blocking blind spot
+    assert ("red cat", "rwd cat") in sset      # SNM catches it
+    pairs = (
+        blocked.unionByName(snm).distinct()
+        .selectExpr("name_a AS doc_a", "name_b AS doc_b")
+    )
+    clusters = {
+        r["doc"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert clusters["red bat"] == clusters["red cat"] == clusters["rwd cat"] \
+        == "red bat"
+    assert "zebra zone" not in clusters  # singleton: resolves to itself

@@ -217,7 +217,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "nucleus_langs", "phrase_search", "cluster_hubs", "knn_triangles",
         "sorted_neighborhood", "collocations", "source_overlap",
         "clustering_knn", "fk_audit", "event_transitions", "ks_drift",
-        "seasonal_profile",
+        "seasonal_profile", "name_resolution",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
