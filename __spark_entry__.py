@@ -1676,6 +1676,30 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_knn_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-WEIGHTED PageRank over the kNN graph: each vector
+    splits its rank ∝ its neighbors' cosine similarity (quantized to
+    exact BIGINT micro-weights), so the hub score follows semantic
+    mass rather than link count — the refinement of pagerank_knn for
+    cluster-representative selection. Still pure integer arithmetic;
+    per-edge contribution (r·w) div Σw stays inside signed-64."""
+    from fresco_hpc_spark.functions import knn_graph_blocked
+    from fresco_hpc_spark.operators import pagerank_fixed_point
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = knn_graph_blocked(emb, k=5).select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.col("cosine_sim"),
+    )
+    verts = emb.select(F.col("vec_id").alias("id"))
+    return (
+        pagerank_fixed_point(edges, verts, weight_col="cosine_sim")
+        .select(F.col("id").alias("vec_id"), "pagerank")
+        .orderBy("vec_id")
+    )
+
+
 def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-Levenshtein record linkage on part names
     (operators/joins.py fuzzy_match_names): the merge-candidate
@@ -1773,6 +1797,63 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog-resolved: the query reads the index's OWN stored bucket
     # count instead of repeating the build parameter
     return phrase_search_table(spark, "entry_text_index", "fast table")
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic warehouse star join (TPC-H Q5 flavor): revenue
+    Σ l_extendedprice·(1−l_discount) per customer nation/region —
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region. The two fact
+    joins are key-partitioned SMJ/SHJ; the three dimensions broadcast
+    (plan-pinned). Revenue follows oracle rule 8: per-row amounts
+    quantized to micro-units and summed as BIGINTs, so the total is
+    summation-order-free."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    amount_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0
+    ).cast("bigint")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(amount_u) / 1_000_000.0, 2).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-50 part pairs appearing in
+    the same order (support = distinct co-orders) — the association-
+    mining primitive. The pair join is an EQUI self-join on the order
+    key over the DISTINCT (order, part) relation, so the pair stream is
+    Σ basket² with baskets bounded by order size (≤ 13 here), never
+    catalog²; ranking lowers to TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(50)
+    )
 
 
 def q_name_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2291,6 +2372,9 @@ def queries() -> dict[str, Query]:
         # r8 rotation:
         "seasonal_profile": q_seasonal_profile,  # new in r7, r8 front
         "name_resolution": q_name_resolution,  # new in r7, r8 front
+        "revenue_by_nation": q_revenue_by_nation,  # new in r7, r8 front
+        "basket_pairs": q_basket_pairs,  # new in r7, r8 front
+        "pagerank_knn_weighted": q_pagerank_knn_weighted,  # new r7, r8 front
         "phash_dup_pairs": q_phash_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -2550,6 +2634,7 @@ def _pagerank_iter_ctes(
     scale: int = 10**12,
     damping_num: int = 17,
     damping_den: int = 20,
+    weighted: bool = False,
 ) -> tuple[list[str], str]:
     """Unrolled integer fixed-point PageRank as CTE fragments, assuming
     relations ``ed(src, dst)`` and ``v(id)`` are already defined —
@@ -2561,22 +2646,35 @@ def _pagerank_iter_ctes(
     s, dn, dd = int(scale), int(damping_num), int(damping_den)
     ctes = [
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
-        "deg AS (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS deg "
-        "FROM ed GROUP BY src)",
+        (
+            "wsum AS (SELECT src AS u, CAST(SUM(w) AS BIGINT) AS ws "
+            "FROM ed GROUP BY src)"
+            if weighted
+            else "deg AS (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS deg "
+            "FROM ed GROUP BY src)"
+        ),
         f"r0 AS (SELECT id, CAST({s} AS BIGINT) // nn.n AS r "
         f"FROM v CROSS JOIN nn)",
     ]
     prev = "r0"
     for i in range(1, int(iterations) + 1):
-        ctes.append(
-            f"s{i} AS (SELECT r.id AS u, r.r // d.deg AS share "
-            f"FROM {prev} r JOIN deg d ON r.id = d.u)"
-        )
-        ctes.append(
-            f"c{i} AS (SELECT ed.dst AS id, "
-            f"CAST(SUM(s.share) AS BIGINT) AS insum "
-            f"FROM ed JOIN s{i} s ON ed.src = s.u GROUP BY ed.dst)"
-        )
+        if weighted:
+            ctes.append(
+                f"c{i} AS (SELECT ed.dst AS id, "
+                f"CAST(SUM((r.r * ed.w) // ws.ws) AS BIGINT) AS insum "
+                f"FROM ed JOIN {prev} r ON r.id = ed.src "
+                f"JOIN wsum ws ON ws.u = ed.src GROUP BY ed.dst)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT r.id AS u, r.r // d.deg AS share "
+                f"FROM {prev} r JOIN deg d ON r.id = d.u)"
+            )
+            ctes.append(
+                f"c{i} AS (SELECT ed.dst AS id, "
+                f"CAST(SUM(s.share) AS BIGINT) AS insum "
+                f"FROM ed JOIN s{i} s ON ed.src = s.u GROUP BY ed.dst)"
+            )
         ctes.append(
             f"r{i} AS (SELECT v.id, "
             f"((CAST({(dd - dn) * s} AS BIGINT) // {dd}) // nn.n) "
@@ -2592,14 +2690,30 @@ def _pagerank_knn_oracle_sql(
     iterations: int = 3,
     scale: int = 10**12,
     k: int = 5,
+    weighted: bool = False,
 ) -> str:
-    """SQL twin of q_pagerank_knn: the same kNN edge replay as the
-    knn_graph oracle, then the shared unrolled integer recurrence."""
-    iters, prev = _pagerank_iter_ctes(iterations, scale)
+    """SQL twin of q_pagerank_knn / q_pagerank_knn_weighted: the same
+    kNN edge replay as the knn_graph oracle, then the shared unrolled
+    integer recurrence (weighted: per-edge (r·w) // Σw with w =
+    max(0, round(cosine·1e6)), zero-weight edges dropped — the exact
+    Spark quantization)."""
+    iters, prev = _pagerank_iter_ctes(iterations, scale, weighted=weighted)
+    if weighted:
+        ed = (
+            f"ed AS (SELECT src, dst, w FROM ("
+            f"SELECT vec_id AS src, neighbor_id AS dst, "
+            f"GREATEST(CAST(0 AS BIGINT), "
+            f"CAST(ROUND(cosine_sim * 1000000, 0) AS BIGINT)) AS w "
+            f"FROM ranked WHERE rank <= {int(k)}) WHERE w > 0)"
+        )
+    else:
+        ed = (
+            f"ed AS (SELECT vec_id AS src, neighbor_id AS dst "
+            f"FROM ranked WHERE rank <= {int(k)})"
+        )
     ctes = [
         _KNN_GRAPH_EDGE_CTES.strip().rstrip(),
-        f"ed AS (SELECT vec_id AS src, neighbor_id AS dst "
-        f"FROM ranked WHERE rank <= {int(k)})",
+        ed,
         "v AS (SELECT vec_id AS id FROM embeddings)",
         *iters,
     ]
@@ -4714,6 +4828,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     oracles["pagerank_knn"] = _pagerank_knn_oracle_sql()
+    oracles["pagerank_knn_weighted"] = _pagerank_knn_oracle_sql(weighted=True)
 
     oracles["fuzzy_match_parts"] = r"""
         WITH n AS (
@@ -4930,6 +5045,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["revenue_by_nation"] = """
+        SELECT r.r_name, n.n_name,
+               CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 1000000, 0) AS BIGINT))
+                     / 1000000.0, 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+        ORDER BY r.r_name, n.n_name
+    """
+
+    oracles["basket_pairs"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY support DESC, part_a, part_b LIMIT 50
     """
 
     oracles["name_resolution"] = r"""

@@ -37,9 +37,23 @@ def pagerank_fixed_point(
     scale: int = 10**12,
     damping_num: int = 17,
     damping_den: int = 20,
+    weight_col: str | None = None,
+    weight_scale: int = 10**6,
 ) -> DataFrame:
     """PageRank over a directed edge relation, in exact integer
-    fixed-point arithmetic.
+    fixed-point arithmetic — unweighted by default, EDGE-WEIGHTED when
+    ``weight_col`` is given (a vertex then splits its rank ∝ its
+    out-edge weights — over a kNN graph with cosine weights the hub
+    score follows SIMILARITY mass, not just link count).
+
+    Weighted semantics: weights quantize to
+    ``max(0, round(w·weight_scale))`` BIGINTs (negative weights — e.g.
+    anti-correlated cosines — contribute NOTHING, stated not hidden;
+    zero-weight edges drop), and each edge carries
+    ``(r_u · w_int) div Σw_int(u)`` — still pure integer arithmetic,
+    with ``r·w ≤ scale·weight_scale = 1e18`` inside the signed-64
+    range at the defaults. A vertex whose weights all clamp to zero
+    becomes dangling.
 
     Semantics (the documented recurrence BOTH engines compute —
     integer division throughout, so it is reproducible bit-for-bit):
@@ -91,6 +105,22 @@ def pagerank_fixed_point(
         vertices.select(F.col(id_col).alias("_id"))
         .crossJoin(F.broadcast(n_df))
     )
+    if weight_col is not None:
+        w_int = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.round(F.col(weight_col) * F.lit(int(weight_scale)), 0).cast(
+                "bigint"
+            ),
+        )
+        ew = edges.select(
+            F.col(src_col).alias("_u"),
+            F.col(dst_col).alias("_v"),
+            w_int.alias("_w"),
+        ).filter(F.col("_w") > 0)
+        wsum = ew.groupBy("_u").agg(F.sum("_w").alias("_ws"))
+    else:
+        ew = None
+        wsum = None
     deg = edges.groupBy(F.col(src_col).alias("_u")).agg(
         F.count(F.lit(1)).alias("_deg")
     )
@@ -99,17 +129,28 @@ def pagerank_fixed_point(
         "_id", "_n", F.expr(f"CAST({s_lit} AS BIGINT) div _n").alias("_r")
     )
     for _ in range(int(iterations)):
-        shares = r.join(deg, F.col("_id") == F.col("_u")).select(
-            F.col("_u"), F.expr("_r div _deg").alias("_share")
-        )
-        contrib = (
-            edges.select(
-                F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+        if weight_col is not None:
+            contrib = (
+                ew.join(
+                    r.select(F.col("_id").alias("_u"), "_r"), "_u"
+                )
+                .join(wsum, "_u")
+                .select("_v", F.expr("(_r * _w) div _ws").alias("_c"))
+                .groupBy("_v")
+                .agg(F.sum("_c").alias("_in"))
             )
-            .join(shares, "_u")
-            .groupBy("_v")
-            .agg(F.sum("_share").alias("_in"))
-        )
+        else:
+            shares = r.join(deg, F.col("_id") == F.col("_u")).select(
+                F.col("_u"), F.expr("_r div _deg").alias("_share")
+            )
+            contrib = (
+                edges.select(
+                    F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+                )
+                .join(shares, "_u")
+                .groupBy("_v")
+                .agg(F.sum("_share").alias("_in"))
+            )
         r = verts.join(contrib, F.col("_id") == F.col("_v"), "left").select(
             "_id",
             "_n",

@@ -723,3 +723,42 @@ def test_name_resolution_unions_both_generators(spark):
     assert clusters["red bat"] == clusters["red cat"] == clusters["rwd cat"] \
         == "red bat"
     assert "zebra zone" not in clusters  # singleton: resolves to itself
+
+
+def test_weighted_pagerank_follows_weight_mass(spark):
+    from fresco_hpc_spark.operators import pagerank_fixed_point
+
+    # vertex 1 splits rank between 2 (weight 0.9) and 3 (weight 0.1);
+    # unweighted would split evenly — the weighted ranks must order
+    # 2 > 3, and negative-weight edges contribute nothing
+    e = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.1), (2, 1, 1.0), (3, 1, 1.0),
+         (1, 4, -0.5)],  # negative: clamped to zero, never flows
+        ["src", "dst", "w"],
+    )
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["id"])
+    pr = {
+        r["id"]: r["pagerank"]
+        for r in pagerank_fixed_point(e, v, weight_col="w").collect()
+    }
+    assert pr[2] > pr[3]
+    # 4's only in-edge is negative-weight: base rank only, like a
+    # vertex with no in-edges at all
+    base_only = pagerank_fixed_point(
+        spark.createDataFrame([(1, 2, 1.0)], ["src", "dst", "w"]),
+        v, weight_col="w",
+    ).collect()
+    base4 = {r["id"]: r["pagerank"] for r in base_only}[4]
+    assert pr[4] == base4
+    # equal weights reproduce the unweighted recurrence exactly
+    eq = spark.createDataFrame(
+        [(1, 2, 0.5), (1, 3, 0.5), (2, 3, 0.5)], ["src", "dst", "w"]
+    )
+    vv = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["id"])
+    weighted = sorted(
+        map(tuple, pagerank_fixed_point(eq, vv, weight_col="w").collect())
+    )
+    unweighted = sorted(
+        map(tuple, pagerank_fixed_point(eq.drop("w"), vv).collect())
+    )
+    assert weighted == unweighted

@@ -217,7 +217,8 @@ def test_lazy_default_keeps_plan_composable(spark):
         "nucleus_langs", "phrase_search", "cluster_hubs", "knn_triangles",
         "sorted_neighborhood", "collocations", "source_overlap",
         "clustering_knn", "fk_audit", "event_transitions", "ks_drift",
-        "seasonal_profile", "name_resolution",
+        "seasonal_profile", "name_resolution", "revenue_by_nation",
+        "basket_pairs", "pagerank_knn_weighted",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -625,3 +626,23 @@ def test_sorted_neighborhood_reuses_range_exchange(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_revenue_star_broadcasts_dims_and_partitions_facts(spark):
+    """The warehouse star join: nation/region (and the small customer
+    side at this SF) broadcast; no cartesian anywhere; the fact join
+    keys stay equi."""
+    plan = plan_of(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_pairs_joins_on_order_key(spark):
+    """Market-basket candidates come from an EQUI self-join on the
+    order key over the distinct (order, part) relation — pair stream is
+    bounded by basket sizes, never catalog²."""
+    plan = plan_of(spark, "basket_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
