@@ -5179,9 +5179,13 @@ def oracle_sql() -> dict[str, str]:
             FROM nn GROUP BY 1, 2
         ),
         dense AS (
+            -- IS NOT DISTINCT FROM: a NULL group is a real group on
+            -- the Spark side (grouped machinery is null-safe); a plain
+            -- equi-join here would zero its counts
             SELECT gr.g, va.v, COALESCE(c.c, 0) AS c
             FROM groups gr CROSS JOIN vals va
-            LEFT JOIN counts c ON c.g = gr.g AND c.v = va.v
+            LEFT JOIN counts c
+              ON c.g IS NOT DISTINCT FROM gr.g AND c.v = va.v
         ),
         cum AS (
             SELECT g, v,
@@ -5200,14 +5204,14 @@ def oracle_sql() -> dict[str, str]:
                        - (gl.gcume - c.cume)
                          / CAST(t.n - gr.n_g AS DOUBLE)) AS d
             FROM cum c JOIN allcdf gl USING (v)
-            JOIN groups gr ON gr.g = c.g
+            JOIN groups gr ON gr.g IS NOT DISTINCT FROM c.g
             CROSS JOIN tot t WHERE t.n > gr.n_g
         ),
         mx AS (SELECT g, n_g, MAX(d) AS dmax FROM diffs GROUP BY 1, 2)
         SELECT m.g AS event_type, m.n_g AS n_group,
                ROUND(m.dmax, 6) AS ks_d,
                ROUND(MIN(CASE WHEN d.d = m.dmax THEN d.v END), 6) AS ks_at
-        FROM mx m JOIN diffs d ON d.g = m.g
+        FROM mx m JOIN diffs d ON d.g IS NOT DISTINCT FROM m.g
         GROUP BY m.g, m.n_g, m.dmax ORDER BY event_type
     """
 

@@ -560,7 +560,17 @@ def ks_vs_rest(
     groups = counts.select("_g").distinct()
     dense = (
         groups.crossJoin(vals)
-        .join(counts, ["_g", "_v"], "left")
+        .join(
+            counts.select(
+                F.col("_g").alias("_gc"), F.col("_v").alias("_vc"), "_cnt"
+            ),
+            # null-safe on the group (a NULL group's counts must land
+            # on its probe rows, not zero out); _v is non-null by
+            # construction
+            F.col("_g").eqNullSafe(F.col("_gc"))
+            & (F.col("_v") == F.col("_vc")),
+            "left",
+        )
         .select(
             "_g", "_v", F.coalesce(F.col("_cnt"), F.lit(0)).alias("_cnt")
         )
@@ -589,14 +599,26 @@ def ks_vs_rest(
         )
     )
     dmax = diffs.groupBy("_g", "_n").agg(F.max("_d").alias("_dmax"))
+    # every group-keyed join below is NULL-SAFE: a NULL group is a real
+    # group (the grouped machinery and both groupBys keep it) and a
+    # plain equi/anti join on _g would silently misroute it — the
+    # recurring null-group bug class
     located = (
-        diffs.join(F.broadcast(dmax.select("_g", "_dmax")), "_g")
+        diffs.join(
+            F.broadcast(
+                dmax.select(F.col("_g").alias("_gm"), "_dmax")
+            ),
+            F.col("_g").eqNullSafe(F.col("_gm")),
+        )
         .filter(F.col("_d") == F.col("_dmax"))
         .groupBy("_g")
         .agg(F.min("_v").alias("_at"))
     )
     out = (
-        dmax.join(located, "_g")
+        dmax.join(
+            located.select(F.col("_g").alias("_gl"), "_at"),
+            F.col("_g").eqNullSafe(F.col("_gl")),
+        )
         .select(
             F.col("_g").alias(group_col),
             F.col("_n").cast("bigint").alias("n_group"),
@@ -608,7 +630,11 @@ def ks_vs_rest(
     whole = (
         counts.groupBy("_g")
         .agg(F.sum("_cnt").alias("_n"))
-        .join(dmax.select("_g"), "_g", "left_anti")
+        .join(
+            dmax.select(F.col("_g").alias("_gd")),
+            F.col("_g").eqNullSafe(F.col("_gd")),
+            "left_anti",
+        )
         .select(
             F.col("_g").alias(group_col),
             F.col("_n").cast("bigint").alias("n_group"),

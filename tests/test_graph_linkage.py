@@ -762,3 +762,16 @@ def test_weighted_pagerank_follows_weight_mass(spark):
         map(tuple, pagerank_fixed_point(eq.drop("w"), vv).collect())
     )
     assert weighted == unweighted
+
+
+def test_ks_vs_rest_null_group_is_real(spark):
+    # a NULL group must get a real KS statistic against the rest, not
+    # fall through a null-dropping join to the NULL-statistic branch
+    from fresco_hpc_spark.operators.percentiles import ks_vs_rest
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("b", 3.0), ("b", 4.0)], ["g", "v"]
+    )
+    out = {r["g"]: r for r in ks_vs_rest(df, "g", "v").collect()}
+    assert out[None]["ks_d"] == 1.0 and out[None]["ks_at"] == 2.0
+    assert out["b"]["ks_d"] == 1.0
