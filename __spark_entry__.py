@@ -1856,6 +1856,117 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year deltas: the reporting-layer
+    staple. YoY comes from a 12-month-SHIFTED equi self-join on the
+    month key — gap-safe (a missing month compares against nothing,
+    where a row-offset lag(12) silently compares against the wrong
+    month) and scale-safe (no global window). Revenue follows rule 8
+    micro-unit sums; the monthly relation is #months-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    amount_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0
+    ).cast("bigint")
+    monthly = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.round(F.sum(amount_u) / 1_000_000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    prev = monthly.select(
+        (F.col("month") + F.expr("INTERVAL 12 MONTHS")).alias("month"),
+        F.col("revenue").alias("prev_year_revenue"),
+    )
+    return (
+        monthly.join(prev, "month", "left")
+        .select(
+            "month",
+            "revenue",
+            "n_lineitems",
+            "prev_year_revenue",
+            F.round(F.col("revenue") - F.col("prev_year_revenue"), 2).alias(
+                "yoy_delta"
+            ),
+            F.when(
+                F.col("prev_year_revenue") != 0,
+                F.round(
+                    (F.col("revenue") - F.col("prev_year_revenue"))
+                    / F.col("prev_year_revenue"),
+                    6,
+                ),
+            ).alias("yoy_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days since
+    last order, anchored at the corpus max date), frequency (orders),
+    monetary (total price) — each quartile-coded with the scale-safe
+    ``quantile_bucket`` (value-based buckets against rounded
+    PERCENTILE_CONT bounds, no global NTILE sort; 1 = smallest value,
+    so R1 = most recent, F4/M4 = best) and concatenated into the
+    classic rfm_code. Three bounded bounds jobs + map-side labeling."""
+    from fresco_hpc_spark.operators.percentiles import quantile_bucket
+
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("_anchor"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 1_000_000, 0).cast(
+                        "bigint"
+                    )
+                )
+                / 1_000_000.0,
+                2,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_anchor"), F.col("_last"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            "monetary",
+        )
+    )
+    q = [0.25, 0.5, 0.75]
+    coded = base
+    for col, label in (
+        ("recency_days", "r_q"),
+        ("frequency", "f_q"),
+        ("monetary", "m_q"),
+    ):
+        coded = quantile_bucket(coded, col, q, label_col=label)
+    return coded.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("rfm_code"),
+    ).orderBy("o_custkey")
+
+
 def q_name_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution over part names — the linkage-family
     capstone (the production shape: run BOTH candidate generators,
@@ -2375,6 +2486,8 @@ def queries() -> dict[str, Query]:
         "revenue_by_nation": q_revenue_by_nation,  # new in r7, r8 front
         "basket_pairs": q_basket_pairs,  # new in r7, r8 front
         "pagerank_knn_weighted": q_pagerank_knn_weighted,  # new r7, r8 front
+        "revenue_monthly_yoy": q_revenue_monthly_yoy,  # new in r7, r8 front
+        "rfm_segments": q_rfm_segments,  # new in r7, r8 front
         "phash_dup_pairs": q_phash_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -5072,6 +5185,84 @@ def oracle_sql() -> dict[str, str]:
         FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         ORDER BY support DESC, part_a, part_b LIMIT 50
+    """
+
+    oracles["revenue_monthly_yoy"] = """
+        WITH m AS (
+            SELECT date_trunc('month', o.o_orderdate) AS month,
+                   ROUND(SUM(CAST(ROUND(l.l_extendedprice
+                                        * (1 - l.l_discount) * 1000000, 0)
+                                  AS BIGINT)) / 1000000.0, 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate IS NOT NULL
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT month + INTERVAL 12 MONTH AS month,
+                   revenue AS prev_year_revenue
+            FROM m
+        )
+        SELECT m.month, m.revenue, m.n_lineitems, p.prev_year_revenue,
+               ROUND(m.revenue - p.prev_year_revenue, 2) AS yoy_delta,
+               CASE WHEN p.prev_year_revenue <> 0
+                    THEN ROUND((m.revenue - p.prev_year_revenue)
+                               / p.prev_year_revenue, 6) END AS yoy_pct
+        FROM m LEFT JOIN p USING (month) ORDER BY m.month
+    """
+
+    rfm_bounds = "\n".join(
+        f"        {m}b AS (SELECT "
+        + ", ".join(
+            f"ROUND(percentile_cont({f}) WITHIN GROUP (ORDER BY {col}), 6)"
+            f" AS b{i + 1}"
+            for i, f in enumerate((0.25, 0.5, 0.75))
+        )
+        + f" FROM base),"
+        for m, col in (
+            ("r", "recency_days"), ("f", "frequency"), ("m", "monetary")
+        )
+    )
+    rfm_cases = {
+        m: (
+            f"CAST(CASE WHEN {col} <= {m}b.b1 THEN 1 "
+            f"WHEN {col} <= {m}b.b2 THEN 2 "
+            f"WHEN {col} <= {m}b.b3 THEN 3 ELSE 4 END AS BIGINT)"
+        )
+        for m, col in (
+            ("r", "recency_days"), ("f", "frequency"), ("m", "monetary")
+        )
+    }
+    oracles["rfm_segments"] = f"""
+        WITH o AS (
+            SELECT * FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+        ),
+        anchor AS (SELECT MAX(o_orderdate) AS a FROM o),
+        base AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                                  CAST(an.a AS DATE)) AS BIGINT)
+                       AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 1000000, 0)
+                                  AS BIGINT)) / 1000000.0, 2) AS monetary
+            FROM o CROSS JOIN anchor an
+            GROUP BY o_custkey, an.a
+        ),
+{rfm_bounds}
+        coded AS (
+            SELECT base.o_custkey, base.recency_days, base.frequency,
+                   base.monetary,
+                   {rfm_cases['r']} AS r_q,
+                   {rfm_cases['f']} AS f_q,
+                   {rfm_cases['m']} AS m_q
+            FROM base CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+        )
+        SELECT o_custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
+               CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+                   || CAST(m_q AS VARCHAR) AS rfm_code
+        FROM coded ORDER BY o_custkey
     """
 
     oracles["name_resolution"] = r"""

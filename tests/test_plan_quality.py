@@ -218,7 +218,8 @@ def test_lazy_default_keeps_plan_composable(spark):
         "sorted_neighborhood", "collocations", "source_overlap",
         "clustering_knn", "fk_audit", "event_transitions", "ks_drift",
         "seasonal_profile", "name_resolution", "revenue_by_nation",
-        "basket_pairs", "pagerank_knn_weighted",
+        "basket_pairs", "pagerank_knn_weighted", "revenue_monthly_yoy",
+        "rfm_segments",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
