@@ -674,3 +674,32 @@ def test_triangle_enumeration_matches_brute_force(spark, edges):
         if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))} <= und
     )
     assert got == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    c=st.integers(min_value=2, max_value=9),
+)
+@_settings
+def test_weighted_pagerank_is_weight_scale_invariant(spark, seed, c):
+    # Rank splits are RATIOS of weights: scaling every weight by the
+    # same constant leaves floor((r·cw)/(cΣw)) = floor((r·w)/Σw)
+    # unchanged, PROVIDED quantization stays exact — use weights that
+    # are exact multiples of the 1e-6 quantum so round(c·w·1e6) =
+    # c·round(w·1e6).
+    from fresco_hpc_spark.operators import pagerank_fixed_point
+
+    rnd = seed
+    edges = []
+    for i in range(12):
+        rnd = (rnd * 1103515245 + 12345) % (2**31)
+        dst = rnd % 7
+        rnd = (rnd * 1103515245 + 12345) % (2**31)
+        w = ((rnd % 20) + 1) / 1000.0  # exact at 1e-6 quantum
+        edges.append((i % 7, dst, w))
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    v = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    a = sorted(map(tuple, pagerank_fixed_point(e, v, weight_col="w").collect()))
+    e2 = e.withColumn("w", e["w"] * c)
+    b = sorted(map(tuple, pagerank_fixed_point(e2, v, weight_col="w").collect()))
+    assert a == b
