@@ -521,6 +521,7 @@ def ks_vs_rest(
     group_col: str,
     value_col: str,
     round_to: int = _ROUND,
+    materialize: bool = False,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic of every group AGAINST
     THE REST of the corpus: ``D_g = sup_x |F_g(x) − F_rest(x)|`` over
@@ -544,18 +545,31 @@ def ks_vs_rest(
     order-statistics machinery (:func:`grouped_cume_from_counts`) fed
     a DENSIFIED counts relation — (group × corpus-distinct value) with
     zero-count probe rows — so no per-group sort ever exceeds a range
-    partition; the global CDF runs through the same machinery under a
-    constant group. The densified relation is G·D rows (G groups, D
-    distinct values): linear in the tie-collapsed data per group, the
-    inherent cost of an exact KS. Both max and argmax are
-    partial-aggregatable groupBys (argmax = equi-join back on the
-    broadcast per-group max, then a conditional min — no window over
-    the densified relation).
+    partition; the global CDF re-aggregates the SAME tie-collapsed
+    counts relation under a constant group (never the raw rows twice).
+    The densified relation is G·D rows (G groups, D distinct values):
+    linear in the tie-collapsed data per group, the inherent cost of
+    an exact KS. Both max and argmax are partial-aggregatable groupBys
+    (argmax = equi-join back on the broadcast per-group max, then a
+    conditional min — no window over the densified relation).
+
+    The counts relation is the plan's hub — five consumers (values,
+    groups, the densify probe, the global CDF, the whole-corpus
+    fallback), each re-evaluating the source scan + tie-collapse in
+    the lazy plan. ``materialize=True`` eagerly localCheckpoints it so
+    the upstream runs ONCE — at sf0.1 over a cheap parquet scan this
+    measures NEUTRAL (~3 s either way, AQE reuses what matters), so
+    the lazy default stands; the flag exists for expensive upstream
+    pipelines (a filtered join feeding the KS), where five
+    re-evaluations are five times the pipeline — the same opt-in
+    contract as the pair generators.
     """
     nn = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
     ).filter(F.col("_v").isNotNull())
     counts = nn.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
     vals = counts.select("_v").distinct()
     groups = counts.select("_g").distinct()
     dense = (
@@ -577,7 +591,12 @@ def ks_vs_rest(
     )
     gcdf = grouped_cume_from_counts(dense, ["_g"])
     glob = (
-        grouped_cume_counts(nn.withColumn("_all", F.lit(1)), ["_all"], "_v")
+        grouped_cume_from_counts(
+            counts.groupBy("_v")
+            .agg(F.sum("_cnt").alias("_cnt"))
+            .select(F.lit(1).alias("_all"), "_v", "_cnt"),
+            ["_all"],
+        )
         .select(
             F.col("_v"),
             F.col("_cume").alias("_gc"),
