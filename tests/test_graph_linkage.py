@@ -1,10 +1,16 @@
-"""Unit tests for the round-7 graph/linkage/divergence additions:
-operators/graph.py pagerank_fixed_point, operators/joins.py
-fuzzy_match_names, functions/text.py source_token_divergence.
+"""Unit tests for the round-7 operator additions: the graph family
+(PageRank ± weights, triangles, clustering coefficients, cluster-hub
+resolution), record linkage (blocked fuzzy matching, sorted
+neighborhood, end-to-end name resolution), distribution QA (KL
+divergence, source overlap, KS drift, seasonal baseline), CDC (SCD2
+history), the search family (phrase index, collocations), and the
+data-quality audits (FK integrity, transitions, interpolation,
+nucleus/length bucketing).
 
 Oracle parity for the registered queries is covered by the full_parity
-sweep; these tests pin hand-checkable semantics and the determinism
-contracts (integer fixed-point, partition invariance)."""
+sweep; these tests pin hand-checkable closed-form semantics and the
+determinism contracts (integer fixed-point, partition invariance,
+null-group survival)."""
 
 from __future__ import annotations
 
