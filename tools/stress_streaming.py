@@ -141,6 +141,81 @@ def run_config(spark, n_files: int, rows_per_file: int, n_keys: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+
+def run_scd2_config(spark, n_files: int, rows_per_file: int, n_keys: int) -> dict:
+    """Throughput for the streaming SCD2 twin: a change-log backlog where
+    each key flips state every ~5 events (deterministic), drained through
+    ``streaming_scd2_state``. State = one open-episode tuple per key, so
+    state_rows must equal n_keys regardless of input volume."""
+    from fresco_hpc_spark.streaming.stateful import streaming_scd2_state
+    from fresco_hpc_spark.streaming.watcher import stream_csv_directory
+
+    work = tempfile.mkdtemp(prefix=f"stress_scd2_{n_keys}_")
+    in_dir, ckpt, out_dir = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+        ]
+    )
+    try:
+        n = n_files * rows_per_file
+        df = (
+            spark.range(n)
+            .select(
+                F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias("k"),
+                (F.col("id") * 1000).alias("ts_us"),
+                F.concat(
+                    F.lit("s"),
+                    (
+                        ((F.col("id") / n_keys).cast("long") / 5).cast("long") % 8
+                    ).cast("string"),
+                ).alias("s"),
+            )
+            .repartitionByRange(n_files, "ts_us")
+        )
+        df.write.mode("overwrite").option("header", True).csv(in_dir)
+        stream = stream_csv_directory(
+            spark, in_dir, schema, max_files_per_trigger=8
+        )
+        out = streaming_scd2_state(
+            stream, key_col="k", ts_col="ts_us", state_col="s"
+        )
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        state_rows = 0
+        for p in q.recentProgress:
+            for op in p.get("stateOperators", []):
+                state_rows = int(op.get("numRowsTotal", state_rows))
+        res = spark.read.parquet(out_dir)
+        closed = res.filter("NOT is_current").count()
+        return {
+            "op": "streaming_scd2",
+            "n_keys": n_keys,
+            "input_rows": n,
+            "closed_episodes": closed,
+            "wall_sec": round(wall, 2),
+            "input_rows_per_sec": round(n / wall),
+            "state_rows": state_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     rows_per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
@@ -151,6 +226,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for n_keys in (1_000, 10_000):
         res = run_config(spark, n_files, rows_per_file, n_keys)
+        print(json.dumps(res))
+    for n_keys in (1000, 10000):
+        res = run_scd2_config(spark, n_files, rows_per_file, n_keys)
         print(json.dumps(res))
     spark.stop()
 
