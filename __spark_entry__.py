@@ -2050,6 +2050,23 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_vs_rest(table(spark, sf_dir, "events"), "event_type", "value")
 
 
+def q_ks_drift_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-grid KS drift per event_type vs the rest
+    (operators/percentiles.py ks_vs_rest_quantized): the production
+    twin of ks_drift for CONTINUOUS values — both CDFs evaluated only
+    at the union of each group's own equi-depth edges and the pooled
+    edges, retiring the exact operator's G·D densify. Underestimates by
+    at most the emitted per-group bound
+    (n/n_rest)·(1/bins + 1/n_group); every relation is O(tie-collapsed
+    data) or O(G·bins), plan-pinned crossJoin-free. bins=16 keeps every
+    fraction dyadic (no fraction-literal rounding between engines)."""
+    from fresco_hpc_spark.operators.percentiles import ks_vs_rest_quantized
+
+    return ks_vs_rest_quantized(
+        table(spark, sf_dir, "events"), "event_type", "value", bins=16
+    )
+
+
 def q_clustering_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient of the kNN graph
     (operators/graph.py local_clustering_coefficient): c(v) =
@@ -2469,6 +2486,7 @@ def queries() -> dict[str, Query]:
         "fk_audit": q_fk_audit,  # new in r7
         "event_transitions": q_event_transitions,  # new in r7
         "ks_drift": q_ks_drift,  # new in r7
+        "ks_drift_quantized": q_ks_drift_quantized,  # new in r8
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -5404,6 +5422,82 @@ def oracle_sql() -> dict[str, str]:
                ROUND(MIN(CASE WHEN d.d = m.dmax THEN d.v END), 6) AS ks_at
         FROM mx m JOIN diffs d ON d.g IS NOT DISTINCT FROM m.g
         GROUP BY m.g, m.n_g, m.dmax ORDER BY event_type
+    """
+
+    # Bounded-grid KS twin: the grid is each group's own equi-depth
+    # edges UNION the pooled edges (quantile_cont ≡ Spark's
+    # distributed/grouped exact-percentile primitives, bit-for-bit);
+    # CDFs at probes are exact integer counts, so d / argmax / bound
+    # are engine-stable. bins=16 → every fraction literal is dyadic.
+    _KSQ_BINS = 16
+    _ksq_fracs = ", ".join(repr(i / _KSQ_BINS) for i in range(1, _KSQ_BINS + 1))
+    oracles["ks_drift_quantized"] = f"""
+        WITH nn AS (
+            SELECT event_type AS g, value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        gq AS (
+            SELECT g, UNNEST(qs) AS e FROM (
+                SELECT g, quantile_cont(v, [{_ksq_fracs}]) AS qs
+                FROM nn GROUP BY g
+            )
+        ),
+        pq AS (
+            SELECT UNNEST(qs) AS e FROM (
+                SELECT quantile_cont(v, [{_ksq_fracs}]) AS qs FROM nn
+            )
+        ),
+        grs AS (SELECT DISTINCT g FROM nn),
+        probes AS (
+            SELECT DISTINCT g, e FROM (
+                SELECT g, e FROM gq
+                UNION ALL
+                SELECT grs.g, pq.e FROM grs CROSS JOIN pq
+            )
+        ),
+        groups AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM nn GROUP BY g
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn),
+        fg AS (
+            SELECT p.g, p.e,
+                   CAST((SELECT COUNT(*) FROM nn
+                         WHERE nn.g IS NOT DISTINCT FROM p.g
+                           AND nn.v <= p.e) AS BIGINT) AS gc,
+                   CAST((SELECT COUNT(*) FROM nn
+                         WHERE nn.v <= p.e) AS BIGINT) AS pc
+            FROM probes p
+        ),
+        diffs AS (
+            SELECT f.g, f.e AS v, gr.n_g, t.n,
+                   ABS(f.gc / CAST(gr.n_g AS DOUBLE)
+                       - (f.pc - f.gc)
+                         / CAST(t.n - gr.n_g AS DOUBLE)) AS d
+            FROM fg f
+            JOIN groups gr ON gr.g IS NOT DISTINCT FROM f.g
+            CROSS JOIN tot t
+            WHERE t.n > gr.n_g
+        ),
+        mx AS (SELECT g, n_g, n, MAX(d) AS dmax FROM diffs GROUP BY 1, 2, 3),
+        located AS (
+            SELECT m.g AS event_type, m.n_g AS n_group,
+                   ROUND(m.dmax, 6) AS ks_d,
+                   ROUND(MIN(CASE WHEN d.d = m.dmax THEN d.v END), 6) AS ks_at,
+                   ROUND((CAST(m.n AS DOUBLE) / (m.n - m.n_g))
+                         * ({1.0 / _KSQ_BINS!r} + 1.0 / m.n_g), 6)
+                       AS ks_err_bound
+            FROM mx m JOIN diffs d ON d.g IS NOT DISTINCT FROM m.g
+            GROUP BY m.g, m.n_g, m.n, m.dmax
+        ),
+        whole AS (
+            SELECT gr.g AS event_type, gr.n_g AS n_group,
+                   CAST(NULL AS DOUBLE) AS ks_d,
+                   CAST(NULL AS DOUBLE) AS ks_at,
+                   CAST(NULL AS DOUBLE) AS ks_err_bound
+            FROM groups gr ANTI JOIN mx ON mx.g IS NOT DISTINCT FROM gr.g
+        )
+        SELECT * FROM located UNION ALL SELECT * FROM whole
+        ORDER BY event_type
     """
 
     oracles["clustering_knn"] = f"""

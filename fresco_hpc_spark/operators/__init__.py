@@ -33,6 +33,8 @@ from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     grouped_exact_percentiles,
     grouped_value_cdf,
     iqr_trim,
+    ks_vs_rest,
+    ks_vs_rest_quantized,
     mad_trim,
     percentile_trim,
     percentile_trimmed_hourly_agg,

@@ -181,7 +181,18 @@ def grouped_cume_from_counts(
     cumulative sum but emits an output row carrying F_g(v)·n_g
     exactly). Same range-exchange reuse contract and null-safe group
     join as the public wrapper; ``_n`` sums only real counts, so probe
-    rows never inflate group sizes."""
+    rows never inflate group sizes.
+
+    The input schema is EXACTLY ``(group_cols…, _v, _cnt)`` by design —
+    do not extend this function with pass-through columns. A column the
+    offset-subtotal branch doesn't consume gets column-pruned BEFORE
+    the range exchange on that branch only, the two exchange subtrees
+    stop being identical, ReuseExchange no longer fires, and each
+    branch samples its own partition boundaries → silently corrupt
+    offsets (found the hard way in r8: a carried probe marker shifted
+    cumes by whole partitions at shuffle_partitions=8). Callers that
+    need row markers (:func:`ks_vs_rest_quantized`) join their marker
+    relation back onto the output instead."""
     from pyspark.sql import Window
 
     spark = dv.sparkSession
@@ -514,6 +525,190 @@ def winsorize(
         "was_clipped",
         F.coalesce((c < F.lit(lo)) | (c > F.lit(hi)), F.lit(False)),
     )
+
+
+def ks_vs_rest_quantized(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 32,
+    round_to: int = _ROUND,
+) -> DataFrame:
+    """Bounded-grid two-sample KS of every group against the rest — the
+    production path for CONTINUOUS values at 100 TB, where the exact
+    :func:`ks_vs_rest` densify is G·D rows (D ≈ n for continuous
+    doubles). This variant evaluates both CDFs only at equi-depth grid
+    edges, so every relation in the plan is O(tie-collapsed data) or
+    O(G·bins) and nothing scales with G·D (plan-pinned: no crossJoin,
+    no value×group densify).
+
+    Statistic and bound. With ``F_rest = (n·F_pool − n_g·F_g)/n_rest``,
+    group-vs-rest KS is a scaled group-vs-pooled comparison:
+    ``D_g = (n/n_rest)·sup|F_g − F_pool|``. The grid per group is the
+    UNION of the group's own ``bins`` equi-depth edges and the pooled
+    ``bins`` equi-depth edges (both exact PERCENTILE_CONT at fractions
+    i/bins, i = 1..bins, so each grid always ends at the sample max).
+    Between adjacent probes the open-interval mass of the group CDF is
+    ≤ 1/bins + 1/n_g (its own quantile edges subdivide it; the 1/n_g
+    is PERCENTILE_CONT interpolation slack) and of the pooled CDF is
+    ≤ 1/bins + 1/n, hence::
+
+        0 ≤ D_g − D̂_g ≤ (n/n_rest)·(1/bins + 1/n_g)   (= ks_err_bound)
+
+    D̂_g never overshoots (every probe is a real evaluation point). A
+    pooled-only grid does NOT admit such a bound: a small group
+    concentrated strictly inside one pooled bin hides arbitrarily large
+    drift (10 rows at one value inside a quiet pooled decile → D ≈ 1,
+    pooled-grid D̂ ≈ 0) — which is why the per-group edges are not an
+    optimization but the correctness of the bound, and why the bound is
+    per-group data (emitted as a column), not a constant.
+
+    Exactness of what IS computed: probe-point CDFs are exact integer
+    cumulative counts from :func:`grouped_cume_from_counts` fed the
+    tie-collapsed counts relation with zero-count probe rows merged in
+    (a probe tied with a data value collapses into that row, so the
+    running sum includes the tie's mass). The D̂ division and argmax
+    tie-break (min probe value at the max, exact equality of identical
+    doubles) are engine-stable, same as the exact operator.
+
+    Scale shape: one tie-collapse shuffle, the grouped distributed
+    order-statistics machinery twice (group edges; probe cumes), a
+    constant-group pass for the pooled CDF at the global probe set
+    (≤ G·bins + bins values), and G·bins-sized equi-joins — no window
+    over more than a range partition, no driver collect beyond the
+    ``bins`` pooled literals (bounded by the parameter, same contract
+    as ``quantile_bucket``).
+
+    Output: ``group_col, n_group, ks_d, ks_at, ks_err_bound`` — the
+    exact operator's schema plus the per-group bound. Groups that are
+    the whole corpus have no rest-sample and report NULL (bound
+    included). ``ks_at`` is the minimizing PROBE value, which may be an
+    interpolated quantile rather than a data value — the quantized
+    contract.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    fractions = [i / bins for i in range(1, bins + 1)]
+    nn = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    pooled = distributed_exact_percentiles(nn, "_v", fractions)
+    schema = (
+        f"`{group_col}` {df.schema[group_col].dataType.simpleString()}, "
+        "n_group bigint, ks_d double, ks_at double, ks_err_bound double"
+    )
+    if pooled[0] is None:
+        return df.sparkSession.createDataFrame([], schema)
+    pooled_edges = sorted({float(v) for v in pooled})
+    counts = nn.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    groups = counts.select("_g").distinct()
+    gedges = grouped_exact_percentiles(nn, ["_g"], "_v", fractions).select(
+        "_g", F.col("value").alias("_v")
+    )
+    pedges = groups.select(
+        "_g",
+        F.explode(
+            F.array(*[F.lit(e) for e in pooled_edges])
+        ).alias("_v"),
+    )
+    probes = gedges.unionByName(pedges).distinct()
+    # merge zero-count probe rows into the counts relation — a probe
+    # value absent from the group's data still needs a cume row, and a
+    # probe tied with a data value collapses into it so the cume
+    # includes the tie's jump. Probe rows are then re-identified by
+    # joining the probe set back onto the OUTPUT: the machinery's input
+    # schema must stay exactly (group, _v, _cnt) — a carried marker
+    # column breaks its ReuseExchange contract (see
+    # grouped_cume_from_counts' docstring).
+    combined = (
+        counts.unionByName(
+            probes.select("_g", "_v", F.lit(0).cast("long").alias("_cnt"))
+        )
+        .groupBy("_g", "_v")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    gcume = (
+        grouped_cume_from_counts(combined, ["_g"])
+        .join(
+            probes.select(F.col("_g").alias("_gp"), F.col("_v").alias("_vp")),
+            F.col("_g").eqNullSafe(F.col("_gp")) & (F.col("_v") == F.col("_vp")),
+        )
+        .select("_g", "_v", F.col("_cume").alias("_gc"), F.col("_n").alias("_ng"))
+    )
+    # pooled CDF at the GLOBAL probe-value set, via the same machinery
+    # under a constant group; _n here is the corpus total
+    gv = probes.select("_v").distinct()
+    pooled_combined = (
+        counts.groupBy("_v")
+        .agg(F.sum("_cnt").alias("_cnt"))
+        .unionByName(gv.select("_v", F.lit(0).cast("long").alias("_cnt")))
+        .groupBy("_v")
+        .agg(F.sum("_cnt").alias("_cnt"))
+        .select(F.lit(1).alias("_all"), "_v", "_cnt")
+    )
+    pcume = (
+        grouped_cume_from_counts(pooled_combined, ["_all"])
+        .join(gv.select(F.col("_v").alias("_vp")), F.col("_v") == F.col("_vp"))
+        .select("_v", F.col("_cume").alias("_pc"), F.col("_n").alias("_nt"))
+    )
+    diffs = (
+        gcume.join(pcume, "_v")
+        .filter(F.col("_nt") > F.col("_ng"))
+        .select(
+            "_g",
+            "_v",
+            F.col("_ng"),
+            F.col("_nt"),
+            F.abs(
+                F.col("_gc") / F.col("_ng")
+                - (F.col("_pc") - F.col("_gc"))
+                / (F.col("_nt") - F.col("_ng"))
+            ).alias("_d"),
+        )
+    )
+    dmax = diffs.groupBy("_g", "_ng", "_nt").agg(F.max("_d").alias("_dmax"))
+    located = (
+        diffs.join(
+            F.broadcast(dmax.select(F.col("_g").alias("_gm"), "_dmax")),
+            F.col("_g").eqNullSafe(F.col("_gm")),
+        )
+        .filter(F.col("_d") == F.col("_dmax"))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_at"))
+    )
+    err = (
+        F.col("_nt").cast("double") / (F.col("_nt") - F.col("_ng"))
+    ) * (F.lit(1.0 / bins) + F.lit(1.0) / F.col("_ng"))
+    out = (
+        dmax.join(
+            located.select(F.col("_g").alias("_gl"), "_at"),
+            F.col("_g").eqNullSafe(F.col("_gl")),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_ng").cast("bigint").alias("n_group"),
+            F.round(F.col("_dmax"), round_to).alias("ks_d"),
+            F.round(F.col("_at"), round_to).alias("ks_at"),
+            F.round(err, round_to).alias("ks_err_bound"),
+        )
+    )
+    whole = (
+        counts.groupBy("_g")
+        .agg(F.sum("_cnt").alias("_n"))
+        .join(
+            dmax.select(F.col("_g").alias("_gd")),
+            F.col("_g").eqNullSafe(F.col("_gd")),
+            "left_anti",
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").cast("bigint").alias("n_group"),
+            F.lit(None).cast("double").alias("ks_d"),
+            F.lit(None).cast("double").alias("ks_at"),
+            F.lit(None).cast("double").alias("ks_err_bound"),
+        )
+    )
+    return out.unionByName(whole).orderBy(group_col)
 
 
 def ks_vs_rest(

@@ -642,6 +642,92 @@ def test_ks_vs_rest_hand_computed(spark):
     assert rows[0]["n_group"] == 2
 
 
+def test_ks_quantized_bound_holds_and_never_overshoots(spark):
+    """The r8 bounded-grid KS contract: for every group,
+    0 ≤ D_exact − D̂ ≤ ks_err_bound — D̂ never overshoots (every probe
+    is a real evaluation point) and underestimates by at most
+    (n/n_rest)·(1/bins + 1/n_group). Data is adversarial on purpose:
+    a NULL group, wildly unequal group sizes, heavy ties, and enough
+    distinct values to span several range partitions at the test
+    session's shuffle_partitions=4 (the r8 ReuseExchange regression
+    only manifested once probe offsets crossed partition boundaries)."""
+    import random
+
+    from fresco_hpc_spark.operators.percentiles import (
+        ks_vs_rest,
+        ks_vs_rest_quantized,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    rows += [("big_a", rng.gauss(50.0, 10.0)) for _ in range(900)]
+    rows += [("big_b", rng.gauss(55.0, 12.0)) for _ in range(700)]
+    rows += [("ties", float(rng.choice([40, 50, 60]))) for _ in range(300)]
+    rows += [(None, rng.uniform(0.0, 100.0)) for _ in range(150)]
+    rows += [("tiny", 52.25) for _ in range(12)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for bins in (4, 16):
+        exact = {r["g"]: r for r in ks_vs_rest(df, "g", "v", round_to=9).collect()}
+        quant = {
+            r["g"]: r
+            for r in ks_vs_rest_quantized(
+                df, "g", "v", bins=bins, round_to=9
+            ).collect()
+        }
+        assert set(exact) == set(quant)
+        for g, e in exact.items():
+            q = quant[g]
+            assert q["n_group"] == e["n_group"]
+            gap = e["ks_d"] - q["ks_d"]
+            assert -2e-9 <= gap <= q["ks_err_bound"] + 2e-9, (g, bins, gap, q)
+
+
+def test_ks_quantized_small_concentrated_group_is_detected(spark):
+    """The counterexample that rules out a pooled-only grid: a small
+    group concentrated at ONE value strictly inside a quiet pooled
+    region. The per-group equi-depth edges include that value (every
+    group quantile equals it), so D̂ captures the drift that pooled
+    edges alone would miss entirely."""
+    from fresco_hpc_spark.operators.percentiles import (
+        ks_vs_rest,
+        ks_vs_rest_quantized,
+    )
+
+    rows = [("rest", 1.0)] * 250 + [("rest", 3.0)] * 650 + [("g", 2.0)] * 100
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = {r["g"]: r for r in ks_vs_rest(df, "g", "v", round_to=9).collect()}
+    quant = {
+        r["g"]: r
+        for r in ks_vs_rest_quantized(df, "g", "v", bins=4, round_to=9).collect()
+    }
+    # exact: F_g(2) = 1 vs F_rest(2) = 250/900
+    assert abs(exact["g"]["ks_d"] - (1.0 - 250.0 / 900.0)) < 1e-9
+    # the group's own edges all equal 2.0, so the quantized statistic is
+    # EXACT here — while every pooled bins=4 edge is 1.75/3.0-ish and a
+    # pooled-only grid would have reported ~0.28 at best
+    assert abs(quant["g"]["ks_d"] - exact["g"]["ks_d"]) < 1e-9
+    assert quant["g"]["ks_at"] == 2.0
+
+
+def test_ks_quantized_solo_group_and_empty(spark):
+    from fresco_hpc_spark.operators.percentiles import ks_vs_rest_quantized
+
+    solo = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    rows = ks_vs_rest_quantized(solo, "g", "v", bins=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["ks_d"] is None and rows[0]["ks_err_bound"] is None
+    assert rows[0]["n_group"] == 2
+
+    empty = spark.createDataFrame(
+        [("a", None)], "g string, v double"
+    ).filter("v IS NOT NULL")
+    out = ks_vs_rest_quantized(empty, "g", "v", bins=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "g", "n_group", "ks_d", "ks_at", "ks_err_bound",
+    ]
+
+
 def test_seasonal_profile_flags_slot_anomalies(spark):
     from datetime import datetime
 

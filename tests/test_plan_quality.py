@@ -373,6 +373,24 @@ def test_grouped_cdf_reuses_range_exchange(spark):
     assert "ReusedExchange" in executed
 
 
+def test_ks_quantized_has_no_value_densify_and_reuses_exchanges(spark):
+    """VERDICT r7 item 2: the bounded-grid KS must not contain the
+    exact operator's groups×distinct-values densify — no cartesian or
+    nested-loop join of any kind (even the 1-row stat frame rides an
+    equi-join here), and every relation is O(counts) or O(G·bins).
+    The executed plan must also ReuseExchange each grouped-order-stat
+    range shuffle (three machinery invocations: group edges, group
+    cumes, pooled cumes) — the r8 regression was a carried marker
+    column breaking that reuse and silently corrupting offsets."""
+    plan = plan_of(spark, "ks_drift_quantized")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    df = entrymod.queries()["ks_drift_quantized"](spark, SF_SMALL)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 3, executed.count("ReusedExchange")
+
+
 def test_lazy_operators_run_no_construction_jobs(spark):
     """VERDICT r6 item 4: plan CONSTRUCTION must not execute jobs — the
     old ewma auto-route probe ran the upstream plan once before the
