@@ -2067,6 +2067,72 @@ def q_ks_drift_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side CDC end-to-end (plans/store.py merge_into_store): a
+    deterministic change batch derived from the first two days of
+    events — replace every event_id ≡ 1 (mod 5) with doubled value,
+    delete every ≡ 0, insert new keys (≡ 2, shifted one hour) — is
+    MERGED into a real hour-partitioned store by rewriting only the
+    touched hours (two-rename swap, crash-healing, idempotent replay —
+    all pinned in test_planner), then the post-merge snapshot is read
+    back through partition discovery and aggregated per hour. The
+    oracle replays the same batch relationally over before+changes, so
+    a wrong surviving/added/removed row anywhere in the store changes
+    the hash. Row amounts follow oracle rule 8 (micro-unit BIGINTs)."""
+    import os
+    import re
+    import tempfile
+
+    from fresco_hpc_spark.plans import (
+        PARTITION_COLS,
+        merge_into_store,
+        read_partitioned_store,
+        write_partitioned_store,
+    )
+
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "fresco_merge_store_" + re.sub(r"\W", "_", sf_dir),
+    )
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.dayofmonth("ts") <= 2)
+        .select(
+            F.col("ts").alias("time"), "event_id", "user_id", "event_type", "value"
+        )
+    )
+    write_partitioned_store(base, store)
+    upd = (
+        base.filter(F.col("event_id") % 5 == 1)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("op", F.lit("upsert"))
+    )
+    dele = base.filter(F.col("event_id") % 5 == 0).withColumn("op", F.lit("delete"))
+    news = (
+        base.filter(F.col("event_id") % 5 == 2)
+        .withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000))
+        .withColumn("time", F.col("time") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    merge_into_store(
+        spark,
+        store,
+        upd.unionByName(dele).unionByName(news),
+        ["event_id"],
+        time_col="time",
+    )
+    snap = read_partitioned_store(spark, store).drop(*PARTITION_COLS)
+    micro = F.round(F.col("value") * 1_000_000, 0).cast("bigint")
+    return (
+        snap.groupBy(F.date_trunc("hour", F.col("time")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(micro).alias("sum_value_micro"),
+        )
+        .orderBy("hour")
+    )
+
+
 def q_clustering_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient of the kNN graph
     (operators/graph.py local_clustering_coefficient): c(v) =
@@ -2487,6 +2553,7 @@ def queries() -> dict[str, Query]:
         "event_transitions": q_event_transitions,  # new in r7
         "ks_drift": q_ks_drift,  # new in r7
         "ks_drift_quantized": q_ks_drift_quantized,  # new in r8
+        "merge_upsert": q_merge_upsert,  # new in r8
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -5498,6 +5565,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM located UNION ALL SELECT * FROM whole
         ORDER BY event_type
+    """
+
+    # Write-side CDC replay: the relational restatement of
+    # merge_into_store's per-(key, hour) semantics over before+changes.
+    # Upserts/deletes replace/remove base keys in their own hour (the
+    # batch's times equal the base rows' times, so plain key removal is
+    # equivalent); inserted keys are disjoint from base.
+    oracles["merge_upsert"] = """
+        WITH base AS (
+            SELECT ts, event_id, user_id, event_type, value
+            FROM events WHERE EXTRACT(day FROM ts) <= 2
+        ),
+        ups AS (
+            SELECT ts, event_id, user_id, event_type, value * 2 AS value
+            FROM base WHERE event_id % 5 = 1
+        ),
+        news AS (
+            SELECT ts + INTERVAL 1 HOUR AS ts,
+                   event_id + 1000000000 AS event_id,
+                   user_id, event_type, value
+            FROM base WHERE event_id % 5 = 2
+        ),
+        final AS (
+            SELECT * FROM base WHERE event_id % 5 NOT IN (0, 1)
+            UNION ALL SELECT * FROM ups
+            UNION ALL SELECT * FROM news
+        )
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_micro
+        FROM final GROUP BY 1 ORDER BY 1
     """
 
     oracles["clustering_knn"] = f"""

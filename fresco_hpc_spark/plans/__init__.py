@@ -15,6 +15,7 @@ from fresco_hpc_spark.plans.store import (  # noqa: F401
     PARTITION_COLS,
     compact_store,
     list_partition_files,
+    merge_into_store,
     read_partitioned_store,
     write_bucketed_table,
     write_partitioned_store,
