@@ -1781,19 +1781,82 @@ def q_nucleus_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nucleus_top_p(table(spark, sf_dir, "documents"), "source", "lang", p=0.8)
 
 
+def _docs_fingerprint(docs: DataFrame, sf_dir: str) -> str:
+    """Content stamp of the documents corpus for index staleness checks
+    (ensure_text_index): path + row count + Σ chars + max id — one
+    cheap single-pass aggregate, and a regenerated corpus at the same
+    path rebuilds instead of serving stale postings."""
+    r = docs.agg(
+        F.count(F.lit(1)), F.sum("n_chars"), F.max("doc_id")
+    ).first()
+    return f"{sf_dir}|{r[0]}|{r[1]}|{r[2]}"
+
+
+def q_index_build_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-time positional-index BUILD cost, measured apart from the
+    per-query search cost (VERDICT r7 item 4): tokenize the corpus,
+    persist postings hive-partitioned on the content-stable token
+    bucket, stamp the source fingerprint, then read the stored index
+    back through the catalog and summarize it. The oracle recomputes
+    the same postings relation from documents, so a lost/duplicated
+    posting or a broken position anywhere in the stored index changes
+    the hash. In the bench suite this runs immediately before
+    phrase_search, whose ensure() then matches the fingerprint and
+    measures pure query cost."""
+    from fresco_hpc_spark.functions import build_text_index
+
+    docs = table(spark, sf_dir, "documents")
+    # always rebuild: this query IS the build-cost exhibit
+    build_text_index(docs, "entry_text_index", n_buckets=32)
+    spark.sql(
+        "ALTER TABLE entry_text_index SET TBLPROPERTIES "
+        f"('fresco.fingerprint' = '{_docs_fingerprint(docs, sf_dir)}')"
+    )
+    idx = spark.table("entry_text_index")
+    return idx.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("token").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("pos").alias("max_pos"),
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level BPE merge learning over documents (functions/search.py
+    bpe_merges): k=5 iterations of count-adjacent-pairs → top pair by
+    (count DESC, a, b) → greedy left-to-right non-overlapping merge —
+    the byte-pair-encoding training loop on whitespace tokens,
+    completing the tokenizer-prep chain (vocab_stats → oov_rate →
+    collocations → merges). Oracle rule 9: counts are exact BIGINTs and
+    the winner is a total order, so the 5-step trace is engine-stable;
+    the oracle replays all five iterations as unrolled CTEs with the
+    same chain-alternation overlap rule."""
+    from fresco_hpc_spark.functions import bpe_merges
+
+    return bpe_merges(
+        table(spark, sf_dir, "documents"), k=5, min_count=5
+    )
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search over a stored positional inverted index
-    (functions/search.py build_text_index / phrase_search_index): the
+    (functions/search.py ensure_text_index / phrase_search_index): the
     postings persist hive-partitioned on a content-stable token bucket
     and the query reads ONLY its tokens' partitions (driver-computable
     bucket — planning needs no Spark job; PartitionFilters pinned).
     Phrase occurrences are a k-way EQUI join on (doc, pos − i), never a
-    positional theta-join. The exact-search sibling of the MinHash /
-    phash / IVF index-at-rest trio."""
-    from fresco_hpc_spark.functions import build_text_index, phrase_search_table
+    positional theta-join. The index is built only when missing or
+    stale (fingerprint mismatch), so this measures per-QUERY cost when
+    an index exists — index_build_text measures the build."""
+    from fresco_hpc_spark.functions import ensure_text_index, phrase_search_table
 
     docs = table(spark, sf_dir, "documents")
-    build_text_index(docs, "entry_text_index", n_buckets=32)
+    ensure_text_index(
+        docs,
+        "entry_text_index",
+        n_buckets=32,
+        fingerprint=_docs_fingerprint(docs, sf_dir),
+    )
     # catalog-resolved: the query reads the index's OWN stored bucket
     # count instead of repeating the build parameter
     return phrase_search_table(spark, "entry_text_index", "fast table")
@@ -2542,6 +2605,8 @@ def queries() -> dict[str, Query]:
         "length_buckets": q_length_buckets,  # new in r7
         "interpolate_values": q_interpolate_values,  # new in r7
         "nucleus_langs": q_nucleus_langs,  # new in r7
+        "bpe_merges": q_bpe_merges,  # new in r8
+        "index_build_text": q_index_build_text,  # new in r8 (before phrase_search: amortizes its build)
         "phrase_search": q_phrase_search,  # new in r7
         "cluster_hubs": q_cluster_hubs,  # new in r7
         "knn_triangles": q_knn_triangles,  # new in r7
@@ -2673,6 +2738,86 @@ def queries() -> dict[str, Query]:
 _SYNTHETIC_GEN_SQL = SYNTHETIC_ORACLE_SQL_TEMPLATE.format(
     start="2024-01-01 00:00:00", window_seconds=30 * 86400, n=1000
 )
+
+
+def _bpe_oracle_sql(k: int, min_count: int) -> str:
+    """Unrolled-CTE twin of functions/search.py::bpe_merges: per
+    iteration, adjacent-pair counts via the (doc, pos + span) shifted
+    self-join, the (count DESC, a, b) winner, greedy non-overlapping
+    candidate selection via chain alternation (break → running group →
+    odd row_number), then the rebuilt units relation. Counts stay
+    BIGINT end to end (oracle rule 9)."""
+    blocks = [
+        r"""u0 AS MATERIALIZED (
+            SELECT doc_id, i - 1 AS pos, arr[i] AS unit,
+                   CAST(1 AS BIGINT) AS span
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+                FROM documents
+            ), UNNEST(generate_series(1, len(arr))) AS s(i)
+            WHERE arr[i] <> ''
+        )"""
+    ]
+    for i in range(k):
+        blocks.append(f"""
+        p{i} AS MATERIALIZED (
+            SELECT a.unit AS ua, b.unit AS ub, CAST(COUNT(*) AS BIGINT) AS c
+            FROM u{i} a JOIN u{i} b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + a.span
+            GROUP BY 1, 2
+        ),
+        t{i} AS MATERIALIZED (
+            SELECT ua, ub, c FROM p{i} WHERE c >= {min_count}
+            ORDER BY c DESC, ua, ub LIMIT 1
+        ),
+        cand{i} AS MATERIALIZED (
+            SELECT a.doc_id, a.pos, a.span, b.pos AS bpos, b.span AS bspan
+            FROM u{i} a
+            JOIN u{i} b ON b.doc_id = a.doc_id AND b.pos = a.pos + a.span
+            JOIN t{i} t ON a.unit = t.ua AND b.unit = t.ub
+        ),
+        sel{i} AS MATERIALIZED (
+            SELECT doc_id, pos, span, bpos, bspan FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id, grp ORDER BY pos) AS rn
+                FROM (
+                    SELECT *, SUM(brk) OVER (
+                        PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM (
+                        SELECT *,
+                           CASE WHEN LAG(pos) OVER w{i} IS NULL
+                                  OR pos <> LAG(pos) OVER w{i}
+                                          + LAG(span) OVER w{i}
+                                THEN 1 ELSE 0 END AS brk
+                        FROM cand{i}
+                        WINDOW w{i} AS (PARTITION BY doc_id ORDER BY pos)
+                    )
+                )
+            ) WHERE rn % 2 = 1
+        ),
+        u{i + 1} AS MATERIALIZED (
+            SELECT u.doc_id, u.pos, u.unit, u.span
+            FROM u{i} u
+            ANTI JOIN (
+                SELECT doc_id, pos FROM sel{i}
+                UNION ALL SELECT doc_id, bpos FROM sel{i}
+            ) cons ON cons.doc_id = u.doc_id AND cons.pos = u.pos
+            UNION ALL
+            SELECT s.doc_id, s.pos, t.ua || ' ' || t.ub AS unit,
+                   s.span + s.bspan AS span
+            FROM sel{i} s CROSS JOIN t{i} t
+        )""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT {i + 1} AS step, ua AS unit_a, ub AS unit_b, "
+        f"c AS pair_count FROM t{i}"
+        for i in range(k)
+    )
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f"\n        SELECT * FROM ({finals}) ORDER BY step"
+    )
 
 
 def _ann_lsh_oracle_sql(num_planes: int = 6, dim: int = 64, probe_hamming: int = 2, k: int = 10) -> str:
@@ -5227,6 +5372,36 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         WHERE CAST(cum - cnt AS DOUBLE) < 0.8 * total
         ORDER BY source, nucleus_rank
+    """
+
+    # BPE merge learning replayed as UNROLLED per-iteration CTEs (k=5,
+    # small and documented — each iteration is a self-join + the same
+    # chain-alternation greedy-overlap windows as the Spark side; a
+    # recursive CTE cannot vary the merge pair per level, hence the
+    # unroll). An iteration with no pair >= min_count yields an empty
+    # t{i}, every later u{j} fixpoints, and no step row is emitted —
+    # identical to the Spark side's early break.
+    oracles["bpe_merges"] = _bpe_oracle_sql(k=5, min_count=5)
+
+    # The stored positional index read back and summarized: the oracle
+    # recomputes the postings relation (same tokenization) straight from
+    # documents, certifying the tokenize → partitioned write → catalog
+    # read roundtrip posting-for-posting.
+    oracles["index_build_text"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, i - 1 AS pos, arr[i] AS token
+            FROM t, UNNEST(generate_series(1, len(arr))) AS s(i)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(MAX(pos) AS BIGINT) AS max_pos
+        FROM p
     """
 
     oracles["phrase_search"] = r"""

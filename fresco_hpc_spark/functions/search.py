@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fresco_hpc_spark.functions.dedup import _h60
@@ -104,6 +104,50 @@ def build_text_index(
         f"ALTER TABLE {table_name} SET TBLPROPERTIES "
         f"('fresco.n_buckets' = '{int(n_buckets)}')"
     )
+
+
+def ensure_text_index(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+    fingerprint: str | None = None,
+) -> bool:
+    """Build the positional index only when it is missing or STALE —
+    the amortized entry point separating one-time build cost from
+    per-query cost (VERDICT r7 item 4: the registered phrase query was
+    re-building its index on every invocation, so the bench number
+    conflated the two).
+
+    ``fingerprint`` is a caller-supplied content stamp of the source
+    corpus (e.g. path + row count + Σ chars). It is persisted as a
+    TBLPROPERTY next to the bucket count; a later call with a different
+    fingerprint (regenerated testdata, new corpus snapshot at the same
+    path) rebuilds instead of silently serving stale postings — the
+    same params-live-with-the-index discipline as ``fresco.n_buckets``.
+    With ``fingerprint=None`` the index is always rebuilt (the explicit
+    build_text_index behavior). Returns True when a build happened.
+    """
+    spark = docs.sparkSession
+    if fingerprint is not None and spark.catalog.tableExists(table_name):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+        }
+        if (
+            props.get("fresco.fingerprint") == fingerprint
+            and props.get("fresco.n_buckets") == str(int(n_buckets))
+        ):
+            return False
+    build_text_index(docs, table_name, text_col, id_col, n_buckets)
+    if fingerprint is not None:
+        safe = fingerprint.replace("'", "_")
+        spark.sql(
+            f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+            f"('fresco.fingerprint' = '{safe}')"
+        )
+    return True
 
 
 def phrase_search_table(
@@ -265,3 +309,122 @@ def collocation_pmi(
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(int(top_n))
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 5,
+) -> DataFrame:
+    """Word-level BPE merge learning: ``k`` iterations of
+    count-adjacent-pairs → pick the most frequent pair → merge its
+    non-overlapping occurrences greedily left-to-right — the classic
+    byte-pair-encoding training loop lifted to whitespace tokens,
+    completing the tokenizer-prep story (vocab_stats → oov_rate →
+    collocation_pmi → merges). Returns one row per learned merge:
+    ``step, unit_a, unit_b, pair_count`` (≤ k rows; learning stops
+    early when no pair reaches ``min_count``).
+
+    Determinism (oracle rule 9): pair counts are exact BIGINTs; the
+    winner is (count DESC, unit_a ASC, unit_b ASC) — a total order, so
+    both engines pick the same pair every step. Greedy overlap
+    resolution matters only for self-pairs (a candidate can overlap
+    the next only when unit_a == unit_b): within each maximal chain of
+    consecutive candidates, the 1st/3rd/5th… merge — "x x x x" merges
+    positions 0 and 2, exactly the sequential greedy result — via two
+    per-document windows over the CANDIDATE rows (bounded by document
+    length, the same per-doc window contract as every text operator).
+
+    Scale shape per iteration: one equi-join of the units relation
+    with itself on (doc, pos + span) — stream size ≤ tokens, the
+    shifted-position trick of phrase_search/collocation_pmi — one
+    partial-agg pair count, a 1-row driver collect of the winner
+    (bounded, k of them total: the same bounded-driver-stat contract
+    as distributed_exact_percentiles), and a merge projection whose
+    windows run over candidate rows only. The units relation is
+    localCheckpointed each round: it feeds the pair count, the merge,
+    and the next round, and k rounds of uncheckpointed lineage would
+    re-run the tokenize k times (the ivf_train persist rationale).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    spark = df.sparkSession
+    units = (
+        tokenize_positions(df, text_col, id_col)
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            F.col("pos"),
+            F.col("token").alias("unit"),
+            F.lit(1).cast("bigint").alias("span"),
+        )
+    )
+    out_schema = "step int, unit_a string, unit_b string, pair_count bigint"
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, int(k) + 1):
+        units = units.localCheckpoint(eager=True)
+        nxt = units.select(
+            "doc_id",
+            F.col("pos").alias("_bpos"),
+            F.col("unit").alias("_bunit"),
+            F.col("span").alias("_bspan"),
+        )
+        adj = units.withColumn("_bpos", F.col("pos") + F.col("span")).join(
+            nxt, ["doc_id", "_bpos"]
+        )
+        top = (
+            adj.groupBy("unit", "_bunit")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= F.lit(int(min_count)))
+            .orderBy(F.desc("c"), "unit", "_bunit")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["unit"], top[0]["_bunit"], int(top[0]["c"])
+        merges.append((step, a, b, c))
+        cand = adj.filter(
+            (F.col("unit") == F.lit(a)) & (F.col("_bunit") == F.lit(b))
+        ).select("doc_id", "pos", "span", "_bpos", "_bspan")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        brk = F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") != F.lag("pos").over(w) + F.lag("span").over(w)),
+            1,
+        ).otherwise(0)
+        chained = cand.withColumn("_brk", brk).withColumn(
+            "_grp",
+            F.sum("_brk").over(
+                Window.partitionBy("doc_id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        sel = (
+            chained.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id", "_grp").orderBy("pos")
+                ),
+            )
+            .filter(F.col("_rn") % 2 == 1)
+            .select("doc_id", "pos", "span", "_bpos", "_bspan")
+        )
+        consumed = sel.select(
+            "doc_id", F.explode(F.array("pos", "_bpos")).alias("pos")
+        )
+        merged_rows = sel.select(
+            "doc_id",
+            "pos",
+            F.lit(a + " " + b).alias("unit"),
+            (F.col("span") + F.col("_bspan")).alias("span"),
+        )
+        units = units.join(consumed, ["doc_id", "pos"], "left_anti").unionByName(
+            merged_rows
+        )
+    return spark.createDataFrame(merges, out_schema)

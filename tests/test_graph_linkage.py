@@ -778,6 +778,37 @@ def test_phrase_search_table_resolves_bucket_count(spark):
     spark.sql("DROP TABLE IF EXISTS t_noprops")
 
 
+def test_ensure_text_index_skips_fresh_rebuilds_stale(spark):
+    """The r8 build/query split contract: ensure_text_index is a no-op
+    when the stored fingerprint matches (phrase queries stop paying the
+    one-time build), rebuilds when the corpus fingerprint changes
+    (regenerated data at the same path must not serve stale postings),
+    and rebuilds when the requested bucket count differs (the stored
+    parameter is part of the index identity)."""
+    from fresco_hpc_spark.functions import ensure_text_index, phrase_search_table
+
+    docs_v1 = spark.createDataFrame(
+        [(1, "old corpus text"), (2, "more old text")], ["doc_id", "text"]
+    )
+    assert ensure_text_index(docs_v1, "t_ensure_idx", n_buckets=5, fingerprint="v1")
+    assert not ensure_text_index(
+        docs_v1, "t_ensure_idx", n_buckets=5, fingerprint="v1"
+    )
+    # stale fingerprint: rebuilt from the NEW corpus, old postings gone
+    docs_v2 = spark.createDataFrame(
+        [(1, "fresh corpus text"), (2, "more fresh text")], ["doc_id", "text"]
+    )
+    assert ensure_text_index(docs_v2, "t_ensure_idx", n_buckets=5, fingerprint="v2")
+    assert phrase_search_table(spark, "t_ensure_idx", "old").count() == 0
+    assert phrase_search_table(spark, "t_ensure_idx", "fresh").count() == 2
+    # same fingerprint, different bucket count: parameter mismatch rebuilds
+    assert ensure_text_index(docs_v2, "t_ensure_idx", n_buckets=7, fingerprint="v2")
+    assert phrase_search_table(spark, "t_ensure_idx", "fresh").count() == 2
+    # fingerprint=None keeps the unconditional-rebuild behavior
+    assert ensure_text_index(docs_v2, "t_ensure_idx", n_buckets=7, fingerprint=None)
+    spark.sql("DROP TABLE IF EXISTS t_ensure_idx")
+
+
 def test_name_resolution_unions_both_generators(spark):
     # "rwd cat" has a typo IN the blocking key: first-token blocking
     # can never pair it, but it sorts adjacent to "red cat" — the union

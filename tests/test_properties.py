@@ -703,3 +703,63 @@ def test_weighted_pagerank_is_weight_scale_invariant(spark, seed, c):
     e2 = e.withColumn("w", e["w"] * c)
     b = sorted(map(tuple, pagerank_fixed_point(e2, v, weight_col="w").collect()))
     assert a == b
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@_settings
+def test_bpe_merges_match_sequential_greedy(spark, texts, k):
+    """The distributed BPE loop (shifted self-join pair counts +
+    chain-alternation overlap resolution) must reproduce the SEQUENTIAL
+    greedy algorithm exactly — same merge pair each step (count DESC,
+    a, b tie-break) and same left-to-right non-overlapping application,
+    including self-pair chains ('x x x x' merges positions 0 and 2).
+    A 4-symbol alphabet forces heavy ties and long self-runs."""
+    from fresco_hpc_spark.functions import bpe_merges
+
+    def reference(docs, k, min_count):
+        seqs = [d.lower().strip().split() for d in docs]
+        merges = []
+        for step in range(1, k + 1):
+            counts = {}
+            for s in seqs:
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+            cand = sorted(
+                ((c, a, b) for (a, b), c in counts.items() if c >= min_count),
+                key=lambda t: (-t[0], t[1], t[2]),
+            )
+            if not cand:
+                break
+            c, a, b = cand[0]
+            merges.append((step, a, b, c))
+            new_seqs = []
+            for s in seqs:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + " " + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                new_seqs.append(out)
+            seqs = new_seqs
+        return merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).repartition(4)
+    got = [
+        (r["step"], r["unit_a"], r["unit_b"], r["pair_count"])
+        for r in bpe_merges(df, k=k, min_count=2).orderBy("step").collect()
+    ]
+    assert got == reference(texts, k, 2)
