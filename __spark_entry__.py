@@ -2130,6 +2130,27 @@ def q_ks_drift_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles WITH a machine-checked error certificate
+    (operators/percentiles.py approx_percentiles_certified): the
+    interactive-dashboard twin of global_percentiles — one
+    approx_percentile (Greenwald–Khanna) pass plus a recount of each
+    returned value's true rank interval, checked against the sketch's
+    published n/accuracy rank bound. The oracle pins the CONTRACT
+    (fraction, exact n, bound-held) rather than the sketch values,
+    which are implementation-defined — the daily_uniques
+    approx_count_distinct pattern applied to order statistics; the
+    approx-vs-exact value comparison lives in the property test."""
+    from fresco_hpc_spark.operators import approx_percentiles_certified
+
+    return approx_percentiles_certified(
+        table(spark, sf_dir, "events"),
+        "value",
+        [0.25, 0.5, 0.75, 0.99],
+        accuracy=1000,
+    ).select("fraction", "n_values", "within_bound")
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-side CDC end-to-end (plans/store.py merge_into_store): a
     deterministic change batch derived from the first two days of
@@ -2619,6 +2640,7 @@ def queries() -> dict[str, Query]:
         "ks_drift": q_ks_drift,  # new in r7
         "ks_drift_quantized": q_ks_drift_quantized,  # new in r8
         "merge_upsert": q_merge_upsert,  # new in r8
+        "approx_percentiles": q_approx_percentiles,  # new in r8
         "pack_texts": q_pack_texts,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -5740,6 +5762,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM located UNION ALL SELECT * FROM whole
         ORDER BY event_type
+    """
+
+    # Approx-percentile certificate: the sketch VALUES are
+    # implementation-defined (no DuckDB twin exists), so the oracle
+    # pins the engine-stable contract — the fraction list, the exact
+    # non-null count, and that the rank bound HELD (within_bound is
+    # computed from exact recounts on the Spark side; a sketch
+    # regression flips it to false and breaks the hash).
+    oracles["approx_percentiles"] = """
+        WITH n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_values
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT f.fraction, n.n_values, TRUE AS within_bound
+        FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS f(fraction)
+        CROSS JOIN n
+        ORDER BY f.fraction
     """
 
     # Write-side CDC replay: the relational restatement of

@@ -28,6 +28,7 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     transition_matrix,
 )
 from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
+    approx_percentiles_certified,
     global_percentiles,
     grouped_cume_counts,
     grouped_exact_percentiles,

@@ -763,3 +763,39 @@ def test_bpe_merges_match_sequential_greedy(spark, texts, k):
         for r in bpe_merges(df, k=k, min_count=2).orderBy("step").collect()
     ]
     assert got == reference(texts, k, 2)
+
+
+@given(
+    vals=st.lists(finite_doubles, min_size=1, max_size=80),
+    accuracy=st.sampled_from([10, 100, 10000]),
+)
+@_settings
+def test_approx_percentiles_certificate_vs_exact(spark, vals, accuracy):
+    """approx_percentiles_certified must (a) self-certify on any input
+    — within_bound true for every fraction, including coarse
+    accuracy=10 sketches and heavy-tie inputs — (b) return actual data
+    values whose true rank is within the published n/accuracy (+1)
+    budget of the target, re-checked here against numpy, and (c) be
+    monotone in the fraction."""
+    import numpy as np
+
+    from fresco_hpc_spark.operators import approx_percentiles_certified
+
+    fractions = [0.25, 0.5, 0.9]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(4)
+    rows = approx_percentiles_certified(df, "v", fractions, accuracy=accuracy).collect()
+    assert [r["fraction"] for r in rows] == fractions
+    arr = np.sort(np.array(vals))
+    n = len(arr)
+    prev = -float("inf")
+    for r in rows:
+        assert r["within_bound"], r
+        assert r["n_values"] == n
+        assert r["approx_value"] in vals  # GK returns real data points
+        lo = float(np.count_nonzero(arr < r["approx_value"])) + 1
+        hi = float(np.count_nonzero(arr <= r["approx_value"]))
+        budget = n / accuracy + 1
+        assert lo <= r["fraction"] * n + budget
+        assert hi >= r["fraction"] * n - budget
+        assert r["approx_value"] >= prev
+        prev = r["approx_value"]
