@@ -2577,98 +2577,35 @@ def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Query]:
     return {
         # --- ORDER MATTERS: the driver's correctness run caps at 50
-        # queries per round taken in dict order. (bench.py does not
-        # depend on dict order — it quarantines the heavy Zipf
-        # exhibits at the end of its own suite.)
-        # Round-7 window (VERDICT r6 item 2), 50 = 17 + 33:
-        # (1) the 17 queries whose newest driver row was r04 — the
-        #     stalest set (value_cdf is also the round's headline rewrite:
-        #     grouped distributed order statistics, VERDICT r6 item 1):
-        "quality_rules": q_quality_rules,
-        "class_centroids": q_class_centroids,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-        "media_features": q_media_features,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "value_cdf": q_value_cdf,
-        "category_counts": q_category_counts,
-        "token_budget": q_token_budget,
-        "corpus_split": q_corpus_split,
-        "stratified_sample": q_stratified_sample,
-        "token_counts": q_token_counts,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "session_duration": q_session_duration,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        # (2) the 23 queries new or changed in r7 — never-certified
-        #     first: pagerank_knn / fuzzy_match_parts / source_divergence /
-        #     scd2_user_state / length_buckets / interpolate_values /
-        #     nucleus_langs / phrase_search / cluster_hubs / knn_triangles /
-        #     sorted_neighborhood / collocations / source_overlap /
-        #     clustering_knn / fk_audit / event_transitions / ks_drift,
-        #     profile_agg quartiles on the grouped primitive (item 7),
-        #     ewma lazy routing (item 4), knn_graph null-safe blocking,
-        #     pack_texts separator-aware offsets, the lossless-default +
-        #     half-ulp-slack prefix pair generators (item 3 / ADVICE):
-        "profile_agg_day": q_profile_agg_day,
-        "profile_agg_minute": q_profile_agg_minute,
-        "grouped_percentiles": q_grouped_percentiles,  # new in r7
-        "histogram_equi_depth": q_histogram_equi_depth,  # new in r7
-        "weighted_sample": q_weighted_sample,  # new in r7
-        "ewma_user_value": q_ewma_user_value,
-        "knn_graph": q_knn_graph,
-        "knn_graph_ivf": q_knn_graph_ivf,  # new in r7
-        "pagerank_knn": q_pagerank_knn,  # new in r7
-        "fuzzy_match_parts": q_fuzzy_match_parts,  # new in r7
-        "source_divergence": q_source_divergence,  # new in r7
-        "scd2_user_state": q_scd2_user_state,  # new in r7
-        "length_buckets": q_length_buckets,  # new in r7
-        "interpolate_values": q_interpolate_values,  # new in r7
-        "nucleus_langs": q_nucleus_langs,  # new in r7
-        "bpe_merges": q_bpe_merges,  # new in r8
-        "index_build_text": q_index_build_text,  # new in r8 (before phrase_search: amortizes its build)
-        "phrase_search": q_phrase_search,  # new in r7
-        "cluster_hubs": q_cluster_hubs,  # new in r7
-        "knn_triangles": q_knn_triangles,  # new in r7
-        "sorted_neighborhood": q_sorted_neighborhood,  # new in r7
-        "collocations": q_collocations,  # new in r7
-        "source_overlap": q_source_overlap,  # new in r7
-        "clustering_knn": q_clustering_knn,  # new in r7
-        "fk_audit": q_fk_audit,  # new in r7
-        "event_transitions": q_event_transitions,  # new in r7
-        "ks_drift": q_ks_drift,  # new in r7
-        "ks_drift_quantized": q_ks_drift_quantized,  # new in r8
-        "merge_upsert": q_merge_upsert,  # new in r8
-        "approx_percentiles": q_approx_percentiles,  # new in r8
-        "pack_texts": q_pack_texts,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
-        "containment_pairs": q_containment_pairs,
-        "containment_pairs_prefix": q_containment_pairs_prefix,
-        "containment_plain_zipf": q_containment_plain_zipf,    # new in r7
-        "containment_prefix_zipf": q_containment_prefix_zipf,  # new in r7
-        # --- outside the 50-query window. seasonal_profile arrived
-        # after the window filled with the other never-certified
-        # queries — it and the 4 single-certified r05 queries lead the
-        # r8 rotation:
-        "seasonal_profile": q_seasonal_profile,  # new in r7, r8 front
-        "name_resolution": q_name_resolution,  # new in r7, r8 front
-        "revenue_by_nation": q_revenue_by_nation,  # new in r7, r8 front
-        "basket_pairs": q_basket_pairs,  # new in r7, r8 front
-        "pagerank_knn_weighted": q_pagerank_knn_weighted,  # new r7, r8 front
-        "revenue_monthly_yoy": q_revenue_monthly_yoy,  # new in r7, r8 front
-        "rfm_segments": q_rfm_segments,  # new in r7, r8 front
+        # queries per round taken in dict order. (bench.py follows
+        # dict order too — index_build_text precedes phrase_search so
+        # the phrase bench number is query-only — but quarantines the
+        # heavy Zipf exhibits at the end of its own suite.)
+        # Round-8 window (VERDICT r7 item 1), 50 = 7 + 5 + 38:
+        # (1) the 7 r7 queries that arrived after the r7 window
+        #     filled — never driver-certified (locally parity-green):
+        "seasonal_profile": q_seasonal_profile,
+        "name_resolution": q_name_resolution,
+        "revenue_by_nation": q_revenue_by_nation,
+        "revenue_monthly_yoy": q_revenue_monthly_yoy,
+        "rfm_segments": q_rfm_segments,
+        "basket_pairs": q_basket_pairs,
+        "pagerank_knn_weighted": q_pagerank_knn_weighted,
+        # (2) the 5 queries new in r8 (bounded-grid KS, write-side
+        #     CDC merge, certified approx percentiles, BPE merges,
+        #     the index build/query split):
+        "ks_drift_quantized": q_ks_drift_quantized,
+        "merge_upsert": q_merge_upsert,
+        "approx_percentiles": q_approx_percentiles,
+        "bpe_merges": q_bpe_merges,
+        "index_build_text": q_index_build_text,
+        # (3) the 38 stalest multi-certified queries (newest driver
+        #     row r05); the remaining 7 r05 rows lead the r9 window:
         "phash_dup_pairs": q_phash_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
         "hopping_window": q_hopping_window,
         "tfidf_top_terms": q_tfidf_top_terms,
-        # --- and the remaining 40 r05-green
-        # multi-certified queries (deferred to the r8 rotation) and the
-        # 42 r06-certified ones; full-parity covers all locally.
-        # r05-certified, deferred to r8:
         "profile_columns": q_profile_columns,
         "corpus_curation_v2": q_corpus_curation_v2,
         "lead_quartile_events": q_lead_quartile_events,
@@ -2702,6 +2639,8 @@ def queries() -> dict[str, Query]:
         "iqr_trim_agg": q_iqr_trim_agg,
         "mad_trim_agg": q_mad_trim_agg,
         "interval_join_clicks": q_interval_join_clicks,
+        # --- outside the 50-query window. First the 7 r05-certified
+        # queries deferred to r9:
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_hourly": q_ohlc_hourly,
         "rolling_zscore": q_rolling_zscore,
@@ -2709,7 +2648,58 @@ def queries() -> dict[str, Query]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "histogram2d": q_histogram2d,
-        # r06-certified (fresh last round):
+        # then the r06/r07-certified remainder (full-parity covers
+        # all of these locally every session):
+        "quality_rules": q_quality_rules,
+        "class_centroids": q_class_centroids,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "value_cdf": q_value_cdf,
+        "category_counts": q_category_counts,
+        "token_budget": q_token_budget,
+        "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
+        "token_counts": q_token_counts,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "session_duration": q_session_duration,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "profile_agg_day": q_profile_agg_day,
+        "profile_agg_minute": q_profile_agg_minute,
+        "grouped_percentiles": q_grouped_percentiles,
+        "histogram_equi_depth": q_histogram_equi_depth,
+        "weighted_sample": q_weighted_sample,
+        "ewma_user_value": q_ewma_user_value,
+        "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,
+        "pagerank_knn": q_pagerank_knn,
+        "fuzzy_match_parts": q_fuzzy_match_parts,
+        "source_divergence": q_source_divergence,
+        "scd2_user_state": q_scd2_user_state,
+        "length_buckets": q_length_buckets,
+        "interpolate_values": q_interpolate_values,
+        "nucleus_langs": q_nucleus_langs,
+        "phrase_search": q_phrase_search,
+        "cluster_hubs": q_cluster_hubs,
+        "knn_triangles": q_knn_triangles,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "collocations": q_collocations,
+        "source_overlap": q_source_overlap,
+        "clustering_knn": q_clustering_knn,
+        "fk_audit": q_fk_audit,
+        "event_transitions": q_event_transitions,
+        "ks_drift": q_ks_drift,
+        "pack_texts": q_pack_texts,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
+        "containment_pairs": q_containment_pairs,
+        "containment_pairs_prefix": q_containment_pairs_prefix,
+        "containment_plain_zipf": q_containment_plain_zipf,
+        "containment_prefix_zipf": q_containment_prefix_zipf,
         "corpus_curation_v3": q_corpus_curation_v3,
         "remove_dup_spans": q_remove_dup_spans,
         "oov_rate": q_oov_rate,

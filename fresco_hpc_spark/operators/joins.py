@@ -65,8 +65,14 @@ def salted_join(
     when |right| ≪ |left| but right is too big to broadcast.
 
     AQE's skew-join split (spark.sql.adaptive.skewJoin, on in session.py)
-    handles most cases at runtime; explicit salting remains the tool when a
-    single key exceeds what one task can sort, or off-AQE.
+    handles SOME cases at runtime; the r8 head-to-head (SCALE.md
+    "AQE skew-join vs salted_join", tools/stress_r8.py) measured when it
+    does not: hot partitions under skewedPartitionThresholdInBytes
+    (256 MB default) are invisible to it, and a join feeding a SAME-key
+    aggregation is never split (even forced) because the agg reuses the
+    join's partitioning — the common warehouse shape where only salting
+    bounds the task (measured ×15.9 smaller max task on a 50%-hot key,
+    outputs multiset-identical).
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(

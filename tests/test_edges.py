@@ -113,35 +113,41 @@ def test_driver_contract_consistency():
 
 def test_correctness_window_contains_priority_queries():
     """The driver certifies the FIRST 50 queries() keys each round. The
-    round-7 window must hold the 17 queries whose newest driver row was
-    r04 plus everything whose implementation or plan changed this round
-    — an accidental insertion above them silently pushes the tail out
-    of the window while the comments still claim coverage (r6 review
-    finding: three queries drifted to positions 51-53)."""
+    round-8 window must hold (VERDICT r7 item 1) the 7 r7 queries that
+    were never driver-certified, every query new in r8, and the
+    38 stalest multi-certified queries (newest driver row r05) — an
+    accidental insertion above them silently pushes the tail out of
+    the window while the comments still claim coverage (r6 review
+    finding: three queries drifted to positions 51-53). The bench-order
+    dependency is pinned too: index_build_text must precede
+    phrase_search so the phrase bench number is query-only."""
     import __spark_entry__ as m
 
-    window = list(m.queries())[:50]
+    names = list(m.queries())
+    window = names[:50]
     priority = {
-        # newest driver row r04 — the stalest set (VERDICT r6 item 2)
-        "quality_rules", "class_centroids", "redact_pii",
-        "chunk_documents", "media_features", "audio_features",
-        "video_frames", "value_cdf", "category_counts", "token_budget",
-        "corpus_split", "stratified_sample", "token_counts",
-        "rolling_fingerprint", "session_duration", "text_stats",
-        "lang_id",
-        # new or implementation/plan changed in round 7
-        "grouped_percentiles", "weighted_sample", "knn_graph_ivf",
-        "containment_plain_zipf", "containment_prefix_zipf",
-        "histogram_equi_depth",
-        "pagerank_knn", "fuzzy_match_parts", "source_divergence",
-        "scd2_user_state", "length_buckets", "interpolate_values",
-        "nucleus_langs", "phrase_search", "cluster_hubs", "knn_triangles",
-        "sorted_neighborhood", "collocations", "source_overlap",
-        "clustering_knn", "fk_audit", "event_transitions", "ks_drift",
-        "profile_agg_day", "profile_agg_minute", "ewma_user_value",
-        "knn_graph", "pack_texts", "ngram_jaccard_pairs",
-        "ngram_jaccard_prefix", "ngram_jaccard_prefix_zipf",
-        "containment_pairs", "containment_pairs_prefix",
+        # r7 arrivals the r7 window had no room for — never certified
+        "seasonal_profile", "name_resolution", "revenue_by_nation",
+        "revenue_monthly_yoy", "rfm_segments", "basket_pairs",
+        "pagerank_knn_weighted",
+        # new in round 8
+        "ks_drift_quantized", "merge_upsert", "approx_percentiles",
+        "bpe_merges", "index_build_text",
+        # stalest multi-certified block (newest driver row r05)
+        "phash_dup_pairs", "paragraph_dedup", "dup_ngram_spans",
+        "hopping_window", "tfidf_top_terms", "profile_columns",
+        "corpus_curation_v2", "lead_quartile_events", "pivot_wide",
+        "unpivot_long", "synthetic_gen", "wide_table_roundtrip",
+        "rolling_hour_avg", "session_stats", "daily_uniques",
+        "topk_users_per_event", "set_ops_events", "gap_fill_hourly",
+        "monthly_rollup", "cast_double_view", "scaled_view", "zero_fill",
+        "join_broadcast_dim", "join_large_sortmerge", "join_semi_anti",
+        "join_salted_skew", "rollup_monthly_events",
+        "cube_user_bucket_events", "hourly_agg", "time_bound_hourly",
+        "column_stats", "availability", "time_extent",
+        "global_percentiles", "percentile_trimmed_hourly",
+        "iqr_trim_agg", "mad_trim_agg", "interval_join_clicks",
     }
     missing = priority - set(window)
     assert not missing, f"priority queries outside the 50-window: {missing}"
+    assert names.index("index_build_text") < names.index("phrase_search")
