@@ -377,6 +377,96 @@ def test_stream_into_partitioned_store(spark, tmp_path):
     assert {"year", "month", "day", "hour"} <= set(back.columns)
 
 
+def test_stream_cdc_merge_into_store(spark, tmp_path):
+    """The write-side CDC loop closed end to end: a CHANGE stream
+    (upserts + deletes arriving across micro-batches) applied to the
+    hour-partitioned store via foreachBatch → merge_into_store. The
+    drained store must equal the batch replay of the full change log in
+    arrival order, and re-running a batch's merge (foreachBatch's
+    at-least-once failure mode) must be a no-op — the idempotency that
+    makes merge a legal streaming sink."""
+    import pandas as pd
+
+    from fresco_hpc_spark.plans import (
+        PARTITION_COLS,
+        merge_into_store,
+        read_partitioned_store,
+        write_partitioned_store,
+    )
+    from fresco_hpc_spark.sources import table as load_table
+
+    base = (
+        load_table(spark, SF_SMALL, "events")
+        .limit(300)
+        .selectExpr("ts AS time", "event_id", "user_id", "value")
+    )
+    store = str(tmp_path / "store")
+    write_partitioned_store(base, store)
+
+    pdf = base.toPandas()
+    # batch 1: double value for ids % 3 == 0; batch 2: delete ids % 3 == 1
+    b1 = pdf[pdf.event_id % 3 == 0].copy()
+    b1["value"] = b1["value"] * 2
+    b1["op"] = "upsert"
+    b2 = pdf[pdf.event_id % 3 == 1].copy()
+    b2["op"] = "delete"
+    src = tmp_path / "changes_in"
+    src.mkdir()
+    b1.to_json(src / "b1.json", orient="records", lines=True, date_format="iso")
+
+    schema = "time timestamp, event_id long, user_id long, value double, op string"
+    last_batch = {}
+
+    def sink(batch_df, _bid):
+        batch_df = batch_df.filter("time IS NOT NULL")
+        if batch_df.isEmpty():
+            return
+        merge_into_store(spark, store, batch_df, ["event_id"], time_col="time")
+        last_batch["df"] = batch_df.collect()
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp_cdc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    b2.to_json(src / "b2.json", orient="records", lines=True, date_format="iso")
+    drain()
+
+    survivors = pdf[pdf.event_id % 3 == 2]
+    got = (
+        read_partitioned_store(spark, store)
+        .drop(*PARTITION_COLS)
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert sorted(got.event_id) == sorted(
+        list(survivors.event_id) + list(b1.event_id)
+    )
+    assert (
+        got[got.event_id.isin(set(b1.event_id))].value.sum()
+        == b1.value.sum()
+    )
+    # at-least-once replay: re-merging the LAST batch changes nothing
+    replay = spark.createDataFrame(last_batch["df"], schema)
+    merge_into_store(spark, store, replay, ["event_id"], time_col="time")
+    again = (
+        read_partitioned_store(spark, store)
+        .drop(*PARTITION_COLS)
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], again[sorted(again.columns)]
+    )
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     """Cross-micro-batch exact dedup: the same normalized content arriving
     in a LATER file must be dropped, whitespace/case variants included —
