@@ -687,7 +687,15 @@ def ks_vs_rest_quantized(
             F.array(*[F.lit(e) for e in pooled_edges])
         ).alias("_v"),
     )
-    probes = gedges.unionByName(pedges).distinct()
+    # The probe frame is consumed FOUR times (zero-count merge, the
+    # group-cume join-back, the global probe-value set, and through it
+    # the pooled pass); left lazy, each consumer re-expands the
+    # grouped-order-statistics subtree behind gedges — measured 2x the
+    # operator at sf0.1. It is G·2·bins rows by construction, so one
+    # eager localCheckpoint is bounded and collapses the re-evaluation
+    # (the operator is already two-phase: the pooled edges above are
+    # driver-side literals).
+    probes = gedges.unionByName(pedges).distinct().localCheckpoint(eager=True)
     # merge zero-count probe rows into the counts relation — a probe
     # value absent from the group's data still needs a cume row, and a
     # probe tied with a data value collapses into it so the cume
