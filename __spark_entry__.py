@@ -1838,6 +1838,28 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE (functions/search.py bpe_segment): the
+    corpus re-segmented by the learned merges, summarized as the top-50
+    units by occurrence with their absorbed-token span — training and
+    application share one implementation, so this certifies the
+    segmentation itself, not just the merge table. Oracle = the same
+    unrolled CTE chain as bpe_merges with the final SELECT over the
+    last units relation."""
+    from fresco_hpc_spark.functions import bpe_segment
+
+    units = bpe_segment(table(spark, sf_dir, "documents"), k=5, min_count=5)
+    return (
+        units.groupBy("unit")
+        .agg(
+            F.max("span").cast("bigint").alias("span"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), "unit")
+        .limit(50)
+    )
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search over a stored positional inverted index
     (functions/search.py ensure_text_index / phrase_search_index): the
@@ -2598,6 +2620,7 @@ def queries() -> dict[str, Query]:
         "merge_upsert": q_merge_upsert,
         "approx_percentiles": q_approx_percentiles,
         "bpe_merges": q_bpe_merges,
+        "bpe_segments": q_bpe_segments,
         "index_build_text": q_index_build_text,
         # (3) the 38 stalest multi-certified queries (newest driver
         #     row r05); the remaining 7 r05 rows lead the r9 window:
@@ -2638,9 +2661,10 @@ def queries() -> dict[str, Query]:
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
         "mad_trim_agg": q_mad_trim_agg,
+        # --- outside the 50-query window. First the 8 r05-certified
+        # queries deferred to r9 (interval_join_clicks yielded its slot
+        # to bpe_segments):
         "interval_join_clicks": q_interval_join_clicks,
-        # --- outside the 50-query window. First the 7 r05-certified
-        # queries deferred to r9:
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_hourly": q_ohlc_hourly,
         "rolling_zscore": q_rolling_zscore,
@@ -2752,7 +2776,7 @@ _SYNTHETIC_GEN_SQL = SYNTHETIC_ORACLE_SQL_TEMPLATE.format(
 )
 
 
-def _bpe_oracle_sql(k: int, min_count: int) -> str:
+def _bpe_cte_chain(k: int, min_count: int) -> str:
     """Unrolled-CTE twin of functions/search.py::bpe_merges: per
     iteration, adjacent-pair counts via the (doc, pos + span) shifted
     self-join, the (count DESC, a, b) winner, greedy non-overlapping
@@ -2820,15 +2844,34 @@ def _bpe_oracle_sql(k: int, min_count: int) -> str:
                    s.span + s.bspan AS span
             FROM sel{i} s CROSS JOIN t{i} t
         )""")
+    return "WITH " + ",".join(blocks)
+
+
+def _bpe_oracle_sql(k: int, min_count: int) -> str:
+    """Final SELECT over the per-iteration winners: the merge table."""
     finals = "\n            UNION ALL ".join(
         f"SELECT {i + 1} AS step, ua AS unit_a, ub AS unit_b, "
         f"c AS pair_count FROM t{i}"
         for i in range(k)
     )
     return (
-        "WITH "
-        + ",".join(blocks)
+        _bpe_cte_chain(k, min_count)
         + f"\n        SELECT * FROM ({finals}) ORDER BY step"
+    )
+
+
+def _bpe_segments_oracle_sql(k: int, min_count: int, top_n: int) -> str:
+    """Final SELECT over u{k} — the corpus as re-segmented by the k
+    learned merges (the APPLY side): top units by occurrence count with
+    their absorbed-token span."""
+    return (
+        _bpe_cte_chain(k, min_count)
+        + f"""
+        SELECT unit, CAST(MAX(span) AS BIGINT) AS span,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM u{k} GROUP BY unit
+        ORDER BY n_occurrences DESC, unit LIMIT {top_n}
+    """
     )
 
 
@@ -5394,6 +5437,9 @@ def oracle_sql() -> dict[str, str]:
     # t{i}, every later u{j} fixpoints, and no step row is emitted —
     # identical to the Spark side's early break.
     oracles["bpe_merges"] = _bpe_oracle_sql(k=5, min_count=5)
+    oracles["bpe_segments"] = _bpe_segments_oracle_sql(
+        k=5, min_count=5, top_n=50
+    )
 
     # The stored positional index read back and summarized: the oracle
     # recomputes the postings relation (same tokenization) straight from

@@ -311,13 +311,13 @@ def collocation_pmi(
     )
 
 
-def bpe_merges(
+def _bpe_train(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 8,
-    min_count: int = 5,
-) -> DataFrame:
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_count: int,
+):
     """Word-level BPE merge learning: ``k`` iterations of
     count-adjacent-pairs → pick the most frequent pair → merge its
     non-overlapping occurrences greedily left-to-right — the classic
@@ -427,4 +427,41 @@ def bpe_merges(
         units = units.join(consumed, ["doc_id", "pos"], "left_anti").unionByName(
             merged_rows
         )
-    return spark.createDataFrame(merges, out_schema)
+    return spark.createDataFrame(merges, out_schema), units
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 5,
+) -> DataFrame:
+    """The learned merge TABLE of :func:`_bpe_train` — one row per
+    merge step: ``step, unit_a, unit_b, pair_count`` (≤ k rows; see the
+    trainer's docstring for the algorithm, determinism, and scale
+    contract)."""
+    merges, _ = _bpe_train(df, text_col, id_col, k, min_count)
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 5,
+) -> DataFrame:
+    """The APPLY side of BPE: the corpus re-segmented by the k learned
+    merges — the final units relation ``(doc_id, pos, unit, span)``
+    the training loop maintains anyway (pos is the unit's original
+    start position, span how many source tokens it absorbed). Training
+    and application share one implementation, so the segmentation is
+    exactly the greedy left-to-right result of applying the learned
+    merge list in order — the property the sequential-greedy
+    equivalence test pins for :func:`bpe_merges` extends to the units
+    by construction. Completes the tokenizer-prep story: learn the
+    merges (`bpe_merges`), then measure what they do to the corpus
+    (units per doc, compression, the new unit vocabulary)."""
+    _, units = _bpe_train(df, text_col, id_col, k, min_count)
+    return units

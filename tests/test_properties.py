@@ -764,6 +764,34 @@ def test_bpe_merges_match_sequential_greedy(spark, texts, k):
     ]
     assert got == reference(texts, k, 2)
 
+    # the APPLY side: bpe_segment's final units per doc must equal the
+    # sequential greedy segmentation exactly, in order
+    from fresco_hpc_spark.functions import bpe_segment
+
+    def reference_units(docs, k, min_count):
+        seqs = [d.lower().strip().split() for d in docs]
+        merges = reference(docs, k, min_count)
+        for _, a, b, _c in merges:
+            new_seqs = []
+            for s in seqs:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + " " + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                new_seqs.append(out)
+            seqs = new_seqs
+        return {i: s for i, s in enumerate(seqs)}
+
+    units = bpe_segment(df, k=k, min_count=2).orderBy("doc_id", "pos").collect()
+    per_doc = {}
+    for r in units:
+        per_doc.setdefault(r["doc_id"], []).append(r["unit"])
+    assert per_doc == reference_units(texts, k, 2)
+
 
 @given(
     vals=st.lists(finite_doubles, min_size=1, max_size=80),
