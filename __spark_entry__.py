@@ -2173,6 +2173,25 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("fraction", "n_values", "within_bound")
 
 
+def q_grouped_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sketch percentiles WITH the machine-checked rank
+    certificate (operators/percentiles.py
+    grouped_approx_percentiles_certified): one GK sketch per
+    event_type, the returned values' true rank intervals recounted in
+    the same job against each group's own n_g/accuracy budget. The
+    oracle pins the per-group contract (group, fraction, exact n,
+    bound-held); approx-vs-exact values are property-tested."""
+    from fresco_hpc_spark.operators import grouped_approx_percentiles_certified
+
+    return grouped_approx_percentiles_certified(
+        table(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        [0.5, 0.9],
+        accuracy=500,
+    ).select("event_type", "fraction", "n_values", "within_bound")
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-side CDC end-to-end (plans/store.py merge_into_store): a
     deterministic change batch derived from the first two days of
@@ -2619,6 +2638,7 @@ def queries() -> dict[str, Query]:
         "ks_drift_quantized": q_ks_drift_quantized,
         "merge_upsert": q_merge_upsert,
         "approx_percentiles": q_approx_percentiles,
+        "grouped_approx_percentiles": q_grouped_approx_percentiles,
         "bpe_merges": q_bpe_merges,
         "bpe_segments": q_bpe_segments,
         "index_build_text": q_index_build_text,
@@ -2660,10 +2680,11 @@ def queries() -> dict[str, Query]:
         "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
+        # --- outside the 50-query window. First the 9 r05-certified
+        # queries deferred to r9 (interval_join_clicks and mad_trim_agg
+        # yielded their slots to bpe_segments and
+        # grouped_approx_percentiles):
         "mad_trim_agg": q_mad_trim_agg,
-        # --- outside the 50-query window. First the 8 r05-certified
-        # queries deferred to r9 (interval_join_clicks yielded its slot
-        # to bpe_segments):
         "interval_join_clicks": q_interval_join_clicks,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_hourly": q_ohlc_hourly,
@@ -5815,6 +5836,18 @@ def oracle_sql() -> dict[str, str]:
         FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS f(fraction)
         CROSS JOIN n
         ORDER BY f.fraction
+    """
+
+    # Per-group sketch certificate: same contract-pinning shape as the
+    # global one — group, fraction, exact per-group count, bound-held.
+    oracles["grouped_approx_percentiles"] = """
+        SELECT g.event_type, f.fraction, g.n_values, TRUE AS within_bound
+        FROM (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_values
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ) g
+        CROSS JOIN (VALUES (0.5), (0.9)) AS f(fraction)
+        ORDER BY g.event_type, f.fraction
     """
 
     # Write-side CDC replay: the relational restatement of

@@ -31,6 +31,7 @@ from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     approx_percentiles_certified,
     global_percentiles,
     grouped_cume_counts,
+    grouped_approx_percentiles_certified,
     grouped_exact_percentiles,
     grouped_value_cdf,
     iqr_trim,

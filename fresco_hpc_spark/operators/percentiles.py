@@ -603,6 +603,86 @@ def approx_percentiles_certified(
     ).orderBy("fraction")
 
 
+def grouped_approx_percentiles_certified(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    fractions: list[float],
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Per-GROUP :func:`approx_percentiles_certified` — the sketch twin
+    of :func:`grouped_exact_percentiles` for the interactive path. One
+    aggregation builds a Greenwald–Khanna sketch per group (mergeable,
+    O(accuracy) buffer per group on its reducer); one null-safe equi
+    join carries the returned values back to the data (the sketch side
+    is G rows — AQE broadcasts it at realistic G); one partial-agg pass
+    recounts each value's true rank interval and checks the published
+    n_g/accuracy bound per group, same +1 boundary slack as the global
+    operator. Groups keep their own n_g and bound — a tiny group's
+    budget is honestly tight, not averaged away by the corpus.
+
+    Output: one row per (group, fraction) —
+    ``group_cols…, fraction, approx_value, n_values, within_bound``;
+    groups with no non-null rows are absent (the SQL GROUP BY empty
+    contract). NULL groups are real groups (null-safe join)."""
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    vals = df.select(
+        *group_cols, F.col(col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    arr = ",".join(repr(float(f)) for f in fractions)
+    sk = vals.groupBy(*group_cols).agg(
+        F.expr(f"approx_percentile(_v, array({arr}), {int(accuracy)})").alias("_ap")
+    )
+    sk_r = sk.select(
+        *[F.col(c).alias(f"_s_{i}") for i, c in enumerate(group_cols)], "_ap"
+    )
+    cond = None
+    for i, c in enumerate(group_cols):
+        e = F.col(c).eqNullSafe(F.col(f"_s_{i}"))
+        cond = e if cond is None else (cond & e)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(len(fractions)):
+        v_i = F.element_at("_ap", i + 1)
+        aggs.append(F.first(v_i).alias(f"_v{i}"))
+        aggs.append(
+            F.sum(F.when(F.col("_v") < v_i, 1).otherwise(0)).cast("bigint").alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("_v") <= v_i, 1).otherwise(0)).cast("bigint").alias(f"_le{i}")
+        )
+    one = vals.join(sk_r, cond).groupBy(*group_cols).agg(*aggs)
+    rows = one.select(
+        *group_cols,
+        "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(f)).alias("fraction"),
+                        F.col(f"_v{i}").cast("double").alias("approx_value"),
+                        F.col(f"_lt{i}").alias("_lt"),
+                        F.col(f"_le{i}").alias("_le"),
+                    )
+                    for i, f in enumerate(fractions)
+                ]
+            )
+        ).alias("_s"),
+    ).select(*group_cols, F.col("_n"), F.col("_s.*"))
+    target = F.col("fraction") * F.col("_n")
+    budget = F.col("_n") / F.lit(float(accuracy)) + F.lit(1.0)
+    within = (
+        (F.col("_lt") + 1 <= target + budget) & (F.col("_le") >= target - budget)
+    )
+    return rows.select(
+        *group_cols,
+        "fraction",
+        "approx_value",
+        F.col("_n").cast("bigint").alias("n_values"),
+        within.alias("within_bound"),
+    ).orderBy(*group_cols, "fraction")
+
+
 def ks_vs_rest_quantized(
     df: DataFrame,
     group_col: str,

@@ -827,3 +827,45 @@ def test_approx_percentiles_certificate_vs_exact(spark, vals, accuracy):
         assert hi >= r["fraction"] * n - budget
         assert r["approx_value"] >= prev
         prev = r["approx_value"]
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]), finite_doubles),
+        min_size=1,
+        max_size=60,
+    ),
+    accuracy=st.sampled_from([10, 1000]),
+)
+@_settings
+def test_grouped_approx_percentiles_certificate_per_group(spark, data, accuracy):
+    """The grouped sketch certificate must hold PER GROUP — each group
+    judged against its own n_g/accuracy budget (never the corpus's) —
+    with NULL treated as a real group and returned values drawn from
+    that group's own data."""
+    import numpy as np
+
+    from fresco_hpc_spark.operators import grouped_approx_percentiles_certified
+
+    fractions = [0.5, 0.9]
+    df = spark.createDataFrame(data, "g string, v double").repartition(4)
+    rows = grouped_approx_percentiles_certified(
+        df, ["g"], "v", fractions, accuracy=accuracy
+    ).collect()
+    by_group = {}
+    for g, v in data:
+        by_group.setdefault(g, []).append(v)
+    seen = set()
+    for r in rows:
+        seen.add((r["g"], r["fraction"]))
+        vals = np.sort(np.array(by_group[r["g"]]))
+        n = len(vals)
+        assert r["within_bound"], r
+        assert r["n_values"] == n
+        assert r["approx_value"] in by_group[r["g"]]
+        budget = n / accuracy + 1
+        lo = float(np.count_nonzero(vals < r["approx_value"])) + 1
+        hi = float(np.count_nonzero(vals <= r["approx_value"]))
+        assert lo <= r["fraction"] * n + budget
+        assert hi >= r["fraction"] * n - budget
+    assert seen == {(g, f) for g in by_group for f in fractions}
