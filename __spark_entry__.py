@@ -2192,6 +2192,30 @@ def q_grouped_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "fraction", "n_values", "within_bound")
 
 
+def q_ks_reference_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample quantized KS of every event_type against a FIXED
+    reference distribution — day-1 values' 16 equi-depth edges
+    (operators/percentiles.py ks_vs_reference): the "did this source
+    depart from the training corpus?" drift alarm, third member of the
+    KS family and the batch twin of streaming_ks_reference (whose
+    drained-stream equivalence is pinned in test_streaming). Bin
+    assignment is one map-side aggregate over the 16 literal edges —
+    no join touches the data; |D̂ − D| ≤ 1/16 for a continuous
+    reference. Edges are NOT deduped: tied quantiles keep their index
+    so the implied reference CDF stays j/16 on both engines."""
+    from fresco_hpc_spark.operators.percentiles import (
+        distributed_exact_percentiles,
+        ks_vs_reference,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") == 1)
+    edges = distributed_exact_percentiles(
+        ref, "value", [i / 16 for i in range(1, 17)]
+    )
+    return ks_vs_reference(ev, "event_type", "value", edges)
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-side CDC end-to-end (plans/store.py merge_into_store): a
     deterministic change batch derived from the first two days of
@@ -2636,6 +2660,7 @@ def queries() -> dict[str, Query]:
         #     CDC merge, certified approx percentiles, BPE merges,
         #     the index build/query split):
         "ks_drift_quantized": q_ks_drift_quantized,
+        "ks_reference_drift": q_ks_reference_drift,
         "merge_upsert": q_merge_upsert,
         "approx_percentiles": q_approx_percentiles,
         "grouped_approx_percentiles": q_grouped_approx_percentiles,
@@ -2679,11 +2704,11 @@ def queries() -> dict[str, Query]:
         "time_extent": q_time_extent,
         "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
+        # --- outside the 50-query window. First the 10 r05-certified
+        # queries deferred to r9 (interval_join_clicks, mad_trim_agg
+        # and iqr_trim_agg yielded their slots to bpe_segments,
+        # grouped_approx_percentiles and ks_reference_drift):
         "iqr_trim_agg": q_iqr_trim_agg,
-        # --- outside the 50-query window. First the 9 r05-certified
-        # queries deferred to r9 (interval_join_clicks and mad_trim_agg
-        # yielded their slots to bpe_segments and
-        # grouped_approx_percentiles):
         "mad_trim_agg": q_mad_trim_agg,
         "interval_join_clicks": q_interval_join_clicks,
         "time_weighted_avg": q_time_weighted_avg,
@@ -5836,6 +5861,54 @@ def oracle_sql() -> dict[str, str]:
         FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS f(fraction)
         CROSS JOIN n
         ORDER BY f.fraction
+    """
+
+    # One-sample KS vs the day-1 reference: quantile_cont keeps ALL 16
+    # edges with their ordinal (generate_subscripts — NO dedupe: a tied
+    # quantile keeps its index so the implied reference CDF stays j/16
+    # on both engines, matching the Spark side's undeduped edge list).
+    _KSR_B = 16
+    _ksr_fracs = ", ".join(repr(i / _KSR_B) for i in range(1, _KSR_B + 1))
+    oracles["ks_reference_drift"] = f"""
+        WITH ref AS (
+            SELECT value AS v FROM events
+            WHERE EXTRACT(day FROM ts) = 1 AND value IS NOT NULL
+        ),
+        eq AS (SELECT quantile_cont(v, [{_ksr_fracs}]) AS qs FROM ref),
+        edges AS (
+            SELECT UNNEST(qs) AS e, generate_subscripts(qs, 1) AS j FROM eq
+        ),
+        nn AS (
+            SELECT event_type AS g, value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        groups AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM nn GROUP BY g
+        ),
+        fg AS (
+            SELECT gr.g, ed.j, ed.e, gr.n_g,
+                   CAST((SELECT COUNT(*) FROM nn
+                         WHERE nn.g IS NOT DISTINCT FROM gr.g
+                           AND nn.v <= ed.e) AS BIGINT) AS c
+            FROM groups gr CROSS JOIN edges ed
+        ),
+        diffs AS (
+            SELECT g, j, e, n_g,
+                   ABS(c / CAST(n_g AS DOUBLE) - j / {float(_KSR_B)!r}) AS d
+            FROM fg
+        ),
+        mx AS (SELECT g, n_g, MAX(d) AS dmax FROM diffs GROUP BY 1, 2),
+        loc AS (
+            SELECT m.g, MIN(d.j) AS jat
+            FROM mx m JOIN diffs d
+              ON d.g IS NOT DISTINCT FROM m.g AND d.d = m.dmax
+            GROUP BY m.g
+        )
+        SELECT m.g AS event_type, m.n_g AS n_group,
+               ROUND(m.dmax, 6) AS ks_d,
+               ROUND((SELECT e FROM edges WHERE j = l.jat), 6) AS ks_at
+        FROM mx m JOIN loc l ON l.g IS NOT DISTINCT FROM m.g
+        ORDER BY event_type
     """
 
     # Per-group sketch certificate: same contract-pinning shape as the

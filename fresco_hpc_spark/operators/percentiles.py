@@ -875,6 +875,134 @@ def ks_vs_rest_quantized(
     return out.unionByName(whole).orderBy(group_col)
 
 
+def reference_bin_expr(edges: list[float], value_col: str):
+    """The shared JVM bin-assignment expression of the one-sample KS
+    family: ``bin = #{edges e : e < value}`` (strictly below, so a value
+    tied with edge j lands in bin j−1 and counts toward F(e_j)). Values
+    above the last edge get bin = len(edges). Used identically by the
+    batch :func:`ks_vs_reference` and the streaming
+    ``streaming_ks_reference`` so both paths bin bit-identically —
+    computing the key with the SAME JVM expression on both paths is the
+    house rule that keeps batch/stream equivalence exact."""
+    edges_lit = F.array(*[F.lit(float(e)) for e in sorted(edges)])
+    return F.aggregate(
+        edges_lit,
+        F.lit(0),
+        lambda acc, e: acc + F.when(F.col(value_col) > e, 1).otherwise(0),
+    )
+
+
+def ks_vs_reference(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_edges: list[float],
+    round_to: int = _ROUND,
+) -> DataFrame:
+    """ONE-SAMPLE quantized KS per group against a FIXED reference
+    distribution — "did this source/shard/day depart from the training
+    corpus?" — the third member of the KS family (exact group-vs-rest
+    ``ks_vs_rest``, bounded-grid group-vs-rest ``ks_vs_rest_quantized``)
+    and the batch twin of ``streaming.streaming_ks_reference``.
+
+    ``ref_edges`` are the reference's ``B`` equi-depth quantile edges at
+    fractions i/B (i = 1..B, so the last edge is the reference max);
+    the implied reference CDF at edge j is j/B. The statistic is
+    ``D̂_g = max_j |F_g(e_j) − j/B|`` — for a continuous reference the
+    closed increment of F_ref between adjacent equi-depth edges is
+    exactly 1/B, so ``0 ≤ D_g − D̂_g ≤ 1/B`` by the same
+    endpoint-plus-increment argument as the two-sample bound (a
+    discrete reference adds its tie mass at the edges to the bound;
+    values above the last edge are where BOTH CDFs are ≥ F(e_B) and the
+    gap only shrinks toward |1−1|).
+
+    Scale shape: bin assignment is one map-side ``aggregate`` over the
+    B-literal edge array (no join at all), then a (group, bin) partial
+    agg and a per-group window over ≤ B+1 rows. State/output is
+    O(G·B). Output: ``group_col, n_group, ks_d, ks_at`` (ks_at = the
+    minimizing edge, min on ties).
+    """
+    if not ref_edges:
+        raise ValueError("ref_edges must be non-empty")
+    edges = sorted(float(e) for e in ref_edges)
+    b = len(edges)
+    edges_lit = F.array(*[F.lit(e) for e in edges])
+    nn = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    bin_col = reference_bin_expr(edges, "_v")
+    counts = (
+        nn.select("_g", bin_col.alias("_bin"))
+        .groupBy("_g", "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    # densify to every edge via a literal explode (values in bin j
+    # contribute to F(e_i) for all i > j, handled by the cumulative
+    # window below; edge j's F needs cume over bins 0..j-1... rather:
+    # F_g(e_j) counts rows with _v <= e_j  <=>  _bin <= j-1)
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cume = counts.select(
+        "_g",
+        "_bin",
+        F.sum("_cnt").over(w).alias("_cume"),
+    )
+    # evaluate at each edge j (1-indexed): F_g = cume of bins <= j-1.
+    # A group may have NO row with _bin <= j-1 for small j (F=0) or
+    # skip bins — explode each (g, bin) row to every edge j > bin it is
+    # the LATEST cume for: instead, densify per group over the B edges
+    # with a literal explode and take the max cume with bin <= j-1.
+    groups = counts.select("_g").distinct()
+    probe = groups.select(
+        "_g", F.explode(F.sequence(F.lit(1), F.lit(b))).alias("_j")
+    )
+    joined = probe.join(
+        cume.select(F.col("_g").alias("_gc"), "_bin", "_cume"),
+        (F.col("_g").eqNullSafe(F.col("_gc"))) & (F.col("_bin") <= F.col("_j") - 1),
+        "left",
+    )
+    at_edge = joined.groupBy("_g", "_j").agg(
+        F.coalesce(F.max("_cume"), F.lit(0)).alias("_fg"),
+    )
+    sizes = counts.groupBy("_g").agg(F.sum("_cnt").alias("_ng"))
+    at_edge = at_edge.join(
+        sizes.select(F.col("_g").alias("_gs"), "_ng"),
+        F.col("_g").eqNullSafe(F.col("_gs")),
+    )
+    d = F.abs(
+        F.col("_fg") / F.col("_ng") - F.col("_j").cast("double") / F.lit(float(b))
+    )
+    diffs = at_edge.select("_g", "_j", "_ng", d.alias("_d"))
+    dmax = diffs.groupBy("_g", "_ng").agg(F.max("_d").alias("_dmax"))
+    located = (
+        diffs.join(
+            F.broadcast(dmax.select(F.col("_g").alias("_gm"), "_dmax")),
+            F.col("_g").eqNullSafe(F.col("_gm")),
+        )
+        .filter(F.col("_d") == F.col("_dmax"))
+        .groupBy("_g")
+        .agg(F.min("_j").alias("_jat"))
+    )
+    return (
+        dmax.join(
+            located.select(F.col("_g").alias("_gl"), "_jat"),
+            F.col("_g").eqNullSafe(F.col("_gl")),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_ng").cast("bigint").alias("n_group"),
+            F.round(F.col("_dmax"), round_to).alias("ks_d"),
+            F.round(F.element_at(edges_lit, F.col("_jat")), round_to).alias(
+                "ks_at"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
 def ks_vs_rest(
     df: DataFrame,
     group_col: str,

@@ -12,6 +12,7 @@ from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
     streaming_counter_rates,
     streaming_ewma,
     streaming_holt,
+    streaming_ks_reference,
     streaming_scd2_state,
     streaming_weighted_sample,
 )

@@ -667,3 +667,123 @@ def streaming_scd2_state(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+KS_REF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType(), True),
+        T.StructField("n_seen", T.LongType(), False),
+        T.StructField("ks_d", T.DoubleType(), False),
+        T.StructField("ks_at", T.DoubleType(), False),
+    ]
+)
+
+_KS_REF_STATE_SCHEMA = T.StructType(
+    [T.StructField("bin_counts", T.ArrayType(T.LongType()), False)]
+)
+
+
+def _make_ks_ref_fn(edges: list[float], ttl_seconds: int | None):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    b = len(edges)
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def _ks_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return iter([])
+        counts = list(state.get[0]) if state.exists else [0] * (b + 1)
+        for pdf in pdfs:
+            # bins come pre-computed JVM-side; count them vectorized
+            # (values above the last edge share the overflow bin b)
+            binned = pdf["_bin"].clip(upper=b).value_counts()
+            for _bin, cnt in binned.items():
+                counts[int(_bin)] += int(cnt)
+        state.update((counts,))
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+        n = sum(counts)
+        if n == 0:
+            return iter([])
+        # same IEEE op order as the batch ks_vs_reference: cume/n vs
+        # j/b per edge, abs, max with FIRST-j tie-break (== min edge)
+        best, jat, acc = -1.0, 1, 0
+        for j in range(1, b + 1):
+            acc += counts[j - 1]
+            d = abs(acc / n - float(j) / float(b))
+            if d > best:
+                best, jat = d, j
+        yield pd.DataFrame(
+            [
+                {
+                    "group_key": key[0],
+                    "n_seen": n,
+                    "ks_d": _round6(best),
+                    "ks_at": _round6(edges[jat - 1]),
+                }
+            ]
+        )
+
+    return _ks_fn
+
+
+def streaming_ks_reference(
+    stream_df: DataFrame,
+    ref_edges: list[float],
+    key_col: str = "group_key",
+    value_col: str = "value",
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming one-sample KS drift monitor — the streaming twin of
+    ``operators.percentiles.ks_vs_reference``: each micro-batch's
+    values are binned against the reference's equi-depth edges
+    JVM-SIDE with the SAME shared expression as the batch operator
+    (``reference_bin_expr`` — the house rule for exact batch/stream
+    equivalence), then merged into a per-group cumulative bin-count
+    vector in the state store (a pre-aggregation would be a second
+    stateful operator, which structured streaming forbids before
+    ``applyInPandasWithState`` — the pandas fn bincounts the batch's
+    binned rows vectorized instead).
+    Every batch emits the group's CURRENT drift against the reference:
+    ``group_key, n_seen, ks_d, ks_at`` (rounded half-up like the batch
+    operator, first-max edge tie-break == its min-edge rule).
+
+    This is the ingest-time "did today's feed depart from the training
+    corpus?" alarm: state is O(groups · bins) longs — independent of
+    volume — and the pandas crossing never parses raw values (bins are
+    JVM-computed; python only bincounts ints). The drained stream over
+    a file backlog equals the batch operator on the union exactly
+    (pinned in test_streaming). ``ttl_seconds`` evicts idle groups
+    (same contract as the rate/EWMA/SCD2 operators); an evicted group
+    restarts its distribution from zero.
+    """
+    if not ref_edges:
+        raise ValueError("ref_edges must be non-empty")
+    from fresco_hpc_spark.operators.percentiles import reference_bin_expr
+
+    edges = sorted(float(e) for e in ref_edges)
+    renamed = stream_df.selectExpr(
+        f"CAST(`{key_col}` AS STRING) AS group_key",
+        f"CAST(`{value_col}` AS DOUBLE) AS _v",
+    ).filter(F.col("_v").isNotNull())
+    binned = renamed.select(
+        "group_key", reference_bin_expr(edges, "_v").alias("_bin")
+    )
+    return binned.groupBy("group_key").applyInPandasWithState(
+        _make_ks_ref_fn(edges, ttl_seconds),
+        outputStructType=KS_REF_OUTPUT_SCHEMA,
+        stateStructType=_KS_REF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

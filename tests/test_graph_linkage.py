@@ -709,6 +709,31 @@ def test_ks_quantized_small_concentrated_group_is_detected(spark):
     assert quant["g"]["ks_at"] == 2.0
 
 
+def test_ks_vs_reference_hand_computed(spark):
+    """One-sample quantized KS closed forms: a group identical to the
+    reference grid scores ~0 at every edge; a group entirely above the
+    reference max has F_g = 0 at every edge, so D̂ = max_j |0 − j/B| = 1
+    at the last edge; values tied with an edge count toward that edge
+    (strictly-below binning); a group BELOW every edge has F_g = 1
+    throughout, max gap at the FIRST edge (min-edge tie-break is what
+    makes it the first)."""
+    from fresco_hpc_spark.operators.percentiles import ks_vs_reference
+
+    edges = [10.0, 20.0, 30.0, 40.0]  # implied ref CDF: .25 .5 .75 1
+    rows = (
+        [("match", v) for v in (10.0, 20.0, 30.0, 40.0)]
+        + [("above", 50.0), ("above", 60.0)]
+        + [("below", 1.0), ("below", 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in ks_vs_reference(df, "g", "v", edges).collect()}
+    assert out["match"]["ks_d"] == 0.0
+    assert out["above"]["ks_d"] == 1.0 and out["above"]["ks_at"] == 40.0
+    # below: |1 - j/4| max at j=1 -> 0.75, at edge 10.0
+    assert out["below"]["ks_d"] == 0.75 and out["below"]["ks_at"] == 10.0
+    assert out["below"]["n_group"] == 2
+
+
 def test_ks_quantized_solo_group_and_empty(spark):
     from fresco_hpc_spark.operators.percentiles import ks_vs_rest_quantized
 

@@ -1750,3 +1750,80 @@ def test_streaming_scd2_matches_batch_history(spark, tmp_path):
     assert got == want, (got, want)
     # cross-batch unchanged repeat (u2) never opened a second episode
     assert sum(1 for g in got if g[0] == "u2") == 1
+
+
+def test_streaming_ks_reference_matches_batch(spark, tmp_path):
+    """The drift monitor's batch/stream equivalence: after draining a
+    file backlog (maxFilesPerTrigger=1, so state genuinely crosses
+    micro-batch boundaries), each group's LAST emitted row must equal
+    the batch ks_vs_reference over the union of all files — same
+    shared JVM bin expression, same first-max/min-edge tie-break, same
+    half-up rounding. Includes a NULL group (real group) and values
+    above the reference max (overflow bin)."""
+    import os
+    import random
+    import time as _time
+
+    import pandas as pd
+
+    from fresco_hpc_spark.operators.percentiles import ks_vs_reference
+    from fresco_hpc_spark.streaming import streaming_ks_reference
+
+    rng = random.Random(88)
+    ref_sorted = sorted(rng.gauss(50, 10) for _ in range(2000))
+    b = 8
+    edges = [ref_sorted[int(f * (len(ref_sorted) - 1))] for f in
+             [i / b for i in range(1, b + 1)]]
+
+    rows = [("same", rng.gauss(50, 10)) for _ in range(300)]
+    rows += [("hot", rng.gauss(90, 5)) for _ in range(150)]  # above ref max
+    rows += [(None, rng.gauss(55, 12)) for _ in range(80)]
+    rng.shuffle(rows)
+    files = [rows[0:170], rows[170:350], rows[350:]]
+    src = tmp_path / "ks_src"
+    src.mkdir()
+    base = _time.time() - 100
+    for i, chunk in enumerate(files):
+        p = src / f"part_{i}.csv"
+        pd.DataFrame(chunk, columns=["group_key", "value"]).to_csv(p, index=False)
+        os.utime(p, (base + i, base + i))
+
+    schema = "group_key string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        streaming_ks_reference(stream, edges)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ks_ref_mem")
+        .option("checkpointLocation", str(tmp_path / "ks_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql(
+        "SELECT * FROM ks_ref_mem"
+    ).toPandas()
+    # last emission per group = the one with the max n_seen (n_seen is
+    # monotone per group across batches)
+    last = emitted.loc[emitted.groupby("group_key", dropna=False)["n_seen"].idxmax()]
+    got = {
+        (None if pd.isna(r["group_key"]) else r["group_key"]): (
+            r["n_seen"], r["ks_d"], r["ks_at"]
+        )
+        for _, r in last.iterrows()
+    }
+
+    batch_df = spark.createDataFrame(rows, "group_key string, value double")
+    want = {
+        r["group_key"]: (r["n_group"], r["ks_d"], r["ks_at"])
+        for r in ks_vs_reference(batch_df, "group_key", "value", edges).collect()
+    }
+    assert got == want, (got, want)
+    # every batch emitted an updated row for every group present in it
+    assert emitted.groupby("group_key", dropna=False).size().min() >= 1
