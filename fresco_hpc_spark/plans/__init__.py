@@ -19,4 +19,5 @@ from fresco_hpc_spark.plans.store import (  # noqa: F401
     read_partitioned_store,
     write_bucketed_table,
     write_partitioned_store,
+    zorder_by,
 )
