@@ -2216,6 +2216,32 @@ def q_ks_reference_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_vs_reference(ev, "event_type", "value", edges)
 
 
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over orders/lineitem
+    (operators/stats.py check_constraints): not-null, accepted-values,
+    range, uniqueness, and referential checks as one pass/fail relation
+    — the quality gate a pipeline runs before trusting a snapshot. All
+    row-local checks share ONE aggregation pass; unique adds one
+    groupBy; the FK check is the fk_audit anti-join over distinct
+    keys."""
+    from fresco_hpc_spark.operators import check_constraints
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        [
+            ("not_null", "l_orderkey"),
+            ("not_null", "l_partkey"),
+            ("between", "l_discount", 0.0, 1.0),
+            ("between", "l_quantity", 1.0, 50.0),
+            ("accepted_values", "l_returnflag", ["A", "N", "R"]),
+            ("unique", ["l_orderkey", "l_linenumber"]),
+            ("foreign_key", "l_orderkey", orders, "o_orderkey"),
+        ],
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-side CDC end-to-end (plans/store.py merge_into_store): a
     deterministic change batch derived from the first two days of
@@ -2661,6 +2687,7 @@ def queries() -> dict[str, Query]:
         #     the index build/query split):
         "ks_drift_quantized": q_ks_drift_quantized,
         "ks_reference_drift": q_ks_reference_drift,
+        "data_quality_checks": q_data_quality_checks,
         "merge_upsert": q_merge_upsert,
         "approx_percentiles": q_approx_percentiles,
         "grouped_approx_percentiles": q_grouped_approx_percentiles,
@@ -2703,11 +2730,12 @@ def queries() -> dict[str, Query]:
         "availability": q_availability,
         "time_extent": q_time_extent,
         "global_percentiles": q_global_percentiles,
+        # --- outside the 50-query window. First the 11 r05-certified
+        # queries deferred to r9 (interval_join_clicks, mad_trim_agg,
+        # iqr_trim_agg and percentile_trimmed_hourly yielded their
+        # slots to bpe_segments, grouped_approx_percentiles,
+        # ks_reference_drift and data_quality_checks):
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
-        # --- outside the 50-query window. First the 10 r05-certified
-        # queries deferred to r9 (interval_join_clicks, mad_trim_agg
-        # and iqr_trim_agg yielded their slots to bpe_segments,
-        # grouped_approx_percentiles and ks_reference_drift):
         "iqr_trim_agg": q_iqr_trim_agg,
         "mad_trim_agg": q_mad_trim_agg,
         "interval_join_clicks": q_interval_join_clicks,
@@ -5861,6 +5889,56 @@ def oracle_sql() -> dict[str, str]:
         FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS f(fraction)
         CROSS JOIN n
         ORDER BY f.fraction
+    """
+
+    # Expectation suite: each declared check replayed as its defining
+    # SQL count; passed = (violations == 0). unique counts BOTH copies
+    # of a duplicated key tuple (the rows you'd quarantine).
+    oracles["data_quality_checks"] = """
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+        checks AS (
+            SELECT 'not_null' AS "check", 'l_orderkey' AS target,
+                   CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+                       AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'not_null', 'l_partkey',
+                   CAST(COUNT(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'between', 'l_discount',
+                   CAST(COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+                         AND NOT (l_discount BETWEEN 0.0 AND 1.0)) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'between', 'l_quantity',
+                   CAST(COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+                         AND NOT (l_quantity BETWEEN 1.0 AND 50.0)) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'accepted_values', 'l_returnflag',
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+                         AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique', 'l_orderkey,l_linenumber',
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT)
+            FROM (
+                SELECT COUNT(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+            )
+            UNION ALL
+            SELECT 'foreign_key', 'l_orderkey',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderkey IS NOT NULL)
+        )
+        SELECT c."check", c.target, c.n_violations, n.n_rows,
+               c.n_violations = 0 AS passed
+        FROM checks c CROSS JOIN n
+        ORDER BY c."check", c.target
     """
 
     # One-sample KS vs the day-1 reference: quantile_cont keeps ALL 16

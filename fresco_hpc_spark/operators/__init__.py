@@ -1,5 +1,6 @@
 from fresco_hpc_spark.operators.stats import (  # noqa: F401
     availability,
+    check_constraints,
     column_stats,
     fk_audit,
     linear_trend,

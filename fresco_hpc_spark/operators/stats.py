@@ -285,3 +285,117 @@ def fk_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("relationship")
+
+
+def check_constraints(
+    df: "DataFrame",
+    checks: list[tuple],
+) -> "DataFrame":
+    """Declarative data-quality gate — the Deequ-style expectation
+    runner that turns "we assume the data is fine" into a metric (the
+    companion of :func:`profile_columns`' discovery view and
+    :func:`fk_audit`'s referential slice). Each check yields one row:
+    ``check, target, n_violations, n_rows, passed``.
+
+    Supported checks (tuples, first element the kind):
+
+    - ``("not_null", col)`` — NULL values are violations.
+    - ``("unique", [cols...])`` — rows whose key tuple occurs more than
+      once all count as violations (both copies — the number of rows
+      you'd have to quarantine).
+    - ``("accepted_values", col, [v...])`` — non-null values outside
+      the list (NULL is not a violation here; combine with not_null).
+    - ``("between", col, lo, hi)`` — non-null values outside [lo, hi].
+    - ``("foreign_key", col, parent_df, parent_col)`` — non-null values
+      with no parent (fk_audit's orphan count as a pass/fail row).
+
+    Scale shape: every ROW-LOCAL check (not_null / accepted_values /
+    between) folds into ONE shared aggregation pass — conditional sums,
+    map-side partial agg, zero extra scans however many such checks are
+    declared. ``unique`` adds one groupBy on its key (the violation
+    count is Σ over keys with c > 1 of c — a partial-aggregatable sum);
+    ``foreign_key`` adds the fk_audit anti-join over DISTINCT keys.
+    Results concatenate via unionByName and order by (check, target) —
+    a bounded relation of one row per declared check.
+    """
+    if not checks:
+        raise ValueError("check_constraints needs at least one check")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    labels: list[tuple[str, str]] = []
+    others = []
+    for idx, chk in enumerate(checks):
+        kind = chk[0]
+        if kind == "not_null":
+            col = chk[1]
+            aggs.append(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_v{idx}")
+            )
+            labels.append((kind, col, f"_v{idx}"))
+        elif kind == "accepted_values":
+            col, vals = chk[1], chk[2]
+            bad = F.col(col).isNotNull() & ~F.col(col).isin(list(vals))
+            aggs.append(
+                F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(f"_v{idx}")
+            )
+            labels.append((kind, col, f"_v{idx}"))
+        elif kind == "between":
+            col, lo, hi = chk[1], chk[2], chk[3]
+            bad = F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
+            aggs.append(
+                F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(f"_v{idx}")
+            )
+            labels.append((kind, col, f"_v{idx}"))
+        elif kind == "unique":
+            cols = list(chk[1]) if isinstance(chk[1], (list, tuple)) else [chk[1]]
+            dup = (
+                df.groupBy(*[F.col(c) for c in cols])
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > 1)
+                .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("_v"))
+            )
+            others.append((kind, ",".join(cols), dup))
+        elif kind == "foreign_key":
+            col, parent, pcol = chk[1], chk[2], chk[3]
+            keys = (
+                df.select(F.col(col).alias("_k"))
+                .filter(F.col("_k").isNotNull())
+            )
+            parents = parent.select(F.col(pcol).alias("_k")).distinct()
+            orphan = keys.join(
+                keys.distinct().join(parents, "_k", "left_anti"),
+                "_k",
+                "left_semi",
+            ).agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+            others.append((kind, col, orphan))
+        else:
+            raise ValueError(f"unknown check kind: {kind!r}")
+    n_rows_df = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    outs = []
+    if labels:
+        one = df.agg(*aggs)
+        for kind, target, vcol in labels:
+            outs.append(
+                one.select(
+                    F.lit(kind).alias("check"),
+                    F.lit(target).alias("target"),
+                    F.col(vcol).alias("n_violations"),
+                    F.col("_n").cast("bigint").alias("n_rows"),
+                    (F.col(vcol) == 0).alias("passed"),
+                )
+            )
+    for kind, target, vdf in others:
+        outs.append(
+            vdf.crossJoin(F.broadcast(n_rows_df)).select(
+                F.lit(kind).alias("check"),
+                F.lit(target).alias("target"),
+                F.col("_v").alias("n_violations"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_v") == 0).alias("passed"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("check", "target")

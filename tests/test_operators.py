@@ -633,3 +633,54 @@ def test_salted_join_equals_plain_join_on_skewed_input(spark):
         salted = salted_join(left, right, on="k", n_salts=8, how=how)
         assert plain.exceptAll(salted).count() == 0, how
         assert salted.exceptAll(plain).count() == 0, how
+
+
+def test_check_constraints_counts_each_violation_kind(spark):
+    """The expectation runner on deliberately dirty data: every check
+    kind counts its own violations (NULL key, out-of-range, value
+    outside the accepted set, duplicated key tuple — BOTH copies — and
+    an orphan foreign key), and a NULL value is a violation only for
+    not_null (accepted_values/between skip NULLs by contract)."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 0.5, 10),
+            (2, "B", 1.5, 10),      # bad status, out-of-range x
+            (None, "A", None, 20),  # null id; null x NOT a range violation
+            (4, "A", 0.0, 99),      # orphan ref
+            (5, "A", 1.0, 10),
+            (5, "A", 0.2, 20),      # duplicate id 5 (both rows count)
+        ],
+        "id int, status string, x double, ref int",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pid int")
+    rows = {
+        (r["check"], r["target"]): r
+        for r in check_constraints(
+            df,
+            [
+                ("not_null", "id"),
+                ("accepted_values", "status", ["A"]),
+                ("between", "x", 0.0, 1.0),
+                ("unique", ["id"]),
+                ("foreign_key", "ref", parent, "pid"),
+            ],
+        ).collect()
+    }
+    assert rows[("not_null", "id")]["n_violations"] == 1
+    assert rows[("accepted_values", "status")]["n_violations"] == 1
+    assert rows[("between", "x")]["n_violations"] == 1
+    assert rows[("unique", "id")]["n_violations"] == 2
+    assert rows[("foreign_key", "ref")]["n_violations"] == 1
+    assert all(r["n_rows"] == 6 for r in rows.values())
+    assert not any(r["passed"] for r in rows.values())
+    # a clean frame passes everything
+    clean = df.filter("id IS NOT NULL AND id <> 5 AND status = 'A' AND x BETWEEN 0 AND 1 AND ref IN (10, 20)")
+    ok = check_constraints(
+        clean,
+        [("not_null", "id"), ("unique", ["id"]), ("foreign_key", "ref", parent, "pid")],
+    ).collect()
+    assert all(r["passed"] for r in ok)
