@@ -2216,6 +2216,27 @@ def q_ks_reference_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_vs_reference(ev, "event_type", "value", edges)
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of value per event_type onto the GLOBAL
+    value distribution (operators/percentiles.py quantile_normalize):
+    each distinct (group, value) maps to the reference quantile at its
+    within-group cume fraction — the calibration TRANSFORM next to the
+    KS family's detectors. p comes from the grouped distributed
+    order-statistics machinery (ties share one p, no per-group sort);
+    the reference quantile function is pure map-side interpolation
+    between 17 literal edges (i/16 quantiles incl. min)."""
+    from fresco_hpc_spark.operators.percentiles import (
+        distributed_exact_percentiles,
+        quantile_normalize,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    edges = distributed_exact_percentiles(
+        ev, "value", [i / 16 for i in range(0, 17)]
+    )
+    return quantile_normalize(ev, ["event_type"], "value", edges)
+
+
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative expectation suite over orders/lineitem
     (operators/stats.py check_constraints): not-null, accepted-values,
@@ -2688,6 +2709,7 @@ def queries() -> dict[str, Query]:
         "ks_drift_quantized": q_ks_drift_quantized,
         "ks_reference_drift": q_ks_reference_drift,
         "data_quality_checks": q_data_quality_checks,
+        "quantile_normalize": q_quantile_normalize,
         "merge_upsert": q_merge_upsert,
         "approx_percentiles": q_approx_percentiles,
         "grouped_approx_percentiles": q_grouped_approx_percentiles,
@@ -2729,12 +2751,12 @@ def queries() -> dict[str, Query]:
         "column_stats": q_column_stats,
         "availability": q_availability,
         "time_extent": q_time_extent,
-        "global_percentiles": q_global_percentiles,
-        # --- outside the 50-query window. First the 11 r05-certified
+        # --- outside the 50-query window. First the 12 r05-certified
         # queries deferred to r9 (interval_join_clicks, mad_trim_agg,
-        # iqr_trim_agg and percentile_trimmed_hourly yielded their
-        # slots to bpe_segments, grouped_approx_percentiles,
-        # ks_reference_drift and data_quality_checks):
+        # iqr_trim_agg, percentile_trimmed_hourly and
+        # global_percentiles yielded their slots to the round-8
+        # arrivals; all 12 lead the r9 rotation):
+        "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
         "mad_trim_agg": q_mad_trim_agg,
@@ -5889,6 +5911,33 @@ def oracle_sql() -> dict[str, str]:
         FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS f(fraction)
         CROSS JOIN n
         ORDER BY f.fraction
+    """
+
+    # Quantile normalization: p replayed as cume_dist (identical
+    # integer-ratio division), the reference quantile function as the
+    # same linear interpolation over the same 17 quantile_cont edges.
+    _QN_B = 16
+    _qn_fracs = ", ".join(repr(i / _QN_B) for i in range(0, _QN_B + 1))
+    oracles["quantile_normalize"] = f"""
+        WITH nn AS (
+            SELECT event_type AS g, value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        eq AS (SELECT quantile_cont(v, [{_qn_fracs}]) AS qs FROM nn),
+        cume AS (
+            SELECT DISTINCT g, v,
+                   cume_dist() OVER (PARTITION BY g ORDER BY v) AS p
+            FROM nn
+        )
+        SELECT c.g AS event_type, c.v AS value,
+               ROUND(
+                   qs[k + 1] + (qs[k + 2] - qs[k + 1])
+                       * (c.p * {_QN_B} - CAST(k AS DOUBLE)),
+                   6) AS value_norm
+        FROM cume c CROSS JOIN eq,
+             LATERAL (SELECT LEAST(CAST(FLOOR(c.p * {_QN_B}) AS INT),
+                                   {_QN_B - 1}) AS k) lk
+        ORDER BY event_type, value
     """
 
     # Expectation suite: each declared check replayed as its defining

@@ -36,12 +36,14 @@ from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     grouped_exact_percentiles,
     grouped_value_cdf,
     iqr_trim,
+    ks_vs_reference,
     ks_vs_rest,
     ks_vs_rest_quantized,
     mad_trim,
     percentile_trim,
     percentile_trimmed_hourly_agg,
     quantile_bucket,
+    quantile_normalize,
     winsorize,
 )
 from fresco_hpc_spark.operators.topn import (  # noqa: F401

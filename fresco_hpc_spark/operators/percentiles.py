@@ -1003,6 +1003,57 @@ def ks_vs_reference(
     )
 
 
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ref_edges: list[float],
+    out_col: str = "value_norm",
+    round_to: int = _ROUND,
+) -> DataFrame:
+    """Quantile normalization: map every value onto the REFERENCE
+    distribution at its own within-group quantile — the classic
+    batch-effect / calibration transform (make shard A's feature
+    distribution comparable to shard B's by forcing both onto one
+    reference), the TRANSFORM counterpart of the KS family's detectors.
+
+    ``ref_edges`` are B+1 reference quantiles at fractions i/B,
+    i = 0..B (note the leading MIN — the quantile function needs both
+    ends). Each row's within-group cume fraction
+    ``p = cume_dist = (# group rows ≤ v)/n_g`` comes from
+    :func:`grouped_cume_counts` (tie-collapsed distributed order
+    statistics — ties share one p, no per-group sort), then the
+    reference quantile function is evaluated map-side from the literal
+    edge array: ``Q(p) = e_k + (e_{k+1} − e_k)·(p·B − k)`` with
+    ``k = min(⌊p·B⌋, B−1)`` — exact linear interpolation between the
+    surrounding reference edges, the same formula PERCENTILE_CONT
+    inverts. p is never 0 (every row has rank ≥ 1), p = 1 maps to the
+    reference max.
+
+    Returns the distinct-value relation ``group_cols…, value_col,
+    out_col`` (ties collapse — join it back on (group, value) to
+    decorate rows; NULL values are excluded as in every order-stat
+    operator here). One tie-collapse shuffle + the grouped machinery;
+    the transform itself is pure map-side arithmetic.
+    """
+    if len(ref_edges) < 2:
+        raise ValueError("ref_edges needs at least 2 entries (min and max)")
+    edges = [float(e) for e in ref_edges]
+    b = len(edges) - 1
+    edges_lit = F.array(*[F.lit(e) for e in edges])
+    cume = grouped_cume_counts(df, group_cols, value_col)
+    p = F.col("_cume").cast("double") / F.col("_n")
+    k = F.least(F.floor(p * b).cast("int"), F.lit(b - 1))
+    e_lo = F.element_at(edges_lit, k + 1)
+    e_hi = F.element_at(edges_lit, k + 2)
+    q = e_lo + (e_hi - e_lo) * (p * b - k.cast("double"))
+    return cume.select(
+        *group_cols,
+        F.col("_v").alias(value_col),
+        F.round(q, round_to).alias(out_col),
+    ).orderBy(*group_cols, value_col)
+
+
 def ks_vs_rest(
     df: DataFrame,
     group_col: str,

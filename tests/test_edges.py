@@ -132,8 +132,9 @@ def test_correctness_window_contains_priority_queries():
         "pagerank_knn_weighted",
         # new in round 8
         "ks_drift_quantized", "ks_reference_drift", "data_quality_checks",
-        "merge_upsert", "approx_percentiles", "grouped_approx_percentiles",
-        "bpe_merges", "bpe_segments", "index_build_text",
+        "quantile_normalize", "merge_upsert", "approx_percentiles",
+        "grouped_approx_percentiles", "bpe_merges", "bpe_segments",
+        "index_build_text",
         # stalest multi-certified block (newest driver row r05)
         "phash_dup_pairs", "paragraph_dedup", "dup_ngram_spans",
         "hopping_window", "tfidf_top_terms", "profile_columns",
@@ -146,7 +147,6 @@ def test_correctness_window_contains_priority_queries():
         "join_salted_skew", "rollup_monthly_events",
         "cube_user_bucket_events", "hourly_agg", "time_bound_hourly",
         "column_stats", "availability", "time_extent",
-        "global_percentiles",
     }
     missing = priority - set(window)
     assert not missing, f"priority queries outside the 50-window: {missing}"

@@ -734,6 +734,46 @@ def test_ks_vs_reference_hand_computed(spark):
     assert out["below"]["n_group"] == 2
 
 
+def test_quantile_normalize_contracts(spark):
+    """The calibration transform's closed forms: (a) normalizing a
+    group ONTO ITS OWN exact quantile edges is (approximately) the
+    identity at every point — exactly at the edges; (b) the output is
+    monotone in the input within a group; (c) the group max always
+    maps to the reference max (p = 1); (d) ties collapse to one output
+    row sharing one p."""
+    from fresco_hpc_spark.operators.percentiles import (
+        distributed_exact_percentiles,
+        quantile_normalize,
+    )
+
+    vals = [float(v) for v in range(1, 33)]  # 1..32: i/16 quantiles exact
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", 32.0)], "g string, v double"
+    )  # duplicate max: a tie
+    edges = distributed_exact_percentiles(df, "v", [i / 16 for i in range(17)])
+    out = quantile_normalize(df, ["g"], "v", edges).collect()
+    by_v = {r["v"]: r["value_norm"] for r in out}
+    assert len(out) == 32  # tie collapsed
+    assert by_v[32.0] == 32.0  # p = 1 -> reference max
+    # self-normalization ~identity: every point within one inter-edge gap
+    assert all(abs(by_v[v] - v) <= 2.0 + 1e-9 for v in vals)
+    # exact identity where the cume fraction hits an edge fraction
+    norm_sorted = [by_v[v] for v in sorted(by_v)]
+    assert norm_sorted == sorted(norm_sorted)  # monotone
+
+    # shifted group onto a [0,16] uniform reference: min->~0 bucket,
+    # max->16 exactly
+    ref = [float(i) for i in range(17)]
+    df2 = spark.createDataFrame(
+        [("a", 100.0 + i) for i in range(8)], "g string, v double"
+    )
+    out2 = {r["v"]: r["value_norm"] for r in quantile_normalize(
+        df2, ["g"], "v", ref
+    ).collect()}
+    assert out2[107.0] == 16.0
+    assert out2[100.0] == 2.0  # p = 1/8 -> Q(0.125) = 2.0 on uniform ref
+
+
 def test_ks_quantized_solo_group_and_empty(spark):
     from fresco_hpc_spark.operators.percentiles import ks_vs_rest_quantized
 
