@@ -320,6 +320,70 @@ def skew_section(spark) -> None:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def straggler_section(spark, sf_dir: str) -> None:
+    """Straggler ratios for the r7 third wave + reporting quartet
+    (VERDICT r7 item 6): run each registered query, then pull the Spark
+    REST taskSummary (duration quantiles) for every stage it executed
+    and report the WORST stage's max/median task-duration ratio plus
+    that stage's task count. A ratio near 1 means no task dominates its
+    stage — the skew evidence seconds can't give. Millisecond-scale
+    stages are noise-prone; the ratio matters on the heavy stages, so
+    stages with median < 20 ms are skipped."""
+    import json as _json
+    import urllib.request
+
+    import __spark_entry__ as entrymod
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def stage_ids() -> set[int]:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            return {s["stageId"] for s in _json.load(r)}
+
+    def summary(sid: int):
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/{sid}/0/taskSummary"
+                "?quantiles=0.0,0.5,1.0",
+                timeout=10,
+            ) as r:
+                return _json.load(r)
+        except Exception:
+            return None
+
+    names = [
+        "ks_drift", "source_overlap", "event_transitions", "clustering_knn",
+        "revenue_by_nation", "revenue_monthly_yoy", "rfm_segments",
+        "basket_pairs",
+    ]
+    qs = entrymod.queries()
+    for name in names:
+        before = stage_ids()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        new_stages = stage_ids() - before
+        worst = None
+        for sid in new_stages:
+            s = summary(sid)
+            if not s or "duration" not in s:
+                continue
+            lo, med, hi = s["duration"]
+            if med < 20:
+                continue
+            ratio = hi / med if med else float("inf")
+            if worst is None or ratio > worst[0]:
+                worst = (ratio, int(med), int(hi), sid)
+        if worst:
+            print(
+                f"straggler {name}: worst stage max/median task duration "
+                f"= {worst[0]:.2f} (median {worst[1]} ms, max {worst[2]} ms)"
+            )
+        else:
+            print(f"straggler {name}: all stages sub-20ms-median (trivial)")
+
+
 def main() -> None:
     import tempfile
 
@@ -333,6 +397,7 @@ def main() -> None:
     reporting_section(spark, sf_dir)
     third_wave_section(spark, sf_dir)
     skew_section(spark)
+    straggler_section(spark, sf_dir)
     spark.stop()
 
 
