@@ -126,26 +126,38 @@ def ensure_text_index(
     fingerprint (regenerated testdata, new corpus snapshot at the same
     path) rebuilds instead of silently serving stale postings — the
     same params-live-with-the-index discipline as ``fresco.n_buckets``.
-    With ``fingerprint=None`` the index is always rebuilt (the explicit
-    build_text_index behavior). Returns True when a build happened.
+    The stored form is the sha256 hex of the fingerprint, computed ONCE
+    and used for both the write and the equality check (ADVICE r8:
+    storing a quote-sanitized variant but comparing against the raw
+    string made any fingerprint containing a quote rebuild on every
+    call; hashing sidesteps SQL quoting and backslash escaping
+    entirely). With ``fingerprint=None`` the index is always rebuilt
+    (the explicit build_text_index behavior). Returns True when a
+    build happened.
     """
+    import hashlib
+
     spark = docs.sparkSession
-    if fingerprint is not None and spark.catalog.tableExists(table_name):
+    canon = (
+        hashlib.sha256(fingerprint.encode("utf-8")).hexdigest()
+        if fingerprint is not None
+        else None
+    )
+    if canon is not None and spark.catalog.tableExists(table_name):
         props = {
             r["key"]: r["value"]
             for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
         }
         if (
-            props.get("fresco.fingerprint") == fingerprint
+            props.get("fresco.fingerprint") == canon
             and props.get("fresco.n_buckets") == str(int(n_buckets))
         ):
             return False
     build_text_index(docs, table_name, text_col, id_col, n_buckets)
-    if fingerprint is not None:
-        safe = fingerprint.replace("'", "_")
+    if canon is not None:
         spark.sql(
             f"ALTER TABLE {table_name} SET TBLPROPERTIES "
-            f"('fresco.fingerprint' = '{safe}')"
+            f"('fresco.fingerprint' = '{canon}')"
         )
     return True
 

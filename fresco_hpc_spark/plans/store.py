@@ -161,8 +161,11 @@ def zorder_by(
     then the bucket bits are interleaved JVM-side into one BIGINT. The
     quantile edges are 2^bits − 1 driver-side literals per column
     (bounded by the parameter); bucketing is a map-side scan of the
-    literal edge array; NULLs sort first via bucket −1 … one fixed key
-    below every real bucket. Total key width = len(cols)·bits ≤ 63.
+    literal edge array; NULLs land in bucket 0 and therefore share the
+    lowest rows' row groups (pruning for lowest-value predicates is
+    accordingly a bit weaker on columns with many NULLs — reserving a
+    dedicated NULL bucket would cost a bucket of resolution on every
+    column for a corner case). Total key width = len(cols)·bits ≤ 63.
 
     Usage::
 
@@ -354,10 +357,15 @@ def merge_into_store(
 
     ``changes`` carries the store's data columns (including
     ``time_col``) plus ``op_col`` ∈ {'upsert', 'delete'} and an
-    optional ``seq_col`` ordering changes to the same key within the
-    batch (highest wins; ties raise rather than pick silently —
-    determinism over convenience). Without ``seq_col``, more than one
-    change per key raises.
+    optional ``seq_col`` ordering changes to the same (key, hour)
+    within the batch (highest wins; ties raise rather than pick
+    silently — determinism over convenience). Without ``seq_col``,
+    more than one change per (key, hour) raises. Because a row's
+    identity is (key, hour-of-``time_col``), the dedup window is
+    per (key, hour) — NOT per key — so a cross-hour move (a delete
+    at the old hour plus an upsert at the new hour) keeps BOTH
+    changes; a per-key window would keep only the higher seq and
+    silently strand the stale row in the old partition.
 
     Semantics: a row's identity is (key, hour-of-``time_col``) — the
     merge scope is per hour partition, so moving a row across hours is
@@ -415,7 +423,18 @@ def merge_into_store(
             f"merge_into_store: NULL {time_col} rows cannot be routed to an "
             "hour partition; fix the batch upstream"
         )
-    dup_keys = [*key_cols] + ([seq_col] if seq_col else [])
+    # Partition columns FIRST: row identity is (key, hour), so both the
+    # ambiguity check and the last-writer-wins window must see the hour.
+    # Deduping per key alone would collapse a cross-hour move
+    # (delete@old-hour + upsert@new-hour) into just the upsert, silently
+    # stranding the stale row in the old partition.
+    changes = (
+        changes.withColumn("year", F.year(time_col))
+        .withColumn("month", F.month(time_col))
+        .withColumn("day", F.dayofmonth(time_col))
+        .withColumn("hour", F.hour(time_col))
+    )
+    dup_keys = [*key_cols, *PARTITION_COLS] + ([seq_col] if seq_col else [])
     dups = (
         changes.groupBy(*[F.col(c) for c in dup_keys])
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -430,7 +449,9 @@ def merge_into_store(
             "per change so last-writer-wins is deterministic"
         )
     if seq_col:
-        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        w = Window.partitionBy(*key_cols, *PARTITION_COLS).orderBy(
+            F.col(seq_col).desc()
+        )
         winners = (
             changes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -438,12 +459,6 @@ def merge_into_store(
         )
     else:
         winners = changes
-    winners = (
-        winners.withColumn("year", F.year(time_col))
-        .withColumn("month", F.month(time_col))
-        .withColumn("day", F.dayofmonth(time_col))
-        .withColumn("hour", F.hour(time_col))
-    )
     data_cols = [
         c for c in winners.columns if c != op_col and c not in PARTITION_COLS
     ]

@@ -871,6 +871,14 @@ def test_ensure_text_index_skips_fresh_rebuilds_stale(spark):
     assert phrase_search_table(spark, "t_ensure_idx", "fresh").count() == 2
     # fingerprint=None keeps the unconditional-rebuild behavior
     assert ensure_text_index(docs_v2, "t_ensure_idx", n_buckets=7, fingerprint=None)
+    # ADVICE r8: fingerprints with quotes/backslashes must still match
+    # their stored form on the second call (the old code stored a
+    # sanitized variant but compared raw, so these rebuilt every time)
+    gnarly = "path='/x/y'\\z + 42 rows"
+    assert ensure_text_index(docs_v2, "t_ensure_idx", n_buckets=7, fingerprint=gnarly)
+    assert not ensure_text_index(
+        docs_v2, "t_ensure_idx", n_buckets=7, fingerprint=gnarly
+    )
     spark.sql("DROP TABLE IF EXISTS t_ensure_idx")
 
 

@@ -478,6 +478,85 @@ def test_merge_into_store_seq_order_delete_all_and_new_store(spark, tmp_path):
     assert read_partitioned_store(spark, fresh).drop(*PARTITION_COLS).count() == 20
 
 
+def test_merge_into_store_cross_hour_move(spark, tmp_path):
+    """ADVICE r8 (high): row identity is (key, hour), so the documented
+    cross-hour move — delete at the old hour + upsert at the new hour —
+    must keep BOTH changes. A per-key last-writer-wins window would keep
+    only the higher seq and strand the stale row in the old partition.
+    Pins: (a) the move works with a seq column, even when the two
+    changes SHARE a seq value (legal — distinct (key, hour)); (b) the
+    move works with no seq column at all (distinct (key, hour) is
+    unambiguous); (c) replay is idempotent."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.plans import (
+        PARTITION_COLS,
+        merge_into_store,
+        read_partitioned_store,
+    )
+
+    store, ev = _merge_fixture(spark, tmp_path)
+    moved = ev.filter(F.hour("time") == 3).limit(4).cache()
+    ids = [r.event_id for r in moved.select("event_id").collect()]
+    assert len(ids) == 4
+    dele = moved.withColumn("op", F.lit("delete"))
+    upst = (
+        moved.withColumn("time", F.col("time") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 5000.0)
+        .withColumn("op", F.lit("upsert"))
+    )
+    # (a) with seq — deliberately the SAME seq on both halves: the pair
+    # differs in hour, so it is not ambiguous and neither half may win
+    # over the other
+    changes = dele.withColumn("seq", F.lit(1)).unionByName(
+        upst.withColumn("seq", F.lit(1))
+    )
+    merge_into_store(
+        spark, store, changes, ["event_id"], time_col="time", seq_col="seq"
+    )
+    back = read_partitioned_store(spark, store).filter(
+        F.col("event_id").isin(ids)
+    )
+    assert back.filter(F.hour("time") == 3).count() == 0, (
+        "delete at the old hour was dropped — stale rows survive the move"
+    )
+    got = back.filter(F.hour("time") == 4)
+    assert got.count() == 4
+    assert got.filter(F.col("value") < 5000.0).count() == 0
+
+    # (c) replay: same batch, same snapshot
+    merge_into_store(
+        spark, store, changes, ["event_id"], time_col="time", seq_col="seq"
+    )
+    back2 = read_partitioned_store(spark, store).filter(
+        F.col("event_id").isin(ids)
+    )
+    assert back2.filter(F.hour("time") == 3).count() == 0
+    assert back2.filter(F.hour("time") == 4).count() == 4
+
+    # (b) no seq at all: move hour4 → hour6; distinct (key, hour) rows
+    # must not trip the ambiguity check
+    dele2 = upst.drop("op").withColumn("op", F.lit("delete"))
+    upst2 = (
+        upst.drop("op")
+        .withColumn("time", F.col("time") + F.expr("INTERVAL 2 HOURS"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    merge_into_store(
+        spark,
+        store,
+        dele2.unionByName(upst2),
+        ["event_id"],
+        time_col="time",
+    )
+    back3 = read_partitioned_store(spark, store).filter(
+        F.col("event_id").isin(ids)
+    )
+    assert back3.filter(F.hour("time") == 4).count() == 0
+    assert back3.filter(F.hour("time") == 6).count() == 4
+    moved.unpersist()
+
+
 def test_merge_into_store_rejects_ambiguity_and_bad_batches(spark, tmp_path):
     """Determinism over convenience: duplicate keys without a seq,
     duplicate (key, seq) pairs, unknown ops, and NULL times all raise
