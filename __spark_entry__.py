@@ -30,6 +30,7 @@ from fresco_hpc_spark.etl.synthetic_raw import (
     raw_mem_from_events,
 )
 from fresco_hpc_spark.functions import (
+    boilerplate_remove,
     brute_force_knn,
     decode_image_features,
     dedup_corpus,
@@ -1523,6 +1524,51 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_segment_12(docs))
 
 
+def _lines_with_chrome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-structured corpus for the frequency-threshold boilerplate
+    filter: each document is segmented into 10-word lines and wrapped
+    in a per-SOURCE header + footer (the testdata texts carry no
+    newlines or site chrome, so both are injected deterministically —
+    the chrome appears in every doc of its source, real lines mostly
+    don't repeat)."""
+    docs = table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda c: F.array_join(F.slice(words, c * 10 + 1, 10), " "),
+        ),
+        "\n",
+    )
+    header = F.concat(
+        F.lit("visit "), F.col("source"), F.lit(" homepage for more stories")
+    )
+    footer = F.concat(
+        F.lit("copyright "), F.col("source"), F.lit(" all rights reserved")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws("\n", header, body, footer).alias("text"),
+    )
+
+
+def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb frequency-threshold boilerplate stripping
+    (functions/text.py boilerplate_remove): a line occurring in >= 3
+    distinct documents of the same source is site chrome — dropped
+    EVERYWHERE, first copy included (the contrast with
+    paragraph_dedup's keep-first rule). The injected per-source
+    header/footer must vanish from every document; body lines shared by
+    fewer than 3 docs survive. Boilerplate detection is two
+    partial-aggregatable groupBys + a left-anti join — nothing windows
+    over the skewed banner key."""
+    return boilerplate_remove(
+        _lines_with_chrome(spark, sf_dir), group_col="source", min_docs=3
+    )
+
+
 def q_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 curation pipeline end-to-end: paragraph-level boilerplate
     removal (corpus-wide first occurrence wins) → drop hollowed-out
@@ -2716,6 +2762,8 @@ def queries() -> dict[str, Query]:
         "bpe_merges": q_bpe_merges,
         "bpe_segments": q_bpe_segments,
         "index_build_text": q_index_build_text,
+        # (2b) new in r9:
+        "boilerplate_remove": q_boilerplate_remove,
         # (3) the 38 stalest multi-certified queries (newest driver
         #     row r05); the remaining 7 r05 rows lead the r9 window:
         "phash_dup_pairs": q_phash_dup_pairs,
@@ -5167,6 +5215,67 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.doc_id,
                CAST(t.n_paras AS BIGINT) AS n_paras,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(k.clean_text, '') AS clean_text
+        FROM totals t LEFT JOIN kept k USING (doc_id)
+        ORDER BY t.doc_id
+    """
+
+    oracles["boilerplate_remove"] = r"""
+        WITH src AS (
+            SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents WHERE trim(text) <> ''
+        ),
+        segs AS (
+            SELECT doc_id, source, t.c + 1 AS idx,
+                   array_to_string(ws[(t.c*10 + 1):(t.c*10 + 10)], ' ') AS line
+            FROM src,
+                 UNNEST(generate_series(
+                     0, CAST(ceil(array_length(ws) / 10.0) AS BIGINT) - 1
+                 )) AS t(c)
+        ),
+        all_lines AS (
+            SELECT doc_id, source, 0 AS idx,
+                   'visit ' || source || ' homepage for more stories' AS line
+            FROM src
+            UNION ALL
+            SELECT doc_id, source, idx, line FROM segs
+            UNION ALL
+            SELECT doc_id, source, 1000000 AS idx,
+                   'copyright ' || source || ' all rights reserved' AS line
+            FROM src
+        ),
+        norm AS (
+            SELECT doc_id, source, idx, line,
+                   trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS fp
+            FROM all_lines
+            WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g')) <> ''
+        ),
+        boiler AS (
+            SELECT source, fp
+            FROM (
+                SELECT source, fp, COUNT(DISTINCT doc_id) AS nd
+                FROM norm GROUP BY source, fp
+            ) WHERE nd >= 3
+        ),
+        surv AS (
+            SELECT n.* FROM norm n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM boiler b
+                WHERE b.fp = n.fp AND b.source IS NOT DISTINCT FROM n.source
+            )
+        ),
+        totals AS (
+            SELECT doc_id, source, COUNT(*) AS n_lines
+            FROM norm GROUP BY doc_id, source
+        ),
+        kept AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY idx) AS clean_text
+            FROM surv GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.source,
+               CAST(t.n_lines AS BIGINT) AS n_lines,
                CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
                COALESCE(k.clean_text, '') AS clean_text
         FROM totals t LEFT JOIN kept k USING (doc_id)

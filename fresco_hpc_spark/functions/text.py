@@ -1069,3 +1069,96 @@ def source_token_divergence(
         )
         .orderBy(group_col)
     )
+
+
+def boilerplate_remove(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_docs: int = 3,
+    sep: str = r"\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Frequency-threshold boilerplate stripping, the C4/RefinedWeb line
+    filter: a line is boilerplate within its ``group_col`` (site/domain/
+    source) when its normalized form occurs in at least ``min_docs``
+    DISTINCT documents of that group; ALL copies of boilerplate lines
+    are removed and each document is reassembled from the survivors.
+
+    Complementary to :func:`fresco_hpc_spark.functions.dedup.
+    paragraph_dedup`, which keeps the FIRST corpus-wide copy of every
+    duplicated paragraph: navigation chrome / cookie banners / footers
+    repeat on every page of a site, so even the first copy is noise —
+    the frequency rule drops them everywhere, while lines shared by
+    fewer than ``min_docs`` documents (legitimate quotations) survive
+    in full. Repeats WITHIN one document don't count toward the
+    threshold (a chorus repeated five times in one lyric sheet is
+    content, not chrome).
+
+    Normalization is lower + collapse-whitespace + trim; empty lines
+    are dropped. Output: one row per document having ≥1 non-empty line
+    — (id, group, ``n_lines``, ``n_kept``, ``clean_text``).
+
+    Scale shape (100 TB): split+explode is map-only. The boilerplate
+    set is two partial-aggregatable groupBys — distinct (group, line,
+    doc) then count per (group, line) — so a banner repeated on a
+    billion pages arrives at the shuffle pre-combined. Survivors are a
+    LEFT ANTI join of lines against that (far smaller) set on the
+    null-safe (group, fingerprint) key; reassembly is a per-doc groupBy
+    over survivors only. Nothing is windowed over the skewed line key.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would strip every line)")
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(group_col).alias("grp"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+        )
+        .withColumn(
+            "_norm",
+            F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")),
+        )
+        .filter(F.col("_norm") != "")
+        .withColumn("_fp", F.md5(F.col("_norm")))
+        .drop("_norm")
+    )
+    boiler = (
+        lines.select("grp", "_fp", "doc")
+        .distinct()
+        .groupBy("grp", "_fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select(F.col("grp").alias("_b_grp"), F.col("_fp").alias("_b_fp"))
+    )
+    survivors = lines.join(
+        boiler,
+        F.col("grp").eqNullSafe(F.col("_b_grp"))
+        & (F.col("_fp") == F.col("_b_fp")),
+        "left_anti",
+    )
+    totals = lines.groupBy("doc", "grp").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    kept = survivors.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(kept, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy(id_col)
+    )

@@ -875,6 +875,58 @@ def test_paragraph_dedup_keeps_intra_doc_order(spark):
     assert out[1].clean_text == "alpha\nbeta"
 
 
+def test_boilerplate_remove_hand_computed(spark):
+    """The frequency rule, hand-checked: a line occurring in >= min_docs
+    DISTINCT docs of the SAME group is stripped everywhere (even its
+    first copy — the contrast with paragraph_dedup); a line shared by
+    fewer docs survives; repeats within ONE doc don't count toward the
+    threshold; the same line in another group is untouched; NULL groups
+    form one group of their own (null-safe key)."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import boilerplate_remove
+
+    df = spark.createDataFrame(
+        [
+            # source A: header in 3 docs -> boilerplate at min_docs=3
+            (1, "A", "visit us\nalpha text\nquoted line"),
+            (2, "A", "VISIT   US\nbeta text\nquoted line"),
+            (3, "A", "visit us\ngamma text"),
+            # chorus twice in ONE doc: 1 distinct doc, kept both times
+            (4, "A", "chorus\nverse one\nchorus"),
+            # doc that is ALL boilerplate
+            (5, "A", "visit us"),
+            # source B has the same header once: different group, kept
+            (6, "B", "visit us\ndelta text"),
+            # NULL group: the shared line reaches min_docs among NULLs
+            (7, None, "null banner\none"),
+            (8, None, "null banner\ntwo"),
+            (9, None, "null banner\nthree"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r.doc_id: r for r in boilerplate_remove(df, min_docs=3).collect()}
+    # header stripped from ALL THREE A-docs, including the first
+    assert out[1].clean_text == "alpha text\nquoted line"
+    assert out[2].clean_text == "beta text\nquoted line"
+    assert out[3].clean_text == "gamma text"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    # 'quoted line' is in only 2 docs -> kept
+    assert "quoted line" in out[1].clean_text and "quoted line" in out[2].clean_text
+    # intra-doc repeats don't count: both chorus copies survive in order
+    assert out[4].clean_text == "chorus\nverse one\nchorus"
+    # fully-boilerplate doc keeps its row, hollowed out
+    assert (out[5].n_lines, out[5].n_kept, out[5].clean_text) == (1, 0, "")
+    # same header in source B: only 1 B-doc has it -> kept
+    assert out[6].clean_text == "visit us\ndelta text"
+    # NULL-source docs group together; their banner is stripped
+    assert out[7].clean_text == "one"
+    assert out[8].clean_text == "two"
+    assert out[9].clean_text == "three"
+    with _pt.raises(ValueError, match="min_docs"):
+        boilerplate_remove(df, min_docs=1)
+
+
 def test_duplicate_ngram_spans_hand_computed(spark):
     """3-grams: doc 1 and doc 2 share 'a b c' and 'b c d' (both their
     grams), doc 3 shares nothing, doc 4 is too short for any gram."""
