@@ -1849,14 +1849,20 @@ def q_index_build_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. In the bench suite this runs immediately before
     phrase_search, whose ensure() then matches the fingerprint and
     measures pure query cost."""
-    from fresco_hpc_spark.functions import build_text_index
+    from fresco_hpc_spark.functions import (
+        build_text_index,
+        stamp_text_index_fingerprint,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    # always rebuild: this query IS the build-cost exhibit
+    # always rebuild: this query IS the build-cost exhibit. Stamp via
+    # the exported canonicalizer so phrase_search's ensure() matches
+    # (VERDICT r9 item 2: stamping the RAW fingerprint here while
+    # ensure() compared the sha256 form made every phrase query
+    # silently rebuild the index — 0.42 s → 1.40 s in BENCH_r09).
     build_text_index(docs, "entry_text_index", n_buckets=32)
-    spark.sql(
-        "ALTER TABLE entry_text_index SET TBLPROPERTIES "
-        f"('fresco.fingerprint' = '{_docs_fingerprint(docs, sf_dir)}')"
+    stamp_text_index_fingerprint(
+        spark, "entry_text_index", _docs_fingerprint(docs, sf_dir)
     )
     idx = spark.table("entry_text_index")
     return idx.agg(

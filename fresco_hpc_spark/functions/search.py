@@ -33,6 +33,34 @@ from fresco_hpc_spark.functions.dedup import _h60
 _SALT = "tok|"
 
 
+def canonical_fingerprint(fingerprint: str) -> str:
+    """The ONE stored form of an index content fingerprint: sha256 hex
+    of the raw stamp string. Both writers (``ensure_text_index`` and
+    ``stamp_text_index_fingerprint``) and the staleness check compare
+    THIS form — VERDICT r9 item 2: a call site that stamped the raw
+    string while ensure() compared the sha256 made every subsequent
+    phrase query silently rebuild the index (raw ≠ sha256(raw)), the
+    exact rebuild-per-call bug the canonical form exists to kill.
+    Hashing also sidesteps SQL quoting/backslash escaping in the
+    TBLPROPERTIES literal (ADVICE r8)."""
+    return hashlib.sha256(fingerprint.encode("utf-8")).hexdigest()
+
+
+def stamp_text_index_fingerprint(
+    spark: SparkSession, table_name: str, fingerprint: str
+) -> None:
+    """Persist the corpus fingerprint on an already-built index table
+    in the canonical form ``ensure_text_index`` compares. Any code that
+    builds via :func:`build_text_index` directly (e.g. a build-cost
+    exhibit that must rebuild unconditionally) stamps through HERE so
+    a later ``ensure_text_index(..., fingerprint=same)`` recognizes the
+    index as fresh instead of rebuilding."""
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('fresco.fingerprint' = '{canonical_fingerprint(fingerprint)}')"
+    )
+
+
 def _py_bucket(token: str, n_buckets: int) -> int:
     """Driver-side twin of the JVM bucket expression: first 15 hex
     chars of md5(salt+token) as int, mod n_buckets — byte-identical to
@@ -135,13 +163,9 @@ def ensure_text_index(
     (the explicit build_text_index behavior). Returns True when a
     build happened.
     """
-    import hashlib
-
     spark = docs.sparkSession
     canon = (
-        hashlib.sha256(fingerprint.encode("utf-8")).hexdigest()
-        if fingerprint is not None
-        else None
+        canonical_fingerprint(fingerprint) if fingerprint is not None else None
     )
     if canon is not None and spark.catalog.tableExists(table_name):
         props = {
@@ -154,11 +178,8 @@ def ensure_text_index(
         ):
             return False
     build_text_index(docs, table_name, text_col, id_col, n_buckets)
-    if canon is not None:
-        spark.sql(
-            f"ALTER TABLE {table_name} SET TBLPROPERTIES "
-            f"('fresco.fingerprint' = '{canon}')"
-        )
+    if fingerprint is not None:
+        stamp_text_index_fingerprint(spark, table_name, fingerprint)
     return True
 
 

@@ -882,6 +882,38 @@ def test_ensure_text_index_skips_fresh_rebuilds_stale(spark):
     spark.sql("DROP TABLE IF EXISTS t_ensure_idx")
 
 
+def test_index_build_query_stamp_contract(spark):
+    """Cross-contract pin (VERDICT r9 item 2): the registered build
+    exhibit (q_index_build_text) must stamp the SAME canonical
+    fingerprint form ensure_text_index compares, so the registered
+    phrase query that follows it in suite order is a pure query — no
+    silent rebuild. The r9 regression was exactly this one call site:
+    the exhibit stamped the raw fingerprint string while ensure()
+    compared sha256(raw), so phrase_search re-tokenized the corpus on
+    every invocation (0.42 s → 1.40 s in BENCH_r09)."""
+    import __spark_entry__ as entry
+    from fresco_hpc_spark.functions import (
+        canonical_fingerprint,
+        ensure_text_index,
+    )
+    from tests.conftest import SF_SMALL as sf_dir
+
+    entry.q_index_build_text(spark, sf_dir).collect()
+    docs = entry.table(spark, sf_dir, "documents")
+    fp = entry._docs_fingerprint(docs, sf_dir)
+    # the stored property IS the canonical form…
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql("SHOW TBLPROPERTIES entry_text_index").collect()
+    }
+    assert props["fresco.fingerprint"] == canonical_fingerprint(fp)
+    # …so ensure() with the same raw fingerprint is a no-op
+    assert not ensure_text_index(
+        docs, "entry_text_index", n_buckets=32, fingerprint=fp
+    )
+    spark.sql("DROP TABLE IF EXISTS entry_text_index")
+
+
 def test_name_resolution_unions_both_generators(spark):
     # "rwd cat" has a typo IN the blocking key: first-token blocking
     # can never pair it, but it sorts adjacent to "red cat" — the union
