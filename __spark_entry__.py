@@ -1687,6 +1687,118 @@ def q_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_texts(survivors, budget_tokens=512)
 
 
+def _v5_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture for the v5 curation pipeline: documents ∪ exact copies
+    (doc_id%10==0, +1e6 ids) ∪ REMIX docs (doc_id%7==0, +2e6 ids: the
+    base's first 12 words followed by its remaining words reversed),
+    each wrapped in per-source site chrome (the _lines_with_chrome
+    header / 10-word body lines / footer). Gives every v5 stage
+    visible work: chrome for the frequency filter, whole-document
+    copies that hollow to husks under span surgery and collapse under
+    exact dedup, and remixes whose shared 12-word prefix is excised
+    while their novel reversed tail SURVIVES the quality gate — so the
+    surgery stage shows up in the final n_removed_tokens, not only as
+    vanished documents."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select("doc_id", "text", "source", "lang")
+    )
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source", "lang"
+    )
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    remix_words = F.concat(
+        F.slice(ws, 1, 12),
+        F.reverse(
+            F.slice(ws, F.lit(13), F.greatest(F.size(ws) - 12, F.lit(0)))
+        ),
+    )
+    remix = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(remix_words, " ").alias("text"),
+        "source",
+        "lang",
+    )
+    base = docs.unionByName(dup).unionByName(remix)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda c: F.array_join(F.slice(words, c * 10 + 1, 10), " "),
+        ),
+        "\n",
+    )
+    header = F.concat(
+        F.lit("visit "), F.col("source"), F.lit(" homepage for more stories")
+    )
+    footer = F.concat(
+        F.lit("copyright "), F.col("source"), F.lit(" all rights reserved")
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.concat_ws("\n", header, body, footer).alias("text"),
+    )
+
+
+def q_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 curation pipeline (VERDICT r9 item 6), composing the
+    r9 site-chrome stage with the span/dedup/quality stack in the
+    standard corpus-build order: frequency-threshold boilerplate
+    removal (a line in ≥3 distinct docs of its source is chrome —
+    dropped everywhere) → cross-document 8-gram span SURGERY on the
+    cleaned text (whole-document copies hollow to their first
+    occurrence) → exact dedup on the surgered text (hollowed husks
+    collapse to one canonical '' doc) → C4 rule gate (which rejects
+    that husk via min_words, plus ordinary low-quality docs) →
+    per-source rollup. Every stage is an individually oracle-checked
+    operator; this query proves the composition — the same
+    composite-view pattern as corpus_curation_v3/v4
+    (reference DatabaseQueries.ts:119-190).
+
+    Scale: boilerplate = two partial-agg groupBys + one flagged join
+    (nothing windows the skewed banner key), surgery = min(struct) /
+    distinct-count per gram fingerprint (partial-combine before the
+    shuffle), dedup = one groupBy on the content hash, gate = map-only
+    expressions — nothing in the chain is corpus²."""
+    from fresco_hpc_spark.functions import (
+        boilerplate_remove,
+        exact_dedup,
+        quality_rules,
+        remove_duplicate_ngram_spans,
+        token_count,
+    )
+
+    corpus = _v5_corpus(spark, sf_dir)
+    meta = corpus.select("doc_id", "source", "lang")
+    clean = boilerplate_remove(
+        corpus, group_col="source", min_docs=3
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    surged = remove_duplicate_ngram_spans(clean, n=8).select(
+        "doc_id", F.col("clean_text").alias("text"), "n_removed"
+    )
+    canon = exact_dedup(surged).select(F.col("canonical_id").alias("doc_id"))
+    uniq = surged.join(canon, "doc_id")
+    gated = (
+        quality_rules(uniq.join(meta, "doc_id"))
+        .filter("kept")
+        .select("doc_id")
+    )
+    final = uniq.join(gated, "doc_id").join(meta, "doc_id")
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+            F.sum("n_removed").cast("bigint").alias("n_removed_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact kNN graph (functions/vectors.py knn_graph_blocked):
     every vector's 5 nearest same-label neighbors by exact cosine — the
@@ -2745,9 +2857,74 @@ def queries() -> dict[str, Query]:
         # dict order too — index_build_text precedes phrase_search so
         # the phrase bench number is query-only — but quarantines the
         # heavy Zipf exhibits at the end of its own suite.)
-        # Round-8 window (VERDICT r7 item 1), 50 = 7 + 5 + 38:
-        # (1) the 7 r7 queries that arrived after the r7 window
-        #     filled — never driver-certified (locally parity-green):
+        # Round-10 window (VERDICT r9 item 1), 50 = 12 + 1 + 37:
+        # (1) the 12 queries whose newest driver row is r05 — four
+        #     rounds stale, the rotation's front of the line:
+        "global_percentiles": q_global_percentiles,
+        "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
+        "iqr_trim_agg": q_iqr_trim_agg,
+        "mad_trim_agg": q_mad_trim_agg,
+        "interval_join_clicks": q_interval_join_clicks,
+        "time_weighted_avg": q_time_weighted_avg,
+        "ohlc_hourly": q_ohlc_hourly,
+        "rolling_zscore": q_rolling_zscore,
+        "linear_trend": q_linear_trend,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "histogram2d": q_histogram2d,
+        # (2) new in r10 (VERDICT r9 item 6 — the composed curation
+        #     pipeline must certify in its arrival round):
+        "corpus_curation_v5": q_corpus_curation_v5,
+        # (3) the 37 stalest r06-certified queries, in their prior
+        #     registry order; the remaining 5 r06 rows
+        #     (corpus_curation, dup_clusters, embedding_near_dups,
+        #     asof_click_purchase, decontaminate) lead the r11 window:
+        "corpus_curation_v3": q_corpus_curation_v3,
+        "remove_dup_spans": q_remove_dup_spans,
+        "oov_rate": q_oov_rate,
+        "length_filter": q_length_filter,
+        "cluster_split": q_cluster_split,
+        "bigram_logprob": q_bigram_logprob,
+        "winsorize_values": q_winsorize,
+        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
+        "standardize_values": q_standardize_values,
+        "source_quality": q_source_quality,
+        "pack_sequences": q_pack_sequences,
+        "domain_cap": q_domain_cap,
+        "corpus_curation_v4": q_corpus_curation_v4,
+        "ewma_scan": q_ewma_scan,
+        "holt_forecast": q_holt_forecast,
+        "unigram_logprob": q_unigram_logprob,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "vocab_stats": q_vocab_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "temperature_mixture": q_temperature_mixture,
+        "weighted_repeat": q_weighted_repeat,
+        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
+        "topn_others": q_topn_others,
+        "histogram_bin_index": q_histogram_bin_index,
+        "histogram_range_join": q_histogram_range_join,
+        "etl_block_rates": q_etl_block,
+        "etl_cpu_percent": q_etl_cpu,
+        "etl_mem_metrics": q_etl_mem,
+        "etl_nfs_rates": q_etl_nfs,
+        "exact_dedup": q_exact_dedup,
+        "repetition_stats": q_repetition_stats,
+        "minhash_dup_pairs": q_minhash_dups,
+        "simhash_dup_pairs": q_simhash_dups,
+        "embedding_knn": q_embedding_knn,
+        "embedding_ann_lsh": q_embedding_ann,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "dedup_corpus": q_dedup_corpus,
+        # --- outside the 50-query window. First the 5 remaining
+        # r06-certified queries (lead the r11 rotation):
+        "corpus_curation": q_corpus_curation,
+        "dup_clusters": q_dup_clusters,
+        "embedding_near_dups": q_embedding_near_dups,
+        "asof_click_purchase": q_asof_click_purchase,
+        "decontaminate": q_decontaminate,
+        # then the r8/r9-certified block (the r8+r9 windows, ≤2 rounds
+        # old; index_build_text stays ahead of phrase_search):
         "seasonal_profile": q_seasonal_profile,
         "name_resolution": q_name_resolution,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2755,9 +2932,6 @@ def queries() -> dict[str, Query]:
         "rfm_segments": q_rfm_segments,
         "basket_pairs": q_basket_pairs,
         "pagerank_knn_weighted": q_pagerank_knn_weighted,
-        # (2) the 5 queries new in r8 (bounded-grid KS, write-side
-        #     CDC merge, certified approx percentiles, BPE merges,
-        #     the index build/query split):
         "ks_drift_quantized": q_ks_drift_quantized,
         "ks_reference_drift": q_ks_reference_drift,
         "data_quality_checks": q_data_quality_checks,
@@ -2768,10 +2942,7 @@ def queries() -> dict[str, Query]:
         "bpe_merges": q_bpe_merges,
         "bpe_segments": q_bpe_segments,
         "index_build_text": q_index_build_text,
-        # (2b) new in r9:
         "boilerplate_remove": q_boilerplate_remove,
-        # (3) the 38 stalest multi-certified queries (newest driver
-        #     row r05); the remaining 7 r05 rows lead the r9 window:
         "phash_dup_pairs": q_phash_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_ngram_spans": q_dup_ngram_spans,
@@ -2805,24 +2976,7 @@ def queries() -> dict[str, Query]:
         "column_stats": q_column_stats,
         "availability": q_availability,
         "time_extent": q_time_extent,
-        # --- outside the 50-query window. First the 12 r05-certified
-        # queries deferred to r9 (interval_join_clicks, mad_trim_agg,
-        # iqr_trim_agg, percentile_trimmed_hourly and
-        # global_percentiles yielded their slots to the round-8
-        # arrivals; all 12 lead the r9 rotation):
-        "global_percentiles": q_global_percentiles,
-        "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
-        "iqr_trim_agg": q_iqr_trim_agg,
-        "mad_trim_agg": q_mad_trim_agg,
-        "interval_join_clicks": q_interval_join_clicks,
-        "time_weighted_avg": q_time_weighted_avg,
-        "ohlc_hourly": q_ohlc_hourly,
-        "rolling_zscore": q_rolling_zscore,
-        "linear_trend": q_linear_trend,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "histogram2d": q_histogram2d,
-        # then the r06/r07-certified remainder (full-parity covers
+        # then the r07-certified remainder (full-parity covers
         # all of these locally every session):
         "quality_rules": q_quality_rules,
         "class_centroids": q_class_centroids,
@@ -2874,48 +3028,6 @@ def queries() -> dict[str, Query]:
         "containment_pairs_prefix": q_containment_pairs_prefix,
         "containment_plain_zipf": q_containment_plain_zipf,
         "containment_prefix_zipf": q_containment_prefix_zipf,
-        "corpus_curation_v3": q_corpus_curation_v3,
-        "remove_dup_spans": q_remove_dup_spans,
-        "oov_rate": q_oov_rate,
-        "length_filter": q_length_filter,
-        "cluster_split": q_cluster_split,
-        "bigram_logprob": q_bigram_logprob,
-        "winsorize_values": q_winsorize,
-        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
-        "standardize_values": q_standardize_values,
-        "source_quality": q_source_quality,
-        "pack_sequences": q_pack_sequences,
-        "domain_cap": q_domain_cap,
-        "corpus_curation_v4": q_corpus_curation_v4,
-        "ewma_scan": q_ewma_scan,
-        "holt_forecast": q_holt_forecast,
-        "unigram_logprob": q_unigram_logprob,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "vocab_stats": q_vocab_stats,
-        "semantic_dedup": q_semantic_dedup,
-        "temperature_mixture": q_temperature_mixture,
-        "weighted_repeat": q_weighted_repeat,
-        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
-        "topn_others": q_topn_others,
-        "histogram_bin_index": q_histogram_bin_index,
-        "histogram_range_join": q_histogram_range_join,
-        "etl_block_rates": q_etl_block,
-        "etl_cpu_percent": q_etl_cpu,
-        "etl_mem_metrics": q_etl_mem,
-        "etl_nfs_rates": q_etl_nfs,
-        "exact_dedup": q_exact_dedup,
-        "repetition_stats": q_repetition_stats,
-        "minhash_dup_pairs": q_minhash_dups,
-        "simhash_dup_pairs": q_simhash_dups,
-        "embedding_knn": q_embedding_knn,
-        "embedding_ann_lsh": q_embedding_ann,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "dedup_corpus": q_dedup_corpus,
-        "corpus_curation": q_corpus_curation,
-        "dup_clusters": q_dup_clusters,
-        "embedding_near_dups": q_embedding_near_dups,
-        "asof_click_purchase": q_asof_click_purchase,
-        "decontaminate": q_decontaminate,
     }
 
 
@@ -5427,6 +5539,172 @@ def oracle_sql() -> dict[str, str]:
                    AS packed_text
         FROM po GROUP BY source, bin_id
         ORDER BY source, bin_id
+    """
+
+    # v5 pipeline: chrome-wrapped dup corpus → the boilerplate oracle's
+    # frequency CTEs → the remove_dup_spans oracle's surgery CTEs → the
+    # exact_dedup fingerprint → the quality_rules gate → rollup. Every
+    # fragment is the proven oracle of its standalone stage.
+    oracles["corpus_curation_v5"] = r"""
+        WITH base AS (
+            SELECT doc_id, text, source, lang FROM documents
+            WHERE trim(text) <> ''
+            UNION ALL
+            SELECT doc_id + 1000000, text, source, lang FROM documents
+            WHERE doc_id % 10 = 0 AND trim(text) <> ''
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   array_to_string(ws[1:12] || list_reverse(ws[13:]), ' '),
+                   source, lang
+            FROM (
+                SELECT doc_id, source, lang,
+                       regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE doc_id % 7 = 0 AND trim(text) <> ''
+            )
+        ),
+        srcw AS (
+            SELECT doc_id, source, lang,
+                   regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM base
+        ),
+        segs AS (
+            SELECT doc_id, source, t.c + 1 AS idx,
+                   array_to_string(ws[(t.c*10 + 1):(t.c*10 + 10)], ' ') AS line
+            FROM srcw,
+                 UNNEST(generate_series(
+                     0, CAST(ceil(array_length(ws) / 10.0) AS BIGINT) - 1
+                 )) AS t(c)
+        ),
+        all_lines AS (
+            SELECT doc_id, source, 0 AS idx,
+                   'visit ' || source || ' homepage for more stories' AS line
+            FROM srcw
+            UNION ALL
+            SELECT doc_id, source, idx, line FROM segs
+            UNION ALL
+            SELECT doc_id, source, 1000000 AS idx,
+                   'copyright ' || source || ' all rights reserved' AS line
+            FROM srcw
+        ),
+        norm AS (
+            SELECT doc_id, source, idx, line,
+                   trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS fp
+            FROM all_lines
+            WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g')) <> ''
+        ),
+        boiler AS (
+            SELECT source, fp
+            FROM (
+                SELECT source, fp, COUNT(DISTINCT doc_id) AS nd
+                FROM norm GROUP BY source, fp
+            ) WHERE nd >= 3
+        ),
+        bsurv AS (
+            SELECT n.* FROM norm n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM boiler b
+                WHERE b.fp = n.fp AND b.source IS NOT DISTINCT FROM n.source
+            )
+        ),
+        clean AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+            FROM bsurv GROUP BY doc_id
+        ),
+        sws AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+            FROM clean
+        ),
+        stoks AS (
+            SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS word
+            FROM sws, UNNEST(generate_series(1, array_length(ws))) AS t(i)
+            WHERE ws[t.i] <> ''
+        ),
+        sgrams AS (
+            SELECT doc_id, t.i - 1 AS pos,
+                   md5(array_to_string(ws[t.i:(t.i + 7)], ' ')) AS gfp
+            FROM sws,
+                 UNNEST(generate_series(1, array_length(ws) - 7)) AS t(i)
+            WHERE array_length(ws) >= 8
+        ),
+        gnd AS (
+            SELECT gfp, COUNT(DISTINCT doc_id) AS nd FROM sgrams GROUP BY gfp
+        ),
+        gwin AS (
+            SELECT gfp, doc_id AS wdoc, pos AS wpos FROM (
+                SELECT gfp, doc_id, pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY gfp ORDER BY doc_id, pos
+                       ) AS rn
+                FROM sgrams
+            ) WHERE rn = 1
+        ),
+        gremoved AS (
+            SELECT g.doc_id, g.pos
+            FROM sgrams g JOIN gnd USING (gfp) JOIN gwin USING (gfp)
+            WHERE gnd.nd >= 2
+              AND (g.doc_id <> gwin.wdoc OR g.pos <> gwin.wpos)
+        ),
+        gcovered AS (
+            SELECT DISTINCT r.doc_id, r.pos + t.k AS pos
+            FROM gremoved r, UNNEST(generate_series(0, 7)) AS t(k)
+        ),
+        gkept AS (
+            SELECT t.doc_id, t.pos, t.word
+            FROM stoks t LEFT JOIN gcovered c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+        ),
+        gtotals AS (
+            SELECT doc_id, COUNT(*) AS n_tokens FROM stoks GROUP BY doc_id
+        ),
+        grebuilt AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS text
+            FROM gkept GROUP BY doc_id
+        ),
+        surged AS (
+            SELECT t.doc_id,
+                   CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(r.text, '') AS text
+            FROM gtotals t LEFT JOIN grebuilt r USING (doc_id)
+        ),
+        canon AS (
+            SELECT MIN(doc_id) AS doc_id FROM (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                           AS dfp
+                FROM surged
+            ) GROUP BY dfp
+        ),
+        uniq AS (SELECT s.* FROM surged s JOIN canon USING (doc_id)),
+        meta AS (SELECT doc_id, source, lang FROM base),
+        qs AS (
+            SELECT u.doc_id, u.n_removed, m.source, m.lang,
+                   CAST(CASE WHEN length(trim(u.text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(u.text), '\s+'))
+                        END AS BIGINT) AS n_words,
+                   CAST(length(regexp_replace(u.text, '\s', '', 'g'))
+                        AS BIGINT) AS non_ws,
+                   CAST(len(regexp_extract_all(lower(u.text),
+                        '\b(the|a|of|to|and|is|in|that|it|for|on|with|as|at|by)\b'))
+                        AS BIGINT) AS stop
+            FROM uniq u JOIN meta m USING (doc_id)
+        ),
+        gated AS (
+            SELECT * FROM qs
+            WHERE n_words >= 20
+              AND (non_ws / CAST(GREATEST(n_words, 1) AS DOUBLE)) >= 2.5
+              AND (non_ws / CAST(GREATEST(n_words, 1) AS DOUBLE)) <= 12.0
+              AND stop > 0
+              AND lang = 'en'
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_removed) AS BIGINT) AS n_removed_tokens
+        FROM gated GROUP BY source ORDER BY source
     """
 
     oracles["knn_graph"] = f"""

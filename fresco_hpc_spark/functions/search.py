@@ -159,9 +159,11 @@ def ensure_text_index(
     storing a quote-sanitized variant but comparing against the raw
     string made any fingerprint containing a quote rebuild on every
     call; hashing sidesteps SQL quoting and backslash escaping
-    entirely). With ``fingerprint=None`` the index is always rebuilt
-    (the explicit build_text_index behavior). Returns True when a
-    build happened.
+    entirely). Indexes stamped by pre-sha256 code (raw or
+    quote-sanitized fingerprints) never match the canonical form and
+    rebuild ONCE after upgrade — expected, self-healing. With
+    ``fingerprint=None`` the index is always rebuilt (the explicit
+    build_text_index behavior). Returns True when a build happened.
     """
     spark = docs.sparkSession
     canon = (

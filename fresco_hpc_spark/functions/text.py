@@ -1103,10 +1103,18 @@ def boilerplate_remove(
     Scale shape (100 TB): split+explode is map-only. The boilerplate
     set is two partial-aggregatable groupBys — distinct (group, line,
     doc) then count per (group, line) — so a banner repeated on a
-    billion pages arrives at the shuffle pre-combined. Survivors are a
-    LEFT ANTI join of lines against that (far smaller) set on the
-    null-safe (group, fingerprint) key; reassembly is a per-doc groupBy
-    over survivors only. Nothing is windowed over the skewed line key.
+    billion pages arrives at the shuffle pre-combined. Each line is
+    then FLAGGED via one LEFT join against that (far smaller) set on
+    the null-safe (group, fingerprint) key, and a single per-doc
+    groupBy computes the total, the kept count, and the reassembled
+    text together (ADVICE r9: the earlier anti-join + separate totals
+    aggregate + reassembly join consumed the exploded relation three
+    times and shuffled twice more). The exploded relation is still
+    read twice — once to build the frequency set, once to flag — which
+    is inherent to the threshold rule; both reads are map-only off the
+    scan, and caching an exploded corpus larger than its source would
+    cost more than the recompute. Nothing is windowed over the skewed
+    line key.
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would strip every line)")
@@ -1132,33 +1140,31 @@ def boilerplate_remove(
         .filter(F.col("_nd") >= min_docs)
         .select(F.col("grp").alias("_b_grp"), F.col("_fp").alias("_b_fp"))
     )
-    survivors = lines.join(
+    flagged = lines.join(
         boiler,
         F.col("grp").eqNullSafe(F.col("_b_grp"))
         & (F.col("_fp") == F.col("_b_fp")),
-        "left_anti",
-    )
-    totals = lines.groupBy("doc", "grp").agg(
-        F.count(F.lit(1)).alias("n_lines")
-    )
-    kept = survivors.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda s: s["line"],
-            ),
-            join_sep,
-        ).alias("clean_text"),
+        "left",
+    ).withColumn("_is_b", F.col("_b_fp").isNotNull())
+    kept_lines = F.filter(
+        F.array_sort(F.collect_list(F.struct("idx", "line", "_is_b"))),
+        lambda s: ~s["_is_b"],
     )
     return (
-        totals.join(kept, "doc", "left")
+        flagged.groupBy("doc", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(~F.col("_is_b"), F.lit(1))).alias("n_kept"),
+            F.array_join(
+                F.transform(kept_lines, lambda s: s["line"]), join_sep
+            ).alias("clean_text"),
+        )
         .select(
             F.col("doc").alias(id_col),
             F.col("grp").alias(group_col),
             F.col("n_lines").cast("bigint").alias("n_lines"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            "clean_text",
         )
         .orderBy(id_col)
     )

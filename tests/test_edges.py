@@ -113,41 +113,49 @@ def test_driver_contract_consistency():
 
 def test_correctness_window_contains_priority_queries():
     """The driver certifies the FIRST 50 queries() keys each round. The
-    round-8 window must hold (VERDICT r7 item 1) the 7 r7 queries that
-    were never driver-certified, every query new in r8, and the
-    38 stalest multi-certified queries (newest driver row r05) — an
-    accidental insertion above them silently pushes the tail out of
-    the window while the comments still claim coverage (r6 review
-    finding: three queries drifted to positions 51-53). The bench-order
-    dependency is pinned too: index_build_text must precede
-    phrase_search so the phrase bench number is query-only."""
+    round-10 window must hold (VERDICT r9 item 1) the 12 queries whose
+    newest driver row is r05 (four rounds stale), the query new in r10,
+    and the 37 stalest r06-certified queries — an accidental insertion
+    above them silently pushes the tail out of the window while the
+    comments still claim coverage (r6 review finding: three queries
+    drifted to positions 51-53; r9 repeat: boilerplate_remove pushed
+    time_extent to position 51). The pin is exactly window-sized
+    (VERDICT r9 item 4): an insertion that grows it past 50 fails HERE,
+    at authoring time, not at judging time. The bench-order dependency
+    is pinned too: index_build_text must precede phrase_search so the
+    phrase bench number is query-only."""
     import __spark_entry__ as m
 
     names = list(m.queries())
     window = names[:50]
     priority = {
-        # r7 arrivals the r7 window had no room for — never certified
-        "seasonal_profile", "name_resolution", "revenue_by_nation",
-        "revenue_monthly_yoy", "rfm_segments", "basket_pairs",
-        "pagerank_knn_weighted",
-        # new in round 8
-        "ks_drift_quantized", "ks_reference_drift", "data_quality_checks",
-        "quantile_normalize", "merge_upsert", "approx_percentiles",
-        "grouped_approx_percentiles", "bpe_merges", "bpe_segments",
-        "index_build_text",
-        # stalest multi-certified block (newest driver row r05)
-        "phash_dup_pairs", "paragraph_dedup", "dup_ngram_spans",
-        "hopping_window", "tfidf_top_terms", "profile_columns",
-        "corpus_curation_v2", "lead_quartile_events", "pivot_wide",
-        "unpivot_long", "synthetic_gen", "wide_table_roundtrip",
-        "rolling_hour_avg", "session_stats", "daily_uniques",
-        "topk_users_per_event", "set_ops_events", "gap_fill_hourly",
-        "monthly_rollup", "cast_double_view", "scaled_view", "zero_fill",
-        "join_broadcast_dim", "join_large_sortmerge", "join_semi_anti",
-        "join_salted_skew", "rollup_monthly_events",
-        "cube_user_bucket_events", "hourly_agg", "time_bound_hourly",
-        "column_stats", "availability", "time_extent",
+        # the 12 r05-stale queries — rotation front of the line
+        "global_percentiles", "percentile_trimmed_hourly", "iqr_trim_agg",
+        "mad_trim_agg", "interval_join_clicks", "time_weighted_avg",
+        "ohlc_hourly", "rolling_zscore", "linear_trend", "funnel",
+        "cohort_retention", "histogram2d",
+        # new in round 10
+        "corpus_curation_v5",
+        # the 37 stalest r06-certified queries (the remaining 5 —
+        # corpus_curation, dup_clusters, embedding_near_dups,
+        # asof_click_purchase, decontaminate — lead the r11 window)
+        "corpus_curation_v3", "remove_dup_spans", "oov_rate",
+        "length_filter", "cluster_split", "bigram_logprob",
+        "winsorize_values", "embedding_ann_ivf_index",
+        "standardize_values", "source_quality", "pack_sequences",
+        "domain_cap", "corpus_curation_v4", "ewma_scan", "holt_forecast",
+        "unigram_logprob", "cross_corpus_dedup", "vocab_stats",
+        "semantic_dedup", "temperature_mixture", "weighted_repeat",
+        "ngram_jaccard_plain_zipf", "topn_others", "histogram_bin_index",
+        "histogram_range_join", "etl_block_rates", "etl_cpu_percent",
+        "etl_mem_metrics", "etl_nfs_rates", "exact_dedup",
+        "repetition_stats", "minhash_dup_pairs", "simhash_dup_pairs",
+        "embedding_knn", "embedding_ann_lsh", "embedding_ann_ivf",
+        "dedup_corpus",
     }
+    assert len(priority) == 50, (
+        f"priority pin must be exactly window-sized, got {len(priority)}"
+    )
     missing = priority - set(window)
     assert not missing, f"priority queries outside the 50-window: {missing}"
     assert names.index("index_build_text") < names.index("phrase_search")

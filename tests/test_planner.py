@@ -496,7 +496,10 @@ def test_merge_into_store_cross_hour_move(spark, tmp_path):
     )
 
     store, ev = _merge_fixture(spark, tmp_path)
-    moved = ev.filter(F.hour("time") == 3).limit(4).cache()
+    # deterministic row pick (ADVICE r9): limit-without-ORDER-BY can
+    # recompute differently after cache eviction, deriving dele/upst
+    # from rows other than the collected ids
+    moved = ev.filter(F.hour("time") == 3).orderBy("event_id").limit(4).cache()
     ids = [r.event_id for r in moved.select("event_id").collect()]
     assert len(ids) == 4
     dele = moved.withColumn("op", F.lit("delete"))
@@ -686,6 +689,118 @@ def test_zorder_clusters_both_dimensions_for_rowgroup_pruning(spark, tmp_path):
         (F.col("x") >= lo) & (F.col("x") <= hi) & (F.col("y") >= lo) & (F.col("y") <= hi)
     )
     assert a.count() == b.count() > 0
+
+
+def test_merge_zorder_preserves_rowgroup_pruning(spark, tmp_path):
+    """CDC churn must not destroy the store's clustering (VERDICT r9
+    item 7): merge_into_store rewrites touched hour partitions, so
+    without re-clustering a z-ordered store gradually reverts to
+    unpruned scans on merged hours. With zorder_cols= the rewritten
+    partition's parquet footers must prune a 2-D box about as well as
+    a freshly z-ordered write of the same rows — measured on real
+    row-group min/max stats — and far better than an unclustered
+    rewrite. Also pins that the _zkey sort survives the pre-write
+    projection that drops the key (a writer-inserted re-sort on
+    partition cols would scramble it silently)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.plans import merge_into_store, read_partitioned_store
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", str(16 * 1024))
+    try:
+        n = 60_000
+        base = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.lit("2024-01-05 03:00:00").cast("timestamp").alias("time"),
+            (F.pmod(F.hash("id"), F.lit(10_000)) / 100.0).alias("x"),
+            (F.pmod(F.hash(F.col("id") * 31 + 7), F.lit(10_000)) / 100.0).alias("y"),
+        )
+        store = str(tmp_path / "store")
+        merge_into_store(
+            spark, store, base.withColumn("op", F.lit("upsert")),
+            ["event_id"], zorder_cols=["x", "y"],
+        )
+        # CDC batch: modify 1000 rows in the stored hour, re-cluster
+        batch = (
+            base.filter(F.col("event_id") < 1000)
+            .withColumn("x", (F.col("x") + 7.0) % 100.0)
+            .withColumn("op", F.lit("upsert"))
+        )
+        merge_into_store(
+            spark, store, batch, ["event_id"], zorder_cols=["x", "y"]
+        )
+        [part] = glob.glob(store + "/year=*/month=*/day=*/hour=*")
+
+        lo, hi = 40.0, 60.0  # ~4% of the 2-D space
+
+        def intersecting_fraction(path):
+            total = hit = 0
+            for f in glob.glob(path + "/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                names = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    sx = rg.column(names["x"]).statistics
+                    sy = rg.column(names["y"]).statistics
+                    total += 1
+                    if (sx.min <= hi and sx.max >= lo
+                            and sy.min <= hi and sy.max >= lo):
+                        hit += 1
+            assert total >= 20, f"need many row groups to measure, got {total}"
+            return hit / total
+
+        frac_merged = intersecting_fraction(part)
+
+        # unclustered rewrite of the same rows: the decay this guards against
+        scrambled = str(tmp_path / "scrambled")
+        (
+            read_partitioned_store(spark, store)
+            .repartition(4)
+            .write.option("parquet.block.size", 16 * 1024)
+            .mode("overwrite")
+            .parquet(scrambled)
+        )
+        assert frac_merged < intersecting_fraction(scrambled) * 0.5
+
+        # freshly z-ordered write of the SAME final rows: the target
+        final = read_partitioned_store(spark, store).drop(
+            "year", "month", "day", "hour"
+        )
+        fresh = str(tmp_path / "fresh")
+        merge_into_store(
+            spark, fresh, final.withColumn("op", F.lit("upsert")),
+            ["event_id"], zorder_cols=["x", "y"],
+        )
+        [fresh_part] = glob.glob(fresh + "/year=*/month=*/day=*/hour=*")
+        assert frac_merged <= intersecting_fraction(fresh_part) * 1.3
+
+        # the merged store's data (and schema) is unchanged by clustering
+        back = read_partitioned_store(spark, store)
+        assert "_zkey" not in back.columns
+        assert back.count() == n
+        expected = base.withColumn(
+            "x",
+            F.when(F.col("event_id") < 1000, (F.col("x") + 7.0) % 100.0)
+            .otherwise(F.col("x")),
+        )
+        assert (
+            back.select("event_id", "time", "x", "y")
+            .exceptAll(expected)
+            .count()
+            == 0
+        )
+    finally:
+        if old_block is None:
+            hc.unset("parquet.block.size")
+        else:
+            hc.set("parquet.block.size", old_block)
 
 
 def test_bucketed_band_index_joins_without_index_side_exchange(spark, tmp_path):
