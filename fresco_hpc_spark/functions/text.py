@@ -155,14 +155,24 @@ def rolling_fingerprint(
 
 
 def document_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """Deterministic content fingerprint: md5 of the whitespace-normalized,
-    lower-cased text. The canonical key for exact dedup."""
+    lower-cased text. The canonical key for exact dedup. With
+    ``keep_cols`` the fingerprint is appended to the full row instead
+    of projecting down to (id, fingerprint) — the shape pipeline
+    compositions need to dedup in ONE pass via
+    ``groupBy(fingerprint).agg(min(struct(id, ...)))`` rather than
+    computing canonical ids separately and joining back (which makes
+    the upstream lineage a two-consumer plan)."""
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    return df.select(
-        F.col(id_col), F.md5(normalized.cast("binary")).alias("fingerprint")
-    )
+    fp = F.md5(normalized.cast("binary")).alias("fingerprint")
+    if keep_cols:
+        return df.select("*", fp)
+    return df.select(F.col(id_col), fp)
 
 
 def repetition_stats(
