@@ -763,6 +763,39 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "sample_rank")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (functions/sampling.py
+    dsir_logweights; Xie et al. 2023): every document scored by how
+    target-like its hashed unigram+bigram profile is, with
+    src0/src1 as the in-domain proxy corpus — the
+    train-a-nothing data-selection operator a pretraining mix runs
+    before any model-based filtering. Per-(doc, bucket) terms are
+    quantized to integer micro-nats before the per-doc sum and the log
+    ratio's operands are exact BIGINT products, so the weights are
+    byte-identical in DuckDB."""
+    from fresco_hpc_spark.functions import dsir_logweights
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return dsir_logweights(docs, target, n_buckets=512).orderBy("doc_id")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection (functions/sampling.py dsir_select):
+    100 documents sampled without replacement with inclusion ∝ the
+    importance weight — Gumbel(0,1) noise on the md5 coin added to
+    log w, k largest keys win (the log-space sibling of A-Res). The
+    noisy key is micro-nat-quantized before ranking, ties break on the
+    id, and the top-k is a TakeOrderedAndProject — no global sort."""
+    from fresco_hpc_spark.functions import dsir_select
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return dsir_select(docs, target, k=100, n_buckets=512).orderBy(
+        "sample_rank"
+    )
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/eval split (10% eval for gate visibility):
     per-split, per-source counts — membership is a pure function of
@@ -2932,13 +2965,16 @@ def queries() -> dict[str, Query]:
         "embedding_ann_lsh": q_embedding_ann,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "dedup_corpus": q_dedup_corpus,
-        # --- outside the 50-query window. First the 5 remaining
-        # r06-certified queries (lead the r11 rotation):
+        # --- outside the 50-query window. First the r11 leads: the 5
+        # remaining r06-certified queries plus the two never-certified
+        # r10 arrivals (locally parity-green):
         "corpus_curation": q_corpus_curation,
         "dup_clusters": q_dup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "asof_click_purchase": q_asof_click_purchase,
         "decontaminate": q_decontaminate,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         # then the r8/r9-certified block (the r8+r9 windows, ≤2 rounds
         # old; index_build_text stays ahead of phrase_search):
         "seasonal_profile": q_seasonal_profile,
@@ -5721,6 +5757,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_words) AS BIGINT) AS n_tokens,
                CAST(SUM(n_removed) AS BIGINT) AS n_removed_tokens
         FROM gated GROUP BY source ORDER BY source
+    """
+
+    # DSIR (Xie et al. 2023): hashed unigram+bigram bucket models with
+    # Laplace +1, exact-BIGINT-product log ratios, per-(doc, bucket)
+    # micro-nat quantization before the per-doc sum — the same
+    # determinism recipe as the source_token_divergence oracle.
+    _DSIR_W_CTES = r"""
+        raww AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, source, ws[i] AS f
+            FROM raww, UNNEST(generate_series(1, len(ws))) AS t(i)
+            WHERE ws[i] <> ''
+            UNION ALL
+            SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS f
+            FROM raww, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        ),
+        buck AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('dsir|' || f), 1, 15))::BIGINT % 512
+                       AS bucket
+            FROM feats
+        ),
+        rawc AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+            FROM buck GROUP BY bucket
+        ),
+        tgtc AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM buck WHERE source IN ('src0', 'src1') GROUP BY bucket
+        ),
+        tot AS (
+            SELECT (SELECT SUM(cr) FROM rawc) AS n_r,
+                   (SELECT COALESCE(SUM(ct), 0) FROM tgtc) AS n_t
+        ),
+        model AS (
+            SELECT r.bucket,
+                   (COALESCE(t.ct, 0) + 1) * (tot.n_r + 512) AS num,
+                   (r.cr + 1) * (tot.n_t + 512) AS den
+            FROM rawc r LEFT JOIN tgtc t USING (bucket), tot
+        ),
+        dc AS (
+            SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c_db
+            FROM buck GROUP BY doc_id, bucket
+        ),
+        w AS (
+            SELECT doc_id,
+                   CAST(SUM(c_db) AS BIGINT) AS n_feats,
+                   CAST(SUM(CAST(ROUND(
+                       c_db * ln(num / CAST(den AS DOUBLE)) * 1000000, 0
+                   ) AS BIGINT)) AS BIGINT) AS logw_micro
+            FROM dc JOIN model USING (bucket) GROUP BY doc_id
+        )
+    """
+
+    oracles["dsir_weights"] = f"""
+        WITH {_DSIR_W_CTES}
+        SELECT doc_id, n_feats, logw_micro,
+               ROUND(logw_micro / 1000000.0, 6) AS logw
+        FROM w ORDER BY doc_id
+    """
+
+    oracles["dsir_select"] = f"""
+        WITH {_DSIR_W_CTES},
+        sel AS (
+            SELECT doc_id, n_feats, logw_micro,
+                   ROUND(logw_micro / 1000000.0, 6) AS logw,
+                   logw_micro + CAST(ROUND(
+                       (-ln(-ln(
+                           (('0x' || substr(md5('dsirg|' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            + 0.5) / 1152921504606846976.0
+                       ))) * 1000000, 0
+                   ) AS BIGINT) AS select_key_micro
+            FROM w
+        )
+        SELECT doc_id, n_feats, logw_micro, logw, select_key_micro,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY select_key_micro DESC, doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM sel ORDER BY select_key_micro DESC, doc_id LIMIT 100
     """
 
     oracles["knn_graph"] = f"""

@@ -694,3 +694,179 @@ def length_bucket_profile(
         )
         .orderBy("bucket")
     )
+
+
+def _dsir_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Word unigram + bigram features per document (with multiplicity),
+    the DSIR feature space before hashing. Map-only: one split, two
+    array transforms, one explode."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    unis = F.filter(words, lambda x: x != "")
+    bis = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.concat(unis, bis)).alias("feat"),
+    ).filter(F.col("feat") != "")
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, *Data Selection
+    for Language Models via Importance Resampling*): score every raw
+    document by how target-like its hashed n-gram profile is —
+    ``log w(x) = Σ_b c_b(x)·(log p_b − log q_b)`` with ``p``/``q``
+    bag-of-hashed-ngram (unigram+bigram, ``n_buckets`` buckets,
+    Laplace +1) models of the target and raw corpora. The standard
+    pretraining-data selection operator: rank a web crawl by domain
+    affinity to a small in-domain corpus without training a model.
+
+    Output: one row per raw document — ``n_feats`` (feature
+    occurrences) and ``logw_micro`` (BIGINT micro-nats) /
+    ``logw`` (6-dp view).
+
+    Exactness contract (oracle rule 8): the per-(doc, bucket) term
+    ``c_db·ln(ratio_b)`` is quantized to integer micro-nats before the
+    per-doc sum (order-free, cross-engine identical), and the log
+    ratio's operands are exact BIGINT products
+    ``(ct_b+1)·(Nr+B) / (cr_b+1)·(Nt+B)`` — exact while corpus feature
+    mass stays under ~2×10⁹ per side (document the shard-and-merge
+    route past that; same caveat as source_token_divergence).
+
+    Scale shape (100 TB): feature extraction is map-only; both bucket
+    models are ``n_buckets``-row aggregates with map-side partials (a
+    bucket hit a billion times pre-combines); the per-doc score joins
+    the (doc, bucket) counts against the BROADCAST bucket table and
+    sums per doc — one shuffle on the doc key. The hash is the shared
+    md5 ``_h60`` so every weight is byte-identical in DuckDB.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    b = F.lit(int(n_buckets))
+
+    def bucketed(frame: DataFrame) -> DataFrame:
+        return _dsir_features(frame, text_col, id_col).select(
+            "doc",
+            F.pmod(
+                _h60(F.concat(F.lit(salt + "|"), F.col("feat"))), b
+            ).alias("bucket"),
+        )
+
+    raw_b = bucketed(raw)
+    tgt_counts = (
+        bucketed(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_counts = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt_counts.agg(F.sum("ct").alias("n_t"))
+    nr = raw_counts.agg(F.sum("cr").alias("n_r"))
+    model = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                * (F.col("n_r") + b.cast("bigint"))
+            ).alias("_num"),
+            ((F.col("cr") + 1) * (F.col("n_t") + b.cast("bigint"))).alias(
+                "_den"
+            ),
+        )
+    )
+    doc_counts = raw_b.groupBy("doc", "bucket").agg(
+        F.count(F.lit(1)).alias("c_db")
+    )
+    term = F.round(
+        F.col("c_db") * F.log(F.col("_num") / F.col("_den")) * 1_000_000, 0
+    ).cast("bigint")
+    return (
+        doc_counts.join(F.broadcast(model), "bucket")
+        .select("doc", "c_db", term.alias("u"))
+        .groupBy("doc")
+        .agg(
+            F.sum("c_db").cast("bigint").alias("n_feats"),
+            F.sum("u").alias("logw_micro"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_feats",
+            "logw_micro",
+            F.round(F.col("logw_micro") / 1_000_000.0, 6).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    gumbel: bool = True,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: sample ``k`` raw documents without replacement
+    with inclusion probability ∝ the importance weight ``w(x)`` from
+    :func:`dsir_logweights`, via Gumbel-top-k (adding Gumbel(0,1)
+    noise to ``log w`` and taking the k largest keys draws exactly a
+    weighted sample without replacement — the log-space sibling of the
+    A-Res reservoir in :func:`weighted_sample_k`). The Gumbel draw
+    rides the deterministic md5 coin (shifted to the open interval so
+    the double log never sees 0), so the selection is reproducible
+    across partitionings, retries, and engines, and the noisy key is
+    quantized to micro-nats before ranking (a last-ulp libm difference
+    cannot flip a rank; ties break on the id). ``gumbel=False`` gives
+    the deterministic top-k-by-weight variant (pure exploitation — the
+    paper's ablation).
+
+    Scale shape: everything up to the per-doc weights is
+    :func:`dsir_logweights`; the selection itself is top-k by
+    (key desc, id) — a ``TakeOrderedAndProject``, no global sort.
+    Output adds ``select_key_micro`` and ``sample_rank``.
+    """
+    from pyspark.sql import Window
+
+    weights = dsir_logweights(
+        raw, target, text_col, id_col, n_buckets=n_buckets, salt=salt
+    )
+    if gumbel:
+        u = (
+            _h60(
+                F.concat(
+                    F.lit(salt + "g|"), F.col(id_col).cast("string")
+                ).cast("string")
+            )
+            + F.lit(0.5)
+        ) / F.lit(float(2**60))
+        g = -F.log(-F.log(u))
+        key = F.col("logw_micro") + F.round(g * 1_000_000, 0).cast("bigint")
+    else:
+        key = F.col("logw_micro")
+    keyed = weights.withColumn("select_key_micro", key)
+    return (
+        keyed.orderBy(F.desc("select_key_micro"), F.col(id_col))
+        .limit(int(k))
+        .withColumn(
+            "sample_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("select_key_micro"), F.col(id_col)))
+            .cast("bigint"),
+        )
+    )

@@ -1638,3 +1638,59 @@ def test_knn_graph_null_block_forms_own_block(spark):
     # null-block vectors pick neighbors inside the null block only
     assert out[3][0] in (4, 5) and out[3][1] is None
     assert out[4][0] in (3, 5) and out[5][0] in (3, 4)
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR's core contract: documents sharing the target corpus's
+    n-gram profile get higher log-weights than out-of-domain ones, and
+    the deterministic (gumbel=False) top-k returns exactly the most
+    target-like docs. The raw corpus is half medical-ish (the target
+    domain), half legalese; weights must separate the halves
+    completely."""
+    from fresco_hpc_spark.functions import dsir_logweights, dsir_select
+
+    med = "patient dose trial symptom clinical patient dose outcome"
+    law = "plaintiff herein whereas statute covenant hereby liability"
+    raw = spark.createDataFrame(
+        [(i, (med if i % 2 == 0 else law) + f" filler{i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(100 + i, "patient trial dose clinical symptom outcome") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    w = {r.doc_id: r.logw for r in dsir_logweights(raw, target, n_buckets=64).collect()}
+    assert set(w) == set(range(40))
+    assert min(w[i] for i in range(0, 40, 2)) > max(w[i] for i in range(1, 40, 2))
+    top = dsir_select(raw, target, k=10, n_buckets=64, gumbel=False).collect()
+    assert [r.sample_rank for r in top] == list(range(1, 11))
+    assert all(r.doc_id % 2 == 0 for r in top)
+
+
+def test_dsir_is_partition_invariant_and_validates(spark):
+    """The md5 coin + micro-nat quantization make weights and the
+    Gumbel selection identical under any partitioning (the property
+    .sample() lacks); n_buckets < 2 raises."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import dsir_logweights, dsir_select
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta gamma token{i} delta epsilon zeta") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    target = raw.filter("doc_id < 5")
+    a = dsir_logweights(raw, target, n_buckets=32).collect()
+    b = dsir_logweights(
+        raw.repartition(7), target.repartition(3), n_buckets=32
+    ).collect()
+    assert sorted((r.doc_id, r.logw_micro) for r in a) == sorted(
+        (r.doc_id, r.logw_micro) for r in b
+    )
+    s1 = [(r.doc_id, r.select_key_micro) for r in dsir_select(
+        raw, target, k=7, n_buckets=32).collect()]
+    s2 = [(r.doc_id, r.select_key_micro) for r in dsir_select(
+        raw.repartition(5), target, k=7, n_buckets=32).collect()]
+    assert s1 == s2 and len(s1) == 7
+    with _pt.raises(ValueError):
+        dsir_logweights(raw, target, n_buckets=1)
