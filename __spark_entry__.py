@@ -2097,6 +2097,30 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search_table(spark, "entry_text_index", "fast table")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the SAME stored positional index
+    (functions/search.py bm25_search_table): top-20 docs for a 4-term
+    query, scored k1=1.2 / b=0.75 with the Lucene always-positive idf
+    kept as a ratio of exact BIGINTs — ln((2N+2)/(2·df+1)) — and
+    per-(doc, term) scores quantized to micro-units before the per-doc
+    sum, so the ranking is byte-identical in DuckDB. Reads only the
+    query terms' bucket partitions plus the _docstats sidecar (doc
+    lengths persisted at build time — ranking never scans the other
+    buckets); top-k is a TakeOrderedAndProject."""
+    from fresco_hpc_spark.functions import bm25_search_table, ensure_text_index
+
+    docs = table(spark, sf_dir, "documents")
+    ensure_text_index(
+        docs,
+        "entry_text_index",
+        n_buckets=32,
+        fingerprint=_docs_fingerprint(docs, sf_dir),
+    )
+    return bm25_search_table(
+        spark, "entry_text_index", "fast table scan query", top_k=20
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic warehouse star join (TPC-H Q5 flavor): revenue
     Σ l_extendedprice·(1−l_discount) per customer nation/region —
@@ -2994,6 +3018,10 @@ def queries() -> dict[str, Query]:
         "bpe_merges": q_bpe_merges,
         "bpe_segments": q_bpe_segments,
         "index_build_text": q_index_build_text,
+        # bm25_search sits directly after the build exhibit for the
+        # same reason phrase_search follows it: its bench number must
+        # be query-only, never build + query
+        "bm25_search": q_bm25_search,
         "boilerplate_remove": q_boilerplate_remove,
         "phash_dup_pairs": q_phash_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
@@ -6101,6 +6129,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # BM25 replayed from documents: idf input kept as the exact-BIGINT
+    # ratio (2N+2)/(2df+1), per-(doc, term) micro-unit quantization
+    # before the per-doc sum, identical operand order to the Spark
+    # expression tree — a lost/duplicated posting, a wrong doc length
+    # in the sidecar, or a broken df anywhere in the stored index
+    # changes the hash.
+    oracles["bm25_search"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM t),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total
+            FROM dl
+        ),
+        toks AS (
+            SELECT doc_id, arr[i] AS token
+            FROM t, UNNEST(generate_series(1, len(arr))) AS s(i)
+            WHERE arr[i] IN ('fast', 'query', 'scan', 'table')
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, token
+        ),
+        dft AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY token
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(ROUND(
+                       ln((2 * (stats.n_docs + 1))
+                          / CAST(2 * dft.df + 1 AS DOUBLE))
+                       * ((tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + 0.75
+                              * ((dl.dl * stats.n_docs)
+                                 / CAST(stats.total AS DOUBLE)))))
+                       * 1000000, 0) AS BIGINT) AS u
+            FROM tf
+            JOIN dft USING (token)
+            JOIN dl USING (doc_id), stats
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+                   CAST(SUM(u) AS BIGINT) AS score_micro
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_matched, score_micro,
+               ROUND(score_micro / 1000000.0, 6) AS score,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_micro DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM agg ORDER BY score_micro DESC, doc_id LIMIT 20
     """
 
     oracles["revenue_by_nation"] = """

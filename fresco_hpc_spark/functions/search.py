@@ -132,6 +132,36 @@ def build_text_index(
         f"ALTER TABLE {table_name} SET TBLPROPERTIES "
         f"('fresco.n_buckets' = '{int(n_buckets)}')"
     )
+    # doc-length sidecar for RANKED retrieval (BM25 needs |d| and the
+    # corpus averages): computed by reading the just-written postings
+    # back (no second tokenize of the corpus) into a slim managed
+    # table, with the exact corpus totals as TBLPROPERTIES next to the
+    # bucket count — without the sidecar a BM25 query would have to
+    # scan EVERY bucket for lengths, defeating the partition pruning
+    # the index exists for
+    stats_table = f"{table_name}_docstats"
+    spark.sql(f"DROP TABLE IF EXISTS {stats_table}")
+    sp = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{db_loc}/{stats_table.rsplit('.', 1)[-1].lower()}"
+    )
+    if fs.exists(sp):
+        fs.delete(sp, True)
+    (
+        spark.table(table_name)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(stats_table)
+    )
+    tot = spark.table(stats_table).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('fresco.n_docs' = '{int(tot['n'])}', "
+        f"'fresco.total_len' = '{int(tot['t'])}')"
+    )
 
 
 def ensure_text_index(
@@ -257,6 +287,117 @@ def phrase_search_index(
             F.min("start").alias("first_pos"),
         )
         .orderBy("doc_id")
+    )
+
+
+def bm25_search_table(
+    spark: SparkSession, table_name: str, query: str, top_k: int = 20
+) -> DataFrame:
+    """Catalog-resolved BM25 over a stored index: resolves the bucket
+    count AND the corpus stats (doc count, total tokens) from the
+    index's own TBLPROPERTIES and the ``_docstats`` sidecar — the same
+    params-live-with-the-index discipline as ``phrase_search_table``.
+    Raises when the index predates the sidecar (rebuild it)."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    }
+    needed = {"fresco.n_buckets", "fresco.n_docs", "fresco.total_len"}
+    if not needed <= set(props):
+        raise ValueError(
+            f"{table_name} lacks {sorted(needed - set(props))} — not a "
+            "build_text_index table with the docstats sidecar; rebuild "
+            "with the current build_text_index"
+        )
+    return bm25_search_index(
+        spark.table(table_name),
+        spark.table(f"{table_name}_docstats"),
+        query,
+        n_docs=int(props["fresco.n_docs"]),
+        total_len=int(props["fresco.total_len"]),
+        n_buckets=int(props["fresco.n_buckets"]),
+        top_k=top_k,
+    )
+
+
+def bm25_search_index(
+    index_df: DataFrame,
+    docstats_df: DataFrame,
+    query: str,
+    n_docs: int,
+    total_len: int,
+    n_buckets: int = 32,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval over the positional index — the RANKED
+    sibling of :func:`phrase_search_index`, completing the index-at-rest
+    family (exact phrase = positional equi-joins; relevance ranking =
+    this). Standard Robertson/Lucene BM25 with k1 = 1.2, b = 0.75 and
+    the always-positive idf ``ln((N − df + 0.5)/(df + 0.5) + 1)``,
+    algebraically ``ln((2N + 2)/(2·df + 1))`` — kept in THAT form so
+    the log's input is a ratio of exact BIGINTs and both engines feed
+    libm the identical double (the source_token_divergence recipe).
+    Per-(doc, term) scores are quantized to integer micro-units before
+    the per-doc sum (order-free, cross-engine identical); ties break
+    on doc_id.
+
+    Scale shape: one pruned scan per distinct query term (driver-side
+    bucket arithmetic — partition pruning with no planning job, plus
+    the exact token residual), tf = one partial-agg groupBy over those
+    posting lists, df = a term-sized re-aggregate of tf, document
+    lengths join from the slim ``_docstats`` sidecar (broadcast-sized
+    relative to the corpus; built at index time precisely so ranking
+    never scans the other buckets), and the top-k is a
+    TakeOrderedAndProject — no global sort. I/O ∝ the query terms'
+    posting lists, never the corpus."""
+    terms = sorted({t for t in query.lower().strip().split() if t})
+    if not terms:
+        raise ValueError("query must contain at least one token")
+    buckets = sorted({_py_bucket(t, n_buckets) for t in terms})
+    postings = index_df.filter(
+        F.col("_bkt").isin(buckets) & F.col("token").isin(terms)
+    )
+    tf = postings.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(2 * (n_docs + 1)).cast("bigint")
+        / (F.lit(2).cast("bigint") * F.col("df") + F.lit(1))
+    )
+    norm_len = (F.col("dl") * F.lit(n_docs).cast("bigint")) / F.lit(
+        total_len
+    ).cast("bigint")
+    score = idf * (
+        (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * norm_len))
+    )
+    u = F.round(score * 1_000_000, 0).cast("bigint")
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(docstats_df.select("doc_id", "dl"), "doc_id")
+        .select("doc_id", u.alias("u"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum("u").alias("score_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_micro"), F.col("doc_id"))
+        .limit(int(top_k))
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            "score_micro",
+            F.round(F.col("score_micro") / 1_000_000.0, 6).alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_micro"), F.col("doc_id")))
+            .cast("bigint")
+            .alias("rank"),
+        )
     )
 
 

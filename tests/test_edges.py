@@ -159,3 +159,4 @@ def test_correctness_window_contains_priority_queries():
     missing = priority - set(window)
     assert not missing, f"priority queries outside the 50-window: {missing}"
     assert names.index("index_build_text") < names.index("phrase_search")
+    assert names.index("index_build_text") < names.index("bm25_search")

@@ -358,6 +358,76 @@ def test_phrase_search_index_semantics(spark):
     spark.sql("DROP TABLE IF EXISTS t_search_idx")
 
 
+def test_bm25_matches_reference_and_needs_sidecar(spark):
+    """BM25 over the stored index equals a from-scratch Python
+    reference (same k1=1.2 / b=0.75, always-positive idf, micro-unit
+    quantization with HALF_UP), multi-term docs outrank single-term
+    ones of similar length, and a pre-sidecar index (props stripped)
+    raises instead of silently mis-scoring."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import bm25_search_table, build_text_index
+
+    texts = {
+        1: "spark shuffle join",
+        2: "spark spark spark filter scan",
+        3: "join order and the broadcast join plan",
+        4: "totally unrelated words here",
+        5: "spark join",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    build_text_index(docs, "t_bm25_idx", n_buckets=8)
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score_micro"], r["rank"])
+        for r in bm25_search_table(
+            spark, "t_bm25_idx", "spark join", top_k=10
+        ).collect()
+    }
+
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    n, total = len(toks), sum(len(w) for w in toks.values())
+    ref = {}
+    for term in ("join", "spark"):
+        df_t = sum(term in w for w in toks.values())
+        idf = math.log((2 * (n + 1)) / (2 * df_t + 1))
+        for i, w in toks.items():
+            tf = w.count(term)
+            if not tf:
+                continue
+            s = idf * (
+                (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * ((len(w) * n) / total)))
+            )
+            u = int(
+                Decimal(repr(s * 1_000_000)).quantize(
+                    Decimal("1"), ROUND_HALF_UP
+                )
+            )
+            nm, sm = ref.get(i, (0, 0))
+            ref[i] = (nm + 1, sm + u)
+    order = sorted(ref, key=lambda i: (-ref[i][1], i))
+    expected = {
+        i: (ref[i][0], ref[i][1], order.index(i) + 1) for i in ref
+    }
+    assert got == expected
+    # both-terms doc 5 beats the single-term docs 2 and 3
+    assert got[5][2] < got[2][2] and got[5][2] < got[3][2]
+    # an index without the stats sidecar properties must refuse
+    spark.sql(
+        "ALTER TABLE t_bm25_idx UNSET TBLPROPERTIES "
+        "('fresco.n_docs', 'fresco.total_len')"
+    )
+    with _pt.raises(ValueError, match="docstats"):
+        bm25_search_table(spark, "t_bm25_idx", "spark join")
+    spark.sql("DROP TABLE IF EXISTS t_bm25_idx")
+    spark.sql("DROP TABLE IF EXISTS t_bm25_idx_docstats")
+
+
 def test_phrase_search_bucket_hash_matches_jvm(spark):
     # the driver-side bucket twin must agree with the JVM expression for
     # every token it will ever prune on — divergence silently reads the

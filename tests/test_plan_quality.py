@@ -633,6 +633,24 @@ def test_phrase_search_prunes_token_partitions(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bm25_prunes_token_partitions(spark):
+    """The ranked sibling of the phrase-pruning pin: the BM25 postings
+    scan must carry a PartitionFilters entry on the query terms'
+    buckets (I/O ∝ the terms' posting lists, never the corpus), the
+    doc-length side must come from the slim _docstats sidecar rather
+    than a full-index re-aggregate, and nothing degenerates to a
+    cartesian."""
+    plan = plan_of(spark, "bm25_search")
+    pf_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "_bkt" in ln
+    ]
+    assert len(pf_lines) >= 1, plan[:800]
+    assert "docstats" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_sorted_neighborhood_reuses_range_exchange(spark):
     """The range exchange feeds both the per-pid counts and the ordinal
     assignment — the adaptive executed plan must materialize it ONCE
