@@ -8,6 +8,10 @@ from fresco_hpc_spark.streaming.search import (  # noqa: F401
     process_text_index_batch,
     start_incremental_text_index,
 )
+from fresco_hpc_spark.streaming.vectors import (  # noqa: F401
+    process_ivf_ingest_batch,
+    start_incremental_ivf_ingest,
+)
 from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
     streaming_counter_rates,
     streaming_ewma,

@@ -1827,3 +1827,115 @@ def test_streaming_ks_reference_matches_batch(spark, tmp_path):
     assert got == want, (got, want)
     # every batch emitted an updated row for every group present in it
     assert emitted.groupby("group_key", dropna=False).size().min() >= 1
+
+
+def test_incremental_ivf_ingest_matches_batch_build(spark, tmp_path):
+    """Drained incremental IVF index == batch index
+    (streaming/vectors.py start_incremental_ivf_ingest): vectors
+    arriving over three file-batches produce inverted lists whose
+    ivf_query_index top-k equals the batch ivf_build_index over the
+    union corpus with the SAME fixed codebook, and the layout prunes
+    on the same top-level _cell partitions."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fresco_hpc_spark.functions.vectors import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_train_centroids,
+    )
+    from fresco_hpc_spark.streaming import start_incremental_ivf_ingest
+
+    def vec(i, dim=8):
+        return [float((i * 7 + d * 3) % 11) - 5.0 for d in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    centroids = ivf_train_centroids(corpus, n_cells=4, iterations=2)
+
+    src = tmp_path / "vin"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:10], rows[10:20], rows[20:]]):
+        pd.DataFrame(
+            chunk, columns=["vec_id", "embedding"]
+        ).to_parquet(src / f"{i}.parquet", index=False)
+        os.utime(src / f"{i}.parquet", (1000000000 + i * 100,) * 2)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx_dir = str(tmp_path / "vidx")
+    q = start_incremental_ivf_ingest(
+        stream, idx_dir, str(tmp_path / "vckpt"), centroids,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    query = vec(13)
+    streamed = ivf_query_index(
+        spark.read.parquet(idx_dir), query, centroids, k=5, nprobe=2
+    ).collect()
+    ivf_build_index(corpus, centroids, "t_stream_ivf_ref")
+    batch = ivf_query_index(
+        spark.table("t_stream_ivf_ref"), query, centroids, k=5, nprobe=2
+    ).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert len(streamed) == 5
+    # same top-level _cell partitioning the batch index prunes on
+    assert any(d.startswith("_cell=") for d in os.listdir(idx_dir))
+    # every vector landed exactly once
+    assert spark.read.parquet(idx_dir).count() == 30
+    spark.sql("DROP TABLE IF EXISTS t_stream_ivf_ref")
+
+
+def test_incremental_ivf_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay contract: re-running a batch rewrites its
+    own (cell, batch) partitions in place — row count and assignments
+    unchanged, no duplicates appended; an empty replayed batch is a
+    no-op."""
+    from fresco_hpc_spark.functions.vectors import ivf_train_centroids
+    from fresco_hpc_spark.streaming import process_ivf_ingest_batch
+
+    def vec(i, dim=8):
+        return [float((i * 5 + d) % 7) - 3.0 for d in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(12)],
+        "vec_id bigint, embedding array<double>",
+    )
+    centroids = ivf_train_centroids(corpus, n_cells=3, iterations=2)
+    idx_dir = str(tmp_path / "ividx")
+    b0 = corpus.filter("vec_id < 6")
+    b1 = corpus.filter("vec_id >= 6")
+    process_ivf_ingest_batch(
+        b0, 0, index_dir=idx_dir, centroids=centroids
+    )
+    process_ivf_ingest_batch(
+        b1, 1, index_dir=idx_dir, centroids=centroids
+    )
+    baseline = sorted(
+        (r.vec_id, r._cell, r._ingest_batch)
+        for r in spark.read.parquet(idx_dir).collect()
+    )
+    assert len(baseline) == 12
+    process_ivf_ingest_batch(
+        b0, 0, index_dir=idx_dir, centroids=centroids
+    )
+    assert sorted(
+        (r.vec_id, r._cell, r._ingest_batch)
+        for r in spark.read.parquet(idx_dir).collect()
+    ) == baseline
+    process_ivf_ingest_batch(
+        b1.limit(0), 1, index_dir=idx_dir, centroids=centroids
+    )
+    assert spark.read.parquet(idx_dir).count() == 12
