@@ -631,6 +631,45 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store
+    (functions/vectors.py quantize_embeddings_int8): per-vector
+    symmetric absmax codes + one 9-dp scale — the 4-8× compression
+    step before indexing at 100 TB. HALF_UP rounding on both engines
+    makes every code byte-identical; the driver shape explodes the
+    code array to (vec_id, dim, code) scalars (the hash compare sorts
+    rows by value, which array columns can't do — class_centroids
+    convention)."""
+    from fresco_hpc_spark.functions import quantize_embeddings_int8
+
+    qz = quantize_embeddings_int8(table(spark, sf_dir, "embeddings"))
+    return qz.select(
+        "vec_id",
+        "scale",
+        F.posexplode("codes").alias("dim", "code"),
+    ).select(
+        "vec_id", "scale", "dim", F.col("code").cast("int").alias("code")
+    ).orderBy("vec_id", "dim")
+
+
+def q_embedding_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 over the int8-QUANTIZED store
+    (functions/vectors.py ann_topk_int8): per-vector scales cancel in
+    cosine, so the scan is pure integer dot products over 1/4 the
+    bytes — the compressed sibling of embedding_knn, with recall vs
+    the exact scan pinned in tests. The probe is vector 0's own codes
+    (quantized JVM-side — no Python rounding in the loop)."""
+    from fresco_hpc_spark.functions import (
+        ann_topk_int8,
+        quantize_embeddings_int8,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings_int8(emb)
+    probe = [int(x) for x in qz.filter(F.col("vec_id") == 0).head()["codes"]]
+    return ann_topk_int8(qz, probe, k=10)
+
+
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF scale path: codebook trained once (driver-held, like any ANN
     # index), probes the 4 nearest of 8 cells. Fully oracle-checked:
@@ -2999,6 +3038,8 @@ def queries() -> dict[str, Query]:
         "decontaminate": q_decontaminate,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_ann_int8": q_embedding_ann_int8,
         # then the r8/r9-certified block (the r8+r9 windows, ≤2 rounds
         # old; index_build_text stays ahead of phrase_search):
         "seasonal_profile": q_seasonal_profile,
@@ -6129,6 +6170,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # int8 quantization: the same doubles on both engines, HALF_UP
+    # rounding, per-vector scale — codes byte-identical; the ANN twin
+    # keeps dot products and norms as exact BIGINTs so the double
+    # division and sqrt see bit-identical inputs.
+    _INT8_CODES_CTES = r"""
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE embedding IS NOT NULL
+        ),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS mx
+            FROM e
+        ),
+        codes AS (
+            SELECT vec_id,
+                   CASE WHEN mx > 0
+                        THEN list_transform(
+                            v, x -> CAST(ROUND(x * 127.0 / mx, 0) AS BIGINT))
+                        ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                   END AS c
+            FROM m
+        )
+    """
+
+    oracles["embedding_quantize"] = f"""
+        WITH {_INT8_CODES_CTES}
+        SELECT m.vec_id,
+               CASE WHEN m.mx > 0 THEN ROUND(m.mx / 127.0, 9)
+                    ELSE 0.0 END AS scale,
+               CAST(t.i - 1 AS INT) AS dim,
+               CAST(codes.c[t.i] AS INT) AS code
+        FROM m JOIN codes USING (vec_id),
+             UNNEST(generate_series(1, len(codes.c))) AS t(i)
+        ORDER BY m.vec_id, dim
+    """
+
+    oracles["embedding_ann_int8"] = f"""
+        WITH {_INT8_CODES_CTES},
+        q AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+        s AS (
+            SELECT cd.vec_id,
+                   CAST(SUM(cd.c[t.i] * q.qc[t.i]) AS BIGINT) AS dot,
+                   CAST(SUM(cd.c[t.i] * cd.c[t.i]) AS BIGINT) AS nb
+            FROM codes cd, q,
+                 UNNEST(generate_series(1, len(cd.c))) AS t(i)
+            GROUP BY cd.vec_id
+        ),
+        nqv AS (
+            SELECT CAST(SUM(qc[t.i] * qc[t.i]) AS BIGINT) AS nq
+            FROM q, UNNEST(generate_series(1, len(qc))) AS t(i)
+        )
+        SELECT vec_id,
+               ROUND(dot / sqrt(CAST(nb * nq AS DOUBLE)), 6) AS cosine_sim_q8
+        FROM s, nqv WHERE nb > 0
+        ORDER BY cosine_sim_q8 DESC, vec_id LIMIT 10
     """
 
     # BM25 replayed from documents: idf input kept as the exact-BIGINT

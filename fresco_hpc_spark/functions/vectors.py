@@ -717,3 +717,82 @@ def ivf_query_index(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4-8× storage
+    compression step a 100 TB embedding store runs before indexing
+    (FAISS SQ8 family): ``code_i = round(127·x_i / max|x|)`` stored as
+    BYTES plus one ``scale = max|x|/127`` per vector (9-dp, enough to
+    reconstruct within quantization error). Because the scale is
+    per-vector it CANCELS in cosine similarity, so ANN over the codes
+    (:func:`ann_topk_int8`) needs integer arithmetic only — no
+    dequantization pass — and its ranking degrades only by the rounding
+    itself (recall pinned in tests).
+
+    Deterministic on both engines: round is HALF_UP in Spark and
+    DuckDB, the inputs are the same doubles, so codes are
+    byte-identical and oracle-checkable. NULL vectors are dropped
+    (no defined code); the zero vector gets all-zero codes and
+    scale 0.0 (and is excluded from cosine search downstream, which
+    has no semantics for it). Map-only: one projection, no shuffle.
+    """
+    v = _as_double(F.col(vec_col))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.transform(v, lambda x: F.round(x * 127.0 / mx, 0).cast("byte"))
+    zero = F.transform(v, lambda x: F.lit(0).cast("byte"))
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(mx > 0, codes).otherwise(zero).alias("codes"),
+        F.when(mx > 0, F.round(mx / 127.0, 9))
+        .otherwise(F.lit(0.0))
+        .alias("scale"),
+    )
+
+
+def ann_topk_int8(
+    codes_df: DataFrame,
+    query_codes: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Exact cosine top-k over int8-quantized codes
+    (:func:`quantize_embeddings_int8` output) — the brute-force scan of
+    the compressed store: per-vector scales cancel, so the similarity
+    is ``dot_int / sqrt(n_a·n_q)`` with EXACT BIGINT dot products and
+    norms (≤ dim·127², far inside 2^53, so the double division and
+    sqrt see bit-identical inputs on both engines). Rounded before
+    ranking, ties break on id, top-k is an ordered limit — the same
+    contract as :func:`brute_force_knn`, at 1/4-1/8 the scan bytes.
+    Zero-norm codes are excluded (cosine undefined)."""
+    q = F.array(*[F.lit(int(x)).cast("bigint") for x in query_codes])
+    nq = sum(int(x) * int(x) for x in query_codes)
+    if nq == 0:
+        raise ValueError("query_codes must have a nonzero norm")
+    c = F.transform(F.col(codes_col), lambda x: x.cast("bigint"))
+    dot = F.aggregate(
+        F.zip_with(c, q, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nb = F.aggregate(
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(
+        F.col("_dot") / F.sqrt((F.col("_nb") * F.lit(int(nq))).cast("double")),
+        _ROUND,
+    )
+    return (
+        codes_df.select(F.col(id_col), dot.alias("_dot"), nb.alias("_nb"))
+        .filter(F.col("_nb") > 0)
+        .select(F.col(id_col), sim.alias("cosine_sim_q8"))
+        .orderBy(F.desc("cosine_sim_q8"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1694,3 +1694,49 @@ def test_dsir_is_partition_invariant_and_validates(spark):
     assert s1 == s2 and len(s1) == 7
     with _pt.raises(ValueError):
         dsir_logweights(raw, target, n_buckets=1)
+
+
+def test_int8_quantization_roundtrip_and_recall(spark):
+    """Int8 scalar quantization contract: codes stay in [-127, 127]
+    and dequantize within half a quantization step; per-vector scales
+    cancel in cosine, so top-10 over the codes recalls >= 8/10 of the
+    exact scan on the real embeddings table; NULL vectors drop, the
+    zero vector quantizes to zero codes and is excluded from search;
+    a zero-norm probe raises."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import (
+        ann_topk_int8,
+        brute_force_knn,
+        quantize_embeddings_int8,
+    )
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    qz = quantize_embeddings_int8(emb)
+    row = qz.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).filter("vec_id = 3").head()
+    assert all(-127 <= c <= 127 for c in row["codes"])
+    for c, x in zip(row["codes"], row["embedding"]):
+        assert abs(c * row["scale"] - float(x)) <= row["scale"] / 2 + 1e-9
+
+    probe = [int(x) for x in qz.filter("vec_id = 0").head()["codes"]]
+    exact = {r.vec_id for r in brute_force_knn(
+        emb, [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]],
+        k=10).collect()}
+    quant = {r.vec_id for r in ann_topk_int8(qz, probe, k=10).collect()}
+    assert len(exact & quant) >= 8, (exact, quant)
+
+    mixed = spark.createDataFrame(
+        [(1, [0.5, -1.0]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    mq = quantize_embeddings_int8(mixed)
+    got = {r.vec_id: (list(r.codes), r.scale) for r in mq.collect()}
+    assert set(got) == {1, 2}
+    assert got[1][0] == [64, -127] and got[2] == ([0, 0], 0.0)
+    assert ann_topk_int8(mq, [127, 0], k=5).count() == 1  # zero vec excluded
+    with _pt.raises(ValueError):
+        ann_topk_int8(mq, [0, 0], k=5)
