@@ -670,6 +670,77 @@ def q_embedding_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_int8(qz, probe, k=10)
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (functions/vectors.py
+    pq_train_codebooks + pq_encode): 8 independent L2 k-means codebooks
+    over the vector's 8 subspaces (16 codes each, 2 Lloyd iterations),
+    then every vector reduced to 8 sub-codes — 256 float bytes become
+    8, the IVF-PQ storage half. Training follows the IVF determinism
+    recipe (pmod seeding, 9-dp means, ties to the lowest code) but with
+    SQUARED L2 assignment — the metric that sums across subspaces —
+    so the oracle replays all 8 trainings as unrolled CTEs. Driver
+    shape explodes codes to (vec_id, sub, code) scalars."""
+    from fresco_hpc_spark.functions import pq_encode, pq_train_codebooks
+
+    emb = table(spark, sf_dir, "embeddings")
+    cbs = pq_train_codebooks(emb, m=8, n_codes=16, iterations=2)
+    return (
+        pq_encode(emb, cbs)
+        .select("vec_id", F.posexplode("codes").alias("sub", "code"))
+        .orderBy("vec_id", "sub")
+    )
+
+
+def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance ANN over PQ codes (functions/vectors.py
+    pq_adc_topk): the query stays exact, each subspace contributes a
+    precomputed d²(q_j, centroid) table entry, and the scan is 8
+    integer lookups + a BIGINT sum per vector — zero float math over
+    the compressed store. Per-subspace terms are micro-quantized
+    HALF_UP driver-side so the summed ranking key is order-free and
+    byte-identical in DuckDB; recall vs the exact scan is pinned in
+    tests."""
+    from fresco_hpc_spark.functions import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cbs = pq_train_codebooks(emb, m=8, n_codes=16, iterations=2)
+    codes = pq_encode(emb, cbs)
+    out = pq_adc_topk(codes, _query_vector(spark, sf_dir), cbs, k=10)
+    return out.select(
+        "vec_id",
+        "adc_dist_micro",
+        F.round(F.col("adc_dist_micro") / 1_000_000.0, 6).alias("adc_dist"),
+    )
+
+
+def q_embedding_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ retrieval shape (functions/vectors.py
+    pq_adc_rerank_topk): ADC over the compressed codes shortlists 100
+    candidates, exact squared-L2 re-ranks only those against their
+    full vectors — quantization decides which vectors get a
+    full-precision read, never the final order (on this worst-case
+    near-uniform data the 100-shortlist contains the entire exact
+    top-10; pinned in tests). The re-rank distance uses the same
+    dot-identity operand order the oracle replays, micro-quantized so
+    ranking is byte-identical in DuckDB."""
+    from fresco_hpc_spark.functions import (
+        pq_adc_rerank_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cbs = pq_train_codebooks(emb, m=8, n_codes=16, iterations=2)
+    codes = pq_encode(emb, cbs)
+    return pq_adc_rerank_topk(
+        codes, emb, _query_vector(spark, sf_dir), cbs, k=10, shortlist=100
+    )
+
+
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF scale path: codebook trained once (driver-held, like any ANN
     # index), probes the 4 nearest of 8 cells. Fully oracle-checked:
@@ -3040,6 +3111,9 @@ def queries() -> dict[str, Query]:
         "dsir_select": q_dsir_select,
         "embedding_quantize": q_embedding_quantize,
         "embedding_ann_int8": q_embedding_ann_int8,
+        "pq_encode": q_pq_encode,
+        "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_pq_rerank": q_embedding_ann_pq_rerank,
         # then the r8/r9-certified block (the r8+r9 windows, ≤2 rounds
         # old; index_build_text stays ahead of phrase_search):
         "seasonal_profile": q_seasonal_profile,
@@ -3347,6 +3421,136 @@ def _ivf_training_ctes(n_cells: int, iterations: int, dim: int) -> str:
         {chain},
         nf AS ({norm(prev)}),
         af AS ({assign("nf")})"""
+
+
+def _pq_ctes(
+    m: int = 8, n_codes: int = 16, iterations: int = 2, dim: int = 64
+) -> str:
+    """The PQ replay chain: per subspace j, slice → pmod seeds → L2
+    Lloyd iterations unrolled (assign = ROW_NUMBER over the dot-identity
+    distance ``(x·x − 2·x·c) + c·c`` ASC with code ASC ties — the exact
+    operand order and tie rule of functions/vectors.py _pq_argmin) →
+    final codebook ``cbf{j}`` and encoding ``enc{j}``. Means round to
+    9 dp like the IVF chain so both engines carry bit-identical
+    codebooks; seeds and query slices are raw doubles on both sides."""
+    sd = dim // m
+    d = (
+        "(list_dot_product(x, x) - 2*list_dot_product(x, cb.c))"
+        " + list_dot_product(cb.c, cb.c)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)"
+    ]
+    for j in range(m):
+        lo, hi = j * sd + 1, (j + 1) * sd
+        means = ", ".join(f"ROUND(AVG(x[{i + 1}]), 9)" for i in range(sd))
+        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM e)")
+        parts.append(f"""s{j} AS (
+            SELECT (vec_id % {n_codes}) AS code, x AS c FROM (
+                SELECT vec_id, x, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id % {n_codes} ORDER BY vec_id) AS rn
+                FROM e{j}) WHERE rn = 1)""")
+        prev = f"s{j}"
+        for it in range(iterations):
+            parts.append(f"""a{j}x{it} AS (
+                SELECT vec_id, x, code FROM (
+                    SELECT e{j}.vec_id, e{j}.x, cb.code,
+                           ROW_NUMBER() OVER (PARTITION BY e{j}.vec_id
+                               ORDER BY {d} ASC, cb.code ASC) AS rn
+                    FROM e{j} CROSS JOIN {prev} cb) WHERE rn = 1)""")
+            parts.append(
+                f"m{j}x{it} AS (SELECT code, [{means}] AS c "
+                f"FROM a{j}x{it} GROUP BY code)"
+            )
+            parts.append(
+                f"c{j}x{it + 1} AS (SELECT {prev}.code, "
+                f"COALESCE(m.c, {prev}.c) AS c "
+                f"FROM {prev} LEFT JOIN m{j}x{it} m USING (code))"
+            )
+            prev = f"c{j}x{it + 1}"
+        parts.append(f"cbf{j} AS (SELECT code, c FROM {prev})")
+        parts.append(f"""enc{j} AS (
+            SELECT vec_id, code FROM (
+                SELECT e{j}.vec_id, cb.code,
+                       ROW_NUMBER() OVER (PARTITION BY e{j}.vec_id
+                           ORDER BY {d} ASC, cb.code ASC) AS rn
+                FROM e{j} CROSS JOIN cbf{j} cb) WHERE rn = 1)""")
+    return ",\n        ".join(parts)
+
+
+def _pq_encode_oracle_sql(
+    m: int = 8, n_codes: int = 16, iterations: int = 2, dim: int = 64
+) -> str:
+    union = "\n            UNION ALL ".join(
+        f"SELECT vec_id, CAST({j} AS INT) AS sub, CAST(code AS INT) AS code "
+        f"FROM enc{j}"
+        for j in range(m)
+    )
+    return f"""
+        WITH {_pq_ctes(m, n_codes, iterations, dim)}
+        SELECT vec_id, sub, code FROM ({union})
+        ORDER BY vec_id, sub
+    """
+
+
+def _pq_adc_core_ctes(
+    m: int = 8, n_codes: int = 16, iterations: int = 2, dim: int = 64
+) -> str:
+    """Training + encode + per-subspace distance tables + the summed
+    ADC relation ``adc(vec_id, du)`` — shared by the pure-ADC oracle
+    and the shortlist-rerank oracle."""
+    sd = dim // m
+    dparts, tparts = [], []
+    for j in range(m):
+        lo, hi = j * sd + 1, (j + 1) * sd
+        dparts.append(f"""d{j} AS (
+            SELECT cbf.code,
+                   CAST(ROUND(((list_dot_product(q.qv[{lo}:{hi}], q.qv[{lo}:{hi}])
+                        - 2*list_dot_product(q.qv[{lo}:{hi}], cbf.c))
+                        + list_dot_product(cbf.c, cbf.c)) * 1000000.0, 0)
+                        AS BIGINT) AS u
+            FROM cbf{j} cbf, q)""")
+        tparts.append(
+            f"SELECT enc{j}.vec_id, d{j}.u FROM enc{j} JOIN d{j} USING (code)"
+        )
+    dsql = ",\n        ".join(dparts)
+    tsql = "\n            UNION ALL ".join(tparts)
+    return f"""{_pq_ctes(m, n_codes, iterations, dim)},
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        {dsql},
+        terms AS ({tsql}),
+        adc AS (
+            SELECT vec_id, CAST(SUM(u) AS BIGINT) AS du
+            FROM terms GROUP BY vec_id
+        )"""
+
+
+def _pq_adc_oracle_sql(k: int = 10) -> str:
+    return f"""
+        WITH {_pq_adc_core_ctes()}
+        SELECT vec_id, du AS adc_dist_micro,
+               ROUND(du / 1000000.0, 6) AS adc_dist
+        FROM adc
+        ORDER BY adc_dist_micro ASC, vec_id ASC LIMIT {k}
+    """
+
+
+def _pq_rerank_oracle_sql(k: int = 10, shortlist: int = 100) -> str:
+    return f"""
+        WITH {_pq_adc_core_ctes()},
+        cand AS (
+            SELECT vec_id FROM adc ORDER BY du ASC, vec_id ASC
+            LIMIT {shortlist}
+        )
+        SELECT e.vec_id,
+               CAST(ROUND(((list_dot_product(e.v, e.v)
+                    - 2*list_dot_product(e.v, q.qv))
+                    + list_dot_product(q.qv, q.qv)) * 1000000.0, 0)
+                    AS BIGINT) AS l2_sq_micro
+        FROM e JOIN cand USING (vec_id), q
+        ORDER BY l2_sq_micro ASC, vec_id ASC LIMIT {k}
+    """
 
 
 def _ivf_oracle_sql(
@@ -7165,6 +7369,9 @@ def oracle_sql() -> dict[str, str]:
     # output — the only difference is reading the persisted inverted
     # lists instead of re-assigning the corpus.
     oracles["embedding_ann_ivf_index"] = _ivf_oracle_sql()
+    oracles["pq_encode"] = _pq_encode_oracle_sql()
+    oracles["embedding_ann_pq"] = _pq_adc_oracle_sql()
+    oracles["embedding_ann_pq_rerank"] = _pq_rerank_oracle_sql()
 
     oracles["winsorize_values"] = """
         WITH b AS (

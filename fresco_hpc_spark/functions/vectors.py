@@ -796,3 +796,257 @@ def ann_topk_int8(
         .orderBy(F.desc("cosine_sim_q8"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Driver-side sequential dot product — the SAME left-to-right
+    accumulation as Spark's F.aggregate fold and DuckDB's
+    list_dot_product, so a codebook constant computed here equals the
+    one either engine computes from the identical inputs."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _l2_sq_to_lit(x, centroid: list[float]):
+    """Squared L2 distance of subvector column ``x`` to a literal
+    centroid via the dot identity ``(x·x − 2·x·c) + c·c`` — the exact
+    operand order the PQ oracle replays (DuckDB list_dot_product and
+    this fold are both sequential, so identical inputs give identical
+    doubles)."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    xx = F.aggregate(
+        F.transform(x, lambda p: p * p), F.lit(0.0), lambda a, t: a + t
+    )
+    xc = F.aggregate(
+        F.zip_with(x, c, lambda p, q: p * q), F.lit(0.0), lambda a, t: a + t
+    )
+    return (xx - F.lit(2.0) * xc) + F.lit(_dot_py(centroid, centroid))
+
+
+def _pq_argmin(x, codebook: list[list[float]]):
+    """Code of the nearest centroid (squared L2, ties to the LOWEST
+    code — array_position returns the first match, the twin of the
+    oracle's ROW_NUMBER ORDER BY d ASC, code ASC)."""
+    dists = F.array(*[_l2_sq_to_lit(x, c) for c in codebook])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_train_rows: int | None = 100_000,
+    mean_round: int = 9,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: an independent L2 k-means per
+    SUBSPACE (the vector split into ``m`` contiguous slices), the
+    training half of IVF-PQ — FAISS's default architecture for
+    billion-scale ANN. Returns ``codebooks[m][n_codes][dim/m]``,
+    driver-held like every ANN codebook here.
+
+    Deterministic and oracle-replayable with the IVF recipe: seeds are
+    the first vector of each ``vec_id % n_codes`` bucket, assignment is
+    squared-L2 argmin with ties to the lowest code, Lloyd means round
+    to ``mean_round`` dp (kills partial-agg merge-order noise), empty
+    cells keep their previous centroid. Unlike the IVF cell trainer
+    this is L2, not cosine — squared L2 is what SUMS across subspaces,
+    which is the property asymmetric-distance computation needs.
+
+    Scale: training is bounded by ``max_train_rows`` (deterministic
+    id-hash subset), persisted across the m × iterations passes; each
+    pass is one narrow assign + one ``n_codes``-row aggregate.
+    """
+    first = embeddings.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    train = embeddings.filter(F.col(vec_col).isNotNull())
+    if max_train_rows is not None:
+        n_probe = train.limit(max_train_rows + 1).count()
+        if n_probe > max_train_rows:
+            n = train.count()
+            frac = max_train_rows / n
+            bound = int((2**63 - 1) * frac)
+            train = train.filter(
+                F.abs(F.xxhash64(F.col(id_col))) <= F.lit(bound)
+            )
+    from pyspark.storagelevel import StorageLevel
+
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        codebooks: list[list[list[float]]] = []
+        for j in range(m):
+            sub = train.select(
+                F.col(id_col).alias("_id"),
+                F.slice(_as_double(F.col(vec_col)), j * sd + 1, sd).alias("x"),
+            )
+            seeds = {
+                r["_b"]: [float(v) for v in r["w"]["x"]]
+                for r in sub.withColumn(
+                    "_b", F.pmod(F.col("_id"), F.lit(n_codes))
+                )
+                .groupBy("_b")
+                .agg(F.min(F.struct("_id", "x")).alias("w"))
+                .collect()
+            }
+            missing = [b for b in range(n_codes) if b not in seeds]
+            if missing:
+                raise ValueError(
+                    f"subspace {j}: empty seed buckets {missing} — fewer "
+                    f"than n_codes={n_codes} distinct vec_id residues; "
+                    "lower n_codes"
+                )
+            cb = [seeds[b] for b in range(n_codes)]
+            for _ in range(iterations):
+                assigned = sub.withColumn("_code", _pq_argmin(F.col("x"), cb))
+                means = (
+                    assigned.groupBy("_code")
+                    .agg(
+                        F.array(
+                            *[
+                                F.round(
+                                    F.avg(F.col("x").getItem(i)), mean_round
+                                )
+                                for i in range(sd)
+                            ]
+                        ).alias("c")
+                    )
+                    .collect()
+                )
+                new = {r["_code"]: [float(v) for v in r["c"]] for r in means}
+                cb = [new.get(c, cb[c]) for c in range(n_codes)]
+            codebooks.append(cb)
+    finally:
+        train.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` sub-codes (one byte-sized int per
+    subspace) against driver-held PQ codebooks: dim·4 bytes become m
+    bytes (+ nothing per-vector — unlike int8 scalar quantization there
+    is no scale column; the codebooks carry all the geometry). Map-only
+    one-projection encode; output ``codes`` is the m-length int array.
+    """
+    sd = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    codes = F.array(
+        *[
+            _pq_argmin(F.slice(v, j * sd + 1, sd), cb)
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), codes.alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact;
+    each subspace contributes a precomputed distance-table entry
+    ``d²(q_j, centroid(code_j))`` and the approximate distance is their
+    sum — m integer array lookups per vector, zero float math in the
+    scan. The per-subspace terms are quantized to integer micro-units
+    (HALF_UP) driver-side, so the summed key is a BIGINT: order-free,
+    cross-engine identical, and rank-stable. Ties break on id; top-k
+    is an ordered limit (TakeOrderedAndProject)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sd = len(codebooks[0][0])
+    luts: list[list[int]] = []
+    for j, cb in enumerate(codebooks):
+        qj = [float(x) for x in query_vec[j * sd : (j + 1) * sd]]
+        qq = _dot_py(qj, qj)
+        lut = []
+        for c in cb:
+            d2 = (qq - 2.0 * _dot_py(qj, c)) + _dot_py(c, c)
+            lut.append(
+                int(
+                    Decimal(repr(d2 * 1_000_000.0)).quantize(
+                        Decimal("1"), ROUND_HALF_UP
+                    )
+                )
+            )
+        luts.append(lut)
+    dist = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(int(u)).cast("bigint") for u in lut]),
+            F.col(codes_col).getItem(j) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes_df.select(F.col(id_col), dist.alias("adc_dist_micro"))
+        .orderBy(F.asc("adc_dist_micro"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def pq_adc_rerank_topk(
+    codes_df: DataFrame,
+    embeddings_df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Production IVF-PQ retrieval shape: ADC over the compressed codes
+    generates a ``shortlist`` of candidates (integer-only scan of the
+    m-byte codes), then EXACT squared-L2 re-ranks only those candidates
+    against their full vectors — quantization error decides which ~1%
+    of vectors get a full-precision read, never the final order. On the
+    synthetic near-uniform testdata (vector quantization's worst case —
+    no cluster structure, distances concentrate) a 100-vector shortlist
+    already contains 10/10 of the exact top-10 (pinned in tests); real
+    embedding corpora cluster far better. The full-vector fetch is an
+    equi-join on the (shortlist-sized, broadcast) candidate ids; the
+    re-rank distance is quantized to micro-units so ranking stays
+    cross-engine stable."""
+    cand = pq_adc_topk(
+        codes_df, query_vec, codebooks, k=shortlist,
+        id_col=id_col, codes_col=codes_col,
+    ).select(id_col)
+    q = [float(x) for x in query_vec]
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = _as_double(F.col(vec_col))
+    # the dot-identity form, same operand order as _l2_sq_to_lit and
+    # the oracle replay — both engines feed libm identical doubles
+    vv = F.aggregate(
+        F.transform(v, lambda p: p * p), F.lit(0.0), lambda a, t: a + t
+    )
+    vq = F.aggregate(
+        F.zip_with(v, qlit, lambda p, r: p * r),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    d2 = (vv - F.lit(2.0) * vq) + F.lit(_dot_py(q, q))
+    return (
+        embeddings_df.join(F.broadcast(cand), id_col)
+        .select(
+            F.col(id_col),
+            F.round(d2 * 1_000_000, 0).cast("bigint").alias("l2_sq_micro"),
+        )
+        .orderBy(F.asc("l2_sq_micro"), F.asc(id_col))
+        .limit(int(k))
+    )

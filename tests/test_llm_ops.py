@@ -1740,3 +1740,74 @@ def test_int8_quantization_roundtrip_and_recall(spark):
     assert ann_topk_int8(mq, [127, 0], k=5).count() == 1  # zero vec excluded
     with _pt.raises(ValueError):
         ann_topk_int8(mq, [0, 0], k=5)
+
+
+def test_pq_codes_compress_and_adc_recalls(spark):
+    """PQ contract: every vector reduces to m=8 sub-codes in
+    [0, n_codes); the ADC metric is squared L2 (what sums across
+    subspaces — NOT cosine, so recall is measured against the exact
+    L2 top-10); the production shortlist-then-rerank shape recovers
+    the exact top-10 completely with a 100-candidate shortlist even on
+    this worst-case near-uniform synthetic data, and a bare 50-ADC
+    shortlist still holds a majority; codebooks and codes are identical
+    under a different input partitioning (the determinism the oracle
+    replay depends on)."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    cbs = pq_train_codebooks(emb, m=8, n_codes=16, iterations=2)
+    assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+    codes = pq_encode(emb, cbs)
+    sample = codes.head(20)
+    assert all(
+        len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
+        for r in sample
+    )
+
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    qlit = F.array(*[F.lit(v) for v in q])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d2 = F.aggregate(
+        F.zip_with(v, qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    exact = [
+        r.vec_id
+        for r in emb.select("vec_id", d2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    short50 = {r.vec_id for r in pq_adc_topk(codes, q, cbs, k=50).collect()}
+    assert len(set(exact) & short50) >= 6, (exact, short50)
+    reranked = [
+        r.vec_id
+        for r in pq_adc_rerank_topk(
+            codes, emb, q, cbs, k=10, shortlist=100
+        ).collect()
+    ]
+    assert reranked == exact, (reranked, exact)
+
+    cbs2 = pq_train_codebooks(emb.repartition(7), m=8, n_codes=16, iterations=2)
+    assert cbs2 == cbs
+    a = sorted((r.vec_id, list(r.codes)) for r in codes.collect())
+    b = sorted(
+        (r.vec_id, list(r.codes))
+        for r in pq_encode(emb.repartition(5), cbs2).collect()
+    )
+    assert a == b
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="divisible"):
+        pq_train_codebooks(emb, m=7)
