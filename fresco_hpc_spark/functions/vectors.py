@@ -809,27 +809,51 @@ def _dot_py(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def _l2_sq_to_lit(x, centroid: list[float]):
-    """Squared L2 distance of subvector column ``x`` to a literal
-    centroid via the dot identity ``(x·x − 2·x·c) + c·c`` — the exact
-    operand order the PQ oracle replays (DuckDB list_dot_product and
-    this fold are both sequential, so identical inputs give identical
-    doubles)."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
+def _pq_dists(x, cb2d, cc):
+    """Squared L2 distances of subvector column ``x`` to every centroid
+    of a codebook given as a 2-D array column ``cb2d`` (+ the matching
+    ``c·c`` constants column ``cc``), via the dot identity
+    ``(x·x − 2·x·c) + c·c`` — the exact operand order the PQ oracle
+    replays (DuckDB list_dot_product and this fold are both sequential,
+    so identical inputs give identical doubles). A zip_with LOOP over
+    the codebook rather than n_codes unrolled fold expressions: the
+    values are identical, the generated code is ~n_codes× smaller
+    (unrolled, each of the 24 training jobs paid ~1 s of codegen —
+    the whole PQ bench cost was plan compilation, not data)."""
     xx = F.aggregate(
         F.transform(x, lambda p: p * p), F.lit(0.0), lambda a, t: a + t
     )
-    xc = F.aggregate(
-        F.zip_with(x, c, lambda p, q: p * q), F.lit(0.0), lambda a, t: a + t
+    return F.zip_with(
+        cb2d,
+        cc,
+        lambda c, k: (
+            xx
+            - F.lit(2.0)
+            * F.aggregate(
+                F.zip_with(x, c, lambda p, q: p * q),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            )
+        )
+        + k,
     )
-    return (xx - F.lit(2.0) * xc) + F.lit(_dot_py(centroid, centroid))
+
+
+def _cb_lits(codebook: list[list[float]]):
+    """(2-D centroid literal array, c·c constants array) for one
+    subspace codebook."""
+    cb2d = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in codebook]
+    )
+    cc = F.array(*[F.lit(_dot_py(c, c)) for c in codebook])
+    return cb2d, cc
 
 
 def _pq_argmin(x, codebook: list[list[float]]):
     """Code of the nearest centroid (squared L2, ties to the LOWEST
     code — array_position returns the first match, the twin of the
     oracle's ROW_NUMBER ORDER BY d ASC, code ASC)."""
-    dists = F.array(*[_l2_sq_to_lit(x, c) for c in codebook])
+    dists = _pq_dists(x, *_cb_lits(codebook))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -878,52 +902,88 @@ def pq_train_codebooks(
             )
     from pyspark.storagelevel import StorageLevel
 
-    train = train.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        codebooks: list[list[list[float]]] = []
-        for j in range(m):
-            sub = train.select(
-                F.col(id_col).alias("_id"),
-                F.slice(_as_double(F.col(vec_col)), j * sd + 1, sd).alias("x"),
-            )
-            seeds = {
-                r["_b"]: [float(v) for v in r["w"]["x"]]
-                for r in sub.withColumn(
-                    "_b", F.pmod(F.col("_id"), F.lit(n_codes))
-                )
-                .groupBy("_b")
-                .agg(F.min(F.struct("_id", "x")).alias("w"))
-                .collect()
-            }
-            missing = [b for b in range(n_codes) if b not in seeds]
-            if missing:
-                raise ValueError(
-                    f"subspace {j}: empty seed buckets {missing} — fewer "
-                    f"than n_codes={n_codes} distinct vec_id residues; "
-                    "lower n_codes"
-                )
-            cb = [seeds[b] for b in range(n_codes)]
-            for _ in range(iterations):
-                assigned = sub.withColumn("_code", _pq_argmin(F.col("x"), cb))
-                means = (
-                    assigned.groupBy("_code")
-                    .agg(
-                        F.array(
-                            *[
-                                F.round(
-                                    F.avg(F.col("x").getItem(i)), mean_round
-                                )
-                                for i in range(sd)
-                            ]
-                        ).alias("c")
+    # ALL subspaces train together: one long-format (id, sub, x)
+    # relation, one Spark job per Lloyd iteration (and one for seeds)
+    # instead of m × (iterations + 1) — the per-job planning overhead,
+    # not the data, dominated the per-subspace loop
+    subs = train.select(
+        F.col(id_col).alias("_id"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(
+                            _as_double(F.col(vec_col)), j * sd + 1, sd
+                        ).alias("x"),
                     )
-                    .collect()
+                    for j in range(m)
+                ]
+            )
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_rows = (
+            subs.withColumn("_b", F.pmod(F.col("_id"), F.lit(n_codes)))
+            .groupBy("sub", "_b")
+            .agg(F.min(F.struct("_id", "x")).alias("w"))
+            .collect()
+        )
+        seeds: dict[tuple[int, int], list[float]] = {
+            (r["sub"], r["_b"]): [float(v) for v in r["w"]["x"]]
+            for r in seed_rows
+        }
+        missing = [
+            (j, b)
+            for j in range(m)
+            for b in range(n_codes)
+            if (j, b) not in seeds
+        ]
+        if missing:
+            raise ValueError(
+                f"empty seed buckets {missing[:4]}… — fewer than "
+                f"n_codes={n_codes} distinct vec_id residues; lower n_codes"
+            )
+        codebooks = [
+            [seeds[(j, b)] for b in range(n_codes)] for j in range(m)
+        ]
+        for _ in range(iterations):
+            cb3 = F.array(*[_cb_lits(cb)[0] for cb in codebooks])
+            cc3 = F.array(*[_cb_lits(cb)[1] for cb in codebooks])
+            dists = _pq_dists(
+                F.col("x"),
+                F.element_at(cb3, F.col("sub") + 1),
+                F.element_at(cc3, F.col("sub") + 1),
+            )
+            code = (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int")
+            means = (
+                subs.withColumn("_code", code)
+                .groupBy("sub", "_code")
+                .agg(
+                    F.array(
+                        *[
+                            F.round(F.avg(F.col("x").getItem(i)), mean_round)
+                            for i in range(sd)
+                        ]
+                    ).alias("c")
                 )
-                new = {r["_code"]: [float(v) for v in r["c"]] for r in means}
-                cb = [new.get(c, cb[c]) for c in range(n_codes)]
-            codebooks.append(cb)
+                .collect()
+            )
+            new = {
+                (r["sub"], r["_code"]): [float(v) for v in r["c"]]
+                for r in means
+            }
+            codebooks = [
+                [
+                    new.get((j, c), codebooks[j][c])
+                    for c in range(n_codes)
+                ]
+                for j in range(m)
+            ]
     finally:
-        train.unpersist()
+        subs.unpersist()
     return codebooks
 
 
@@ -939,14 +999,22 @@ def pq_encode(
     is no scale column; the codebooks carry all the geometry). Map-only
     one-projection encode; output ``codes`` is the m-length int array.
     """
-    sd = len(codebooks[0][0])
+    m, sd = len(codebooks), len(codebooks[0][0])
     v = _as_double(F.col(vec_col))
-    codes = F.array(
-        *[
-            _pq_argmin(F.slice(v, j * sd + 1, sd), cb)
-            for j, cb in enumerate(codebooks)
-        ]
-    )
+    cb3 = F.array(*[_cb_lits(cb)[0] for cb in codebooks])
+    cc3 = F.array(*[_cb_lits(cb)[1] for cb in codebooks])
+
+    def code_of(j):
+        d = _pq_dists(
+            F.slice(v, j * sd + 1, F.lit(sd)),
+            F.element_at(cb3, j + 1),
+            F.element_at(cc3, j + 1),
+        )
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    # one transform LOOP over subspaces (j is a lambda variable), not m
+    # unrolled argmin expressions — same values, ~m× less codegen
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_of)
     return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), codes.alias("codes")
     )
