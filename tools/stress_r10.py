@@ -234,6 +234,78 @@ def merge_zorder_section(spark, tmp: str) -> None:
             hc.set("parquet.block.size", old_block)
 
 
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def quantization_section(spark, sf_dir: str, tmp: str) -> None:
+    """int8 at-rest compression + BM25 index-I/O fraction + DSIR
+    relation geometry — the SCALE.md round-10-additions numbers."""
+    import __spark_entry__ as entrymod
+    from fresco_hpc_spark.functions import (
+        bm25_search_table,
+        build_text_index,
+        dsir_logweights,
+        quantize_embeddings_int8,
+    )
+    from fresco_hpc_spark.functions.sampling import _dsir_features
+
+    emb = entrymod.table(spark, sf_dir, "embeddings")
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        tmp + "/emb_f32"
+    )
+    quantize_embeddings_int8(emb).write.mode("overwrite").parquet(
+        tmp + "/emb_q8"
+    )
+    f32, q8 = _du(tmp + "/emb_f32"), _du(tmp + "/emb_q8")
+    print(
+        f"int8: float parquet={f32 / 1e6:.2f} MB, codes+scale="
+        f"{q8 / 1e6:.2f} MB, ratio={f32 / q8:.1f}x, n={emb.count()}"
+    )
+
+    docs = entrymod.table(spark, sf_dir, "documents")
+    build_text_index(docs, "r10_stress_idx", n_buckets=32)
+    loc = (
+        spark.sql("DESCRIBE EXTENDED r10_stress_idx")
+        .filter("col_name='Location'")
+        .first()["data_type"]
+        .replace("file:", "")
+    )
+    total = _du(loc)
+    res = bm25_search_table(
+        spark, "r10_stress_idx", "fast table scan query", top_k=20
+    )
+    post_files = [f for f in res.inputFiles() if "docstats" not in f]
+    touched = sum(
+        os.path.getsize(f.replace("file:", "")) for f in post_files
+    )
+    stats = _du(loc.rsplit("/", 1)[0] + "/r10_stress_idx_docstats")
+    print(
+        f"bm25: index={total / 1e6:.2f} MB over 32 buckets; 4-term query "
+        f"touches {len(post_files)} bucket files = {touched / 1e6:.3f} MB "
+        f"postings + {stats / 1e6:.3f} MB docstats "
+        f"({100 * (touched + stats) / total:.1f}% of index bytes)"
+    )
+    spark.sql("DROP TABLE IF EXISTS r10_stress_idx")
+    spark.sql("DROP TABLE IF EXISTS r10_stress_idx_docstats")
+
+    from pyspark.sql import functions as F
+
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    b0, _ = _stage_metrics(spark)
+    n = dsir_logweights(docs, target, n_buckets=512).count()
+    b1, _ = _stage_metrics(spark)
+    nf = _dsir_features(docs, "text", "doc_id").count()
+    print(
+        f"dsir: {nf} feature occurrences -> 512-bucket broadcast model "
+        f"-> {n} doc weights; shuffle={(b1 - b0) / 1e6:.1f} MB"
+    )
+
+
 def main() -> None:
     import tempfile
 
@@ -245,8 +317,10 @@ def main() -> None:
         extra_confs={"spark.ui.retainedStages": "50000"},
     )
     tmp = tempfile.mkdtemp(prefix="stress_r10_")
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     boilerplate_skew_section(spark)
     merge_zorder_section(spark, tmp)
+    quantization_section(spark, sf_dir, tmp)
 
 
 if __name__ == "__main__":
