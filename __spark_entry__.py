@@ -670,25 +670,86 @@ def q_embedding_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_int8(qz, probe, k=10)
 
 
-#: session-lifetime PQ codebook memo: the three registered PQ queries
-#: train identical codebooks (deterministic: pmod seeds, 9-dp means),
-#: so later calls reuse them — the driver-held-codebook analogue of
-#: ensure_text_index's build/query split. Keyed by (sf_dir, row count)
-#: so a regenerated corpus retrains instead of serving stale geometry.
+#: session-lifetime PQ codebook memo: the registered PQ queries train
+#: identical codebooks (deterministic: pmod seeds, 9-dp means), so
+#: later calls reuse them — the driver-held-codebook analogue of
+#: ensure_text_index's build/query split. Keyed by a CONTENT fingerprint
+#: of the embeddings table (ADVICE r10: a (sf_dir, row count) key serves
+#: stale geometry when the corpus is regenerated in place at the same
+#: scale factor — same count, different vectors), so a regenerated
+#: corpus retrains instead of serving stale geometry.
 _PQ_CB_CACHE: dict = {}
+
+#: session-lifetime IVF centroid memo, same contract and key as
+#: _PQ_CB_CACHE: the IVF family (ann_ivf, ann_ivf_index, knn_graph_ivf,
+#: ann_ivfpq) trains the identical 8-cell codebook.
+_IVF_CB_CACHE: dict = {}
+
+
+def _emb_fingerprint(emb: DataFrame, sf_dir: str) -> tuple:
+    """Content stamp of the embeddings corpus for codebook memo keys —
+    the _docs_fingerprint pattern: one single-pass aggregate over
+    (row count, Σ xxhash64(id, first component, last component)), so a
+    corpus regenerated in place at the same scale factor (same path,
+    same count, different vectors) re-keys instead of serving stale
+    driver-held geometry."""
+    # pmod before the sum: Σ of raw 64-bit hashes overflows BIGINT and
+    # the driver's session runs ANSI-ON (wrapped residues ≤ 2^31 keep
+    # the sum under 2^62 for any realistic corpus)
+    r = emb.agg(
+        F.count(F.lit(1)),
+        F.sum(
+            F.pmod(
+                F.xxhash64(
+                    F.col("vec_id"),
+                    F.element_at("embedding", 1),
+                    F.element_at("embedding", -1),
+                ),
+                F.lit(2**31).cast("bigint"),
+            )
+        ),
+    ).first()
+    return (sf_dir, int(r[0]), int(r[1]) if r[1] is not None else 0)
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str):
     from fresco_hpc_spark.functions import pq_train_codebooks
 
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    hit = _PQ_CB_CACHE.get(sf_dir)
-    if hit is not None and hit[0] == n:
-        return emb, hit[1]
-    cbs = pq_train_codebooks(emb, m=8, n_codes=16, iterations=2)
-    _PQ_CB_CACHE[sf_dir] = (n, cbs)
+    key = _emb_fingerprint(emb, sf_dir)
+    hit = _PQ_CB_CACHE.get(key)
+    if hit is not None:
+        return emb, hit
+    # max_train_rows=None: the DuckDB oracle trains on every non-null
+    # vector and cannot replay the library's xxhash64 subset filter
+    # (ADVICE r10) — the registered queries train uncapped so parity
+    # holds at ANY scale factor; production callers keep the library's
+    # bounded-sample default.
+    cbs = pq_train_codebooks(
+        emb, m=8, n_codes=16, iterations=2, max_train_rows=None
+    )
+    _PQ_CB_CACHE[key] = cbs
     return emb, cbs
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The IVF-family shared codebook (8 cells, 2 Lloyd iterations,
+    engine-agnostic pmod seeding), memoized like _pq_codebooks and
+    trained uncapped for the same oracle-replay reason."""
+    emb = table(spark, sf_dir, "embeddings")
+    key = _emb_fingerprint(emb, sf_dir)
+    hit = _IVF_CB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cents = ivf_train_centroids(
+        emb,
+        n_cells=8,
+        iterations=2,
+        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
+        max_train_rows=None,
+    )
+    _IVF_CB_CACHE[key] = cents
+    return cents
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,9 +825,7 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB (unrolled iterations) at any sf. Recall vs brute force is
     # separately asserted in tests.
     emb = table(spark, sf_dir, "embeddings")
-    centroids = ivf_train_centroids(
-        emb, n_cells=8, iterations=2, seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8))
-    )
+    centroids = _ivf_centroids(spark, sf_dir)
     return ivf_ann_topk(emb, _query_vector(spark, sf_dir), centroids, k=10, nprobe=4)
 
 
@@ -778,10 +837,7 @@ def q_embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the stored MinHash band index. Same codebook and semantics
     as embedding_ann_ivf, so the queries share the oracle."""
     emb = table(spark, sf_dir, "embeddings")
-    centroids = ivf_train_centroids(
-        emb, n_cells=8, iterations=2,
-        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
-    )
+    centroids = _ivf_centroids(spark, sf_dir)
     ivf_build_index(emb, centroids, "entry_ivf_index")
     return ivf_query_index(
         spark.table("entry_ivf_index"),
@@ -804,10 +860,7 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fresco_hpc_spark.functions import ivf_assign, knn_graph_blocked
 
     emb = table(spark, sf_dir, "embeddings")
-    centroids = ivf_train_centroids(
-        emb, n_cells=8, iterations=2,
-        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
-    )
+    centroids = _ivf_centroids(spark, sf_dir)
     assigned = ivf_assign(emb, centroids).select("_cell", "vec_id", "embedding")
     g = knn_graph_blocked(assigned, k=3, block_col="_cell")
     return g.select(

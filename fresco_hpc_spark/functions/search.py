@@ -207,6 +207,14 @@ def ensure_text_index(
         if (
             props.get("fresco.fingerprint") == canon
             and props.get("fresco.n_buckets") == str(int(n_buckets))
+            # an index stamped by pre-BM25 code can match the fingerprint
+            # forever while lacking the _docstats sidecar + doc-count
+            # props bm25_search_table requires — treat their absence as
+            # STALE so the upgrade path self-heals like the raw-vs-sha256
+            # fingerprint case (ADVICE r10) instead of hard-failing bm25
+            and "fresco.n_docs" in props
+            and "fresco.total_len" in props
+            and spark.catalog.tableExists(f"{table_name}_docstats")
         ):
             return False
     build_text_index(docs, table_name, text_col, id_col, n_buckets)

@@ -171,6 +171,15 @@ def document_fingerprint(
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     fp = F.md5(normalized.cast("binary")).alias("fingerprint")
     if keep_cols:
+        if "fingerprint" in df.columns:
+            # select('*', fp) would emit TWO 'fingerprint' columns and any
+            # downstream groupBy('fingerprint') dies on an ambiguous
+            # reference far from the cause (ADVICE r10) — fail here with
+            # the actionable message instead
+            raise ValueError(
+                "document_fingerprint(keep_cols=True): input already has "
+                "a 'fingerprint' column — drop or rename it first"
+            )
         return df.select("*", fp)
     return df.select(F.col(id_col), fp)
 

@@ -952,6 +952,41 @@ def test_ensure_text_index_skips_fresh_rebuilds_stale(spark):
     spark.sql("DROP TABLE IF EXISTS t_ensure_idx")
 
 
+def test_ensure_text_index_heals_missing_bm25_sidecar(spark):
+    """ADVICE r10: an index stamped canonical by pre-BM25 code (no
+    fresco.n_docs / fresco.total_len props, no _docstats sidecar) must
+    read as STALE — otherwise it is 'fresh' forever on fingerprint match
+    alone and bm25_search_table hard-fails with ValueError instead of
+    self-healing like the raw-vs-sha256 fingerprint upgrade did."""
+    from fresco_hpc_spark.functions import bm25_search_table, ensure_text_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    assert ensure_text_index(docs, "t_heal_idx", n_buckets=5, fingerprint="v1")
+    # simulate the pre-r10 on-disk state: strip the doc-stats props and
+    # drop the sidecar, keeping the (matching) fingerprint stamp
+    spark.sql(
+        "ALTER TABLE t_heal_idx UNSET TBLPROPERTIES "
+        "('fresco.n_docs', 'fresco.total_len')"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_heal_idx_docstats")
+    # fingerprint still matches — but the index must rebuild anyway…
+    assert ensure_text_index(docs, "t_heal_idx", n_buckets=5, fingerprint="v1")
+    # …after which bm25 works and a further call is a pure no-op
+    assert bm25_search_table(spark, "t_heal_idx", "beta", top_k=5).count() == 2
+    assert not ensure_text_index(
+        docs, "t_heal_idx", n_buckets=5, fingerprint="v1"
+    )
+    # dropping ONLY the sidecar table (props intact) also heals
+    spark.sql("DROP TABLE IF EXISTS t_heal_idx_docstats")
+    assert ensure_text_index(docs, "t_heal_idx", n_buckets=5, fingerprint="v1")
+    assert bm25_search_table(spark, "t_heal_idx", "beta", top_k=5).count() == 2
+    spark.sql("DROP TABLE IF EXISTS t_heal_idx")
+    spark.sql("DROP TABLE IF EXISTS t_heal_idx_docstats")
+
+
 def test_index_build_query_stamp_contract(spark):
     """Cross-contract pin (VERDICT r9 item 2): the registered build
     exhibit (q_index_build_text) must stamp the SAME canonical

@@ -1811,3 +1811,24 @@ def test_pq_codes_compress_and_adc_recalls(spark):
 
     with _pt.raises(ValueError, match="divisible"):
         pq_train_codebooks(emb, m=7)
+
+
+def test_document_fingerprint_rejects_existing_fingerprint_col(spark):
+    """ADVICE r10: keep_cols=True does select('*', fp); if the input
+    already carries a 'fingerprint' column the result holds two
+    identically-named columns and the downstream groupBy('fingerprint')
+    (the exact corpus_curation_v5 pattern) dies on an ambiguous
+    reference far from the cause — it must fail HERE, actionably."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import document_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "some text", "deadbeef")], ["doc_id", "text", "fingerprint"]
+    )
+    with _pt.raises(ValueError, match="fingerprint"):
+        document_fingerprint(docs, keep_cols=True)
+    # the projecting form overwrites by construction and stays fine
+    out = document_fingerprint(docs)
+    assert out.columns == ["doc_id", "fingerprint"]
+    assert out.count() == 1
