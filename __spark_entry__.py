@@ -848,6 +848,37 @@ def q_embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-IndexIVFPQ shape (functions/vectors.py
+    ivfpq_build_index / ivfpq_query_index) — the billion-scale ANN
+    architecture both halves were built for: PQ codes stored INSIDE
+    hive-partitioned IVF cells, query = rank the driver-held coarse
+    codebook → read only the nprobe probed cell directories of the
+    CODE-sized store (PartitionFilters + bytes-read fraction pinned in
+    test_plan_quality) → integer-only ADC shortlist → exact squared-L2
+    rerank of 100 candidates against their full vectors. Both trainings
+    follow the deterministic recipes (pmod seeds, 9-dp means; IVF
+    cosine / PQ squared-L2), so the oracle replays IVF training + all 8
+    PQ trainings + probe + cell-restricted ADC + rerank, uncapped on
+    both sides. Recall vs the global exact scan is pinned in tests;
+    codebooks are memoized like the PQ trio's."""
+    from fresco_hpc_spark.functions import ivfpq_build_index, ivfpq_query_index
+
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    centroids = _ivf_centroids(spark, sf_dir)
+    ivfpq_build_index(emb, centroids, cbs, "entry_ivfpq_index")
+    return ivfpq_query_index(
+        spark.table("entry_ivfpq_index"),
+        emb,
+        _query_vector(spark, sf_dir),
+        centroids,
+        cbs,
+        k=10,
+        nprobe=4,
+        shortlist=100,
+    )
+
+
 def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact kNN graph with the block = the IVF CELL assignment
     — the 100 TB blocking knn_graph_blocked's docstring promises
@@ -3165,6 +3196,7 @@ def queries() -> dict[str, Query]:
         "embedding_knn": q_embedding_knn,
         "embedding_ann_lsh": q_embedding_ann,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
         "dedup_corpus": q_dedup_corpus,
         # --- outside the 50-query window. First the r11 leads: the 5
         # remaining r06-certified queries plus the two never-certified
@@ -3491,7 +3523,11 @@ def _ivf_training_ctes(n_cells: int, iterations: int, dim: int) -> str:
 
 
 def _pq_ctes(
-    m: int = 8, n_codes: int = 16, iterations: int = 2, dim: int = 64
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    base: str = "e",
 ) -> str:
     """The PQ replay chain: per subspace j, slice → pmod seeds → L2
     Lloyd iterations unrolled (assign = ROW_NUMBER over the dot-identity
@@ -3499,20 +3535,23 @@ def _pq_ctes(
     operand order and tie rule of functions/vectors.py _pq_argmin) →
     final codebook ``cbf{j}`` and encoding ``enc{j}``. Means round to
     9 dp like the IVF chain so both engines carry bit-identical
-    codebooks; seeds and query slices are raw doubles on both sides."""
+    codebooks; seeds and query slices are raw doubles on both sides.
+    ``base`` names the root vectors CTE — the IVF×PQ oracle composes
+    this chain with _ivf_training_ctes, whose own root is already
+    called ``e``."""
     sd = dim // m
     d = (
         "(list_dot_product(x, x) - 2*list_dot_product(x, cb.c))"
         " + list_dot_product(cb.c, cb.c)"
     )
     parts = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"{base} AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings WHERE embedding IS NOT NULL)"
     ]
     for j in range(m):
         lo, hi = j * sd + 1, (j + 1) * sd
         means = ", ".join(f"ROUND(AVG(x[{i + 1}]), 9)" for i in range(sd))
-        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM e)")
+        parts.append(f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS x FROM {base})")
         parts.append(f"""s{j} AS (
             SELECT (vec_id % {n_codes}) AS code, x AS c FROM (
                 SELECT vec_id, x, ROW_NUMBER() OVER (
@@ -3561,12 +3600,11 @@ def _pq_encode_oracle_sql(
     """
 
 
-def _pq_adc_core_ctes(
-    m: int = 8, n_codes: int = 16, iterations: int = 2, dim: int = 64
-) -> str:
-    """Training + encode + per-subspace distance tables + the summed
-    ADC relation ``adc(vec_id, du)`` — shared by the pure-ADC oracle
-    and the shortlist-rerank oracle."""
+def _pq_adc_tail_ctes(m: int = 8, dim: int = 64) -> str:
+    """Per-subspace distance tables + the summed ADC relation
+    ``adc(vec_id, du)``, assuming ``cbf{j}``/``enc{j}`` (from
+    :func:`_pq_ctes`) and ``q(qv)`` are already defined — shared by the
+    global ADC oracles and the cell-restricted IVF×PQ oracle."""
     sd = dim // m
     dparts, tparts = [], []
     for j in range(m):
@@ -3583,14 +3621,23 @@ def _pq_adc_core_ctes(
         )
     dsql = ",\n        ".join(dparts)
     tsql = "\n            UNION ALL ".join(tparts)
-    return f"""{_pq_ctes(m, n_codes, iterations, dim)},
-        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        {dsql},
+    return f"""{dsql},
         terms AS ({tsql}),
         adc AS (
             SELECT vec_id, CAST(SUM(u) AS BIGINT) AS du
             FROM terms GROUP BY vec_id
         )"""
+
+
+def _pq_adc_core_ctes(
+    m: int = 8, n_codes: int = 16, iterations: int = 2, dim: int = 64
+) -> str:
+    """Training + encode + per-subspace distance tables + the summed
+    ADC relation ``adc(vec_id, du)`` — shared by the pure-ADC oracle
+    and the shortlist-rerank oracle."""
+    return f"""{_pq_ctes(m, n_codes, iterations, dim)},
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        {_pq_adc_tail_ctes(m, dim)}"""
 
 
 def _pq_adc_oracle_sql(k: int = 10) -> str:
@@ -3650,6 +3697,56 @@ def _ivf_oracle_sql(
         WHERE af.cell IN (SELECT cell FROM probe)
         ORDER BY cosine_sim DESC, vec_id ASC
         LIMIT {k}
+    """
+
+
+def _ivfpq_oracle_sql(
+    n_cells: int = 8,
+    ivf_iterations: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    pq_iterations: int = 2,
+    dim: int = 64,
+    nprobe: int = 4,
+    k: int = 10,
+    shortlist: int = 100,
+) -> str:
+    """Full SQL twin of q_embedding_ann_ivfpq — the composed IVF×PQ
+    replay: the ENTIRE IVF training (``_ivf_training_ctes`` → cells
+    ``af``), the ENTIRE 8-subspace PQ training+encode (``_pq_ctes`` on
+    its own null-filtered root ``pe`` — raw vectors, not residuals,
+    exactly like the Spark side), the query's probe-cell ranking, ADC
+    restricted to vectors assigned to probed cells, then the exact
+    squared-L2 rerank of the shortlist. No frozen data-dependent
+    literals — holds at any sf (training is uncapped on both sides)."""
+    return f"""
+        WITH {_ivf_training_ctes(n_cells, ivf_iterations, dim)},
+        {_pq_ctes(m, n_codes, pq_iterations, dim, base="pe")},
+        q AS (SELECT v AS qv FROM pe WHERE vec_id = 0),
+        probe AS (
+            SELECT cell FROM nf, q
+            ORDER BY list_dot_product(c, qv)
+                     / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     cell ASC
+            LIMIT {nprobe}
+        ),
+        {_pq_adc_tail_ctes(m, dim)},
+        adc_probed AS (
+            SELECT adc.vec_id, adc.du
+            FROM adc JOIN af ON af.vec_id = adc.vec_id
+            WHERE af.cell IN (SELECT cell FROM probe)
+        ),
+        cand AS (
+            SELECT vec_id FROM adc_probed ORDER BY du ASC, vec_id ASC
+            LIMIT {shortlist}
+        )
+        SELECT pe.vec_id,
+               CAST(ROUND(((list_dot_product(pe.v, pe.v)
+                    - 2*list_dot_product(pe.v, q.qv))
+                    + list_dot_product(q.qv, q.qv)) * 1000000.0, 0)
+                    AS BIGINT) AS l2_sq_micro
+        FROM pe JOIN cand USING (vec_id), q
+        ORDER BY l2_sq_micro ASC, vec_id ASC LIMIT {k}
     """
 
 
@@ -5046,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": _simhash_oracle_sql(),
         "embedding_ann_lsh": _ann_lsh_oracle_sql(),
         "embedding_ann_ivf": _ivf_oracle_sql(),
+        "embedding_ann_ivfpq": _ivfpq_oracle_sql(),
         "knn_graph_ivf": _ivf_knn_graph_oracle_sql(),
         "token_counts": """
             SELECT doc_id,

@@ -628,6 +628,27 @@ def semantic_dedup(
     return embeddings.join(dropped, id_col, "left_anti")
 
 
+def _reset_managed_table(spark, table_name: str) -> None:
+    """Drop a managed table AND clear its on-disk location. A FRESH
+    session's catalog may not know the table while its warehouse
+    location survives from a previous session (managed-table overwrite
+    then fails with LOCATION_ALREADY_EXISTS): drop the metadata if
+    present, then clear any orphaned location. The managed location is
+    resolved via the CATALOG, not string concat off the warehouse root
+    (ADVICE r5: a qualified db.tbl lives at {warehouse}/db.db/tbl, and a
+    non-default current database relocates unqualified names too)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if "." in table_name:
+        db, tbl = table_name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table_name
+    db_loc = spark.catalog.getDatabase(db).locationUri.rstrip("/")
+    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{db_loc}/{tbl.lower()}")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jp):
+        fs.delete(jp, True)
+
+
 def ivf_build_index(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -654,24 +675,7 @@ def ivf_build_index(
     append-only growth skews cell sizes, not correctness.
     """
     spark = embeddings.sparkSession
-    # a FRESH session's catalog may not know the table while its
-    # warehouse location survives from a previous session (managed-table
-    # overwrite then fails with LOCATION_ALREADY_EXISTS): drop the
-    # metadata if present, then clear any orphaned location
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    # resolve the managed location the CREATE below will use via the
-    # CATALOG, not string concat off the warehouse root (ADVICE r5: a
-    # qualified db.tbl lives at {warehouse}/db.db/tbl, and a non-default
-    # current database relocates unqualified names too)
-    if "." in table_name:
-        db, tbl = table_name.rsplit(".", 1)
-    else:
-        db, tbl = spark.catalog.currentDatabase(), table_name
-    db_loc = spark.catalog.getDatabase(db).locationUri.rstrip("/")
-    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{db_loc}/{tbl.lower()}")
-    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jp):
-        fs.delete(jp, True)
+    _reset_managed_table(spark, table_name)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
         F.col("_cell"), F.col(id_col), F.col(vec_col)
     )
@@ -987,6 +991,28 @@ def pq_train_codebooks(
     return codebooks
 
 
+def pq_codes_col(v: Column, codebooks: list[list[list[float]]]) -> Column:
+    """The m-length PQ code array as a single COLUMN expression over a
+    (double-cast) vector column — the encode kernel shared by
+    :func:`pq_encode` and :func:`ivfpq_build_index` (which adds the IVF
+    cell in the same projection). One transform LOOP over subspaces
+    (j is a lambda variable), not m unrolled argmin expressions — same
+    values, ~m× less codegen."""
+    m, sd = len(codebooks), len(codebooks[0][0])
+    cb3 = F.array(*[_cb_lits(cb)[0] for cb in codebooks])
+    cc3 = F.array(*[_cb_lits(cb)[1] for cb in codebooks])
+
+    def code_of(j):
+        d = _pq_dists(
+            F.slice(v, j * sd + 1, F.lit(sd)),
+            F.element_at(cb3, j + 1),
+            F.element_at(cc3, j + 1),
+        )
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_of)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -999,22 +1025,7 @@ def pq_encode(
     is no scale column; the codebooks carry all the geometry). Map-only
     one-projection encode; output ``codes`` is the m-length int array.
     """
-    m, sd = len(codebooks), len(codebooks[0][0])
-    v = _as_double(F.col(vec_col))
-    cb3 = F.array(*[_cb_lits(cb)[0] for cb in codebooks])
-    cc3 = F.array(*[_cb_lits(cb)[1] for cb in codebooks])
-
-    def code_of(j):
-        d = _pq_dists(
-            F.slice(v, j * sd + 1, F.lit(sd)),
-            F.element_at(cb3, j + 1),
-            F.element_at(cc3, j + 1),
-        )
-        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
-
-    # one transform LOOP over subspaces (j is a lambda variable), not m
-    # unrolled argmin expressions — same values, ~m× less codegen
-    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_of)
+    codes = pq_codes_col(_as_double(F.col(vec_col)), codebooks)
     return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), codes.alias("codes")
     )
@@ -1117,4 +1128,101 @@ def pq_adc_rerank_topk(
         )
         .orderBy(F.asc("l2_sq_micro"), F.asc(id_col))
         .limit(int(k))
+    )
+
+
+def ivfpq_build_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the full FAISS-IndexIVFPQ-shaped store: every vector's
+    IVF cell assignment AND its m-byte PQ code, hive-partitioned on
+    ``_cell`` — the billion-scale ANN layout (coarse quantizer routes,
+    product quantizer compresses). The at-rest store holds only
+    (id, codes): dim·4 bytes per vector become m ints, and a query
+    reads ONLY the probed cells' directories of that code-sized store
+    (``PartitionFilters``, pinned in tests) — I/O is
+    ``nprobe/n_cells × m/dim·4`` of the raw corpus bytes.
+
+    Codes quantize the RAW vectors, not the cell residuals
+    (FAISS ``by_residual=false``): residual encoding couples the two
+    codebooks, which would force the DuckDB oracle to replay the
+    IVF-dependent PQ training per cell; the exact-rerank stage
+    (:func:`ivfpq_query_index`) absorbs the modest recall difference.
+    Both codebooks stay driver-held (n_cells·dim + m·n_codes·dim/m
+    floats) like every ANN index's metadata here. Cell assignment and
+    all m sub-code argmins happen in ONE narrow projection — the only
+    exchange is the partitioned write itself."""
+    spark = embeddings.sparkSession
+    _reset_managed_table(spark, table_name)
+    nonnull = embeddings.filter(F.col(vec_col).isNotNull())
+    store = ivf_assign(nonnull, centroids, id_col, vec_col).select(
+        F.col("_cell"),
+        F.col(id_col),
+        pq_codes_col(_as_double(F.col(vec_col)), codebooks).alias("codes"),
+    )
+    (
+        store.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("_cell")
+        .saveAsTable(table_name)
+    )
+
+
+def ivfpq_query_index(
+    index_df: DataFrame,
+    embeddings_df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Top-k over a stored IVF-PQ index (:func:`ivfpq_build_index`
+    output) — the production billion-scale retrieval shape end to end:
+
+    1. rank the driver-held IVF codebook against the query (cosine,
+       ties to the lowest cell — same rule as :func:`ivf_query_index`)
+       and keep the ``nprobe`` nearest cells;
+    2. scan ONLY those cells' partitions of the code store
+       (partition-pruned read) computing asymmetric distances — m
+       integer LUT lookups + a BIGINT sum per vector, zero float math;
+    3. exact squared-L2 re-rank of the ``shortlist`` best candidates
+       against their full vectors (a broadcast-sized equi-join) —
+       quantization decides which vectors get a full-precision read,
+       never the final order.
+
+    Output matches :func:`pq_adc_rerank_topk`: (id, ``l2_sq_micro``)
+    rank-stable micro-quantized distances, ties to the lowest id."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe_cells = [
+        i for i, _ in sorted(
+            enumerate(centroids), key=lambda t: (-cos(t[1], query_vec), t[0])
+        )[:nprobe]
+    ]
+    probed = index_df.filter(F.col("_cell").isin(probe_cells))
+    return pq_adc_rerank_topk(
+        probed,
+        embeddings_df,
+        query_vec,
+        codebooks,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        codes_col=codes_col,
     )

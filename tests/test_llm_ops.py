@@ -1832,3 +1832,100 @@ def test_document_fingerprint_rejects_existing_fingerprint_col(spark):
     out = document_fingerprint(docs)
     assert out.columns == ["doc_id", "fingerprint"]
     assert out.count() == 1
+
+
+def test_ivfpq_index_recall_and_probed_exactness(spark):
+    """The composed IVF×PQ index (vectors.py ivfpq_build_index /
+    ivfpq_query_index). Pins, in order of strength: (1) within the
+    probed cells the ADC-shortlist + exact-rerank pipeline returns
+    EXACTLY the L2 top-k of those cells (the 100-shortlist absorbs all
+    quantization error, as with pq_adc_rerank_topk); (2) recall vs the
+    GLOBAL exact top-10 is bounded only by the IVF probe choice (≥ 6/10
+    on this worst-case near-uniform data at nprobe=4 of 8); (3) the
+    result is invariant under input repartitioning (integer ADC keys +
+    micro-quantized rerank leave nothing to merge order)."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        ivf_assign,
+        ivf_train_centroids,
+        ivfpq_build_index,
+        ivfpq_query_index,
+        pq_train_codebooks,
+    )
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    cents = ivf_train_centroids(
+        emb, n_cells=8, iterations=2,
+        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
+    )
+    cbs = pq_train_codebooks(emb, m=8, n_codes=16, iterations=2)
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    spark.sql("DROP TABLE IF EXISTS t_ivfpq_idx")
+    try:
+        ivfpq_build_index(emb, cents, cbs, "t_ivfpq_idx")
+        idx = spark.table("t_ivfpq_idx")
+        # the store holds ONLY routing + codes — never the raw vectors
+        assert sorted(idx.columns) == ["_cell", "codes", "vec_id"]
+        res = ivfpq_query_index(
+            idx, emb, q, cents, cbs, k=10, nprobe=4, shortlist=100
+        ).collect()
+
+        # (1) exact-within-probed-cells: replicate the probe ranking,
+        # then the exact micro-quantized L2 top-10 of those cells
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(x * x for x in b) ** 0.5
+            return dot / (na * nb) if na and nb else 0.0
+
+        probes = [
+            i for i, _ in sorted(
+                enumerate(cents), key=lambda t: (-cos(t[1], q), t[0])
+            )[:4]
+        ]
+        qlit = F.array(*[F.lit(x) for x in q])
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        vv = F.aggregate(F.transform(v, lambda p: p * p), F.lit(0.0), lambda a, t: a + t)
+        vq = F.aggregate(F.zip_with(v, qlit, lambda p, r: p * r), F.lit(0.0), lambda a, t: a + t)
+        qq = sum(x * x for x in q)
+        d2 = (vv - F.lit(2.0) * vq) + F.lit(qq)
+        exact_probed = (
+            ivf_assign(emb, cents)
+            .filter(F.col("_cell").isin(probes))
+            .select(
+                "vec_id",
+                F.round(d2 * 1_000_000, 0).cast("bigint").alias("l2_sq_micro"),
+            )
+            .orderBy("l2_sq_micro", "vec_id")
+            .limit(10)
+            .collect()
+        )
+        assert [(r.vec_id, r.l2_sq_micro) for r in res] == [
+            (r.vec_id, r.l2_sq_micro) for r in exact_probed
+        ]
+
+        # (2) global recall bounded only by the coarse probe
+        exact_global = {
+            r.vec_id
+            for r in emb.select(
+                "vec_id", F.round(d2 * 1_000_000, 0).cast("bigint").alias("d")
+            ).orderBy("d", "vec_id").limit(10).collect()
+        }
+        got = {r.vec_id for r in res}
+        assert len(got & exact_global) >= 6, (sorted(got), sorted(exact_global))
+
+        # (3) partitioning invariance end to end
+        ivfpq_build_index(emb.repartition(7), cents, cbs, "t_ivfpq_idx2")
+        res2 = ivfpq_query_index(
+            spark.table("t_ivfpq_idx2"), emb.repartition(5), q, cents, cbs,
+            k=10, nprobe=4, shortlist=100,
+        ).collect()
+        assert [(r.vec_id, r.l2_sq_micro) for r in res] == [
+            (r.vec_id, r.l2_sq_micro) for r in res2
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivfpq_idx")
+        spark.sql("DROP TABLE IF EXISTS t_ivfpq_idx2")

@@ -884,3 +884,62 @@ def test_ivf_index_scan_prunes_buckets(spark):
         assert "_cell" in pf and "IN" in pf.upper(), pf
     finally:
         spark.sql("DROP TABLE IF EXISTS plan_ivf_idx")
+
+
+def test_ivfpq_index_scan_prunes_cells_code_sized_store(spark):
+    """The IVF×PQ store is hive-partitioned on _cell and holds only
+    (vec_id, codes): the query's scan must carry the probed cells as
+    PartitionFilters (probed fraction == I/O fraction), and the store
+    on disk must be a small fraction of the raw embedding bytes — the
+    'reads only probed partitions of a code-sized store' contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        ivf_train_centroids,
+        ivfpq_build_index,
+        ivfpq_query_index,
+        pq_train_codebooks,
+    )
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    cents = ivf_train_centroids(
+        emb, n_cells=8, iterations=1,
+        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
+    )
+    cbs = pq_train_codebooks(emb, m=8, n_codes=16, iterations=1)
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    spark.sql("DROP TABLE IF EXISTS plan_ivfpq_idx")
+    try:
+        ivfpq_build_index(emb, cents, cbs, "plan_ivfpq_idx")
+        df = ivfpq_query_index(
+            spark.table("plan_ivfpq_idx"), emb, q, cents, cbs, k=10, nprobe=4
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "_cell" in pf[0] and "IN" in pf[0].upper(), plan[:2000]
+
+        # code-sized at rest: the store's data bytes are << the raw
+        # embedding parquet (64 floats -> 8 small ints per vector; at
+        # this tiny scale parquet framing dominates, so pin a loose 60%)
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED plan_ivfpq_idx")
+            .filter("col_name = 'Location'")
+            .first()[1]
+        ).removeprefix("file:")
+        store_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(loc)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        raw_bytes = os.path.getsize(os.path.join(SF_SMALL, "embeddings.parquet"))
+        assert store_bytes < 0.6 * raw_bytes, (store_bytes, raw_bytes)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plan_ivfpq_idx")
