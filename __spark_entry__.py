@@ -2945,6 +2945,29 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
+def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM quality score (functions/text.py
+    trigram_logprob_score), self-scored: mean transition
+    log-probability under the corpus's own Laplace-smoothed trigram
+    model — the top rung of the unigram→bigram→trigram ladder; two
+    words of context catch template-stitched and clause-shuffled text
+    that still scores well under bigrams."""
+    from fresco_hpc_spark.functions import trigram_logprob_score
+
+    return trigram_logprob_score(table(spark, sf_dir, "documents"))
+
+
+def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score (functions/text.py
+    kn_logprob_score), self-scored — the KenLM/CCNet perplexity-filter
+    smoothing: fixed discount D=3/4 redistributed by continuation
+    fertility, evaluated as an exact BIGINT ratio (oracle rules 8/10)
+    so the DuckDB twin feeds libm identical integers."""
+    from fresco_hpc_spark.functions import kn_logprob_score
+
+    return kn_logprob_score(table(spark, sf_dir, "documents"))
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split (functions/sampling.py
     cluster_aware_split): the split coin lands on the near-dup CLUSTER
@@ -3166,6 +3189,8 @@ def queries() -> dict[str, Query]:
         "length_filter": q_length_filter,
         "cluster_split": q_cluster_split,
         "bigram_logprob": q_bigram_logprob,
+        "trigram_logprob": q_trigram_logprob,
+        "kn_logprob": q_kn_logprob,
         "winsorize_values": q_winsorize,
         "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
         "standardize_values": q_standardize_values,
@@ -7582,6 +7607,93 @@ def oracle_sql() -> dict[str, str]:
             FROM bi
             JOIN model m USING (prev, cur)
             JOIN marg g USING (prev), vocab
+        )
+        SELECT doc AS doc_id,
+               ROUND(SUM(lp_u) / (1e6 * COUNT(*)), 6) AS mean_logprob,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM lp GROUP BY doc ORDER BY doc_id
+    """
+
+    oracles["trigram_logprob"] = r"""
+        WITH words AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id AS doc,
+                   w[t.i] AS w1, w[t.i + 1] AS w2, w[t.i + 2] AS w3
+            FROM words,
+                 UNNEST(generate_series(1, array_length(w) - 2)) AS t(i)
+            WHERE array_length(w) >= 3
+              AND w[t.i] <> '' AND w[t.i + 1] <> '' AND w[t.i + 2] <> ''
+        ),
+        model AS (
+            SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY w1, w2, w3
+        ),
+        marg AS (SELECT w1, w2, SUM(c3) AS c2 FROM model GROUP BY w1, w2),
+        vocab AS (
+            SELECT COUNT(*) AS v FROM (
+                SELECT w1 AS w FROM tri
+                UNION SELECT w2 FROM tri
+                UNION SELECT w3 FROM tri
+            )
+        ),
+        lp AS (
+            SELECT tri.doc,
+                   CAST(ROUND(ln((m.c3 + 1)
+                              / CAST(g.c2 + vocab.v AS DOUBLE)) * 1e6, 0)
+                        AS BIGINT) AS lp_u
+            FROM tri
+            JOIN model m USING (w1, w2, w3)
+            JOIN marg g USING (w1, w2), vocab
+        )
+        SELECT doc AS doc_id,
+               ROUND(SUM(lp_u) / (1e6 * COUNT(*)), 6) AS mean_logprob,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM lp GROUP BY doc ORDER BY doc_id
+    """
+
+    # Kneser-Ney: the exact-rational D=3/4 form — every engine-visible
+    # intermediate is a BIGINT, ln sees the identical double ratio
+    oracles["kn_logprob"] = r"""
+        WITH words AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id AS doc, w[t.i] AS prev, w[t.i + 1] AS cur
+            FROM words,
+                 UNNEST(generate_series(1, array_length(w) - 1)) AS t(i)
+            WHERE array_length(w) >= 2
+              AND w[t.i] <> '' AND w[t.i + 1] <> ''
+        ),
+        model AS (
+            SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM bi GROUP BY prev, cur
+        ),
+        ctx AS (
+            SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1p
+            FROM model GROUP BY prev
+        ),
+        cont AS (
+            SELECT cur, CAST(COUNT(*) AS BIGINT) AS ncw
+            FROM model GROUP BY cur
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM model),
+        lp AS (
+            SELECT bi.doc,
+                   CAST(ROUND(ln(
+                       (GREATEST(4 * m.c2 - 3, 0) * nn.nc
+                        + 3 * x.n1p * GREATEST(ct.ncw, 1))
+                       / CAST(4 * x.c1 * nn.nc AS DOUBLE)) * 1e6, 0)
+                        AS BIGINT) AS lp_u
+            FROM bi
+            JOIN model m USING (prev, cur)
+            JOIN ctx x USING (prev)
+            JOIN cont ct USING (cur), nn
         )
         SELECT doc AS doc_id,
                ROUND(SUM(lp_u) / (1e6 * COUNT(*)), 6) AS mean_logprob,

@@ -901,6 +901,31 @@ def length_percentile_filter(
     ).orderBy(id_col)
 
 
+def _bigram_rel(
+    frame: DataFrame, text_col: str, id_col: str | None
+) -> DataFrame:
+    """The (doc?, prev, cur) word-transition relation — a map-side
+    self-zip of the token array (no join against the doc's own tokens);
+    shared by the bigram and Kneser-Ney scorers. Docs with <2 tokens
+    contribute no transitions."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    cols = [F.col(id_col).alias("doc")] if id_col else []
+    out = frame.select(*cols, F.explode(pairs).alias("b")).select(
+        *(["doc"] if id_col else []),
+        F.col("b.prev").alias("prev"),
+        F.col("b.cur").alias("cur"),
+    )
+    return out.filter((F.col("prev") != "") & (F.col("cur") != ""))
+
+
 def bigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",
@@ -932,22 +957,7 @@ def bigram_logprob_score(
     df = _fan_out(df)
 
     def bigrams(frame: DataFrame, with_doc: bool) -> DataFrame:
-        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        pairs = F.when(
-            F.size(words) >= 2,
-            F.zip_with(
-                F.slice(words, 1, F.size(words) - 1),
-                F.slice(words, 2, F.size(words) - 1),
-                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
-            ),
-        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-        cols = [F.col(id_col).alias("doc")] if with_doc else []
-        out = frame.select(*cols, F.explode(pairs).alias("b")).select(
-            *(["doc"] if with_doc else []),
-            F.col("b.prev").alias("prev"),
-            F.col("b.cur").alias("cur"),
-        )
-        return out.filter((F.col("prev") != "") & (F.col("cur") != ""))
+        return _bigram_rel(frame, text_col, id_col if with_doc else None)
 
     doc_bi = bigrams(df, with_doc=True)
     ref_bi = doc_bi if reference is None else bigrams(_fan_out(reference), False)
@@ -965,6 +975,185 @@ def bigram_logprob_score(
         doc_bi.join(model, ["prev", "cur"], "left")
         .join(marg, "prev", "left")
         .crossJoin(F.broadcast(vocab))
+        .select("doc", F.round(lp * 1_000_000, 0).cast("bigint").alias("lp_u"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.round(
+                F.sum("lp_u") / (F.lit(1_000_000.0) * F.count(F.lit(1))), _ROUND
+            ).alias("mean_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        )
+        .select(F.col("doc").alias(id_col), "mean_logprob", "n_transitions")
+        .orderBy(id_col)
+    )
+
+
+def trigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean transition log-probability under a Laplace-
+    smoothed TRIGRAM language model — the next rung of the
+    unigram→bigram quality ladder:
+    ``P(w₃ | w₁,w₂) = (c(w₁,w₂,w₃) + 1) / (c(w₁,w₂) + V)``. Two words
+    of context separate fluent prose from locally-plausible word salad
+    a bigram model still accepts (template stitching, shuffled
+    clauses); mean ln P per transition, micro-unit integer summation
+    (oracle rule 8). Docs with <3 tokens have no transitions and are
+    omitted, like the bigram scorer omits <2.
+
+    Scale shape mirrors :func:`bigram_logprob_score`: trigrams are a
+    map-side double self-zip of the token array; the model is ONE
+    (w₁,w₂,w₃, count) relation plus a (w₁,w₂) marginal — both
+    corpus-sized and JOINED on their keys, never broadcast; V rides a
+    broadcast 1-row cross join.
+    """
+    df = _fan_out(df)
+
+    def trigrams(frame: DataFrame, with_doc: bool) -> DataFrame:
+        words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        n = F.size(words)
+        heads = F.zip_with(
+            F.slice(words, 1, n - 2),
+            F.slice(words, 2, n - 2),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        tris = F.when(
+            n >= 3,
+            F.zip_with(
+                heads,
+                F.slice(words, 3, n - 2),
+                lambda p, c: F.struct(
+                    p.getField("w1").alias("w1"),
+                    p.getField("w2").alias("w2"),
+                    c.alias("w3"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+        )
+        cols = [F.col(id_col).alias("doc")] if with_doc else []
+        out = frame.select(*cols, F.explode(tris).alias("t")).select(
+            *(["doc"] if with_doc else []),
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        return out.filter(
+            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+        )
+
+    doc_tri = trigrams(df, with_doc=True)
+    ref_tri = (
+        doc_tri if reference is None else trigrams(_fan_out(reference), False)
+    )
+    model = ref_tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    marg = model.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    vocab = (
+        ref_tri.select(F.col("w1").alias("w"))
+        .union(ref_tri.select(F.col("w2").alias("w")))
+        .union(ref_tri.select(F.col("w3").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+
+    lp = F.log(
+        (F.coalesce(F.col("c3"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c2"), F.lit(0)) + F.col("v"))
+    )
+    scored = (
+        doc_tri.join(model, ["w1", "w2", "w3"], "left")
+        .join(marg, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc", F.round(lp * 1_000_000, 0).cast("bigint").alias("lp_u"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.round(
+                F.sum("lp_u") / (F.lit(1_000_000.0) * F.count(F.lit(1))), _ROUND
+            ).alias("mean_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        )
+        .select(F.col("doc").alias(id_col), "mean_logprob", "n_transitions")
+        .orderBy(id_col)
+    )
+
+
+def kn_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean transition log-probability under an
+    INTERPOLATED KNESER-NEY bigram model — the smoothing KenLM uses and
+    CCNet-style perplexity filtering is built on. Laplace over-taxes
+    frequent transitions and hands unseen ones probability proportional
+    to nothing useful; KN discounts every seen bigram by a fixed D and
+    redistributes that mass by CONTINUATION fertility (how many distinct
+    contexts a word follows — 'francisco' is frequent but predicts
+    poorly, 'the' completes anything):
+
+    ``P(w|u) = (max(c(uw) − D, 0) + D·N₁₊(u·)·N₁₊(·w)/N₁₊(··)) / c(u)``
+
+    with D = 3/4. Exact-rational evaluation (oracle rules 8/10): with
+    D = 3/4 every term scales by 4·c(u)·N₁₊(··) into BIGINTs —
+    ``ln( (max(4·c(uw)−3, 0)·N + 3·N₁₊(u·)·N₁₊(·w)) / (4·c(u)·N) )``
+    where N = N₁₊(··) — so both engines feed libm the identical double
+    ratio of identical integers, then micro-round. The BIGINT products
+    assume ``c·N < 2⁶²`` (true far past any testdata scale; a trillion-
+    type corpus would compute the two addends in doubles instead and
+    accept last-ulp risk).
+
+    Per-context probabilities sum EXACTLY to 1 over the vocabulary
+    (Σ_seen (4c−3) = 4c(u) − 3N₁₊(u·); the continuation term restores
+    3N₁₊(u·) since Σ_w N₁₊(·w) = N — pinned by a Fraction-exact test).
+    Transitions whose context u is unseen in the reference are DROPPED
+    (no c(u) to condition on — reference mode only; self-scored, every
+    context is its own witness), and an unseen-in-reference w clamps
+    N₁₊(·w) to 1 rather than ln(0). Same scale shape as the bigram
+    scorer: vocabulary-sized model relations joined on their keys, one
+    1-row broadcast for N.
+    """
+    df = _fan_out(df)
+    doc_bi = _bigram_rel(df, text_col, id_col)
+    ref_bi = (
+        doc_bi
+        if reference is None
+        else _bigram_rel(_fan_out(reference), text_col, None)
+    )
+    model = ref_bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    # c(u) and N1+(u·) fall out of ONE pass over the model relation
+    ctx = model.groupBy("prev").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = model.groupBy("cur").agg(F.count(F.lit(1)).alias("ncw"))
+    nn = model.agg(F.count(F.lit(1)).alias("nc"))
+
+    num = (
+        F.greatest(
+            F.lit(4).cast("bigint") * F.coalesce(F.col("c2"), F.lit(0)) - 3,
+            F.lit(0).cast("bigint"),
+        )
+        * F.col("nc")
+        + F.lit(3).cast("bigint")
+        * F.col("n1p")
+        * F.greatest(F.coalesce(F.col("ncw"), F.lit(0)), F.lit(1).cast("bigint"))
+    )
+    den = F.lit(4).cast("bigint") * F.col("c1") * F.col("nc")
+    lp = F.log(num.cast("double") / den.cast("double"))
+    scored = (
+        doc_bi.join(model, ["prev", "cur"], "left")
+        .join(ctx, "prev", "inner")  # unseen contexts are dropped
+        .join(cont, "cur", "left")
+        .crossJoin(F.broadcast(nn))
         .select("doc", F.round(lp * 1_000_000, 0).cast("bigint").alias("lp_u"))
     )
     return (

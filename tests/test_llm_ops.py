@@ -1929,3 +1929,115 @@ def test_ivfpq_index_recall_and_probed_exactness(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivfpq_idx")
         spark.sql("DROP TABLE IF EXISTS t_ivfpq_idx2")
+
+
+def test_trigram_sees_what_bigram_cannot(spark):
+    """The 2-word-context signal: reference = {"a b x", "y b c"}. The
+    probe "a b c" stitches two reference fragments — every bigram in it
+    is reference-seen with the same counts as the fluent "a b x"
+    (P(x|b) = P(c|b) = 2/7), so the BIGRAM scores tie exactly; only the
+    trigram model separates them ((a,b,x) seen: 2/6 vs (a,b,c) unseen:
+    1/6). Plus the plain order signal: a shuffled copy scores strictly
+    below the fluent original."""
+    import math
+
+    from fresco_hpc_spark.functions import (
+        bigram_logprob_score,
+        trigram_logprob_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b x"), (2, "y b c")], "doc_id bigint, text string"
+    )
+    probe = spark.createDataFrame(
+        [(100, "a b x"), (101, "a b c")], "doc_id bigint, text string"
+    )
+    bi = {r.doc_id: r.mean_logprob
+          for r in bigram_logprob_score(probe, reference=ref).collect()}
+    assert bi[100] == bi[101]  # bigram is blind to the stitch
+    tri = {r.doc_id: r
+           for r in trigram_logprob_score(probe, reference=ref).collect()}
+    assert tri[100].mean_logprob > tri[101].mean_logprob
+    assert tri[100].n_transitions == 1
+
+    def mean_lp(ps):
+        u = [round(math.log(p) * 1e6) for p in ps]
+        return round(sum(u) / (1e6 * len(u)), 6)
+
+    assert tri[100].mean_logprob == mean_lp([2 / 6])
+    assert tri[101].mean_logprob == mean_lp([1 / 6])
+
+    shuf = spark.createDataFrame(
+        [(200, "the cat sat on the mat"), (201, "mat the sat cat the on")],
+        "doc_id bigint, text string",
+    )
+    ref2 = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the cat")
+         for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    t2 = {r.doc_id: r.mean_logprob
+          for r in trigram_logprob_score(shuf, reference=ref2).collect()}
+    assert t2[200] > t2[201]
+
+
+def test_kn_logprob_hand_computed_and_normalized(spark):
+    """Interpolated Kneser-Ney, D=3/4, over {(a,b):2, (b,a):2, (a,c):1}
+    (ctx a: c=3, N1+=2; ctx b: c=2, N1+=1; every word has continuation
+    fertility 1; N1+(··)=3): P(b|a)=21/36, P(a|b)=18/24, P(c|a)=9/36 —
+    replicated through the exact integer form. The discount mass
+    balances EXACTLY: Σ_w P_KN(w|u) == 1 for every context (Fraction
+    arithmetic, no tolerance) — the property Laplace smoothing only
+    approximates and the reason KN perplexity is calibrated."""
+    import math
+    from fractions import Fraction
+
+    from fresco_hpc_spark.functions import kn_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "a c"), (4, "solo")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in kn_logprob_score(df).collect()}
+
+    model = {("a", "b"): 2, ("b", "a"): 2, ("a", "c"): 1}
+    ctx = {"a": (3, 2), "b": (2, 1)}
+    cont = {"a": 1, "b": 1, "c": 1}
+    nc = len(model)
+
+    def p(u, w):
+        c2 = model.get((u, w), 0)
+        c1, n1p = ctx[u]
+        num = max(4 * c2 - 3, 0) * nc + 3 * n1p * max(cont.get(w, 0), 1)
+        return Fraction(num, 4 * c1 * nc)
+
+    # exact normalization over the vocabulary, per context
+    vocab = {"a", "b", "c"}
+    for u in ctx:
+        assert sum(p(u, w) for w in vocab) == Fraction(1), u
+
+    def mean_lp(ps):
+        u = [round(math.log(x) * 1e6) for x in ps]
+        return round(sum(u) / (1e6 * len(u)), 6)
+
+    assert out[1].n_transitions == 3
+    assert out[1].mean_logprob == mean_lp(
+        [float(p("a", "b")), float(p("b", "a")), float(p("a", "b"))]
+    )
+    assert out[2].mean_logprob == mean_lp([float(p("b", "a"))])
+    assert out[3].mean_logprob == mean_lp([float(p("a", "c"))])
+    assert 4 not in out
+
+    # order signal survives KN smoothing (reference-scored)
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the cat")
+         for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "mat the sat cat the on")],
+        "doc_id bigint, text string",
+    )
+    kn = {r.doc_id: r.mean_logprob
+          for r in kn_logprob_score(probe, reference=ref).collect()}
+    assert kn[100] > kn[101]
