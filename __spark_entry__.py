@@ -3158,79 +3158,15 @@ def queries() -> dict[str, Query]:
     return {
         # --- ORDER MATTERS: the driver's correctness run caps at 50
         # queries per round taken in dict order. (bench.py follows
-        # dict order too — index_build_text precedes phrase_search so
-        # the phrase bench number is query-only — but quarantines the
-        # heavy Zipf exhibits at the end of its own suite.)
-        # Round-10 window (VERDICT r9 item 1), 50 = 12 + 1 + 37:
-        # (1) the 12 queries whose newest driver row is r05 — four
-        #     rounds stale, the rotation's front of the line:
-        "global_percentiles": q_global_percentiles,
-        "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
-        "iqr_trim_agg": q_iqr_trim_agg,
-        "mad_trim_agg": q_mad_trim_agg,
-        "interval_join_clicks": q_interval_join_clicks,
-        "time_weighted_avg": q_time_weighted_avg,
-        "ohlc_hourly": q_ohlc_hourly,
-        "rolling_zscore": q_rolling_zscore,
-        "linear_trend": q_linear_trend,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "histogram2d": q_histogram2d,
-        # (2) new in r10 (VERDICT r9 item 6 — the composed curation
-        #     pipeline must certify in its arrival round):
-        "corpus_curation_v5": q_corpus_curation_v5,
-        # (3) the 37 stalest r06-certified queries, in their prior
-        #     registry order; the remaining 5 r06 rows
-        #     (corpus_curation, dup_clusters, embedding_near_dups,
-        #     asof_click_purchase, decontaminate) lead the r11 window:
-        "corpus_curation_v3": q_corpus_curation_v3,
-        "remove_dup_spans": q_remove_dup_spans,
-        "oov_rate": q_oov_rate,
-        "length_filter": q_length_filter,
-        "cluster_split": q_cluster_split,
-        "bigram_logprob": q_bigram_logprob,
-        "trigram_logprob": q_trigram_logprob,
-        "kn_logprob": q_kn_logprob,
-        "winsorize_values": q_winsorize,
-        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
-        "standardize_values": q_standardize_values,
-        "source_quality": q_source_quality,
-        "pack_sequences": q_pack_sequences,
-        "domain_cap": q_domain_cap,
-        "corpus_curation_v4": q_corpus_curation_v4,
-        "ewma_scan": q_ewma_scan,
-        "holt_forecast": q_holt_forecast,
-        "unigram_logprob": q_unigram_logprob,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "vocab_stats": q_vocab_stats,
-        "semantic_dedup": q_semantic_dedup,
-        "temperature_mixture": q_temperature_mixture,
-        "weighted_repeat": q_weighted_repeat,
-        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
-        "topn_others": q_topn_others,
-        "histogram_bin_index": q_histogram_bin_index,
-        "histogram_range_join": q_histogram_range_join,
-        "etl_block_rates": q_etl_block,
-        "etl_cpu_percent": q_etl_cpu,
-        "etl_mem_metrics": q_etl_mem,
-        "etl_nfs_rates": q_etl_nfs,
-        "exact_dedup": q_exact_dedup,
-        "repetition_stats": q_repetition_stats,
-        "minhash_dup_pairs": q_minhash_dups,
-        "simhash_dup_pairs": q_simhash_dups,
-        "embedding_knn": q_embedding_knn,
-        "embedding_ann_lsh": q_embedding_ann,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
-        "dedup_corpus": q_dedup_corpus,
-        # --- outside the 50-query window. First the r11 leads: the 5
-        # remaining r06-certified queries plus the two never-certified
-        # r10 arrivals (locally parity-green):
-        "corpus_curation": q_corpus_curation,
-        "dup_clusters": q_dup_clusters,
-        "embedding_near_dups": q_embedding_near_dups,
-        "asof_click_purchase": q_asof_click_purchase,
-        "decontaminate": q_decontaminate,
+        # dict order too — index_build_text precedes phrase_search and
+        # bm25_search so their bench numbers are query-only — but
+        # quarantines the heavy Zipf exhibits at the end of its own
+        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 12 + 5 + 33;
+        # the exact set is pinned by test_edges and, structurally, by the
+        # ledger-derived staleness invariant (VERDICT r10 item 2):
+        # (1) the 11 never-driver-certified arrivals (8 from r10 + the 3
+        #     new r11 queries) plus index_build_text, which must precede
+        #     bm25_search in dict order (its store feeds bm25/phrase):
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "embedding_quantize": q_embedding_quantize,
@@ -3238,8 +3174,75 @@ def queries() -> dict[str, Query]:
         "pq_encode": q_pq_encode,
         "embedding_ann_pq": q_embedding_ann_pq,
         "embedding_ann_pq_rerank": q_embedding_ann_pq_rerank,
-        # then the r8/r9-certified block (the r8+r9 windows, ≤2 rounds
-        # old; index_build_text stays ahead of phrase_search):
+        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
+        "trigram_logprob": q_trigram_logprob,
+        "kn_logprob": q_kn_logprob,
+        "index_build_text": q_index_build_text,
+        "bm25_search": q_bm25_search,
+        # (2) the 5 queries whose newest driver row is r06 —
+        #     five rounds stale, the oldest certificates alive:
+        "corpus_curation": q_corpus_curation,
+        "dup_clusters": q_dup_clusters,
+        "embedding_near_dups": q_embedding_near_dups,
+        "asof_click_purchase": q_asof_click_purchase,
+        "decontaminate": q_decontaminate,
+        # (3) the 33 stalest r07-certified queries, prior
+        #     registry order (phrase_search last — its index is
+        #     built by index_build_text above):
+        "quality_rules": q_quality_rules,
+        "class_centroids": q_class_centroids,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "value_cdf": q_value_cdf,
+        "category_counts": q_category_counts,
+        "token_budget": q_token_budget,
+        "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
+        "token_counts": q_token_counts,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "session_duration": q_session_duration,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "profile_agg_day": q_profile_agg_day,
+        "profile_agg_minute": q_profile_agg_minute,
+        "grouped_percentiles": q_grouped_percentiles,
+        "histogram_equi_depth": q_histogram_equi_depth,
+        "weighted_sample": q_weighted_sample,
+        "ewma_user_value": q_ewma_user_value,
+        "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,
+        "pagerank_knn": q_pagerank_knn,
+        "fuzzy_match_parts": q_fuzzy_match_parts,
+        "source_divergence": q_source_divergence,
+        "scd2_user_state": q_scd2_user_state,
+        "length_buckets": q_length_buckets,
+        "interpolate_values": q_interpolate_values,
+        "nucleus_langs": q_nucleus_langs,
+        "phrase_search": q_phrase_search,
+        # --- outside the 50-query window. First the 17 r07
+        # remainder rows — they lead the r12 window (the ledger
+        # invariant in test_edges will force exactly that):
+        "cluster_hubs": q_cluster_hubs,
+        "knn_triangles": q_knn_triangles,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "collocations": q_collocations,
+        "source_overlap": q_source_overlap,
+        "clustering_knn": q_clustering_knn,
+        "fk_audit": q_fk_audit,
+        "event_transitions": q_event_transitions,
+        "ks_drift": q_ks_drift,
+        "pack_texts": q_pack_texts,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
+        "containment_pairs": q_containment_pairs,
+        "containment_pairs_prefix": q_containment_pairs_prefix,
+        "containment_plain_zipf": q_containment_plain_zipf,
+        "containment_prefix_zipf": q_containment_prefix_zipf,
+        # then the r08/r09-certified block (2-3 rounds old):
         "seasonal_profile": q_seasonal_profile,
         "name_resolution": q_name_resolution,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3256,11 +3259,6 @@ def queries() -> dict[str, Query]:
         "grouped_approx_percentiles": q_grouped_approx_percentiles,
         "bpe_merges": q_bpe_merges,
         "bpe_segments": q_bpe_segments,
-        "index_build_text": q_index_build_text,
-        # bm25_search sits directly after the build exhibit for the
-        # same reason phrase_search follows it: its bench number must
-        # be query-only, never build + query
-        "bm25_search": q_bm25_search,
         "boilerplate_remove": q_boilerplate_remove,
         "phash_dup_pairs": q_phash_dup_pairs,
         "paragraph_dedup": q_paragraph_dedup,
@@ -3295,58 +3293,59 @@ def queries() -> dict[str, Query]:
         "column_stats": q_column_stats,
         "availability": q_availability,
         "time_extent": q_time_extent,
-        # then the r07-certified remainder (full-parity covers
-        # all of these locally every session):
-        "quality_rules": q_quality_rules,
-        "class_centroids": q_class_centroids,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-        "media_features": q_media_features,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "value_cdf": q_value_cdf,
-        "category_counts": q_category_counts,
-        "token_budget": q_token_budget,
-        "corpus_split": q_corpus_split,
-        "stratified_sample": q_stratified_sample,
-        "token_counts": q_token_counts,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "session_duration": q_session_duration,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "profile_agg_day": q_profile_agg_day,
-        "profile_agg_minute": q_profile_agg_minute,
-        "grouped_percentiles": q_grouped_percentiles,
-        "histogram_equi_depth": q_histogram_equi_depth,
-        "weighted_sample": q_weighted_sample,
-        "ewma_user_value": q_ewma_user_value,
-        "knn_graph": q_knn_graph,
-        "knn_graph_ivf": q_knn_graph_ivf,
-        "pagerank_knn": q_pagerank_knn,
-        "fuzzy_match_parts": q_fuzzy_match_parts,
-        "source_divergence": q_source_divergence,
-        "scd2_user_state": q_scd2_user_state,
-        "length_buckets": q_length_buckets,
-        "interpolate_values": q_interpolate_values,
-        "nucleus_langs": q_nucleus_langs,
-        "phrase_search": q_phrase_search,
-        "cluster_hubs": q_cluster_hubs,
-        "knn_triangles": q_knn_triangles,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "collocations": q_collocations,
-        "source_overlap": q_source_overlap,
-        "clustering_knn": q_clustering_knn,
-        "fk_audit": q_fk_audit,
-        "event_transitions": q_event_transitions,
-        "ks_drift": q_ks_drift,
-        "pack_texts": q_pack_texts,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
-        "containment_pairs": q_containment_pairs,
-        "containment_pairs_prefix": q_containment_pairs_prefix,
-        "containment_plain_zipf": q_containment_plain_zipf,
-        "containment_prefix_zipf": q_containment_prefix_zipf,
+        # then the r09/r10-certified freshest block (the prior
+        # round-10 window, plus embedding_ann_ivf_index whose
+        # newest row is r10):
+        "global_percentiles": q_global_percentiles,
+        "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
+        "iqr_trim_agg": q_iqr_trim_agg,
+        "mad_trim_agg": q_mad_trim_agg,
+        "interval_join_clicks": q_interval_join_clicks,
+        "time_weighted_avg": q_time_weighted_avg,
+        "ohlc_hourly": q_ohlc_hourly,
+        "rolling_zscore": q_rolling_zscore,
+        "linear_trend": q_linear_trend,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "histogram2d": q_histogram2d,
+        "corpus_curation_v5": q_corpus_curation_v5,
+        "corpus_curation_v3": q_corpus_curation_v3,
+        "remove_dup_spans": q_remove_dup_spans,
+        "oov_rate": q_oov_rate,
+        "length_filter": q_length_filter,
+        "cluster_split": q_cluster_split,
+        "bigram_logprob": q_bigram_logprob,
+        "winsorize_values": q_winsorize,
+        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
+        "standardize_values": q_standardize_values,
+        "source_quality": q_source_quality,
+        "pack_sequences": q_pack_sequences,
+        "domain_cap": q_domain_cap,
+        "corpus_curation_v4": q_corpus_curation_v4,
+        "ewma_scan": q_ewma_scan,
+        "holt_forecast": q_holt_forecast,
+        "unigram_logprob": q_unigram_logprob,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "vocab_stats": q_vocab_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "temperature_mixture": q_temperature_mixture,
+        "weighted_repeat": q_weighted_repeat,
+        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
+        "topn_others": q_topn_others,
+        "histogram_bin_index": q_histogram_bin_index,
+        "histogram_range_join": q_histogram_range_join,
+        "etl_block_rates": q_etl_block,
+        "etl_cpu_percent": q_etl_cpu,
+        "etl_mem_metrics": q_etl_mem,
+        "etl_nfs_rates": q_etl_nfs,
+        "exact_dedup": q_exact_dedup,
+        "repetition_stats": q_repetition_stats,
+        "minhash_dup_pairs": q_minhash_dups,
+        "simhash_dup_pairs": q_simhash_dups,
+        "embedding_knn": q_embedding_knn,
+        "embedding_ann_lsh": q_embedding_ann,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "dedup_corpus": q_dedup_corpus,
     }
 
 

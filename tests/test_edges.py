@@ -111,47 +111,72 @@ def test_driver_contract_consistency():
     assert qs - oracles == set(), f"queries without oracle: {qs - oracles}"
 
 
+def _certification_ledger() -> tuple[dict[str, int], int]:
+    """(newest driver CORRECTNESS row per query, current round number)
+    derived from the CORRECTNESS_r*.json files on disk — the driver's
+    actual ledger, not a hand-maintained list. The current round is one
+    past the newest recorded file (the driver writes r{N} at the END of
+    round N)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    max_round = 0
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        max_round = max(max_round, rnd)
+        for name in json.load(open(path)):
+            newest[name] = max(rnd, newest.get(name, 0))
+    return newest, max_round + 1
+
+
 def test_correctness_window_contains_priority_queries():
     """The driver certifies the FIRST 50 queries() keys each round. The
-    round-10 window must hold (VERDICT r9 item 1) the 12 queries whose
-    newest driver row is r05 (four rounds stale), the query new in r10,
-    and the 37 stalest r06-certified queries — an accidental insertion
-    above them silently pushes the tail out of the window while the
-    comments still claim coverage (r6 review finding: three queries
-    drifted to positions 51-53; r9 repeat: boilerplate_remove pushed
-    time_extent to position 51). The pin is exactly window-sized
-    (VERDICT r9 item 4): an insertion that grows it past 50 fails HERE,
-    at authoring time, not at judging time. The bench-order dependency
-    is pinned too: index_build_text must precede phrase_search so the
-    phrase bench number is query-only."""
+    round-11 window must hold (VERDICT r10 item 1) the 8 never-certified
+    r10 arrivals, the 3 queries new in r11, the 5 queries whose newest
+    driver row is r06, and the 33 stalest r07-certified rows — an
+    accidental insertion above them silently pushes the tail out of the
+    window while the comments still claim coverage (r6 review finding:
+    three queries drifted to positions 51-53; r9 repeat:
+    boilerplate_remove pushed time_extent to position 51). The pin is
+    exactly window-sized: an insertion that grows it past 50 fails HERE,
+    at authoring time, not at judging time. Bench-order dependencies are
+    pinned too: index_build_text (also in-window — bm25_search needs it
+    earlier in dict order) must precede phrase_search and bm25_search so
+    their bench numbers are query-only."""
     import __spark_entry__ as m
 
     names = list(m.queries())
     window = names[:50]
     priority = {
-        # the 12 r05-stale queries — rotation front of the line
-        "global_percentiles", "percentile_trimmed_hourly", "iqr_trim_agg",
-        "mad_trim_agg", "interval_join_clicks", "time_weighted_avg",
-        "ohlc_hourly", "rolling_zscore", "linear_trend", "funnel",
-        "cohort_retention", "histogram2d",
-        # new in round 10
-        "corpus_curation_v5",
-        # the 37 stalest r06-certified queries (the remaining 5 —
-        # corpus_curation, dup_clusters, embedding_near_dups,
-        # asof_click_purchase, decontaminate — lead the r11 window)
-        "corpus_curation_v3", "remove_dup_spans", "oov_rate",
-        "length_filter", "cluster_split", "bigram_logprob",
-        "winsorize_values", "embedding_ann_ivf_index",
-        "standardize_values", "source_quality", "pack_sequences",
-        "domain_cap", "corpus_curation_v4", "ewma_scan", "holt_forecast",
-        "unigram_logprob", "cross_corpus_dedup", "vocab_stats",
-        "semantic_dedup", "temperature_mixture", "weighted_repeat",
-        "ngram_jaccard_plain_zipf", "topn_others", "histogram_bin_index",
-        "histogram_range_join", "etl_block_rates", "etl_cpu_percent",
-        "etl_mem_metrics", "etl_nfs_rates", "exact_dedup",
-        "repetition_stats", "minhash_dup_pairs", "simhash_dup_pairs",
-        "embedding_knn", "embedding_ann_lsh", "embedding_ann_ivf",
-        "dedup_corpus",
+        # the 8 never-driver-certified r10 arrivals
+        "dsir_weights", "dsir_select", "embedding_quantize",
+        "embedding_ann_int8", "pq_encode", "embedding_ann_pq",
+        "embedding_ann_pq_rerank", "bm25_search",
+        # new in round 11 — arrivals certify in their arrival round
+        "embedding_ann_ivfpq", "trigram_logprob", "kn_logprob",
+        # r9-fresh, but must sit ahead of bm25_search inside the window
+        "index_build_text",
+        # the 5 r06-stale queries — the oldest certificates alive
+        "corpus_curation", "dup_clusters", "embedding_near_dups",
+        "asof_click_purchase", "decontaminate",
+        # the 33 stalest r07-certified queries (the remaining 17 r07
+        # rows lead the r12 window — the ledger invariant below forces
+        # exactly that)
+        "quality_rules", "class_centroids", "redact_pii",
+        "chunk_documents", "media_features", "audio_features",
+        "video_frames", "value_cdf", "category_counts", "token_budget",
+        "corpus_split", "stratified_sample", "token_counts",
+        "rolling_fingerprint", "session_duration", "text_stats",
+        "lang_id", "profile_agg_day", "profile_agg_minute",
+        "grouped_percentiles", "histogram_equi_depth", "weighted_sample",
+        "ewma_user_value", "knn_graph", "knn_graph_ivf", "pagerank_knn",
+        "fuzzy_match_parts", "source_divergence", "scd2_user_state",
+        "length_buckets", "interpolate_values", "nucleus_langs",
+        "phrase_search",
     }
     assert len(priority) == 50, (
         f"priority pin must be exactly window-sized, got {len(priority)}"
@@ -160,3 +185,54 @@ def test_correctness_window_contains_priority_queries():
     assert not missing, f"priority queries outside the 50-window: {missing}"
     assert names.index("index_build_text") < names.index("phrase_search")
     assert names.index("index_build_text") < names.index("bm25_search")
+
+
+def test_certification_window_rotation_invariant():
+    """VERDICT r10 item 2: the window must be DERIVED from the driver's
+    certification ledger, not trusted to a hand-pinned list that can go
+    stale (the rotation stalled once at r9 and nearly again at r10).
+    Structural rules, valid for any future round without editing this
+    test:
+
+    1. every registered query that has NEVER been driver-certified must
+       sit inside the first-50 window (arrivals certify in their
+       arrival round);
+    2. no query OUTSIDE the window may have a newest driver row more
+       than 4 rounds old (164+ queries / 50 per round = a full rotation
+       every ~4 rounds — anything older means the rotation stalled);
+    3. window slots spent on already-fresh queries (newest row within 2
+       rounds) are wasted rotation bandwidth — allow at most 2 (the
+       build-exhibit exception: index_build_text must precede
+       bm25_search in dict order).
+    """
+    import __spark_entry__ as m
+
+    newest, current_round = _certification_ledger()
+    names = list(m.queries())
+    window, outside = set(names[:50]), names[50:]
+
+    never = {n for n in names if n not in newest}
+    uncertified_outside = never - window
+    assert not uncertified_outside, (
+        f"never-certified queries outside the window: {uncertified_outside}"
+    )
+
+    stalled = {
+        n: newest[n]
+        for n in outside
+        if n in newest and newest[n] <= current_round - 5
+    }
+    assert not stalled, (
+        f"rotation stalled — queries outside the window with a newest "
+        f"driver row ≥5 rounds old (current round {current_round}): {stalled}"
+    )
+
+    fresh_in_window = {
+        n: newest[n]
+        for n in window
+        if n in newest and newest[n] >= current_round - 2
+    }
+    assert len(fresh_in_window) <= 2, (
+        f"window wastes {len(fresh_in_window)} slots on already-fresh "
+        f"queries: {fresh_in_window}"
+    )
