@@ -220,6 +220,10 @@ def test_lazy_default_keeps_plan_composable(spark):
         "seasonal_profile", "name_resolution", "revenue_by_nation",
         "basket_pairs", "pagerank_knn_weighted", "revenue_monthly_yoy",
         "rfm_segments",
+        # round 11 (embedding_ann_ivfpq has its own store-building plan
+        # pin in test_planner — building an index inside plan_of is not
+        # a pure explain)
+        "trigram_logprob", "kn_logprob",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
