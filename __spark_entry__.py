@@ -861,12 +861,20 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine / PQ squared-L2), so the oracle replays IVF training + all 8
     PQ trainings + probe + cell-restricted ADC + rerank, uncapped on
     both sides. Recall vs the global exact scan is pinned in tests;
-    codebooks are memoized like the PQ trio's."""
-    from fresco_hpc_spark.functions import ivfpq_build_index, ivfpq_query_index
+    codebooks are memoized like the PQ trio's, and the store is
+    fingerprint-guarded (ensure_ivfpq_index — the text index's
+    build/query split), so repeated queries measure query-only cost."""
+    from fresco_hpc_spark.functions import ensure_ivfpq_index, ivfpq_query_index
 
     emb, cbs = _pq_codebooks(spark, sf_dir)
     centroids = _ivf_centroids(spark, sf_dir)
-    ivfpq_build_index(emb, centroids, cbs, "entry_ivfpq_index")
+    ensure_ivfpq_index(
+        emb,
+        centroids,
+        cbs,
+        "entry_ivfpq_index",
+        fingerprint="|".join(str(x) for x in _emb_fingerprint(emb, sf_dir)),
+    )
     return ivfpq_query_index(
         spark.table("entry_ivfpq_index"),
         emb,

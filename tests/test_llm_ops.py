@@ -2041,3 +2041,62 @@ def test_kn_logprob_hand_computed_and_normalized(spark):
     kn = {r.doc_id: r.mean_logprob
           for r in kn_logprob_score(probe, reference=ref).collect()}
     assert kn[100] > kn[101]
+
+
+def test_ensure_ivfpq_index_build_query_split(spark):
+    """ensure_ivfpq_index: builds once, no-ops while the corpus
+    fingerprint AND geometry parameters match (the registered query's
+    repeated invocations measure query-only cost), rebuilds on a
+    fingerprint change, a geometry change, or fingerprint=None — the
+    ensure_text_index contract applied to the vector store. Stored
+    params live with the index as TBLPROPERTIES."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        ensure_ivfpq_index,
+        ivf_train_centroids,
+        ivfpq_query_index,
+        pq_train_codebooks,
+    )
+    from fresco_hpc_spark.sources import table
+    from tests.conftest import SF_SMALL
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    cents = ivf_train_centroids(
+        emb, n_cells=8, iterations=1,
+        seed_bucket_col=F.pmod(F.col("vec_id"), F.lit(8)),
+    )
+    cbs = pq_train_codebooks(emb, m=8, n_codes=16, iterations=1)
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    spark.sql("DROP TABLE IF EXISTS t_ens_ivfpq")
+    try:
+        assert ensure_ivfpq_index(emb, cents, cbs, "t_ens_ivfpq", fingerprint="v1")
+        assert not ensure_ivfpq_index(
+            emb, cents, cbs, "t_ens_ivfpq", fingerprint="v1"
+        )
+        res1 = ivfpq_query_index(
+            spark.table("t_ens_ivfpq"), emb, q, cents, cbs, k=10, nprobe=4
+        ).collect()
+        # params live with the index
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql("SHOW TBLPROPERTIES t_ens_ivfpq").collect()
+        }
+        assert props["fresco.n_cells"] == "8"
+        assert props["fresco.m"] == "8"
+        assert props["fresco.n_codes"] == "16"
+        # corpus change rebuilds; geometry change rebuilds; None rebuilds
+        assert ensure_ivfpq_index(emb, cents, cbs, "t_ens_ivfpq", fingerprint="v2")
+        cbs4 = pq_train_codebooks(emb, m=4, n_codes=16, iterations=1)
+        assert ensure_ivfpq_index(emb, cents, cbs4, "t_ens_ivfpq", fingerprint="v2")
+        assert ensure_ivfpq_index(emb, cents, cbs4, "t_ens_ivfpq", fingerprint=None)
+        # rebuild back to the original geometry: stored == fresh results
+        assert ensure_ivfpq_index(emb, cents, cbs, "t_ens_ivfpq", fingerprint="v3")
+        res2 = ivfpq_query_index(
+            spark.table("t_ens_ivfpq"), emb, q, cents, cbs, k=10, nprobe=4
+        ).collect()
+        assert [(r.vec_id, r.l2_sq_micro) for r in res1] == [
+            (r.vec_id, r.l2_sq_micro) for r in res2
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ens_ivfpq")
