@@ -2953,6 +2953,30 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (functions/classify.py): logistic
+    regression over hashed unigram+bigram PRESENCE features, trained
+    full-batch for 3 rounds with integer micro-unit fixed-point
+    arithmetic (BIGINT logits, micro-quantized residuals, HALF_UP
+    updates) on the same src0/src1-as-target proxy labels DSIR uses,
+    then swept over the corpus — the fastText/CCNet-style model-based
+    filter completing the quality family (rules → LM scores → learned).
+    The oracle replays the ENTIRE training schedule as unrolled CTEs,
+    so the driver certifies the trained weights, not just the scores."""
+    from fresco_hpc_spark.functions import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "y", F.col("source").isin("src0", "src1").cast("int")
+    )
+    w = quality_classifier_train(
+        docs, "y", n_buckets=256, iterations=3, lr=5.0
+    )
+    return quality_classifier_score(docs, w, n_buckets=256)
+
+
 def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-LM quality score (functions/text.py
     trigram_logprob_score), self-scored: mean transition
@@ -3185,6 +3209,7 @@ def queries() -> dict[str, Query]:
         "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
         "trigram_logprob": q_trigram_logprob,
         "kn_logprob": q_kn_logprob,
+        "quality_classifier": q_quality_classifier,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3228,11 +3253,12 @@ def queries() -> dict[str, Query]:
         "scd2_user_state": q_scd2_user_state,
         "length_buckets": q_length_buckets,
         "interpolate_values": q_interpolate_values,
-        "nucleus_langs": q_nucleus_langs,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 17 r07
+        # --- outside the 50-query window. First the 18 r07
         # remainder rows — they lead the r12 window (the ledger
-        # invariant in test_edges will force exactly that):
+        # invariant in test_edges will force exactly that;
+        # nucleus_langs moved out when quality_classifier arrived):
+        "nucleus_langs": q_nucleus_langs,
         "cluster_hubs": q_cluster_hubs,
         "knn_triangles": q_knn_triangles,
         "sorted_neighborhood": q_sorted_neighborhood,
@@ -3730,6 +3756,87 @@ def _ivf_oracle_sql(
         ORDER BY cosine_sim DESC, vec_id ASC
         LIMIT {k}
     """
+
+
+def _qcls_oracle_sql(
+    n_buckets: int = 256, iterations: int = 3, lr: str = "5.0"
+) -> str:
+    """Full SQL twin of q_quality_classifier — replays the ENTIRE
+    fixed-point training schedule (functions/classify.py) as unrolled
+    CTEs: the hashed-presence relation (bias = bucket -1, present in
+    every featured doc), then per round the exact-BIGINT logits, the
+    micro-quantized residuals, the per-bucket BIGINT gradient sums, and
+    the HALF_UP weight updates ``round(lr·g/n)`` — the one double op
+    per round is the sigmoid, fed the identical micro-unit logit on
+    both engines. Final select = the scoring pass under the trained
+    weights."""
+    head = rf"""raww AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, source, ws[i] AS f
+            FROM raww, UNNEST(generate_series(1, len(ws))) AS t(i)
+            WHERE ws[i] <> ''
+            UNION ALL
+            SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS f
+            FROM raww, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        ),
+        presf AS (
+            SELECT DISTINCT doc_id AS doc,
+                   ('0x' || substr(md5('qcls|' || f), 1, 15))::BIGINT
+                       % {n_buckets} AS bucket,
+                   CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y
+            FROM feats
+        ),
+        docs AS (SELECT DISTINCT doc, y FROM presf),
+        pres AS (
+            SELECT doc, bucket, y FROM presf
+            UNION ALL
+            SELECT doc, CAST(-1 AS BIGINT), y FROM docs
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+        w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM pres)"""
+    iters = []
+    for i in range(iterations):
+        iters.append(f"""
+        z{i} AS (
+            SELECT p.doc, p.y, CAST(SUM(w.w) AS BIGINT) AS z
+            FROM pres p JOIN w{i} w USING (bucket)
+            GROUP BY p.doc, p.y
+        ),
+        r{i} AS (
+            SELECT doc,
+                   CAST(ROUND((y - 1/(1+exp(-(z/1000000.0)))) * 1000000, 0)
+                        AS BIGINT) AS r
+            FROM z{i}
+        ),
+        g{i} AS (
+            SELECT p.bucket, CAST(SUM(r.r) AS BIGINT) AS g
+            FROM pres p JOIN r{i} r USING (doc) GROUP BY p.bucket
+        ),
+        w{i + 1} AS (
+            SELECT w.bucket,
+                   w.w + CAST(ROUND({lr} * COALESCE(g.g, 0) / nn.n, 0)
+                              AS BIGINT) AS w
+            FROM w{i} w LEFT JOIN g{i} g USING (bucket), nn
+        )""")
+    return (
+        "\n        WITH "
+        + head
+        + ","
+        + ",".join(iters)
+        + f"""
+        SELECT p.doc AS doc_id,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_buckets_hit,
+               CAST(SUM(w.w) AS BIGINT) AS logit_micro,
+               ROUND(1/(1+exp(-(CAST(SUM(w.w) AS BIGINT)/1000000.0))), 6)
+                   AS prob
+        FROM pres p JOIN w{iterations} w USING (bucket)
+        GROUP BY p.doc ORDER BY doc_id
+    """
+    )
 
 
 def _ivfpq_oracle_sql(
@@ -6291,6 +6398,8 @@ def oracle_sql() -> dict[str, str]:
                ROUND(logw_micro / 1000000.0, 6) AS logw
         FROM w ORDER BY doc_id
     """
+
+    oracles["quality_classifier"] = _qcls_oracle_sql()
 
     oracles["dsir_select"] = f"""
         WITH {_DSIR_W_CTES},

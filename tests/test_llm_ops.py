@@ -2100,3 +2100,54 @@ def test_ensure_ivfpq_index_build_query_split(spark):
         ]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ens_ivfpq")
+
+
+def test_quality_classifier_separates_and_is_deterministic(spark):
+    """The learned quality gate (functions/classify.py): full-batch
+    fixed-point logistic regression over hashed n-gram presence.
+    Pins: (1) three rounds fully separate a lexically-separable corpus
+    (every good doc's prob above every bad doc's); (2) training is
+    partition-invariant to the INTEGER (BIGINT logits, micro-quantized
+    residuals, HALF_UP updates leave no float merge-order anywhere);
+    (3) featureless docs are omitted from training and scoring;
+    (4) n_buckets < 2 and an all-empty corpus fail loudly."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    rows = [(i, "good clean prose with structure and meaning", 1)
+            for i in range(20)]
+    rows += [(100 + i, "zz qq xx spam spam keyword keyword stuffing junk", 0)
+             for i in range(20)]
+    rows += [(200, "   ", 0)]  # featureless: whitespace only
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, y int")
+
+    w = quality_classifier_train(df, "y", n_buckets=64, iterations=3, lr=5.0)
+    out = quality_classifier_score(df, w, n_buckets=64).collect()
+    assert len(out) == 40  # featureless doc omitted
+    good = [r for r in out if r.doc_id < 100]
+    bad = [r for r in out if r.doc_id >= 100]
+    assert min(r.prob for r in good) > max(r.prob for r in bad)
+    assert min(r.logit_micro for r in good) > 0 > max(r.logit_micro for r in bad)
+    # bias bucket is not counted as a feature hit
+    assert all(r.n_buckets_hit >= 1 for r in out)
+
+    w2 = quality_classifier_train(
+        df.repartition(7), "y", n_buckets=64, iterations=3, lr=5.0
+    )
+    assert w == w2
+    out2 = quality_classifier_score(
+        df.repartition(5), w2, n_buckets=64
+    ).collect()
+    assert [(r.doc_id, r.logit_micro) for r in out] == [
+        (r.doc_id, r.logit_micro) for r in out2
+    ]
+
+    with _pt.raises(ValueError, match="n_buckets"):
+        quality_classifier_train(df, "y", n_buckets=1)
+    empty = spark.createDataFrame([(1, " ", 0)], "doc_id bigint, text string, y int")
+    with _pt.raises(ValueError, match="no documents"):
+        quality_classifier_train(empty, "y", n_buckets=64)
