@@ -2953,6 +2953,41 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch (functions/sketch.py kmv_distinct):
+    per-event-type distinct-user estimates from the k=64 smallest md5
+    hashes, next to the exact count — deterministic and fully
+    oracle-replayable where HLL's private registers cannot be (the
+    reason approx_count_distinct is NOT the tool here). Groups under 64
+    distinct users are exact by the estimator contract."""
+    from fresco_hpc_spark.functions import kmv_distinct
+
+    return kmv_distinct(
+        table(spark, sf_dir, "events"), "user_id", "event_type", k=64
+    )
+
+
+def q_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only set algebra (functions/sketch.py kmv_sketch +
+    kmv_union_intersect): one k=64 vocabulary sketch per source, then
+    every pairwise union/intersection/Jaccard estimate computed from
+    the STORED sketches alone — O(k) per pair, zero corpus re-access;
+    the mergeable sketch-based sibling of the exact source_overlap.
+    The merged k-smallest of two sketches IS the union's sketch (the
+    KMV merge property the 100 TB rollup relies on)."""
+    from fresco_hpc_spark.functions import kmv_sketch, kmv_union_intersect
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sk = kmv_sketch(toks, "tok", "source", k=64, salt="kmvv")
+    return kmv_union_intersect(sk, k=64, group_col="source")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier (functions/classify.py): logistic
     regression over hashed unigram+bigram PRESENCE features, trained
@@ -3210,6 +3245,8 @@ def queries() -> dict[str, Query]:
         "trigram_logprob": q_trigram_logprob,
         "kn_logprob": q_kn_logprob,
         "quality_classifier": q_quality_classifier,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3251,14 +3288,15 @@ def queries() -> dict[str, Query]:
         "fuzzy_match_parts": q_fuzzy_match_parts,
         "source_divergence": q_source_divergence,
         "scd2_user_state": q_scd2_user_state,
-        "length_buckets": q_length_buckets,
-        "interpolate_values": q_interpolate_values,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 18 r07
+        # --- outside the 50-query window. First the 20 r07
         # remainder rows — they lead the r12 window (the ledger
         # invariant in test_edges will force exactly that;
-        # nucleus_langs moved out when quality_classifier arrived):
+        # nucleus_langs/length_buckets/interpolate_values moved out as
+        # the r11 arrivals claimed their window slots):
         "nucleus_langs": q_nucleus_langs,
+        "length_buckets": q_length_buckets,
+        "interpolate_values": q_interpolate_values,
         "cluster_hubs": q_cluster_hubs,
         "knn_triangles": q_knn_triangles,
         "sorted_neighborhood": q_sorted_neighborhood,
@@ -6400,6 +6438,88 @@ def oracle_sql() -> dict[str, str]:
     """
 
     oracles["quality_classifier"] = _qcls_oracle_sql()
+
+    # KMV sketches: the same md5 _h60 hash as every sampling operator,
+    # so sketch contents — not just estimates — replay byte-identically
+    oracles["kmv_distinct_users"] = r"""
+        WITH pairs AS (
+            SELECT DISTINCT event_type AS g, user_id AS v
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        hs AS (
+            SELECT DISTINCT g,
+                   ('0x' || substr(md5('kmv|' || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM pairs
+        ),
+        ranked AS (
+            SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hs
+        ),
+        agg AS (
+            SELECT g, CAST(MAX(rn) AS BIGINT) AS n_seen, MAX(h) AS hk
+            FROM ranked WHERE rn <= 64 GROUP BY g
+        ),
+        ex AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+            FROM pairs GROUP BY g
+        )
+        SELECT agg.g AS event_type, agg.n_seen,
+               CASE WHEN agg.n_seen < 64 THEN agg.n_seen
+                    ELSE CAST(ROUND(63.0 * 1152921504606846976.0 / agg.hk, 0)
+                              AS BIGINT) END AS est_distinct,
+               ex.exact_distinct
+        FROM agg JOIN ex ON agg.g IS NOT DISTINCT FROM ex.g
+        ORDER BY event_type
+    """
+
+    oracles["kmv_vocab_overlap"] = r"""
+        WITH toks AS (
+            SELECT source AS g, w AS v FROM (
+                SELECT source,
+                       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        hs AS (
+            SELECT DISTINCT g,
+                   ('0x' || substr(md5('kmvv|' || v), 1, 15))::BIGINT AS h
+            FROM toks
+        ),
+        ranked AS (
+            SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hs
+        ),
+        sk AS (
+            SELECT g, list_sort(list(h)) AS hl
+            FROM ranked WHERE rn <= 64 GROUP BY g
+        ),
+        p AS (
+            SELECT a.g AS ga, a.hl AS ha, b.g AS gb, b.hl AS hb
+            FROM sk a JOIN sk b ON a.g < b.g
+        ),
+        m AS (
+            SELECT ga, gb, ha, hb,
+                   list_slice(list_sort(list_distinct(list_concat(ha, hb))),
+                              1, 64) AS merged
+            FROM p
+        ),
+        e AS (
+            SELECT ga, gb, merged, ha, hb,
+                   CASE WHEN len(merged) < 64
+                        THEN CAST(len(merged) AS BIGINT)
+                        ELSE CAST(ROUND(
+                            63.0 * 1152921504606846976.0 / merged[-1], 0)
+                            AS BIGINT) END AS union_est,
+                   len(list_filter(merged,
+                       x -> list_contains(ha, x) AND list_contains(hb, x)))
+                       / CAST(len(merged) AS DOUBLE) AS rho
+            FROM m
+        )
+        SELECT ga AS group_a, gb AS group_b, union_est,
+               CAST(ROUND(rho * union_est, 0) AS BIGINT) AS inter_est,
+               ROUND(rho, 6) AS jaccard_est
+        FROM e ORDER BY group_a, group_b
+    """
 
     oracles["dsir_select"] = f"""
         WITH {_DSIR_W_CTES},

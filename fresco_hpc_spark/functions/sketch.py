@@ -1,0 +1,178 @@
+"""KMV (k-minimum-values) cardinality sketches — deterministic,
+mergeable distinct-count estimation (Bar-Yossef et al. 2002, the
+ancestor of the theta sketch family).
+
+Why not HyperLogLog: Spark's ``approx_count_distinct`` is HLL++ with an
+engine-private register layout — unverifiable against any oracle and
+unusable as a STORED artifact. KMV keeps the k smallest values of a
+uniform hash per group; with the repo's shared md5 ``_h60`` hash every
+sketch byte is replayable in DuckDB (oracle rule: the same engine-
+agnostic hash as every sampling/bucketing operator), the estimator
+``(k−1)·H/h_(k)`` is one double division of exact integers, and —
+the actual 100 TB value — sketches MERGE: the k smallest of a union is
+computable from the per-side k smallest, so per-partition/per-day
+sketches roll up without rescanning, and union/intersection/Jaccard
+between groups cost O(k) per pair from the stored sketches alone.
+
+Estimator contract: groups with fewer than k distinct hashes are EXACT
+(``n_seen < k`` ⇒ the sketch holds the whole set); at or past k the
+relative error is ~1/√(k−2) (k=64 ⇒ ~13%). Hash collisions fold
+distinct values onto one hash with probability ~n²/2⁶¹ — negligible,
+and both engines fold identically (determinism is preserved; the
+estimate, not the contract, absorbs it).
+
+Scale shape: the sketch build deduplicates (group, hash) map-side
+(distinct's partial aggregate), then one rank window per group bounded
+by the group's distinct count — the same shape as exact
+COUNT(DISTINCT), because building ANY exact-threshold sketch requires
+seeing the distinct set once. The payoff is afterwards: stored sketches
+are k BIGINTs per group, and every later union/intersection/rollup is
+sketch-only (never rescans the corpus) — the sketch-based sibling of
+functions/text.py's exact ``source_overlap``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fresco_hpc_spark.functions.dedup import _h60
+
+#: the _h60 hash space: md5's first 15 hex chars = 60 bits
+_H = float(1 << 60)
+
+
+def _kmv_hash(value: Column, salt: str) -> Column:
+    return _h60(F.concat(F.lit(salt + "|"), value.cast("string")))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Build one KMV sketch per group: ``(group, n_seen, hs)`` where
+    ``hs`` is the ASCENDING array of the group's k smallest distinct
+    value hashes (shorter than k when the group has fewer distinct
+    values — then the sketch is the exact set). NULL values are skipped
+    (no identity to count); a NULL group forms its own group, matching
+    groupBy semantics. Store this relation; every estimate below reads
+    it, never the corpus."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            _kmv_hash(F.col(value_col), salt).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(int(k)))
+        .groupBy("g")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_seen"),
+            F.sort_array(F.collect_list("h")).alias("hs"),
+        )
+        .select(F.col("g").alias(group_col), "n_seen", "hs")
+    )
+
+
+def _estimate(n_seen: Column, kth: Column, k: int) -> Column:
+    """(k−1)·H/h_(k) when the sketch is full, exact count otherwise —
+    one double division of exact integers, HALF_UP to a BIGINT."""
+    est = F.round(F.lit(float(k - 1)) * F.lit(_H) / kth, 0).cast("bigint")
+    return F.when(n_seen < F.lit(int(k)), n_seen).otherwise(est)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group distinct-count estimate next to the exact count —
+    ``(group, n_seen, est_distinct, exact_distinct)`` — the
+    sketch-accuracy exhibit (and the one-shot path when no sketch is
+    stored). Exact while the group has < k distinct values by the
+    estimator contract."""
+    sk = kmv_sketch(df, value_col, group_col, k, salt)
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("_kmv_ge"), F.col(value_col))
+        .distinct()
+        .groupBy("_kmv_ge")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    # eqNullSafe: the NULL group must match its own exact row, not drop
+    joined = sk.join(
+        exact, F.col(group_col).eqNullSafe(F.col("_kmv_ge")), "inner"
+    ).drop("_kmv_ge")
+    return joined.select(
+        group_col,
+        "n_seen",
+        _estimate(F.col("n_seen"), F.element_at("hs", -1), k).alias(
+            "est_distinct"
+        ),
+        "exact_distinct",
+    ).orderBy(group_col)
+
+
+def kmv_union_intersect(
+    sketches: DataFrame,
+    k: int = 64,
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise set-cardinality estimates from STORED sketches alone —
+    O(k) per pair, zero corpus access: for every group pair a < b,
+    merge the two hash arrays, keep the k smallest (the union's own KMV
+    sketch — the merge property), estimate ``union_est`` from its k-th
+    value, count how many of the merged-k appear in BOTH sides (the
+    standard KMV intersection fraction ρ), and report
+    ``inter_est = round(ρ·union_est)`` plus the 6-dp ``jaccard_est``.
+    When the merged sketch holds fewer than k hashes both sides were
+    exact, so union AND intersection are exact too. Array expressions
+    end to end — no explode, no shuffle beyond the tiny pair
+    cross-join of sketch rows."""
+    a = sketches.select(
+        F.col(group_col).alias("ga"),
+        F.col("n_seen").alias("na"),
+        F.col("hs").alias("ha"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("gb"),
+        F.col("n_seen").alias("nb"),
+        F.col("hs").alias("hb"),
+    )
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("ha"), F.col("hb"))), 1, int(k)
+    )
+    n_m = F.size(merged)
+    kth = F.element_at(merged, -1)
+    union_est = F.when(
+        n_m < F.lit(int(k)), n_m.cast("bigint")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_H) / kth, 0).cast("bigint")
+    )
+    in_both = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains(F.col("ha"), x)
+            & F.array_contains(F.col("hb"), x),
+        )
+    )
+    rho = in_both / n_m
+    return pairs.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        union_est.alias("union_est"),
+        F.round(rho * union_est, 0).cast("bigint").alias("inter_est"),
+        F.round(rho, 6).alias("jaccard_est"),
+    ).orderBy("group_a", "group_b")

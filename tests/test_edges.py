@@ -158,13 +158,13 @@ def test_correctness_window_contains_priority_queries():
         "embedding_ann_pq_rerank", "bm25_search",
         # new in round 11 — arrivals certify in their arrival round
         "embedding_ann_ivfpq", "trigram_logprob", "kn_logprob",
-        "quality_classifier",
+        "quality_classifier", "kmv_distinct_users", "kmv_vocab_overlap",
         # r9-fresh, but must sit ahead of bm25_search inside the window
         "index_build_text",
         # the 5 r06-stale queries — the oldest certificates alive
         "corpus_curation", "dup_clusters", "embedding_near_dups",
         "asof_click_purchase", "decontaminate",
-        # the 32 stalest r07-certified queries (the remaining 18 r07
+        # the 30 stalest r07-certified queries (the remaining 20 r07
         # rows lead the r12 window — the ledger invariant below forces
         # exactly that)
         "quality_rules", "class_centroids", "redact_pii",
@@ -176,7 +176,6 @@ def test_correctness_window_contains_priority_queries():
         "grouped_percentiles", "histogram_equi_depth", "weighted_sample",
         "ewma_user_value", "knn_graph", "knn_graph_ivf", "pagerank_knn",
         "fuzzy_match_parts", "source_divergence", "scd2_user_state",
-        "length_buckets", "interpolate_values",
         "phrase_search",
     }
     assert len(priority) == 50, (

@@ -2151,3 +2151,61 @@ def test_quality_classifier_separates_and_is_deterministic(spark):
     empty = spark.createDataFrame([(1, " ", 0)], "doc_id bigint, text string, y int")
     with _pt.raises(ValueError, match="no documents"):
         quality_classifier_train(empty, "y", n_buckets=64)
+
+
+def test_kmv_sketch_contract(spark):
+    """KMV estimator contract (functions/sketch.py): (1) groups under k
+    distinct values are EXACT; (2) a full sketch estimates within the
+    ~1/sqrt(k-2) error band (asserted at 3 sigma); (3) the MERGE
+    property — the union's sketch computed from the two per-side
+    sketches equals the sketch built on the union directly (the 100 TB
+    rollup guarantee); (4) NULL values don't count, a NULL group forms
+    its own group; (5) union/intersection estimates from sketches alone
+    track the true overlap; (6) k < 2 fails loudly."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        kmv_distinct,
+        kmv_sketch,
+        kmv_union_intersect,
+    )
+
+    rows = [("small", i) for i in range(40)]            # < k: exact
+    rows += [("big", i) for i in range(5000)]           # full sketch
+    rows += [("dup", 7)] * 100                          # duplicates fold
+    rows += [(None, i) for i in range(10)]              # NULL group
+    rows += [("small", None)]                           # NULL value
+    df = spark.createDataFrame(rows, "g string, v bigint")
+
+    out = {r.g: r for r in kmv_distinct(df, "v", "g", k=64).collect()}
+    assert out["small"].est_distinct == out["small"].exact_distinct == 40
+    assert out["dup"].est_distinct == out["dup"].exact_distinct == 1
+    assert out[None].est_distinct == out[None].exact_distinct == 10
+    big = out["big"]
+    assert big.exact_distinct == 5000 and big.n_seen == 64
+    rel = abs(big.est_distinct - 5000) / 5000
+    assert rel < 3 / (64 - 2) ** 0.5, (big.est_distinct, rel)
+
+    # merge property: sketch(A ∪ B) == k-smallest of sketch(A)+sketch(B)
+    a = df.filter("g = 'big' AND v < 3000").withColumn("g", F.lit("x"))
+    b = df.filter("g = 'big' AND v >= 2000").withColumn("g", F.lit("y"))
+    u = df.filter("g = 'big'").withColumn("g", F.lit("u"))
+    sk = kmv_sketch(a.union(b), "v", "g", k=64)
+    ha, hb = [
+        [int(x) for x in r.hs]
+        for r in sk.orderBy("g").collect()
+    ]
+    merged = sorted(set(ha) | set(hb))[:64]
+    hu = [int(x) for x in kmv_sketch(u, "v", "g", k=64).first().hs]
+    assert merged == hu
+
+    # sketch-only set algebra vs truth: |x|=3000, |y|=3000, |x∩y|=1000
+    est = kmv_union_intersect(sk, k=64, group_col="g").first()
+    assert abs(est.union_est - 5000) / 5000 < 3 / (64 - 2) ** 0.5
+    true_j = 1000 / 5000
+    assert abs(est.jaccard_est - true_j) < 0.2, est
+    assert 0 < est.inter_est < 3000
+
+    with _pt.raises(ValueError, match="k must be"):
+        kmv_sketch(df, "v", "g", k=1)
