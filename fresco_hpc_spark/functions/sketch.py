@@ -176,3 +176,31 @@ def kmv_union_intersect(
         F.round(rho * union_est, 0).cast("bigint").alias("inter_est"),
         F.round(rho, 6).alias("jaccard_est"),
     ).orderBy("group_a", "group_b")
+
+
+def kmv_merge_sketches(
+    sketches: DataFrame, k: int = 64, group_col: str = "g"
+) -> DataFrame:
+    """Merge any number of sketch rows per group into one: explode the
+    hash arrays, dedupe, keep the k smallest per group — valid because
+    the k smallest of a union is a function of the per-side k smallest
+    (the KMV merge property, pinned exactly in tests). This is the
+    rollup operator: per-partition / per-day / per-batch sketches fold
+    into coarser granularities without ever rescanning values. Output
+    schema matches :func:`kmv_sketch`."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hs = sketches.select(
+        F.col(group_col).alias("g"), F.explode("hs").alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(int(k)))
+        .groupBy("g")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_seen"),
+            F.sort_array(F.collect_list("h")).alias("hs"),
+        )
+        .select(F.col("g").alias(group_col), "n_seen", "hs")
+    )

@@ -29,3 +29,7 @@ from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
     streaming_ohlc,
     streaming_session_agg,
 )
+from fresco_hpc_spark.streaming.sketches import (  # noqa: F401
+    process_kmv_ingest_batch,
+    start_incremental_kmv_ingest,
+)

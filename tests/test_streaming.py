@@ -1939,3 +1939,97 @@ def test_incremental_ivf_ingest_replay_is_idempotent(spark, tmp_path):
         b1.limit(0), 1, index_dir=idx_dir, centroids=centroids
     )
     assert spark.read.parquet(idx_dir).count() == 12
+
+
+def test_incremental_kmv_ingest_matches_batch_sketch(spark, tmp_path):
+    """Drained incremental KMV store == batch sketch over the union
+    corpus (streaming/sketches.py): values arriving over three
+    file-batches fold through the merge property into exactly the
+    sketch kmv_sketch builds in one pass — per group, identical hash
+    arrays, not just close estimates."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fresco_hpc_spark.functions import kmv_sketch
+    from fresco_hpc_spark.streaming import start_incremental_kmv_ingest
+
+    rows = [("g%d" % (i % 3), i * 17 + (i % 5)) for i in range(300)]
+    corpus = spark.createDataFrame(rows, "g string, v bigint")
+
+    src = tmp_path / "kin"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:100], rows[100:200], rows[200:]]):
+        pd.DataFrame(chunk, columns=["g", "v"]).to_parquet(
+            src / f"{i}.parquet", index=False
+        )
+        os.utime(src / f"{i}.parquet", (1000000000 + i * 100,) * 2)
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "kstore")
+    q = start_incremental_kmv_ingest(
+        stream, store, str(tmp_path / "kckpt"), "v", "g", k=32,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r.g: (int(r.n_seen), [int(x) for x in r.hs])
+        for r in spark.read.parquet(store).collect()
+    }
+    batch = {
+        r.g: (int(r.n_seen), [int(x) for x in r.hs])
+        for r in kmv_sketch(corpus, "v", "g", k=32).collect()
+    }
+    assert streamed == batch
+
+
+def test_incremental_kmv_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay contract: merging the same batch twice is a
+    set-union no-op — the store content is unchanged; an empty replayed
+    batch is a no-op too."""
+    from fresco_hpc_spark.functions import kmv_sketch
+    from fresco_hpc_spark.streaming import process_kmv_ingest_batch
+
+    corpus = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(10)],
+        "g string, v bigint",
+    )
+    store = str(tmp_path / "kstore2")
+    b0 = corpus.filter("v < 30")
+    b1 = corpus.filter("v >= 30")
+
+    def snap():
+        return sorted(
+            (r.g, int(r.n_seen), tuple(int(x) for x in r.hs))
+            for r in spark.read.parquet(store).collect()
+        )
+
+    process_kmv_ingest_batch(b0, 0, store_dir=store, value_col="v",
+                             group_col="g", k=16)
+    process_kmv_ingest_batch(b1, 1, store_dir=store, value_col="v",
+                             group_col="g", k=16)
+    full = snap()
+    # replay batch 1: content-identical
+    process_kmv_ingest_batch(b1, 1, store_dir=store, value_col="v",
+                             group_col="g", k=16)
+    assert snap() == full
+    # empty replay: no-op
+    process_kmv_ingest_batch(corpus.filter("v < 0"), 2, store_dir=store,
+                             value_col="v", group_col="g", k=16)
+    assert snap() == full
+    # and the drained store equals the one-pass batch sketch
+    batch = sorted(
+        (r.g, int(r.n_seen), tuple(int(x) for x in r.hs))
+        for r in kmv_sketch(corpus, "v", "g", k=16).collect()
+    )
+    assert full == batch
