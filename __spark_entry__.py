@@ -2953,6 +2953,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document
+    (functions/text.py char_entropy) — the cheapest Gopher-family
+    gibberish signal: base64/minified blobs and single-char floods fall
+    outside prose's narrow entropy band. One shuffle-free projection;
+    per-char cnt·ln(cnt) terms micro-quantized before the integer fold
+    so the oracle is byte-identical."""
+    from fresco_hpc_spark.functions import char_entropy
+
+    return char_entropy(table(spark, sf_dir, "documents"))
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch (functions/sketch.py kmv_distinct):
     per-event-type distinct-user estimates from the k=64 smallest md5
@@ -3247,6 +3259,7 @@ def queries() -> dict[str, Query]:
         "quality_classifier": q_quality_classifier,
         "kmv_distinct_users": q_kmv_distinct_users,
         "kmv_vocab_overlap": q_kmv_vocab_overlap,
+        "char_entropy": q_char_entropy,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3287,13 +3300,13 @@ def queries() -> dict[str, Query]:
         "pagerank_knn": q_pagerank_knn,
         "fuzzy_match_parts": q_fuzzy_match_parts,
         "source_divergence": q_source_divergence,
-        "scd2_user_state": q_scd2_user_state,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 20 r07
+        # --- outside the 50-query window. First the 21 r07
         # remainder rows — they lead the r12 window (the ledger
-        # invariant in test_edges will force exactly that;
-        # nucleus_langs/length_buckets/interpolate_values moved out as
-        # the r11 arrivals claimed their window slots):
+        # invariant in test_edges will force exactly that; nucleus_langs
+        # /length_buckets/interpolate_values/scd2_user_state moved out
+        # as the r11 arrivals claimed their window slots):
+        "scd2_user_state": q_scd2_user_state,
         "nucleus_langs": q_nucleus_langs,
         "length_buckets": q_length_buckets,
         "interpolate_values": q_interpolate_values,
@@ -6438,6 +6451,32 @@ def oracle_sql() -> dict[str, str]:
     """
 
     oracles["quality_classifier"] = _qcls_oracle_sql()
+
+    oracles["char_entropy"] = r"""
+        WITH cs AS (
+            SELECT doc_id, regexp_split_to_array(text, '') AS cs
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(cs) AS BIGINT) AS n_chars,
+                   CAST(len(list_distinct(cs)) AS BIGINT) AS distinct_chars,
+                   list_aggregate(
+                       list_transform(
+                           list_distinct(cs),
+                           c -> CAST(ROUND(
+                               len(list_filter(cs, x -> x = c))
+                               * ln(len(list_filter(cs, x -> x = c)))
+                               * 1000000.0, 0) AS BIGINT)
+                       ), 'sum') AS ssum
+            FROM cs
+        )
+        SELECT doc_id, n_chars, distinct_chars,
+               ROUND(ln(n_chars) - ssum / (1000000.0 * n_chars), 6)
+                   AS entropy_nats
+        FROM s ORDER BY doc_id
+    """
 
     # KMV sketches: the same md5 _h60 hash as every sampling operator,
     # so sketch contents — not just estimates — replay byte-identically

@@ -1169,6 +1169,55 @@ def kn_logprob_score(
     )
 
 
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the CHARACTER
+    distribution — the cheapest gibberish/encoding-garbage signal in
+    the Gopher-style quality family: natural prose sits in a narrow
+    entropy band; base64 blobs, minified code, and single-char floods
+    fall far outside it (low for floods, high for uniform random
+    bytes). ``H = ln(n) − (1/n)·Σ_c cnt_c·ln(cnt_c)``.
+
+    Entirely per-row array expressions — char split, distinct, counts,
+    and the entropy fold happen inside ONE projection (the
+    repetition_stats shape): no explode, no aggregation, zero shuffle.
+    Each split/distinct is MATERIALIZED as a column before the
+    per-element lambdas reference it (the DSIR O(len²) lesson). Exact
+    cross-engine: counts are integers, each ``cnt·ln(cnt)`` term is
+    micro-quantized HALF_UP before the integer fold, and the final
+    subtraction sees identical doubles. Empty/NULL texts have no
+    distribution and are omitted."""
+    s1 = df.filter(
+        F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
+    ).select(F.col(id_col), F.split(F.col(text_col), "").alias("cs"))
+    s2 = s1.select(id_col, "cs", F.array_distinct("cs").alias("uq"))
+    counts = F.transform(
+        F.col("uq"), lambda c: F.size(F.filter(F.col("cs"), lambda x: x == c))
+    )
+    s3 = s2.select(
+        id_col,
+        F.size("cs").cast("bigint").alias("n_chars"),
+        F.size("uq").cast("bigint").alias("distinct_chars"),
+        counts.alias("counts"),
+    )
+    term = F.transform(
+        F.col("counts"),
+        lambda k: F.round(
+            k.cast("double") * F.log(k.cast("double")) * 1_000_000.0, 0
+        ).cast("bigint"),
+    )
+    ssum = F.aggregate(term, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    entropy = F.round(
+        F.log(F.col("n_chars").cast("double"))
+        - ssum / (F.lit(1_000_000.0) * F.col("n_chars")),
+        6,
+    )
+    return s3.select(
+        id_col, "n_chars", "distinct_chars", entropy.alias("entropy_nats")
+    ).orderBy(id_col)
+
+
 def source_quality_report(
     df: DataFrame,
     text_col: str = "text",

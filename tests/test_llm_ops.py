@@ -2209,3 +2209,36 @@ def test_kmv_sketch_contract(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         kmv_sketch(df, "v", "g", k=1)
+
+
+def test_char_entropy_signal(spark):
+    """Char-entropy gibberish signal (functions/text.py char_entropy):
+    a single-char flood has H = 0 exactly; a string of n distinct chars
+    has H = ln(n) exactly; prose sits between a flood and a
+    base64-looking blob; hand-check of a small mixed case through the
+    same micro-unit arithmetic; empty/NULL omitted."""
+    import math
+
+    from fresco_hpc_spark.functions import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaa"),
+            (2, "abcdefghij"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "QmFzZTY0IGJsb2JzIGxvb2sgbGlrZSB0aGlzIQ3x9Zk2"),
+            (5, "aab"),
+            (6, ""),
+            (7, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].entropy_nats == 0.0 and out[1].distinct_chars == 1
+    assert out[2].entropy_nats == round(math.log(10), 6)
+    # hand-check "aab": H = ln(3) - (2·ln2 + 1·ln1)/3, micro-unit path
+    u = round(2 * math.log(2.0) * 1e6) + round(1 * math.log(1.0) * 1e6)
+    assert out[5].entropy_nats == round(math.log(3.0) - u / (1e6 * 3), 6)
+    # flood < prose < base64-ish blob
+    assert out[1].entropy_nats < out[3].entropy_nats < out[4].entropy_nats

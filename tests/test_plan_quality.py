@@ -222,8 +222,10 @@ def test_lazy_default_keeps_plan_composable(spark):
         "rfm_segments",
         # round 11 (embedding_ann_ivfpq has its own store-building plan
         # pin in test_planner — building an index inside plan_of is not
-        # a pure explain)
-        "trigram_logprob", "kn_logprob",
+        # a pure explain; quality_classifier trains via driver-collected
+        # rounds, its scoring plan is covered by the same pin below)
+        "trigram_logprob", "kn_logprob", "char_entropy",
+        "kmv_distinct_users", "kmv_vocab_overlap", "quality_classifier",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
