@@ -2953,6 +2953,39 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter exhibit (functions/sketch.py
+    cms_sketch / cms_estimate): a 4×256 additive counter matrix of the
+    token stream, point-queried for the exact top-20 tokens next to
+    their true counts — never-underestimate pinned in tests, counters
+    SUM to merge (the per-shard/per-day frequency summary). Both the
+    sketch contents and the estimates replay byte-identically in
+    DuckDB via the shared md5 row hashes."""
+    from fresco_hpc_spark.functions import cms_estimate, cms_sketch
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = cms_sketch(toks, "tok", d=4, w=256)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(sk, top.select("tok"), "tok", d=4, w=256)
+    return (
+        top.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"), "exact_count", "cms_est"
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document
     (functions/text.py char_entropy) — the cheapest Gopher-family
@@ -3259,6 +3292,7 @@ def queries() -> dict[str, Query]:
         "quality_classifier": q_quality_classifier,
         "kmv_distinct_users": q_kmv_distinct_users,
         "kmv_vocab_overlap": q_kmv_vocab_overlap,
+        "cms_token_counts": q_cms_token_counts,
         "char_entropy": q_char_entropy,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
@@ -3299,13 +3333,13 @@ def queries() -> dict[str, Query]:
         "knn_graph_ivf": q_knn_graph_ivf,
         "pagerank_knn": q_pagerank_knn,
         "fuzzy_match_parts": q_fuzzy_match_parts,
-        "source_divergence": q_source_divergence,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 21 r07
+        # --- outside the 50-query window. First the 22 r07
         # remainder rows — they lead the r12 window (the ledger
         # invariant in test_edges will force exactly that; nucleus_langs
-        # /length_buckets/interpolate_values/scd2_user_state moved out
-        # as the r11 arrivals claimed their window slots):
+        # /length_buckets/interpolate_values/scd2_user_state/
+        # source_divergence moved out as r11 arrivals claimed slots):
+        "source_divergence": q_source_divergence,
         "scd2_user_state": q_scd2_user_state,
         "nucleus_langs": q_nucleus_langs,
         "length_buckets": q_length_buckets,
@@ -6451,6 +6485,41 @@ def oracle_sql() -> dict[str, str]:
     """
 
     oracles["quality_classifier"] = _qcls_oracle_sql()
+
+    oracles["cms_token_counts"] = r"""
+        WITH toks AS (
+            SELECT w AS v FROM (
+                SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        cells AS (
+            SELECT t.row,
+                   ('0x' || substr(md5('cms' || t.row || '|' || v), 1, 15))::BIGINT
+                       % 256 AS col
+            FROM toks, UNNEST([0, 1, 2, 3]) AS t(row)
+        ),
+        sk AS (
+            SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY row, col
+        ),
+        top AS (
+            SELECT v AS token, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM toks GROUP BY v
+            ORDER BY exact_count DESC, token LIMIT 20
+        ),
+        pro AS (
+            SELECT token, exact_count, t.row,
+                   ('0x' || substr(md5('cms' || t.row || '|' || token), 1, 15))::BIGINT
+                       % 256 AS col
+            FROM top, UNNEST([0, 1, 2, 3]) AS t(row)
+        )
+        SELECT p.token, p.exact_count,
+               CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_est
+        FROM pro p LEFT JOIN sk s USING (row, col)
+        GROUP BY p.token, p.exact_count
+        ORDER BY exact_count DESC, token
+    """
 
     oracles["char_entropy"] = r"""
         WITH cs AS (

@@ -204,3 +204,102 @@ def kmv_merge_sketches(
         )
         .select(F.col("g").alias(group_col), "n_seen", "hs")
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value
+    column's frequency distribution: a ``d×w`` counter matrix in long
+    format ``(row, col, cnt)`` — ≤ d·w rows regardless of corpus size,
+    the bounded-space frequency summary heavy-hitter monitoring stores
+    per shard/day and SUMS to merge (counters are additive, the CMS
+    merge property). Row i hashes with the shared md5 ``_h60`` under
+    salt ``{salt}{i}``, so the sketch replays byte-identically in
+    DuckDB (the KMV determinism argument, applied to counters —
+    Spark has no exposed CMS, and a binary sketch blob would be
+    unverifiable).
+
+    Error contract: point estimates (:func:`cms_estimate`) NEVER
+    underestimate, and overestimate by more than ``2n/w`` with
+    probability ≤ 2^-d. Build shape: one map-side projection fans each
+    occurrence into its d (row, col) cells, ONE partially-aggregated
+    groupBy collapses them — a corpus-sized scan shuffling at most d·w
+    groups."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    cells = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("row"),
+                    F.pmod(
+                        _h60(
+                            F.concat(
+                                F.lit(f"{salt}{i}|"),
+                                F.col(value_col).cast("string"),
+                            )
+                        ),
+                        F.lit(int(w)),
+                    ).alias("col"),
+                )
+                for i in range(int(d))
+            ]
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cells)
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query a stored CMS: for every value in ``values``, the
+    minimum of its d counters — ``(value, cms_est)``, never below the
+    true count. An equi-join of the d probe cells per value against
+    the ≤ d·w-row sketch (broadcast-sized by construction); a counter
+    no value ever hashed to reads as 0."""
+    probes = values.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        F.pmod(
+                            _h60(
+                                F.concat(
+                                    F.lit(f"{salt}{i}|"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            F.lit(int(w)),
+                        ).alias("col"),
+                    )
+                    for i in range(int(d))
+                ]
+            )
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+                "cms_est"
+            )
+        )
+    )

@@ -2242,3 +2242,48 @@ def test_char_entropy_signal(spark):
     assert out[5].entropy_nats == round(math.log(3.0) - u / (1e6 * 3), 6)
     # flood < prose < base64-ish blob
     assert out[1].entropy_nats < out[3].entropy_nats < out[4].entropy_nats
+
+
+def test_cms_sketch_contract(spark):
+    """Count-Min contract (functions/sketch.py): (1) estimates NEVER
+    underestimate — checked for EVERY distinct value, not just heavy
+    hitters; (2) with w far above the distinct count, heavy hitters
+    estimate exactly (collisions add only light-tail mass); (3) the
+    MERGE property — summing two shards' counter matrices equals the
+    sketch of the union (additivity); (4) the sketch never exceeds d·w
+    rows; (5) bad params fail loudly."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import cms_estimate, cms_sketch
+
+    rows = [("heavy",)] * 500 + [("mid",)] * 50
+    rows += [(f"tail{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+
+    sk = cms_sketch(df, "v", d=4, w=256)
+    assert sk.count() <= 4 * 256
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    est = cms_estimate(sk, exact.select("v"), "v", d=4, w=256)
+    joined = exact.join(est, "v").collect()
+    assert len(joined) == 202
+    for r in joined:
+        assert r.cms_est >= r.c, (r.v, r.cms_est, r.c)
+    by_v = {r.v: r for r in joined}
+    assert by_v["heavy"].cms_est == 500  # w >> distinct: exact
+    assert by_v["mid"].cms_est == 50
+
+    # merge = counter sum: shard sketches fold into the union's sketch
+    a = spark.createDataFrame(rows[:400], "v string")
+    b = spark.createDataFrame(rows[400:], "v string")
+    merged = (
+        cms_sketch(a, "v", d=4, w=256)
+        .unionByName(cms_sketch(b, "v", d=4, w=256))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.row, r.col): r.cnt for r in sk.collect()}
+    assert {(r.row, r.col): r.cnt for r in merged.collect()} == full
+
+    with _pt.raises(ValueError, match="need d"):
+        cms_sketch(df, "v", d=0)
