@@ -304,6 +304,56 @@ def main() -> None:
                    lambda: kn_logprob_score(docsN).count())
     lin("kn shuffle", k1[0], kN[0], DOC_FACTOR)
 
+    # --- sketches + learned classifier (second r11 wave) -------------------
+    from fresco_hpc_spark.functions import (
+        cms_sketch,
+        kmv_sketch,
+        kmv_union_intersect,
+        quality_classifier_train,
+    )
+
+    print("[kmv / cms sketches]")
+
+    def doc_toks(d):
+        return d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        ).filter(F.col("tok") != "")
+
+    s1k = _measured(
+        spark, "kmv build 1x",
+        lambda: kmv_sketch(doc_toks(docs1), "tok", "source", k=64).count())
+    sNk = _measured(
+        spark, f"kmv build {DOC_FACTOR}x",
+        lambda: kmv_sketch(doc_toks(docsN), "tok", "source", k=64).count())
+    lin("kmv build shuffle", max(s1k[0], 1e-9), max(sNk[0], 1e-9), DOC_FACTOR)
+    skN = kmv_sketch(doc_toks(docsN), "tok", "source", k=64)
+    _measured(
+        spark, f"kmv pairwise set-algebra {DOC_FACTOR}x (190 pairs, sketch-only)",
+        lambda: kmv_union_intersect(skN, k=64, group_col="source").count())
+    c1 = _measured(
+        spark, "cms build 1x",
+        lambda: cms_sketch(doc_toks(docs1), "tok", d=4, w=256).count())
+    cN = _measured(
+        spark, f"cms build {DOC_FACTOR}x",
+        lambda: cms_sketch(doc_toks(docsN), "tok", d=4, w=256).count())
+    print(f"  cms sketch rows: 1x<=1024 actual bounded; shuffle "
+          f"{c1[0]:.3f} -> {cN[0]:.3f} MB (counter matrix is d*w groups — "
+          f"map-side combine absorbs the corpus growth)")
+
+    print("[quality_classifier] (3 rounds, 256 buckets)")
+    y1 = docs1.withColumn("y", F.col("source").isin("src0", "src1").cast("int"))
+    yN = docsN.withColumn("y", F.col("source").isin("src0", "src1").cast("int"))
+    q1c = _measured(
+        spark, "train 1x",
+        lambda: quality_classifier_train(y1, "y", n_buckets=256, iterations=3))
+    qNc = _measured(
+        spark, f"train {DOC_FACTOR}x",
+        lambda: quality_classifier_train(yN, "y", n_buckets=256, iterations=3))
+    lin("classifier train shuffle", q1c[0], qNc[0], DOC_FACTOR)
+
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
