@@ -2959,6 +2959,24 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (functions/bloom.py): the eval
+    slice's 4-grams become a 4 KB (word, bits) bitmap relation; the
+    training stream is thinned map-side against it and only candidates
+    reach the exact verify — identical n_overlap/contaminated semantics
+    to `decontaminate` (no false negatives, pinned in tests) with the
+    false-positive overhead exposed as n_bloom_candidates. The
+    memory-bounded path for multi-million-n-gram eval suites whose
+    exact set outgrows a comfortable broadcast. Every bit replays in
+    the oracle (md5 positions, 32 data bits per BIGINT word)."""
+    from fresco_hpc_spark.functions import bloom_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return bloom_decontaminate(train, ev, n=4, m_words=1024, k=4)
+
+
 def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy-hitter exhibit (functions/sketch.py
     cms_sketch / cms_estimate): a 4×256 additive counter matrix of the
@@ -3308,6 +3326,7 @@ def queries() -> dict[str, Query]:
         "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "cms_token_counts": q_cms_token_counts,
         "char_entropy": q_char_entropy,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3346,13 +3365,14 @@ def queries() -> dict[str, Query]:
         "knn_graph": q_knn_graph,
         "knn_graph_ivf": q_knn_graph_ivf,
         "pagerank_knn": q_pagerank_knn,
-        "fuzzy_match_parts": q_fuzzy_match_parts,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 22 r07
+        # --- outside the 50-query window. First the 23 r07
         # remainder rows — they lead the r12 window (the ledger
         # invariant in test_edges will force exactly that; nucleus_langs
         # /length_buckets/interpolate_values/scd2_user_state/
-        # source_divergence moved out as r11 arrivals claimed slots):
+        # source_divergence/fuzzy_match_parts moved out as r11 arrivals
+        # claimed slots):
+        "fuzzy_match_parts": q_fuzzy_match_parts,
         "source_divergence": q_source_divergence,
         "scd2_user_state": q_scd2_user_state,
         "nucleus_langs": q_nucleus_langs,
@@ -6499,6 +6519,69 @@ def oracle_sql() -> dict[str, str]:
     """
 
     oracles["quality_classifier"] = _qcls_oracle_sql()
+
+    oracles["bloom_decontaminate"] = r"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        toks AS (
+            SELECT DISTINCT doc, token FROM (
+                SELECT doc_id AS doc,
+                       unnest(list_transform(generate_series(1, len(w) - 3),
+                              i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS token
+                FROM words
+            )
+        ),
+        ev AS (SELECT DISTINCT token FROM toks WHERE doc % 41 = 0),
+        evcells AS (
+            SELECT ('0x' || substr(md5('bf' || t.i || '|' || token), 1, 15))::BIGINT
+                       % 32768 AS pos
+            FROM ev, UNNEST([0, 1, 2, 3]) AS t(i)
+        ),
+        bitmap AS (
+            SELECT (pos >> 5) AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+            FROM evcells GROUP BY (pos >> 5)
+        ),
+        tr AS (SELECT doc, token FROM toks WHERE doc % 41 <> 0),
+        probes AS (
+            SELECT doc, token, (pos >> 5) AS word,
+                   CAST(pos % 32 AS INT) AS bit
+            FROM (
+                SELECT doc, token,
+                       ('0x' || substr(md5('bf' || t.i || '|' || token), 1, 15))::BIGINT
+                           % 32768 AS pos
+                FROM tr, UNNEST([0, 1, 2, 3]) AS t(i)
+            )
+        ),
+        cand AS (
+            SELECT doc, token FROM (
+                SELECT p.doc, p.token,
+                       MIN((COALESCE(b.bits, 0) >> p.bit) % 2) AS all_set
+                FROM probes p LEFT JOIN bitmap b USING (word)
+                GROUP BY p.doc, p.token
+            ) WHERE all_set = 1
+        ),
+        pd AS (
+            SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bloom_candidates
+            FROM cand GROUP BY doc
+        ),
+        ex AS (
+            SELECT c.doc, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM cand c JOIN ev USING (token) GROUP BY c.doc
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(pd.n_bloom_candidates, 0) AS BIGINT)
+                   AS n_bloom_candidates,
+               CAST(COALESCE(ex.n_overlap, 0) AS BIGINT) AS n_overlap,
+               COALESCE(ex.n_overlap, 0) > 0 AS contaminated
+        FROM documents d
+        LEFT JOIN pd ON pd.doc = d.doc_id
+        LEFT JOIN ex ON ex.doc = d.doc_id
+        WHERE d.doc_id % 41 <> 0
+        ORDER BY d.doc_id
+    """
 
     oracles["cms_token_counts"] = r"""
         WITH toks AS (

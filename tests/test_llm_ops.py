@@ -2287,3 +2287,61 @@ def test_cms_sketch_contract(spark):
 
     with _pt.raises(ValueError, match="need d"):
         cms_sketch(df, "v", d=0)
+
+
+def test_bloom_decontaminate_contract(spark):
+    """Bloom prefilter contract (functions/bloom.py): (1) NO FALSE
+    NEGATIVES — n_overlap/contaminated equal ngram_decontaminate's
+    exactly, per doc; (2) candidates ⊇ exact hits always; (3) a
+    deliberately tiny filter (m_words=1, 32 bits for everything) still
+    returns EXACT n_overlap — false positives only cost candidate
+    volume, never correctness; (4) the bitmap relation is mergeable
+    (bit_or over the union == filter of the union set); (5) bad params
+    fail loudly."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        bloom_build,
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    docs = [(i, f"w{i} common words here and also unique{i} tail{i} x y z")
+            for i in range(40)]
+    # doc 100 shares a full 4-gram window with doc 0's text
+    docs += [(100, "w0 common words here trailing stuff one two three")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    ev = df.filter("doc_id = 0")
+    train = df.filter("doc_id <> 0")
+
+    exact = {r.doc_id: r for r in ngram_decontaminate(train, ev, n=4).collect()}
+    bl = {r.doc_id: r
+          for r in bloom_decontaminate(train, ev, n=4, m_words=64, k=4).collect()}
+    assert set(bl) == set(exact)
+    for d in exact:
+        assert bl[d].n_overlap == exact[d].n_overlap, d
+        assert bl[d].contaminated == exact[d].contaminated, d
+        assert bl[d].n_bloom_candidates >= bl[d].n_overlap, d
+    assert bl[100].contaminated and bl[100].n_overlap >= 1
+
+    # saturated 32-bit filter: every gram is a candidate, counts exact
+    tiny = {r.doc_id: r
+            for r in bloom_decontaminate(train, ev, n=4, m_words=1, k=2).collect()}
+    for d in exact:
+        assert tiny[d].n_overlap == exact[d].n_overlap, d
+
+    # merge: bit_or over two sets' bitmaps == bitmap of the union
+    t1 = spark.createDataFrame([("alpha",), ("beta",)], "token string")
+    t2 = spark.createDataFrame([("beta",), ("gamma",)], "token string")
+    merged = (
+        bloom_build(t1, m_words=8).unionByName(bloom_build(t2, m_words=8))
+        .groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_build(t1.unionByName(t2), m_words=8)
+    assert {(r.word, r.bits) for r in merged.collect()} == {
+        (r.word, r.bits) for r in direct.collect()
+    }
+
+    with _pt.raises(ValueError, match="m_words"):
+        bloom_build(t1, m_words=0)
