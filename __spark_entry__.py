@@ -2959,6 +2959,36 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity split, composed from r11
+    pieces: Kneser-Ney scores (functions/text.py kn_logprob_score) cut
+    at the rounded 1/3 and 2/3 PERCENTILE_CONT bounds via the
+    scale-safe quantile_bucket (map-side when() labeling against
+    literal bounds — no global ntile sort), then per-bucket stats with
+    the order-free micro-unit mean. Bucket 1 = lowest log-prob =
+    highest perplexity = the tail a CCNet pipeline drops or
+    downweights."""
+    from fresco_hpc_spark.functions import kn_logprob_score
+    from fresco_hpc_spark.operators.percentiles import quantile_bucket
+
+    scores = kn_logprob_score(table(spark, sf_dir, "documents"))
+    labeled = quantile_bucket(scores, "mean_logprob", [1 / 3, 2 / 3])
+    u = F.round(F.col("mean_logprob") * 1_000_000, 0).cast("bigint")
+    return (
+        labeled.select("bucket", "mean_logprob", u.alias("u"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("mean_logprob"), 6).alias("min_logprob"),
+            F.round(F.max("mean_logprob"), 6).alias("max_logprob"),
+            F.round(
+                F.sum("u") / (F.lit(1_000_000.0) * F.count(F.lit(1))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination (functions/bloom.py): the eval
     slice's 4-grams become a 4 KB (word, bits) bitmap relation; the
@@ -3327,6 +3357,7 @@ def queries() -> dict[str, Query]:
         "cms_token_counts": q_cms_token_counts,
         "char_entropy": q_char_entropy,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "perplexity_buckets": q_perplexity_buckets,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3364,14 +3395,14 @@ def queries() -> dict[str, Query]:
         "ewma_user_value": q_ewma_user_value,
         "knn_graph": q_knn_graph,
         "knn_graph_ivf": q_knn_graph_ivf,
-        "pagerank_knn": q_pagerank_knn,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 23 r07
+        # --- outside the 50-query window. First the 24 r07
         # remainder rows — they lead the r12 window (the ledger
         # invariant in test_edges will force exactly that; nucleus_langs
         # /length_buckets/interpolate_values/scd2_user_state/
-        # source_divergence/fuzzy_match_parts moved out as r11 arrivals
-        # claimed slots):
+        # source_divergence/fuzzy_match_parts/pagerank_knn moved out as
+        # r11 arrivals claimed slots):
+        "pagerank_knn": q_pagerank_knn,
         "fuzzy_match_parts": q_fuzzy_match_parts,
         "source_divergence": q_source_divergence,
         "scd2_user_state": q_scd2_user_state,
@@ -8096,9 +8127,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # Kneser-Ney: the exact-rational D=3/4 form — every engine-visible
-    # intermediate is a BIGINT, ln sees the identical double ratio
-    oracles["kn_logprob"] = r"""
-        WITH words AS (
+    # intermediate is a BIGINT, ln sees the identical double ratio.
+    # The chain is shared with perplexity_buckets' oracle.
+    _KN_SCORE_CTES = r"""words AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(lower(text)), '\s+') AS w
             FROM documents
@@ -8135,11 +8166,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN model m USING (prev, cur)
             JOIN ctx x USING (prev)
             JOIN cont ct USING (cur), nn
+        ),
+        scores AS (
+            SELECT doc AS doc_id,
+                   ROUND(SUM(lp_u) / (1e6 * COUNT(*)), 6) AS mean_logprob,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM lp GROUP BY doc
+        )"""
+
+    oracles["kn_logprob"] = f"""
+        WITH {_KN_SCORE_CTES}
+        SELECT doc_id, mean_logprob, n_transitions
+        FROM scores ORDER BY doc_id
+    """
+
+    # CCNet head/middle/tail: the same rounded-bounds + <= labeling
+    # contract as histogram_equi_depth / quantile_bucket (ties share a
+    # bucket); the per-bucket mean re-quantizes the 6-dp score to exact
+    # micro BIGINTs so the average is order-free
+    oracles["perplexity_buckets"] = f"""
+        WITH {_KN_SCORE_CTES},
+        b AS (
+            SELECT
+                ROUND(percentile_cont(1.0/3) WITHIN GROUP
+                      (ORDER BY mean_logprob), 6) AS b1,
+                ROUND(percentile_cont(2.0/3) WITHIN GROUP
+                      (ORDER BY mean_logprob), 6) AS b2
+            FROM scores
+        ),
+        labeled AS (
+            SELECT doc_id, mean_logprob,
+                   CAST(ROUND(mean_logprob * 1e6, 0) AS BIGINT) AS u,
+                   CAST(CASE WHEN mean_logprob <= b.b1 THEN 1
+                             WHEN mean_logprob <= b.b2 THEN 2
+                             ELSE 3 END AS BIGINT) AS bucket
+            FROM scores, b
         )
-        SELECT doc AS doc_id,
-               ROUND(SUM(lp_u) / (1e6 * COUNT(*)), 6) AS mean_logprob,
-               CAST(COUNT(*) AS BIGINT) AS n_transitions
-        FROM lp GROUP BY doc ORDER BY doc_id
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(MIN(mean_logprob), 6) AS min_logprob,
+               ROUND(MAX(mean_logprob), 6) AS max_logprob,
+               ROUND(SUM(u) / (1e6 * COUNT(*)), 6) AS avg_logprob
+        FROM labeled GROUP BY bucket ORDER BY bucket
     """
 
     # Cluster-aware split: clusters replayed with the same 2-round

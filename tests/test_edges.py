@@ -160,12 +160,13 @@ def test_correctness_window_contains_priority_queries():
         "embedding_ann_ivfpq", "trigram_logprob", "kn_logprob",
         "quality_classifier", "kmv_distinct_users", "kmv_vocab_overlap",
         "char_entropy", "cms_token_counts", "bloom_decontaminate",
+        "perplexity_buckets",
         # r9-fresh, but must sit ahead of bm25_search inside the window
         "index_build_text",
         # the 5 r06-stale queries — the oldest certificates alive
         "corpus_curation", "dup_clusters", "embedding_near_dups",
         "asof_click_purchase", "decontaminate",
-        # the 27 stalest r07-certified queries (the remaining 23 r07
+        # the 26 stalest r07-certified queries (the remaining 24 r07
         # rows lead the r12 window — the ledger invariant below forces
         # exactly that)
         "quality_rules", "class_centroids", "redact_pii",
@@ -175,7 +176,7 @@ def test_correctness_window_contains_priority_queries():
         "rolling_fingerprint", "session_duration", "text_stats",
         "lang_id", "profile_agg_day", "profile_agg_minute",
         "grouped_percentiles", "histogram_equi_depth", "weighted_sample",
-        "ewma_user_value", "knn_graph", "knn_graph_ivf", "pagerank_knn",
+        "ewma_user_value", "knn_graph", "knn_graph_ivf",
         "phrase_search",
     }
     assert len(priority) == 50, (

@@ -2345,3 +2345,24 @@ def test_bloom_decontaminate_contract(spark):
 
     with _pt.raises(ValueError, match="m_words"):
         bloom_build(t1, m_words=0)
+
+
+def test_perplexity_buckets_semantics(spark):
+    """The CCNet split: three buckets partition the scored corpus, tie
+    values share a bucket (value-based labeling, not ntile), bucket
+    means are ordered (1 = lowest logprob = tail), and counts sum to
+    the scored-doc total."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_SMALL
+
+    out = entry.q_perplexity_buckets(spark, SF_SMALL).collect()
+    assert [r.bucket for r in out] == [1, 2, 3]
+    assert all(r.n_docs > 0 for r in out)
+    assert out[0].avg_logprob < out[1].avg_logprob < out[2].avg_logprob
+    assert out[0].max_logprob <= out[1].min_logprob
+    assert out[1].max_logprob <= out[2].min_logprob
+    from fresco_hpc_spark.functions import kn_logprob_score
+    from fresco_hpc_spark.sources import table
+
+    n_scored = kn_logprob_score(table(spark, SF_SMALL, "documents")).count()
+    assert sum(r.n_docs for r in out) == n_scored

@@ -226,7 +226,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         # rounds, its scoring plan is covered by the same pin below)
         "trigram_logprob", "kn_logprob", "char_entropy",
         "kmv_distinct_users", "kmv_vocab_overlap", "quality_classifier",
-        "cms_token_counts", "bloom_decontaminate",
+        "cms_token_counts", "bloom_decontaminate", "perplexity_buckets",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
