@@ -303,3 +303,167 @@ def cms_estimate(
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — register sketches with an EXPLICIT, oracle-replayable layout
+# --------------------------------------------------------------------------
+
+#: HLL bias-correction constants (Flajolet et al. 2007, §4): alpha_16,
+#: alpha_32, alpha_64, and the m>=128 closed form.
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_params(b: int) -> tuple[int, int, float]:
+    """(m, rho_max, numerator) for precision ``b``: m = 2^b registers,
+    rho_max = 61-b (the 60-bit hash leaves 60-b pattern bits, so rho in
+    1..61-b), and the raw-estimate numerator alpha*m^2*2^rho_max folded
+    into ONE double literal so both engines evaluate the identical
+    constant."""
+    if not 4 <= b <= 14:
+        raise ValueError(f"precision b must be in [4, 14], got {b}")
+    m = 1 << b
+    rho_max = 61 - b
+    num = _hll_alpha(m) * float(m) * float(m) * float(1 << rho_max)
+    return m, rho_max, num
+
+
+def _as_cols(group_cols) -> list[str]:
+    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+    b: int = 9,
+    salt: str = "hll",
+) -> DataFrame:
+    """Build one HyperLogLog sketch per group in LONG format
+    ``(group, j, r)``: register index ``j`` = top ``b`` bits of the
+    shared md5 ``_h60`` hash, ``r`` = max over the group of
+    rho(remaining 60-b bits) — leading-zero count + 1, computed
+    INTEGER-EXACTLY as ``(60-b) - bit_length(w) + 1`` with bit_length =
+    ``length(conv(w, 10, 2))`` (DuckDB twin: ``length(bin(w))``), never
+    via floating log2. Absent registers mean r = 0 (never observed).
+
+    Why this exists next to KMV (:func:`kmv_sketch`): KMV's build
+    shuffles the group's DISTINCT VALUE SET (that is what "k smallest
+    distinct hashes" costs); the HLL build shuffles at most
+    groups x 2^b (j, r) cells with a map-side MAX partial — at 100 TB
+    the shuffle is bounded by the sketch size, not the data's
+    cardinality. The price is a ~1.04/sqrt(m) multiplicative error
+    estimator instead of KMV's exact-below-k contract. Spark's own
+    ``approx_count_distinct`` is HLL++ with an engine-private register
+    blob; this layout is plain rows, so stored sketches replay
+    byte-identically in DuckDB and MERGE by ``MAX`` per (group, j) —
+    see :func:`hll_merge`."""
+    m, rho_max, _ = _hll_params(b)
+    gcols = _as_cols(group_col)
+    h = _h60(F.concat(F.lit(salt + "|"), F.col(value_col).cast("string")))
+    w_bits = 60 - b
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, h.alias("h")
+    )
+    jw = hashed.select(
+        *gcols,
+        F.shiftright("h", w_bits).cast("int").alias("j"),
+        F.col("h").bitwiseAND(F.lit((1 << w_bits) - 1)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(rho_max)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    )
+    return (
+        jw.select(*gcols, "j", rho.cast("int").alias("rho"))
+        .groupBy(*gcols, "j")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_col="g") -> DataFrame:
+    """Merge any number of long-format sketch rows per group into one:
+    MAX per (group, register) — the HLL merge property (registers are
+    element-wise maxima, so per-day / per-shard sketches roll up
+    without rescanning; merged-then-estimated EQUALS built-directly,
+    pinned by the daily-rollup oracle). Coarsening is just dropping
+    grouping columns from ``group_col``: per-(type, day) sketches merge
+    to per-type by grouping on type alone."""
+    gcols = _as_cols(group_col)
+    return (
+        sketches.groupBy(*gcols, "j")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, b: int, group_col="g"
+) -> DataFrame:
+    """Estimate per-group cardinality from a stored long-format sketch:
+    ``(group, est_distinct)``.
+
+    The harmonic sum is kept in EXACT INTEGER arithmetic: sum over all
+    m registers of 2^(rho_max - r) = [present] shiftleft(1, rho_max-r)
+    + V * 2^rho_max for the V zero registers; the total is <= m *
+    2^rho_max = 2^61, inside BIGINT, so no float accumulation order can
+    perturb it. The raw estimate is then ONE double division
+    numerator/S; the small-range branch (E <= 2.5m with V > 0 zero
+    registers) switches to linear counting m*ln(m/V) (Flajolet et al.
+    2007 §4 — the 60-bit hash space makes the large-range correction
+    unreachable). Rounded HALF_UP to a BIGINT like every sketch
+    estimator here."""
+    m, rho_max, num = _hll_params(b)
+    gcols = _as_cols(group_col)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {rho_max} - r)")
+        ).cast("bigint").alias("s_present"),
+    )
+    v = (F.lit(m) - F.col("n_regs")).cast("bigint")
+    s = F.col("s_present") + v * F.lit(1 << rho_max).cast("bigint")
+    e_raw = F.lit(num) / s.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *gcols,
+        F.col("n_regs"),
+        F.round(est, 0).cast("bigint").alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    b: int = 9,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL estimate next to the exact count — ``(group,
+    n_regs, est_distinct, exact_distinct)`` — the accuracy exhibit
+    (relative error ~1.04/sqrt(2^b)) and the one-shot path when no
+    sketch is stored. NULL values are skipped; a NULL group forms its
+    own group (groupBy semantics), matching :func:`kmv_distinct`."""
+    sk = hll_sketch(df, value_col, group_col, b, salt)
+    est = hll_estimate(sk, b, group_col)
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("_hll_ge"), F.col(value_col))
+        .distinct()
+        .groupBy("_hll_ge")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    joined = est.join(
+        exact, F.col(group_col).eqNullSafe(F.col("_hll_ge")), "inner"
+    ).drop("_hll_ge")
+    return joined.select(
+        group_col, "n_regs", "est_distinct", "exact_distinct"
+    ).orderBy(group_col)

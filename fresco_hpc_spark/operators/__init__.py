@@ -44,6 +44,7 @@ from fresco_hpc_spark.operators.percentiles import (  # noqa: F401
     percentile_trimmed_hourly_agg,
     quantile_bucket,
     quantile_normalize,
+    weighted_quantiles,
     winsorize,
 )
 from fresco_hpc_spark.operators.topn import (  # noqa: F401
@@ -70,6 +71,7 @@ from fresco_hpc_spark.operators.joins import (  # noqa: F401
     sorted_neighborhood_pairs,
 )
 from fresco_hpc_spark.operators.graph import (  # noqa: F401
+    label_propagation,
     local_clustering_coefficient,
     pagerank_fixed_point,
     triangle_enumerate,

@@ -315,3 +315,74 @@ def local_clustering_coefficient(
         )
         .orderBy("id")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007): every vertex starts labeled with its own id; each
+    round, every vertex adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label. Returns ``(id,
+    community)``.
+
+    Determinism: asynchronous LPA (the textbook variant) depends on
+    visit order — unusable under an oracle or across partitionings.
+    Synchronous rounds + the min-label tie-break make every round a
+    pure function of the previous labeling, so the result is
+    bit-identical across engines; a FIXED round count (not
+    "until converged") keeps the oracle an unrolled CTE chain and
+    bounds the lineage. Input edges are treated as UNDIRECTED
+    (symmetrized + deduped here — callers pass directed kNN edges
+    as-is); isolated vertices keep their own label.
+
+    Scale shape: per round, one equi-join of the edge relation against
+    the n-row label relation (shuffle on dst), one partially-aggregated
+    (vertex, label) count (map-side combine absorbs multi-edges), one
+    per-vertex rank window bounded by the vertex's distinct neighbor
+    labels, then a left join back to the vertex set — everything linear
+    in |E|, nothing quadratic, no driver-side collection. 3 rounds is
+    the curation sweet spot (SemDeDup-style cluster splitting): labels
+    travel at most 3 hops, so community diameter stays bounded and the
+    lineage stays a constant factor."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if vertices is None:
+        vertices = sym.select(F.col("src").alias("id")).distinct()
+    verts = vertices.select("id")
+    labels = verts.select("id", F.col("id").alias("community"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_v").orderBy(
+        F.desc("_cnt"), F.asc("community")
+    )
+    for _ in range(int(rounds)):
+        nbr = sym.join(
+            labels.withColumnRenamed("id", "_nid"),
+            sym["dst"] == F.col("_nid"),
+        ).select(F.col("src").alias("_v"), "community")
+        winners = (
+            nbr.groupBy("_v", "community")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_v", F.col("community").alias("_new"))
+        )
+        labels = verts.join(
+            winners, verts["id"] == F.col("_v"), "left"
+        ).select(
+            "id", F.coalesce(F.col("_new"), F.col("id")).alias("community")
+        )
+    return labels

@@ -1200,3 +1200,70 @@ def ks_vs_rest(
         )
     )
     return out.unionByName(whole).orderBy(group_col)
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group WEIGHTED quantiles: the smallest value whose cumulative
+    weight reaches q x total weight (the lower weighted quantile — a
+    value from the data, never interpolated). One row per group with a
+    ``wq_25``-style column per fraction, plus ``total_weight``.
+
+    Where plain quantiles treat every row equally, training-data
+    curation weighs rows — token counts, sampling multiplicities,
+    quality mass — and asks "which document length covers half the
+    TOKENS" (the packing cutoff), not half the documents.
+
+    Exactness across engines: weights are pre-aggregated per (group,
+    value) — collapsing duplicate values kills order-dependence at the
+    only place ties could occur — then ONE ordered running sum per group
+    (a sequential fold in ORDER BY value order, identical in Spark and
+    DuckDB) feeds a q*total threshold compare. No interpolation
+    arithmetic, so the selected values are bit-identical to the input.
+    Rows with NULL value or NULL/non-positive weight are excluded (a
+    zero-weight row cannot be selected by mass and a negative weight
+    has no quantile meaning).
+
+    Scale shape: the pre-aggregate shuffles (group, value) pairs with
+    map-side combine — bounded by the distinct-value relation like
+    every exact quantile must be — and the window sorts per group;
+    heavy groups engage the same range-partition escape hatch as
+    ``distributed_exact_percentiles`` if a group's distinct set
+    outgrows one task (not wired here: curation group keys are
+    low-cardinality by construction)."""
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"fractions must be in (0, 1], got {qs}")
+    v, w, g = F.col(value_col), F.col(weight_col), F.col(group_col)
+    agg = (
+        df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(group_col, value_col)
+        .agg(F.sum(weight_col).cast("double").alias("_w"))
+    )
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(group_col)
+    cum = agg.select(
+        group_col,
+        value_col,
+        F.sum("_w").over(cum_w).alias("_cw"),
+        F.sum("_w").over(tot_w).alias("_tw"),
+    )
+    picks = [
+        F.min(
+            F.when(F.col("_cw") >= F.lit(q) * F.col("_tw"), F.col(value_col))
+        ).alias(f"wq_{int(round(q * 100)):02d}")
+        for q in qs
+    ]
+    return (
+        cum.groupBy(group_col)
+        .agg(*picks, F.max("_tw").alias("total_weight"))
+        .orderBy(group_col)
+    )

@@ -1108,3 +1108,63 @@ def test_ks_vs_rest_null_group_is_real(spark):
     out = {r["g"]: r for r in ks_vs_rest(df, "g", "v").collect()}
     assert out[None]["ks_d"] == 1.0 and out[None]["ks_at"] == 2.0
     assert out["b"]["ks_d"] == 1.0
+
+
+def _lpa_reference(edges, verts, rounds):
+    """Tiny driver-side synchronous LPA — the semantics contract the
+    distributed operator must reproduce exactly."""
+    nbrs: dict[int, list[int]] = {v: [] for v in verts}
+    for s, d in edges:
+        if s != d:
+            nbrs[s].append(d)
+            nbrs[d].append(s)
+    labels = {v: v for v in verts}
+    for _ in range(rounds):
+        nxt = {}
+        for v in verts:
+            counts: dict[int, int] = {}
+            for n in set(nbrs[v]):
+                lab = labels[n]
+                counts[lab] = counts.get(lab, 0) + 1
+            if counts:
+                best = max(counts.values())
+                nxt[v] = min(l for l, c in counts.items() if c == best)
+            else:
+                nxt[v] = v
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    """Two cliques joined by a bridge plus an isolated vertex: the
+    distributed synchronous LPA must equal a driver-side reference
+    round for round (min-label tie-break, isolated keeps own label),
+    and be partition-invariant."""
+    from fresco_hpc_spark.operators.graph import label_propagation
+
+    cliq_a = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    cliq_b = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = cliq_a + cliq_b + [(4, 10)]
+    verts = [1, 2, 3, 4, 10, 11, 12, 13, 99]
+
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    v = spark.createDataFrame([(x,) for x in verts], "id bigint")
+    for rounds in (1, 3):
+        got = {
+            r.id: r.community
+            for r in label_propagation(e, v, rounds=rounds).collect()
+        }
+        want = _lpa_reference(edges, verts, rounds)
+        assert got == want, (rounds, got, want)
+    # partition invariance: same labeling under a different layout
+    got8 = {
+        r.id: r.community
+        for r in label_propagation(e.repartition(8), v.repartition(3), rounds=3).collect()
+    }
+    assert got8 == _lpa_reference(edges, verts, 3)
+    # cliques resolve to their min id; the isolate keeps its own label
+    assert got8[99] == 99
+    assert len({got8[x] for x in (1, 2, 3)}) == 1
+
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(e, v, rounds=0)

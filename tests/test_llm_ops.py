@@ -2211,6 +2211,66 @@ def test_kmv_sketch_contract(spark):
         kmv_sketch(df, "v", "g", k=1)
 
 
+def test_hll_sketch_contract(spark):
+    """HLL register contract (functions/sketch.py): (1) the estimate
+    lands inside the ~1.04/sqrt(m) error band (asserted at 4 sigma) on
+    a 5000-distinct group; (2) the MERGE property is EXACT — registers
+    built per-shard and MAX-merged equal registers built directly, so
+    the merged estimate is bit-identical, not merely close; (3)
+    duplicates fold (a group of one repeated value estimates 1 through
+    the linear-counting branch); (4) NULL values are skipped and a NULL
+    group survives as its own group; (5) rho is integer-exact: every
+    register value sits in [1, 61-b]; (6) b outside [4, 14] fails
+    loudly."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    rows = [("big", i) for i in range(5000)]
+    rows += [("dup", 7)] * 100
+    rows += [(None, i) for i in range(10)]
+    rows += [("big", None)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+
+    b = 9
+    out = {r.g: r for r in hll_distinct(df, "v", "g", b=b).collect()}
+    m = 1 << b
+    assert out["dup"].est_distinct == out["dup"].exact_distinct == 1
+    assert out[None].exact_distinct == 10
+    assert abs(out[None].est_distinct - 10) <= 1
+    big = out["big"]
+    assert big.exact_distinct == 5000
+    rel = abs(big.est_distinct - 5000) / 5000
+    assert rel < 4 * 1.04 / m**0.5, (big.est_distinct, rel)
+
+    # merge property: per-shard registers MAX-merge to the direct build
+    shards = df.filter("g = 'big' AND v IS NOT NULL").withColumn(
+        "shard", (F.col("v") % 7).cast("int")
+    )
+    per_shard = hll_sketch(shards, "v", ["g", "shard"], b=b)
+    merged = hll_merge(per_shard.drop("shard"), group_col="g")
+    direct = hll_sketch(df.filter("g = 'big'"), "v", "g", b=b)
+    sym_diff = merged.exceptAll(direct).union(direct.exceptAll(merged))
+    assert sym_diff.count() == 0  # registers identical, not just close
+    est_m = hll_estimate(merged, b=b, group_col="g").first()
+    assert est_m.est_distinct == big.est_distinct
+
+    # rho bounds: integer-exact leading-zero count stays in range
+    regs = direct.select(F.min("r"), F.max("r")).first()
+    assert 1 <= regs[0] and regs[1] <= 61 - b
+
+    with _pt.raises(ValueError, match="precision b"):
+        hll_sketch(df, "v", "g", b=3)
+    with _pt.raises(ValueError, match="precision b"):
+        hll_sketch(df, "v", "g", b=15)
+
+
 def test_char_entropy_signal(spark):
     """Char-entropy gibberish signal (functions/text.py char_entropy):
     a single-char flood has H = 0 exactly; a string of n distinct chars

@@ -684,3 +684,37 @@ def test_check_constraints_counts_each_violation_kind(spark):
         [("not_null", "id"), ("unique", ["id"]), ("foreign_key", "ref", parent, "pid")],
     ).collect()
     assert all(r["passed"] for r in ok)
+
+
+def test_weighted_quantiles_mass_selection(spark):
+    """Lower weighted quantile contract: the pick is the smallest value
+    whose cumulative weight reaches q x total — one heavy row can BE
+    the median; NULL values and non-positive weights are excluded; the
+    result is always a raw input value; bad fractions fail loudly."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.operators import weighted_quantiles
+
+    rows = [
+        # group a: value 100 carries 90% of the mass
+        ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 100.0, 18.0),
+        # group b: uniform weights -> plain lower quantiles
+        ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0),
+        # excluded rows
+        ("a", None, 5.0), ("a", 7.0, None), ("a", 7.0, 0.0), ("a", 7.0, -2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {r.g: r for r in weighted_quantiles(df, "v", "w", "g").collect()}
+    a, b = out["a"], out["b"]
+    assert (a.wq_25, a.wq_50, a.wq_75) == (100.0, 100.0, 100.0)
+    assert a.total_weight == 20.0  # excluded rows contribute nothing
+    assert (b.wq_25, b.wq_50, b.wq_75) == (1.0, 2.0, 3.0)
+    # duplicate values pre-aggregate: two half-weights act as one row
+    dup = spark.createDataFrame(
+        [("c", 1.0, 0.5), ("c", 1.0, 0.5), ("c", 2.0, 1.0)],
+        "g string, v double, w double",
+    )
+    d = weighted_quantiles(dup, "v", "w", "g", qs=(0.5,)).first()
+    assert d.wq_50 == 1.0 and d.total_weight == 2.0
+    with _pt.raises(ValueError, match="fractions"):
+        weighted_quantiles(df, "v", "w", "g", qs=(0.0,))
