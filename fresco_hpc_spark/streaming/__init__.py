@@ -30,6 +30,8 @@ from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
     streaming_session_agg,
 )
 from fresco_hpc_spark.streaming.sketches import (  # noqa: F401
+    process_hll_ingest_batch,
     process_kmv_ingest_batch,
+    start_incremental_hll_ingest,
     start_incremental_kmv_ingest,
 )

@@ -29,7 +29,12 @@ import os
 
 from pyspark.sql import DataFrame
 
-from fresco_hpc_spark.functions.sketch import kmv_merge_sketches, kmv_sketch
+from fresco_hpc_spark.functions.sketch import (
+    hll_merge,
+    hll_sketch,
+    kmv_merge_sketches,
+    kmv_sketch,
+)
 
 
 def process_kmv_ingest_batch(
@@ -86,6 +91,73 @@ def start_incremental_kmv_ingest(
             value_col=value_col,
             group_col=group_col,
             k=k,
+            salt=salt,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def process_hll_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    value_col: str,
+    group_col: str,
+    b: int = 9,
+    salt: str = "hll",
+) -> None:
+    """One micro-batch of HLL register maintenance. Same contract as
+    :func:`process_kmv_ingest_batch`, with an even simpler fold: the
+    HLL merge is MAX per (group, register), so replaying a batch can
+    only re-assert maxima already in the store — every reachable
+    crash-replay state rewrites identical content. State is bounded by
+    groups x 2^b register rows."""
+    if not batch_df.head(1):
+        return
+    spark = batch_df.sparkSession
+    merged_in = hll_sketch(batch_df, value_col, group_col, b, salt)
+    if glob.glob(os.path.join(store_dir, "*.parquet")) or glob.glob(
+        os.path.join(store_dir, "**", "*.parquet"), recursive=True
+    ):
+        stored = spark.read.parquet(store_dir)
+        merged_in = stored.select(group_col, "j", "r").unionByName(
+            merged_in
+        )
+    merged = hll_merge(merged_in, group_col).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(store_dir)
+
+
+def start_incremental_hll_ingest(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_col: str,
+    b: int = 9,
+    salt: str = "hll",
+    available_now: bool = False,
+):
+    """Continuous HLL maintenance: after the stream drains,
+    ``spark.read.parquet(store_dir)`` is register-identical to
+    ``hll_sketch`` over every row ingested so far (drained == batch,
+    pinned in test_streaming), and ``hll_estimate`` reads it directly —
+    "distinct users so far" is one scan of a groups x m-row table at
+    any moment."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_hll_ingest_batch(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            value_col=value_col,
+            group_col=group_col,
+            b=b,
             salt=salt,
         )
 

@@ -2033,3 +2033,78 @@ def test_incremental_kmv_ingest_replay_is_idempotent(spark, tmp_path):
         for r in kmv_sketch(corpus, "v", "g", k=16).collect()
     )
     assert full == batch
+
+
+def test_incremental_hll_ingest_matches_batch_and_replays(spark, tmp_path):
+    """Drained incremental HLL store == batch registers over the union
+    corpus (streaming/sketches.py): register-identical, so estimates
+    agree exactly; replaying a batch re-asserts maxima (no-op), and an
+    empty batch is a no-op."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fresco_hpc_spark.functions import hll_estimate, hll_sketch
+    from fresco_hpc_spark.streaming import (
+        process_hll_ingest_batch,
+        start_incremental_hll_ingest,
+    )
+
+    rows = [("g%d" % (i % 3), i * 17 + (i % 5)) for i in range(300)]
+    corpus = spark.createDataFrame(rows, "g string, v bigint")
+
+    src = tmp_path / "hin"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:100], rows[100:200], rows[200:]]):
+        pd.DataFrame(chunk, columns=["g", "v"]).to_parquet(
+            src / f"{i}.parquet", index=False
+        )
+        os.utime(src / f"{i}.parquet", (1000000000 + i * 100,) * 2)
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "hstore")
+    q = start_incremental_hll_ingest(
+        stream, store, str(tmp_path / "hckpt"), "v", "g", b=6,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    def regs(df):
+        return sorted((r.g, int(r.j), int(r.r)) for r in df.collect())
+
+    streamed = regs(spark.read.parquet(store))
+    batch = regs(hll_sketch(corpus, "v", "g", b=6))
+    assert streamed == batch
+
+    # estimates off the maintained store equal batch-built estimates
+    est_s = {
+        r.g: r.est_distinct
+        for r in hll_estimate(
+            spark.read.parquet(store), b=6, group_col="g"
+        ).collect()
+    }
+    est_b = {
+        r.g: r.est_distinct
+        for r in hll_estimate(
+            hll_sketch(corpus, "v", "g", b=6), b=6, group_col="g"
+        ).collect()
+    }
+    assert est_s == est_b
+
+    # replay + empty-batch no-ops
+    b1 = corpus.filter("v >= 150")
+    process_hll_ingest_batch(b1, 9, store_dir=store, value_col="v",
+                             group_col="g", b=6)
+    assert regs(spark.read.parquet(store)) == batch
+    process_hll_ingest_batch(corpus.filter("v < 0"), 10, store_dir=store,
+                             value_col="v", group_col="g", b=6)
+    assert regs(spark.read.parquet(store)) == batch
