@@ -670,6 +670,26 @@ def q_embedding_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_int8(qz, probe, k=10)
 
 
+def q_embedding_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through a Johnson-Lindenstrauss SIGN projection
+    (functions/vectors.py rp_project + ann_rp_rerank_topk): 64→40 dims
+    by a deterministic ±1 matrix (Achlioptas 2003), shortlist-200 by
+    projected dot product, exact cosine re-rank to top-10 — the
+    ROTATION member of the compressed-ANN family next to int8
+    (quantization) and PQ (codebooks). Parameters are sized for the
+    synthetic corpus's near-orthogonal JL WORST CASE (top cosine ~0.33,
+    neighbor gaps ~0.03 — distinguishing them needs out_dim ≳ 1/gap²);
+    real embedding corpora separate far more and compress much harder.
+    Both probe and corpus project in-engine, so the oracle replays
+    every float to the shared 6-dp boundaries."""
+    from fresco_hpc_spark.functions import ann_rp_rerank_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_rp_rerank_topk(
+        emb, query_id=0, out_dim=40, shortlist=200, k=10
+    )
+
+
 #: session-lifetime PQ codebook memo: the registered PQ queries train
 #: identical codebooks (deterministic: pmod seeds, 9-dp means), so
 #: later calls reuse them — the driver-held-codebook analogue of
@@ -3433,10 +3453,10 @@ def queries() -> dict[str, Query]:
         # dict order too — index_build_text precedes phrase_search and
         # bm25_search so their bench numbers are query-only — but
         # quarantines the heavy Zipf exhibits at the end of its own
-        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 23 + 5 + 22;
+        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 24 + 5 + 21;
         # the exact set is pinned by test_edges and, structurally, by the
         # ledger-derived staleness invariant (VERDICT r10 item 2):
-        # (1) the 22 never-driver-certified arrivals (8 from r10 + 14
+        # (1) the 23 never-driver-certified arrivals (8 from r10 + 15
         #     new r11 queries across three waves) plus index_build_text,
         #     which must precede bm25_search in dict order (its store
         #     feeds bm25/phrase):
@@ -3461,6 +3481,7 @@ def queries() -> dict[str, Query]:
         "hll_daily_rollup": q_hll_daily_rollup,
         "lpa_communities": q_lpa_communities,
         "weighted_length_quantiles": q_weighted_length_quantiles,
+        "embedding_ann_rp": q_embedding_ann_rp,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3470,7 +3491,7 @@ def queries() -> dict[str, Query]:
         "embedding_near_dups": q_embedding_near_dups,
         "asof_click_purchase": q_asof_click_purchase,
         "decontaminate": q_decontaminate,
-        # (3) the 22 stalest r07-certified queries, prior
+        # (3) the 21 stalest r07-certified queries, prior
         #     registry order (phrase_search last — its index is
         #     built by index_build_text above):
         "quality_rules": q_quality_rules,
@@ -3493,9 +3514,8 @@ def queries() -> dict[str, Query]:
         "profile_agg_day": q_profile_agg_day,
         "profile_agg_minute": q_profile_agg_minute,
         "grouped_percentiles": q_grouped_percentiles,
-        "histogram_equi_depth": q_histogram_equi_depth,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 28 r07
+        # --- outside the 50-query window. First the 29 r07
         # remainder rows — they lead the r12 window (the ledger
         # invariant in test_edges will force exactly that; nucleus_langs
         # /length_buckets/interpolate_values/scd2_user_state/
@@ -3503,7 +3523,9 @@ def queries() -> dict[str, Query]:
         # r11 arrivals claimed slots, knn_graph/knn_graph_ivf as the
         # HLL pair arrived in the third wave, ewma_user_value as
         # lpa_communities did, weighted_sample as
-        # weighted_length_quantiles did):
+        # weighted_length_quantiles did, histogram_equi_depth as
+        # embedding_ann_rp did):
+        "histogram_equi_depth": q_histogram_equi_depth,
         "weighted_sample": q_weighted_sample,
         "ewma_user_value": q_ewma_user_value,
         "knn_graph": q_knn_graph,
@@ -3743,6 +3765,48 @@ def _bpe_segments_oracle_sql(k: int, min_count: int, top_n: int) -> str:
         ORDER BY n_occurrences DESC, unit LIMIT {top_n}
     """
     )
+
+
+def _ann_rp_oracle_sql(
+    out_dim: int = 16,
+    dim: int = 64,
+    shortlist: int = 50,
+    k: int = 10,
+    seed: int = 29,
+) -> str:
+    """Full SQL twin of ann_rp_rerank_topk: the ±1 sign matrix is
+    LCG-deterministic so it inlines as literals; both stages replay
+    with the same 6-dp rounding and (score DESC, vec_id ASC) ties."""
+    from fresco_hpc_spark.functions.vectors import rp_sign_matrix
+
+    signs = rp_sign_matrix(out_dim, dim, seed)
+    comps = ", ".join(
+        f"ROUND(list_dot_product(v, [{', '.join(repr(c) for c in row)}]), 6)"
+        for row in signs
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), p AS (
+            SELECT vec_id, v, [{comps}] AS rp FROM e
+        ), q AS (
+            SELECT v AS qv, rp AS qrp FROM p WHERE vec_id = 0
+        ), s AS (
+            SELECT vec_id, v, qv,
+                   ROUND(list_dot_product(rp, qrp), 6) AS rp_dot
+            FROM p, q
+        ), sl AS (
+            SELECT * FROM s ORDER BY rp_dot DESC, vec_id ASC
+            LIMIT {int(shortlist)}
+        )
+        SELECT vec_id,
+               ROUND(list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim,
+               rp_dot
+        FROM sl ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT {int(k)}
+    """
 
 
 def _ann_lsh_oracle_sql(num_planes: int = 6, dim: int = 64, probe_hamming: int = 2, k: int = 10) -> str:
@@ -7033,6 +7097,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["pagerank_knn"] = _pagerank_knn_oracle_sql()
     oracles["pagerank_knn_weighted"] = _pagerank_knn_oracle_sql(weighted=True)
     oracles["lpa_communities"] = _lpa_oracle_sql()
+    oracles["embedding_ann_rp"] = _ann_rp_oracle_sql(out_dim=40, shortlist=200)
 
     # Weighted quantiles: lower weighted quantile — an ordered running
     # weight sum against a q*total threshold; all weights are

@@ -1280,3 +1280,107 @@ def ensure_ivfpq_index(
         props += f", 'fresco.fingerprint' = '{canon}'"
     spark.sql(f"ALTER TABLE {table_name} SET TBLPROPERTIES ({props})")
     return True
+
+
+def rp_sign_matrix(
+    out_dim: int, dim: int, seed: int = 29
+) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for Johnson-Lindenstrauss random
+    projection (Achlioptas 2003's database-friendly variant: ±1 entries
+    preserve inner products in expectation with the same JL guarantee
+    as Gaussian entries, and the projection becomes add/subtract only).
+    Same LCG discipline as ``_plane_constants``: fixed seed, so the
+    matrix inlines as literals in both engines."""
+    if out_dim < 1 or dim < 1:
+        raise ValueError(f"need out_dim, dim >= 1, got {out_dim}, {dim}")
+    rows: list[list[float]] = []
+    x = seed
+    for _ in range(out_dim):
+        row = []
+        for _ in range(dim):
+            x = (
+                x * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407
+            ) % (2**63)
+            row.append(1.0 if (x >> 32) & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def rp_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 29,
+) -> DataFrame:
+    """JL sign projection: append ``rp`` = the ``out_dim``-component
+    array y_k = ROUND(Σᵢ xᵢ·s_kᵢ, 6). Pure map-side Catalyst array
+    expressions — no shuffle, no UDF; each component is one
+    deterministic left-to-right fold, rounded so downstream rank
+    boundaries are engine-stable (the brute_force_knn discipline).
+
+    The 100 TB shape: the projected table is dim/out_dim × smaller
+    (64→16 = 4× fewer bytes), so the ANN scan stage reads a quarter of
+    the data; JL distortion is multiplicative (w.h.p. within
+    ±ε for out_dim = O(log n / ε²)), which a shortlist + exact re-rank
+    (:func:`ann_rp_rerank_topk`) absorbs — the same
+    compress-scan-then-rerank contract as the int8 and PQ paths, by
+    rotation instead of quantization."""
+    signs = rp_sign_matrix(out_dim, dim, seed)
+    v = _as_double(F.col(vec_col))
+    comps = [
+        F.round(
+            _dot(v, F.array(*[F.lit(s) for s in signs[kk]])), _ROUND
+        )
+        for kk in range(out_dim)
+    ]
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.array(*comps).alias("rp")
+    )
+
+
+def ann_rp_rerank_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    out_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    dim: int = 64,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN through the JL-projected space: shortlist by
+    projected DOT PRODUCT (no division — a zero-norm projection can't
+    poison the ordering; JL preserves inner products), then exact
+    cosine re-rank in the original space. The probe is a corpus row
+    (``query_id``), so BOTH sides of every comparison are projected
+    in-engine — no driver-side float arithmetic to drift from the
+    oracle. Ties break on id at both stages; both scores are 6-dp
+    rounded before ranking (engine-stable boundaries)."""
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    proj = rp_project(embeddings, vec_col, id_col, out_dim, dim, seed)
+    q = proj.filter(F.col(id_col) == int(query_id)).select(
+        F.col(vec_col).alias("_qv"), F.col("rp").alias("_qrp")
+    )
+    scored = proj.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_qv"),
+        F.round(_dot(F.col("rp"), F.col("_qrp")), _ROUND).alias("rp_dot"),
+    )
+    short = scored.orderBy(F.desc("rp_dot"), F.asc(id_col)).limit(
+        int(shortlist)
+    )
+    exact = F.round(
+        cosine_similarity_col(F.col(vec_col), F.col("_qv")), _ROUND
+    )
+    return (
+        short.select(
+            F.col(id_col), exact.alias("cosine_sim"), F.col("rp_dot")
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(int(k))
+    )

@@ -2426,3 +2426,48 @@ def test_perplexity_buckets_semantics(spark):
 
     n_scored = kn_logprob_score(table(spark, SF_SMALL, "documents")).count()
     assert sum(r.n_docs for r in out) == n_scored
+
+
+def test_rp_ann_recall_and_determinism(spark):
+    """JL sign-projection ANN (functions/vectors.py rp_project +
+    ann_rp_rerank_topk): recall@10 >= 0.7 vs exact brute force on the
+    sf0.1 embeddings through a 64→40 projection with shortlist 200 (the
+    synthetic corpus is the JL worst case — near-orthogonal with ~0.03
+    neighbor gaps — so the projection keeps 40 of 64 dims; real
+    embedding corpora separate far more); the
+    query's own row is the top hit; the sign matrix is frozen
+    (regenerating it yields the identical literal matrix — the oracle
+    inlines it); shortlist < k fails loudly."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import (
+        ann_rp_rerank_topk,
+        brute_force_knn,
+        rp_sign_matrix,
+    )
+    from fresco_hpc_spark.sources import table
+
+    emb = table(spark, SF_MED, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = [r.vec_id for r in brute_force_knn(emb, qv, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ann_rp_rerank_topk(
+            emb, query_id=0, out_dim=40, shortlist=200, k=10
+        ).collect()
+    ]
+    assert approx[0] == 0
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"RP-ANN recall {recall} too low"
+
+    m1 = rp_sign_matrix(16, 64)
+    m2 = rp_sign_matrix(16, 64)
+    assert m1 == m2
+    assert {v for row in m1 for v in row} == {1.0, -1.0}
+    # rows differ from each other (the LCG is advancing, not stuck)
+    assert len({tuple(r) for r in m1}) == 16
+
+    with _pt.raises(ValueError, match="shortlist"):
+        ann_rp_rerank_topk(emb, shortlist=5, k=10)
+    with _pt.raises(ValueError, match="out_dim"):
+        rp_sign_matrix(0, 64)
