@@ -467,3 +467,73 @@ def hll_distinct(
     return joined.select(
         group_col, "n_regs", "est_distinct", "exact_distinct"
     ).orderBy(group_col)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Two-pass bounded-shuffle heavy hitters — the Count-Min sketch
+    doing its actual 100 TB job. Pass 1 builds the d×w counter matrix
+    (:func:`cms_sketch`, ≤ d·w rows) and holds it DRIVER-SIDE (the
+    codebook pattern: exact integers, deterministic). Pass 2 re-streams
+    occurrences and filters MAP-SIDE against the inlined counters
+    (min of the d looked-up cells — never an underestimate, so the
+    surviving set is a SUPERSET of every true heavy hitter: zero false
+    negatives by the CMS contract); only survivors reach the exact
+    groupBy. The shuffle carries the heavy-hitter occurrence mass, not
+    the vocabulary — a full-vocab ``groupBy(value).count()`` shuffles
+    every distinct key, this shuffles keys whose frequency can exceed
+    ``threshold`` (+ the ≤ 2n/w-with-prob-2^-d overcount tail).
+
+    Returns ``(value, cnt, cms_est)`` for values with EXACT count >=
+    threshold, heaviest first; ``cms_est >= cnt`` always (the one-sided
+    error, visible per row)."""
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    sk = cms_sketch(df, value_col, d, w, salt)
+    cells = {(int(r["row"]), int(r["col"])): int(r["cnt"]) for r in sk.collect()}
+    maps = []
+    for i in range(int(d)):
+        flat: list = []
+        for c in range(int(w)):
+            cnt = cells.get((i, c))
+            if cnt is not None:
+                flat.append(F.lit(int(c)))
+                flat.append(F.lit(int(cnt)).cast("bigint"))
+        maps.append(F.create_map(*flat) if flat else F.create_map())
+    probe_cols = [
+        F.coalesce(
+            F.element_at(
+                maps[i],
+                F.pmod(
+                    _h60(
+                        F.concat(
+                            F.lit(f"{salt}{i}|"),
+                            F.col(value_col).cast("string"),
+                        )
+                    ),
+                    F.lit(int(w)),
+                ).cast("int"),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        for i in range(int(d))
+    ]
+    est = F.least(*probe_cols) if d > 1 else probe_cols[0]
+    survivors = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col), est.alias("cms_est"))
+        .filter(F.col("cms_est") >= F.lit(int(threshold)))
+    )
+    return (
+        survivors.groupBy(value_col, "cms_est")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(threshold)))
+        .select(value_col, "cnt", "cms_est")
+        .orderBy(F.desc("cnt"), F.asc(value_col))
+    )

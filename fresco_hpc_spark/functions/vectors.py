@@ -1384,3 +1384,58 @@ def ann_rp_rerank_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    n_probes: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining: for each of the ``n_probes``
+    smallest-id probe vectors, the top-``k`` most cosine-similar
+    vectors with a DIFFERENT label — the "hard negatives" a contrastive
+    or reranker training set pairs against its positives (most
+    confusable ≠ same class). Returns ``(query_id, neighbor_id,
+    cosine_sim, rank)``.
+
+    Shape: the probe side is ``n_probes`` rows — broadcast into a
+    map-side similarity scan (one pass over the corpus, no all-pairs
+    product), then one bounded rank window per probe. Similarities are
+    6-dp rounded before ranking and ties break on neighbor id (the
+    brute_force_knn discipline), so the mined pairs are engine-stable.
+    Probe selection by smallest id is itself deterministic — no
+    sampling state to replay."""
+    if n_probes < 1 or k < 1:
+        raise ValueError(f"need n_probes, k >= 1, got {n_probes}, {k}")
+    probes = (
+        embeddings.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col(label_col).alias("_ql"),
+        )
+        .orderBy("query_id")
+        .limit(int(n_probes))
+    )
+    sim = F.round(
+        cosine_similarity_col(F.col(vec_col), F.col("_qv")), _ROUND
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(probes))
+        .filter(~F.col(label_col).eqNullSafe(F.col("_ql")))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .orderBy("query_id", "rank")
+    )

@@ -2471,3 +2471,77 @@ def test_rp_ann_recall_and_determinism(spark):
         ann_rp_rerank_topk(emb, shortlist=5, k=10)
     with _pt.raises(ValueError, match="out_dim"):
         rp_sign_matrix(0, 64)
+
+
+def test_cms_heavy_hitters_contract(spark):
+    """Heavy-hitter contract (functions/sketch.py cms_heavy_hitters):
+    output is EXACTLY the values with true count >= threshold (the CMS
+    prefilter is a superset — zero false negatives — and the exact
+    recount removes its false positives); cms_est >= cnt on every row
+    (one-sided error); heaviest-first ordering; threshold < 1 fails
+    loudly."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import cms_heavy_hitters
+
+    rows = (
+        [("heavy",)] * 120
+        + [("warm",)] * 60
+        + [("mid",)] * 50
+        + [("light%d" % i,) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    out = cms_heavy_hitters(df, "v", threshold=50, d=4, w=64).collect()
+    assert [(r.v, r.cnt) for r in out] == [
+        ("heavy", 120), ("warm", 60), ("mid", 50)
+    ]
+    assert all(r.cms_est >= r.cnt for r in out)
+    # threshold above everything -> empty, not an error
+    assert cms_heavy_hitters(df, "v", threshold=1000, d=4, w=64).count() == 0
+    with _pt.raises(ValueError, match="threshold"):
+        cms_heavy_hitters(df, "v", threshold=0)
+
+
+def test_hard_negative_mining_contract(spark):
+    """Hard-negative contract (functions/vectors.py
+    hard_negative_mining): every mined pair crosses labels; the probe
+    set is the n smallest ids; per probe the top-k other-label
+    neighbors come back in exact-cosine order (checked against a
+    driver-side recompute); NULL labels count as a distinct class
+    (null-safe inequality); bad params fail loudly."""
+    import math
+
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import hard_negative_mining
+
+    rows = []
+    for i in range(12):
+        lab = None if i == 11 else i % 3
+        vec = [math.cos(0.37 * i + 0.11 * j) for j in range(8)]
+        rows.append((i, vec, lab))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = hard_negative_mining(df, n_probes=3, k=4).collect()
+    assert sorted({r.query_id for r in out}) == [0, 1, 2]
+    labels = {i: r[2] for i, r in zip(range(12), rows)}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return round(num / den, 6)
+
+    for q in (0, 1, 2):
+        got = [(r.neighbor_id, r.cosine_sim) for r in out if r.query_id == q]
+        cands = [
+            (cos(rows[n][1], rows[q][1]), n)
+            for n in range(12)
+            if labels[n] != labels[q]
+        ]
+        want = [
+            (n, c) for c, n in sorted(cands, key=lambda t: (-t[0], t[1]))[:4]
+        ]
+        assert got == want, (q, got, want)
+        assert all(labels[n] != labels[q] for n, _ in got)
+
+    with _pt.raises(ValueError, match="n_probes"):
+        hard_negative_mining(df, n_probes=0)
