@@ -227,6 +227,12 @@ def test_lazy_default_keeps_plan_composable(spark):
         "trigram_logprob", "kn_logprob", "char_entropy",
         "kmv_distinct_users", "kmv_vocab_overlap", "quality_classifier",
         "cms_token_counts", "bloom_decontaminate", "perplexity_buckets",
+        # round 11 third/fourth wave (cms_heavy_hitters collects its
+        # pass-1 sketch driver-side before the scoring plan exists, so
+        # like quality_classifier it is probed by execution, not a pure
+        # explain — null_smoke + oracles cover it)
+        "hll_distinct_users", "hll_daily_rollup", "lpa_communities",
+        "weighted_length_quantiles", "embedding_ann_rp", "hard_negatives",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
