@@ -497,19 +497,18 @@ def cms_heavy_hitters(
         raise ValueError(f"threshold must be >= 1, got {threshold}")
     sk = cms_sketch(df, value_col, d, w, salt)
     cells = {(int(r["row"]), int(r["col"])): int(r["cnt"]) for r in sk.collect()}
-    maps = []
-    for i in range(int(d)):
-        flat: list = []
-        for c in range(int(w)):
-            cnt = cells.get((i, c))
-            if cnt is not None:
-                flat.append(F.lit(int(c)))
-                flat.append(F.lit(int(cnt)).cast("bigint"))
-        maps.append(F.create_map(*flat) if flat else F.create_map())
+    # each counter row inlines as ONE dense ArrayType literal (w
+    # BIGINTs, absent cells 0) — a create_map of w entries is 2w
+    # expression-tree children and the codegen compile dominated the
+    # query's runtime at w=1024
+    rows = [
+        F.lit([cells.get((i, c), 0) for c in range(int(w))])
+        for i in range(int(d))
+    ]
     probe_cols = [
-        F.coalesce(
-            F.element_at(
-                maps[i],
+        F.element_at(
+            rows[i],
+            (
                 F.pmod(
                     _h60(
                         F.concat(
@@ -518,9 +517,9 @@ def cms_heavy_hitters(
                         )
                     ),
                     F.lit(int(w)),
-                ).cast("int"),
-            ),
-            F.lit(0).cast("bigint"),
+                )
+                + F.lit(1)
+            ).cast("int"),
         )
         for i in range(int(d))
     ]
