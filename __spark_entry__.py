@@ -2234,6 +2234,36 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (functions/text.py normalize_text):
+    lowercase → fixed-table accent fold (translate, byte-identical in
+    DuckDB — deliberately not ICU/NFKD, which drifts across library
+    versions) → control chars to spaces → whitespace collapse → trim.
+    The form dedup/fingerprinting should run on; one map-side
+    projection, zero shuffle."""
+    from fresco_hpc_spark.functions import normalize_text
+
+    return normalize_text(table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space-model retrieval (functions/text.py tfidf_search):
+    top-20 docs by cosine over smoothed TF-IDF vectors for the same
+    4-term query bm25_search ranks — the VSM member of the retrieval
+    family. Weights quantize to micro-units before EVERY aggregation
+    (BIGINT norms, 9-dp unit weights, 10^12-unit score contributions),
+    so the ranking replays byte-identically; the query side is built
+    in-engine from the literal. Linear-scan shape: vocabulary-sized
+    joins, broadcast query weights, TakeOrderedAndProject."""
+    from fresco_hpc_spark.functions import tfidf_search
+
+    return tfidf_search(
+        table(spark, sf_dir, "documents"), "fast table scan query", top_k=20
+    )
+
+
 def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-Levenshtein record linkage on part names
     (operators/joins.py fuzzy_match_names): the merge-candidate
@@ -3491,10 +3521,10 @@ def queries() -> dict[str, Query]:
         # dict order too — index_build_text precedes phrase_search and
         # bm25_search so their bench numbers are query-only — but
         # quarantines the heavy Zipf exhibits at the end of its own
-        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 26 + 5 + 19;
+        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 28 + 5 + 17;
         # the exact set is pinned by test_edges and, structurally, by the
         # ledger-derived staleness invariant (VERDICT r10 item 2):
-        # (1) the 25 never-driver-certified arrivals (8 from r10 + 17
+        # (1) the 27 never-driver-certified arrivals (8 from r10 + 19
         #     new r11 queries across three waves) plus index_build_text,
         #     which must precede bm25_search in dict order (its store
         #     feeds bm25/phrase):
@@ -3522,6 +3552,8 @@ def queries() -> dict[str, Query]:
         "embedding_ann_rp": q_embedding_ann_rp,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hard_negatives": q_hard_negatives,
+        "normalize_text": q_normalize_text,
+        "tfidf_search": q_tfidf_search,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3531,7 +3563,7 @@ def queries() -> dict[str, Query]:
         "embedding_near_dups": q_embedding_near_dups,
         "asof_click_purchase": q_asof_click_purchase,
         "decontaminate": q_decontaminate,
-        # (3) the 19 stalest r07-certified queries, prior
+        # (3) the 17 stalest r07-certified queries, prior
         #     registry order (phrase_search last — its index is
         #     built by index_build_text above):
         "quality_rules": q_quality_rules,
@@ -3550,10 +3582,8 @@ def queries() -> dict[str, Query]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "session_duration": q_session_duration,
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "profile_agg_day": q_profile_agg_day,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 31 r07
+        # --- outside the 50-query window. First the 33 r07
         # remainder rows — they lead the r12 window (the ledger
         # invariant in test_edges will force exactly that; nucleus_langs
         # /length_buckets/interpolate_values/scd2_user_state/
@@ -3563,7 +3593,10 @@ def queries() -> dict[str, Query]:
         # lpa_communities did, weighted_sample as
         # weighted_length_quantiles did, histogram_equi_depth as
         # embedding_ann_rp did, profile_agg_minute and
-        # grouped_percentiles as the fourth wave landed):
+        # grouped_percentiles as the fourth wave landed, lang_id and
+        # profile_agg_day as the fifth):
+        "lang_id": q_lang_id,
+        "profile_agg_day": q_profile_agg_day,
         "profile_agg_minute": q_profile_agg_minute,
         "grouped_percentiles": q_grouped_percentiles,
         "histogram_equi_depth": q_histogram_equi_depth,
@@ -7178,6 +7211,89 @@ def oracle_sql() -> dict[str, str]:
         FROM vocab JOIN est USING (v)
         WHERE est.cms_est >= 200 AND vocab.cnt >= 200
         ORDER BY vocab.cnt DESC, tok ASC
+    """
+
+    oracles["normalize_text"] = r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                   translate(lower(text),
+                             'àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ',
+                             'aaaaaaceeeeiiiinoooooouuuuyy'),
+                   '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))
+                   AS norm_text,
+               CAST(length(trim(regexp_replace(regexp_replace(
+                   translate(lower(text),
+                             'àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ',
+                             'aaaaaaceeeeiiiinoooooouuuuyy'),
+                   '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')))
+                   AS BIGINT) AS n_norm_chars
+        FROM documents ORDER BY doc_id
+    """
+
+    # TF-IDF VSM search: micro-unit quantization before every
+    # aggregation (BIGINT norms, 9-dp unit weights, 1e12-unit
+    # contributions) — the bm25 determinism discipline applied to the
+    # vector-space model; the query side derives relationally from the
+    # same literal.
+    oracles["tfidf_search"] = r"""
+        WITH toks AS (
+            SELECT doc_id AS doc, w AS token FROM (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        tf AS (
+            SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc, token
+        ),
+        dfreq AS (
+            SELECT token, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df
+            FROM toks GROUP BY token
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM documents),
+        wt AS (
+            SELECT doc, tf.token,
+                   CAST(ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                              * 1000, 0) AS BIGINT) AS qw
+            FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+        ),
+        norms AS (
+            SELECT doc, SUM(qw * qw) AS norm2 FROM wt GROUP BY doc
+        ),
+        unit AS (
+            SELECT wt.doc, wt.token, ROUND(qw / sqrt(norm2), 9) AS w
+            FROM wt JOIN norms ON wt.doc = norms.doc
+        ),
+        qtoks AS (
+            SELECT w AS token FROM (
+                SELECT UNNEST(regexp_split_to_array(
+                    trim(lower('fast table scan query')), '\s+')) AS w
+            ) WHERE w <> ''
+        ),
+        qtf AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM qtoks GROUP BY token
+        ),
+        qwt AS (
+            SELECT qtf.token,
+                   CAST(ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                              * 1000, 0) AS BIGINT) AS qw
+            FROM qtf JOIN dfreq ON qtf.token = dfreq.token CROSS JOIN n
+        ),
+        qn AS (SELECT SUM(qw * qw) AS qnorm2 FROM qwt),
+        qunit AS (
+            SELECT token, ROUND(qw / sqrt(qnorm2), 9) AS qwu
+            FROM qwt CROSS JOIN qn
+        )
+        SELECT doc AS doc_id,
+               ROUND(SUM(CAST(ROUND(w * qwu * 1000000000000.0, 0) AS BIGINT))
+                     / 1000000000000.0, 6) AS cosine_sim
+        FROM unit JOIN qunit ON unit.token = qunit.token
+        GROUP BY doc
+        ORDER BY cosine_sim DESC, doc_id ASC
+        LIMIT 20
     """
 
     oracles["hard_negatives"] = r"""

@@ -1438,3 +1438,137 @@ def boilerplate_remove(
         )
         .orderBy(id_col)
     )
+
+
+#: fixed latin accent-fold table (lowercase side only — normalize
+#: lowercases first). Chosen over Unicode NFKD because BOTH engines can
+#: replay a translate() over an explicit table byte-identically, while
+#: full Unicode normalization differs by ICU version.
+_ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+_ACCENT_DST = "aaaaaaceeeeiiiinoooooouuuuyy"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4/CCNet-style text normalization — the canonical form dedup and
+    fingerprinting run on: lowercase → fixed-table accent fold
+    (``translate``, byte-identical in DuckDB — deliberately NOT
+    ICU/NFKD, which drifts across library versions) → control chars to
+    spaces → whitespace runs collapsed → trimmed. Returns ``(id,
+    norm_text, n_norm_chars)``. Pure per-row Catalyst expressions in
+    one projection: zero shuffle, streams through codegen at any
+    scale."""
+    c = F.lower(F.col(text_col))
+    c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    c = F.trim(c)
+    return df.select(
+        F.col(id_col),
+        c.alias("norm_text"),
+        F.length(c).cast("bigint").alias("n_norm_chars"),
+    )
+
+
+def tfidf_search(
+    df: DataFrame,
+    query: str,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vector-space-model retrieval: top-k documents by COSINE over
+    smoothed TF-IDF vectors — the classic VSM ranking next to
+    :func:`~fresco_hpc_spark.functions.search.bm25_search_table`'s
+    probabilistic one (same idf family as :func:`tf_idf_top_terms`:
+    ``ln((N+1)/(df+1))+1``, never zero). Vocabulary is the corpus
+    vocabulary; query terms outside it are dropped (the sklearn
+    convention — they carry no idf and contribute to neither side's
+    norm). Returns ``(doc_id, cosine_sim)``, best first, ties on id.
+
+    Determinism (oracle rule 9/10): weights quantize to 10^3
+    micro-units BEFORE any aggregation — per-doc norms are Σq² over
+    exact BIGINTs (envelope: safe while tf·idf < ~3·10⁴ with 10⁴-term
+    docs, far beyond real text), normalized weights round at 9 dp, and
+    per-term score contributions quantize to 10^12 micro-units before
+    the per-doc BIGINT sum, so no float ever accumulates in
+    engine-dependent order. The query side is built IN-ENGINE from a
+    literal (tokenized relationally), so both engines derive even the
+    query weights from the same plan.
+
+    Scale shape: tokenize (map) → two partial-agg shuffles (tf, df) →
+    vocabulary-sized equi-joins (df is NEVER broadcast — it grows with
+    the corpus); the ≤|query|-term query-weight relation IS broadcast
+    into the postings scan, and top-k is a TakeOrderedAndProject — the
+    bm25 linear-scan shape, no pair explosion anywhere."""
+    if not query.strip():
+        raise ValueError("query must contain at least one token")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    W = 1_000  # weight micro-units
+    C = 1_000_000_000_000  # contribution micro-units
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(words).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        toks.select("doc", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+    qw = F.round(F.col("tf") * idf * W, 0).cast("bigint")
+    weighted = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc", "token", qw.alias("qw"))
+    )
+    norms = weighted.groupBy("doc").agg(
+        F.sum(F.col("qw") * F.col("qw")).alias("norm2")
+    )
+    unit = weighted.join(norms, "doc").select(
+        "doc",
+        "token",
+        F.round(F.col("qw") / F.sqrt(F.col("norm2")), 9).alias("w"),
+    )
+
+    # query side, built relationally from the literal
+    qtoks = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.lit(query))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    qtf = qtoks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    qweighted = (
+        qtf.join(docfreq, "token")  # inner: OOV terms drop, norm excludes
+        .crossJoin(F.broadcast(n_docs))
+        .select("token", qw.alias("qw"))
+    )
+    qnorm = qweighted.select(
+        F.sum(F.col("qw") * F.col("qw")).alias("qnorm2")
+    )
+    qunit = qweighted.crossJoin(F.broadcast(qnorm)).select(
+        "token",
+        F.round(F.col("qw") / F.sqrt(F.col("qnorm2")), 9).alias("qwu"),
+    )
+
+    contrib = F.round(F.col("w") * F.col("qwu") * C, 0).cast("bigint")
+    return (
+        unit.join(F.broadcast(qunit), "token")
+        .select("doc", contrib.alias("c"))
+        .groupBy("doc")
+        .agg(F.round(F.sum("c") / C, 6).alias("cosine_sim"))
+        .select(F.col("doc").alias(id_col), "cosine_sim")
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(int(top_k))
+    )

@@ -2545,3 +2545,54 @@ def test_hard_negative_mining_contract(spark):
 
     with _pt.raises(ValueError, match="n_probes"):
         hard_negative_mining(df, n_probes=0)
+
+
+def test_normalize_text_canonical_form(spark):
+    """normalize_text contract: lowercase, fixed-table accent fold,
+    control chars -> spaces, whitespace collapse, trim; blank text
+    normalizes to the empty string with length 0."""
+    from fresco_hpc_spark.functions import normalize_text
+
+    rows = [
+        (1, "  Héllo\tWÖRLD  "),   # uppercase Ö folds via lower() first
+        (2, "café \x01du\x7f  monde"),
+        (3, "   "),
+        (4, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.norm_text, r.n_norm_chars) for r in normalize_text(df).collect()}
+    assert out[1] == ("hello world", 11)
+    assert out[2] == ("cafe du monde", 13)
+    assert out[3] == ("", 0)
+    assert out[4] == ("plain", 5)
+
+
+def test_tfidf_search_ranking(spark):
+    """tfidf_search contract: a document that IS the query ranks first
+    with the highest cosine; docs sharing rarer query terms outrank
+    docs sharing only common ones; OOV-only queries return empty (the
+    sklearn vocabulary convention); guards fail loudly."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import tfidf_search
+
+    rows = [
+        (1, "fast table scan"),            # the query itself
+        (2, "fast fast fast everywhere"),  # common term, high tf
+        (3, "table scan plan"),            # two query terms
+        (4, "unrelated words entirely"),
+        (5, "fast word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = tfidf_search(df, "fast table scan", top_k=5).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1 and out[0].cosine_sim > 0.99
+    assert 4 not in ids  # shares no query term
+    sims = {r.doc_id: r.cosine_sim for r in out}
+    assert sims[3] > sims[2] and sims[3] > sims[5]
+
+    assert tfidf_search(df, "zzz qqq", top_k=5).count() == 0
+    with _pt.raises(ValueError, match="query"):
+        tfidf_search(df, "   ")
+    with _pt.raises(ValueError, match="top_k"):
+        tfidf_search(df, "fast", top_k=0)
