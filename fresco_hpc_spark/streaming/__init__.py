@@ -29,6 +29,9 @@ from fresco_hpc_spark.streaming.watcher import (  # noqa: F401
     streaming_ohlc,
     streaming_session_agg,
 )
+from fresco_hpc_spark.streaming.enrich import (  # noqa: F401
+    enrich_with_static,
+)
 from fresco_hpc_spark.streaming.sketches import (  # noqa: F401
     process_hll_ingest_batch,
     process_kmv_ingest_batch,

@@ -2108,3 +2108,61 @@ def test_incremental_hll_ingest_matches_batch_and_replays(spark, tmp_path):
     process_hll_ingest_batch(corpus.filter("v < 0"), 10, store_dir=store,
                              value_col="v", group_col="g", b=6)
     assert regs(spark.read.parquet(store)) == batch
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    """Stream-static broadcast enrichment (streaming/enrich.py): events
+    arriving over three file-batches left-joined against a static user
+    dimension drain to EXACTLY the batch join — unmatched users keep
+    their fact rows with NULL dim columns; right/full fail loudly."""
+    import os
+
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import types as T
+
+    from fresco_hpc_spark.streaming import enrich_with_static
+
+    facts = [(i, i % 5, 10.0 * i) for i in range(90)]
+    dim = [(u, f"tier{u}") for u in range(4)]  # user 4 unmatched
+    dim_df = spark.createDataFrame(dim, "user_id bigint, tier string")
+
+    src = tmp_path / "ein"
+    src.mkdir()
+    for i, chunk in enumerate([facts[:30], facts[30:60], facts[60:]]):
+        pd.DataFrame(chunk, columns=["event_id", "user_id", "value"]).to_parquet(
+            src / f"{i}.parquet", index=False
+        )
+        os.utime(src / f"{i}.parquet", (1000000000 + i * 100,) * 2)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir = str(tmp_path / "eout")
+    q = (
+        enrich_with_static(stream, dim_df, "user_id", how="left")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_df = spark.createDataFrame(facts, schema)
+    want = sorted(
+        map(tuple, batch_df.join(dim_df, "user_id", "left").collect())
+    )
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert got == want
+    assert any(t[-1] is None for t in got)  # user 4 kept with NULL tier
+
+    with _pt.raises(ValueError, match="left/inner"):
+        enrich_with_static(stream, dim_df, "user_id", how="full")
