@@ -129,6 +129,23 @@ def main() -> None:
     lin("ann_rp shuffle (TakeOrdered partials, sublinear)", a1[0], aN[0],
         EMB_FACTOR)
 
+    # --- TF-IDF VSM search + normalization -------------------------------
+    print("[tfidf_search / normalize_text]")
+    from fresco_hpc_spark.functions import normalize_text, tfidf_search
+
+    t1 = _measured(spark, "tfidf_search 1x", lambda: tfidf_search(
+        docs1, "fast table scan query", top_k=20).count())
+    tN = _measured(spark, f"tfidf_search x{DOC_FACTOR}", lambda: tfidf_search(
+        docsN, "fast table scan query", top_k=20).count())
+    lin("tfidf shuffle (tf + df + vocab joins — grows with corpus, "
+        "never pairs)", t1[0], tN[0], DOC_FACTOR)
+    n1 = _measured(spark, "normalize_text 1x", lambda: normalize_text(
+        docs1).count())
+    nN = _measured(spark, f"normalize_text x{DOC_FACTOR}",
+                   lambda: normalize_text(docsN).count())
+    print(f"  normalize_text shuffle (expected ~0): "
+          f"{n1[0]:.3f} / {nN[0]:.3f} MB")
+
     # --- weighted quantiles ----------------------------------------------
     print("[weighted_quantiles (token-mass length cutoffs)]")
     def wq(d):
