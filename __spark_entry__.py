@@ -2264,6 +2264,36 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic (operators/timeseries.py
+    cusum_drift): per event type, the one-sided Page statistic over the
+    hourly micro-unit value sums against the type's own mean-hour
+    baseline, plus the crest hour(s). The textbook recurrence is
+    replaced by its closed form S_i = P_i − min(0, min_{j≤i} P_j) — two
+    ordered window folds over exact BIGINTs, no iterative lineage, so
+    the oracle is plain window SQL."""
+    from fresco_hpc_spark.operators import cusum_drift
+
+    return cusum_drift(
+        table(spark, sf_dir, "events"), "value", "ts", "event_type"
+    )
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/funnel.py
+    attribution_linear): each purchase splits 1e6 micro-credits equally
+    (integer div, remainders deterministically dropped) across the same
+    user's clicks in the trailing 24 h — the standard model between
+    last-touch (asof_click_purchase) and the funnel family. Window
+    matching rides the bucketized interval equi-join; per-user rollups
+    are two partial-agg groupBys."""
+    from fresco_hpc_spark.operators import attribution_linear
+
+    return attribution_linear(
+        table(spark, sf_dir, "events"), lookback_hours=24
+    )
+
+
 def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-Levenshtein record linkage on part names
     (operators/joins.py fuzzy_match_names): the merge-candidate
@@ -3521,10 +3551,10 @@ def queries() -> dict[str, Query]:
         # dict order too — index_build_text precedes phrase_search and
         # bm25_search so their bench numbers are query-only — but
         # quarantines the heavy Zipf exhibits at the end of its own
-        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 28 + 5 + 17;
+        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 30 + 5 + 15;
         # the exact set is pinned by test_edges and, structurally, by the
         # ledger-derived staleness invariant (VERDICT r10 item 2):
-        # (1) the 27 never-driver-certified arrivals (8 from r10 + 19
+        # (1) the 29 never-driver-certified arrivals (8 from r10 + 21
         #     new r11 queries across three waves) plus index_build_text,
         #     which must precede bm25_search in dict order (its store
         #     feeds bm25/phrase):
@@ -3554,6 +3584,8 @@ def queries() -> dict[str, Query]:
         "hard_negatives": q_hard_negatives,
         "normalize_text": q_normalize_text,
         "tfidf_search": q_tfidf_search,
+        "cusum_drift": q_cusum_drift,
+        "attribution_linear": q_attribution_linear,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3563,7 +3595,7 @@ def queries() -> dict[str, Query]:
         "embedding_near_dups": q_embedding_near_dups,
         "asof_click_purchase": q_asof_click_purchase,
         "decontaminate": q_decontaminate,
-        # (3) the 17 stalest r07-certified queries, prior
+        # (3) the 15 stalest r07-certified queries, prior
         #     registry order (phrase_search last — its index is
         #     built by index_build_text above):
         "quality_rules": q_quality_rules,
@@ -3580,10 +3612,8 @@ def queries() -> dict[str, Query]:
         "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "session_duration": q_session_duration,
-        "text_stats": q_text_stats,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 33 r07
+        # --- outside the 50-query window. First the 35 r07
         # remainder rows — they lead the r12 window (the ledger
         # invariant in test_edges will force exactly that; nucleus_langs
         # /length_buckets/interpolate_values/scd2_user_state/
@@ -3594,7 +3624,10 @@ def queries() -> dict[str, Query]:
         # weighted_length_quantiles did, histogram_equi_depth as
         # embedding_ann_rp did, profile_agg_minute and
         # grouped_percentiles as the fourth wave landed, lang_id and
-        # profile_agg_day as the fifth):
+        # profile_agg_day as the fifth, session_duration and
+        # text_stats as the sixth):
+        "session_duration": q_session_duration,
+        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "profile_agg_day": q_profile_agg_day,
         "profile_agg_minute": q_profile_agg_minute,
@@ -7294,6 +7327,81 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY doc
         ORDER BY cosine_sim DESC, doc_id ASC
         LIMIT 20
+    """
+
+    # CUSUM closed form: S_i = P_i − min(0, min_{j≤i} P_j) — windows
+    # over exact BIGINTs (per-row micro-quantization BEFORE the hourly
+    # sum; k by integer division on non-negative operands, where
+    # Spark div == DuckDB //).
+    oracles["cusum_drift"] = r"""
+        WITH q AS (
+            SELECT event_type AS g, date_trunc('hour', ts) AS hour_ts,
+                   CAST(ROUND(value * 1000000, 0) AS BIGINT) AS q
+            FROM events WHERE value IS NOT NULL
+        ),
+        h AS (
+            SELECT g, hour_ts, CAST(SUM(q) AS BIGINT) AS x
+            FROM q GROUP BY g, hour_ts
+        ),
+        k AS (
+            SELECT g, hour_ts, x,
+                   CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT)
+                       // CAST(COUNT(x) OVER (PARTITION BY g) AS BIGINT)
+                       AS k
+            FROM h
+        ),
+        p AS (
+            SELECT g, hour_ts,
+                   CAST(SUM(x - k) OVER (
+                       PARTITION BY g ORDER BY hour_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS p
+            FROM k
+        ),
+        s AS (
+            SELECT g, hour_ts,
+                   p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER (
+                       PARTITION BY g ORDER BY hour_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT)) AS cusum_micro
+            FROM p
+        )
+        SELECT g AS event_type, hour_ts, cusum_micro,
+               cusum_micro = MAX(cusum_micro) OVER (PARTITION BY g)
+                   AS is_peak
+        FROM s ORDER BY event_type, hour_ts
+    """
+
+    oracles["attribution_linear"] = r"""
+        WITH convs AS (
+            SELECT event_id AS conv_id, user_id,
+                   ts - INTERVAL 24 HOURS AS win_start, ts AS win_end
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT user_id, ts AS touch_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        m AS (
+            SELECT c.user_id, c.conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_touches
+            FROM convs c JOIN touch t
+              ON t.user_id = c.user_id
+             AND t.touch_ts BETWEEN c.win_start AND c.win_end
+            GROUP BY c.user_id, c.conv_id
+        ),
+        cr AS (
+            SELECT user_id, conv_id, n_touches,
+                   CAST(1000000 AS BIGINT) // n_touches AS credit
+            FROM m
+        )
+        SELECT c.user_id,
+               CAST(COUNT(*) AS BIGINT) AS conversions,
+               CAST(SUM(COALESCE(cr.n_touches, 0)) AS BIGINT) AS touches,
+               CAST(SUM(COALESCE(cr.credit * cr.n_touches, 0)) AS BIGINT)
+                   AS attributed_micro
+        FROM convs c LEFT JOIN cr ON cr.conv_id = c.conv_id
+        GROUP BY c.user_id ORDER BY c.user_id
     """
 
     oracles["hard_negatives"] = r"""

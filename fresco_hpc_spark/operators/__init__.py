@@ -12,6 +12,7 @@ from fresco_hpc_spark.operators.timeseries import (  # noqa: F401
     duration_seconds,
     ewma,
     ewma_scan,
+    cusum_drift,
     holt_scan,
     gap_fill,
     hopping_window_agg,
@@ -80,6 +81,7 @@ from fresco_hpc_spark.operators.cdc import (  # noqa: F401
     scd2_history,
 )
 from fresco_hpc_spark.operators.funnel import (  # noqa: F401
+    attribution_linear,
     cohort_retention,
     funnel_counts,
 )

@@ -98,3 +98,86 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort", "offset")
     )
+
+
+def attribution_linear(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_type: str = "click",
+    lookback_hours: int = 24,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion splits one unit
+    of credit EQUALLY across the same user's touches inside the
+    lookback window ending at the conversion — the marketing-analytics
+    standard between last-touch (operators/joins.py asof_join answers
+    that) and data-driven models. Returns per-user totals:
+    ``(user_id, conversions, touches, attributed_micro)``.
+
+    Credit arithmetic is exact integers: each touch of an n-touch
+    conversion earns ``1_000_000 div n`` micro-credits (remainders are
+    DROPPED, deterministically — a conversion contributes at most 1e6,
+    short by n-1 micro-units at worst; both engines truncate
+    identically on non-negative operands). Conversions with NO touch in
+    the window still count in ``conversions`` (left join keeps them)
+    and contribute zero credit.
+
+    Scale shape: the window match is the bucketized point-in-interval
+    equi-join (operators/joins.py interval_join — never a
+    BroadcastNestedLoopJoin); per-conversion touch counts and per-user
+    rollups are two partially-aggregated groupBys."""
+    from fresco_hpc_spark.operators.joins import interval_join
+
+    if lookback_hours < 1:
+        raise ValueError(f"lookback_hours must be >= 1, got {lookback_hours}")
+    convs = events.filter(F.col(type_col) == conv_type).select(
+        F.col("event_id").alias("conv_id"),
+        F.col(user_col).alias("user_id"),
+        (
+            F.col(time_col) - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+        ).alias("win_start"),
+        F.col(time_col).alias("win_end"),
+    )
+    touches = events.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col(time_col).alias("touch_ts"),
+    )
+    matched = interval_join(
+        touches,
+        convs,
+        time_col="touch_ts",
+        start_col="win_start",
+        end_col="win_end",
+        keys=["user_id"],
+        bucket_seconds=int(lookback_hours) * 3600,
+    )
+    per_conv = matched.groupBy("user_id", "conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches")
+    )
+    credited = per_conv.select(
+        "user_id",
+        "conv_id",
+        "n_touches",
+        F.expr("1000000L div n_touches").alias("credit_micro"),
+    )
+    all_convs = convs.select("user_id", "conv_id")
+    per_user = (
+        all_convs.join(credited.drop("user_id"), "conv_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("conversions"),
+            F.sum(F.coalesce(F.col("n_touches"), F.lit(0))).cast(
+                "bigint"
+            ).alias("touches"),
+            F.sum(
+                F.coalesce(
+                    F.col("credit_micro") * F.col("n_touches"),
+                    F.lit(0).cast("bigint"),
+                )
+            ).cast("bigint").alias("attributed_micro"),
+        )
+    )
+    return per_user.orderBy("user_id")

@@ -952,3 +952,69 @@ def seasonal_profile(
         )
         .orderBy("hour_of_day")
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-sided CUSUM change-point statistic (Page 1954) over the
+    per-group HOURLY series — which hours show sustained upward drift
+    against the group's own baseline, the classic sequential monitor
+    next to rolling_zscore's pointwise one.
+
+    The textbook recurrence S_i = max(0, S_{i-1} + (x_i - k)) is
+    per-row iterative — unusable as a plan. The CLOSED FORM replaces
+    it: with P_i = Σ_{j≤i}(x_j - k), S_i = P_i - min(0, min_{j≤i} P_j)
+    — two ordered window folds (running sum, running min), linear per
+    group, no recurrence, no lineage growth.
+
+    Determinism (oracle rules 8-10): per-row values micro-quantize to
+    BIGINT BEFORE the hourly sum; the drift allowance k is the group's
+    mean hourly micro-sum by INTEGER division (non-negative inputs, so
+    Spark div == DuckDB //); every window folds exact integers.
+    Output: ``(group, hour_ts, cusum_micro, is_peak)`` where is_peak
+    marks the hour(s) attaining the group's maximum statistic —
+    "when did the drift crest"."""
+    from pyspark.sql import Window
+
+    micro = F.round(F.col(value_col) * 1_000_000, 0).cast("bigint")
+    hourly = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.date_trunc("hour", F.col(time_col)).alias("hour_ts"),
+            micro.alias("q"),
+        )
+        .groupBy("g", "hour_ts")
+        .agg(F.sum("q").alias("x"))
+    )
+    per_g = Window.partitionBy("g")
+    run = (
+        Window.partitionBy("g")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_k = hourly.withColumn(
+        "k", F.expr("sum(x) over (partition by g) div count(x) over (partition by g)")
+    )
+    p = F.sum(F.col("x") - F.col("k")).over(run)
+    stat = with_k.withColumn("p", p).withColumn(
+        "cusum_micro",
+        F.col("p") - F.least(F.lit(0).cast("bigint"), F.min("p").over(run)),
+    )
+    return (
+        stat.withColumn(
+            "is_peak",
+            F.col("cusum_micro") == F.max("cusum_micro").over(per_g),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "hour_ts",
+            "cusum_micro",
+            "is_peak",
+        )
+        .orderBy(group_col, "hour_ts")
+    )

@@ -312,3 +312,90 @@ def test_ntile_parity_of_quantile_bucket(spark):
         ).collect()
     }
     assert set(tn.values()) == {1, 2, 3, 4}
+
+
+def test_cusum_drift_matches_recurrence(spark):
+    """Closed form == textbook recurrence: S_i = max(0, S_{i-1}+(x-k))
+    replayed driver-side over the same hourly micro-sums; the peak flag
+    marks exactly the argmax hours; a flat series (x == k throughout)
+    stays at S == 0 everywhere with every hour a peak."""
+    from fresco_hpc_spark.operators import cusum_drift
+
+    rows = []
+    # group a: level shift upward in the last 4 hours
+    vals = [10.0, 10.0, 10.0, 10.0, 14.0, 14.0, 14.0, 14.0]
+    for h, v in enumerate(vals):
+        for j in range(3):  # 3 events per hour
+            rows.append(("a", f"2024-01-01 {h:02d}:{j:02d}:00", v))
+    # group b: constant
+    for h in range(4):
+        rows.append(("b", f"2024-01-01 {h:02d}:00:00", 5.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = cusum_drift(df, "value", "ts", "event_type").collect()
+
+    # driver-side recurrence over hourly micro sums
+    hourly = {}
+    for g, hs, v in [(r[0], r[1], r[2]) for r in rows]:
+        key = (g, hs[:13])
+        hourly[key] = hourly.get(key, 0) + round(v * 1_000_000)
+    for g in ("a", "b"):
+        xs = [v for (gg, _), v in sorted(hourly.items()) if gg == g]
+        k = sum(xs) // len(xs)
+        s, expect = 0, []
+        for x in xs:
+            s = max(0, s + (x - k))
+            expect.append(s)
+        got = [r.cusum_micro for r in out if r.event_type == g]
+        assert got == expect, (g, got, expect)
+        peaks = [r.cusum_micro for r in out if r.event_type == g and r.is_peak]
+        assert peaks and all(p == max(expect) for p in peaks)
+    b_rows = [r for r in out if r.event_type == "b"]
+    assert all(r.cusum_micro == 0 and r.is_peak for r in b_rows)
+
+
+def test_attribution_linear_credit_split(spark):
+    """Attribution contract: an n-touch conversion grants each touch
+    1e6 div n micro-credits (remainder dropped); touches outside the
+    lookback don't count; a touchless conversion still counts as a
+    conversion with zero credit; lookback < 1 fails loudly."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.operators import attribution_linear
+
+    rows = [
+        # user 1: purchase at 12:00 with 3 clicks inside 24h, 1 outside
+        (1, 1, "click", "2024-01-01 13:00:00"),
+        (2, 1, "click", "2024-01-02 09:00:00"),
+        (3, 1, "click", "2024-01-02 11:59:59"),
+        (4, 1, "click", "2023-12-30 12:00:00"),   # outside
+        (5, 1, "purchase", "2024-01-02 12:00:00"),
+        # user 2: touchless purchase
+        (6, 2, "purchase", "2024-01-02 12:00:00"),
+        # user 3: 2 purchases sharing one click
+        (7, 3, "click", "2024-01-02 11:00:00"),
+        (8, 3, "purchase", "2024-01-02 11:30:00"),
+        (9, 3, "purchase", "2024-01-02 12:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    out = {r.user_id: r for r in attribution_linear(df).collect()}
+    u1 = out[1]
+    assert (u1.conversions, u1.touches) == (1, 3)
+    assert u1.attributed_micro == (1_000_000 // 3) * 3  # 999999
+    u2 = out[2]
+    assert (u2.conversions, u2.touches, u2.attributed_micro) == (1, 0, 0)
+    u3 = out[3]
+    assert (u3.conversions, u3.touches) == (2, 2)
+    assert u3.attributed_micro == 2_000_000  # 1 click fully credited twice
+
+    with _pt.raises(ValueError, match="lookback"):
+        attribution_linear(df, lookback_hours=0)

@@ -233,7 +233,8 @@ def test_lazy_default_keeps_plan_composable(spark):
         # explain — null_smoke + oracles cover it)
         "hll_distinct_users", "hll_daily_rollup", "lpa_communities",
         "weighted_length_quantiles", "embedding_ann_rp", "hard_negatives",
-        "normalize_text", "tfidf_search",
+        "normalize_text", "tfidf_search", "cusum_drift",
+        "attribution_linear",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
