@@ -2264,6 +2264,28 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified recall@k (functions/vectors.py ann_recall_at_k): the
+    RP two-stage retrieval evaluated against the exact brute-force
+    top-10 for the shared probe — measured recall as an
+    oracle-hash-checked number instead of a test-log claim (the
+    compressed-ANN family's accuracy ledger). Both rankings use the
+    shared (score DESC, id ASC) tie discipline; the eval itself is a
+    ten-row join."""
+    from fresco_hpc_spark.functions import (
+        ann_recall_at_k,
+        ann_rp_rerank_topk,
+        brute_force_knn,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    truth = brute_force_knn(emb, _query_vector(spark, sf_dir), k=10)
+    approx = ann_rp_rerank_topk(
+        emb, query_id=0, out_dim=40, shortlist=200, k=10
+    ).select("vec_id", "cosine_sim")
+    return ann_recall_at_k(truth, approx, ks=(1, 5, 10))
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point statistic (operators/timeseries.py
     cusum_drift): per event type, the one-sided Page statistic over the
@@ -3551,10 +3573,10 @@ def queries() -> dict[str, Query]:
         # dict order too — index_build_text precedes phrase_search and
         # bm25_search so their bench numbers are query-only — but
         # quarantines the heavy Zipf exhibits at the end of its own
-        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 30 + 5 + 15;
+        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 31 + 5 + 14;
         # the exact set is pinned by test_edges and, structurally, by the
         # ledger-derived staleness invariant (VERDICT r10 item 2):
-        # (1) the 29 never-driver-certified arrivals (8 from r10 + 21
+        # (1) the 30 never-driver-certified arrivals (8 from r10 + 22
         #     new r11 queries across three waves) plus index_build_text,
         #     which must precede bm25_search in dict order (its store
         #     feeds bm25/phrase):
@@ -3586,6 +3608,7 @@ def queries() -> dict[str, Query]:
         "tfidf_search": q_tfidf_search,
         "cusum_drift": q_cusum_drift,
         "attribution_linear": q_attribution_linear,
+        "ann_recall_rp": q_ann_recall_rp,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
         # (2) the 5 queries whose newest driver row is r06 —
@@ -3595,7 +3618,7 @@ def queries() -> dict[str, Query]:
         "embedding_near_dups": q_embedding_near_dups,
         "asof_click_purchase": q_asof_click_purchase,
         "decontaminate": q_decontaminate,
-        # (3) the 15 stalest r07-certified queries, prior
+        # (3) the 14 stalest r07-certified queries, prior
         #     registry order (phrase_search last — its index is
         #     built by index_build_text above):
         "quality_rules": q_quality_rules,
@@ -3611,9 +3634,8 @@ def queries() -> dict[str, Query]:
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
-        "rolling_fingerprint": q_rolling_fingerprint,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 35 r07
+        # --- outside the 50-query window. First the 36 r07
         # remainder rows — they lead the r12 window (the ledger
         # invariant in test_edges will force exactly that; nucleus_langs
         # /length_buckets/interpolate_values/scd2_user_state/
@@ -3625,7 +3647,9 @@ def queries() -> dict[str, Query]:
         # embedding_ann_rp did, profile_agg_minute and
         # grouped_percentiles as the fourth wave landed, lang_id and
         # profile_agg_day as the fifth, session_duration and
-        # text_stats as the sixth):
+        # text_stats as the sixth, rolling_fingerprint as
+        # ann_recall_rp landed):
+        "rolling_fingerprint": q_rolling_fingerprint,
         "session_duration": q_session_duration,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -3913,6 +3937,72 @@ def _ann_rp_oracle_sql(
                rp_dot
         FROM sl ORDER BY cosine_sim DESC, vec_id ASC
         LIMIT {int(k)}
+    """
+
+
+def _ann_recall_rp_oracle_sql(
+    out_dim: int = 40,
+    dim: int = 64,
+    shortlist: int = 200,
+    k: int = 10,
+    seed: int = 29,
+) -> str:
+    """SQL twin of q_ann_recall_rp: the brute-force top-k CTE and the
+    RP two-stage CTEs (same inlined sign matrix as the ann_rp oracle),
+    each ranked with the shared (score DESC, id ASC) tie discipline,
+    joined on id and counted per requested k."""
+    from fresco_hpc_spark.functions.vectors import rp_sign_matrix
+
+    signs = rp_sign_matrix(out_dim, dim, seed)
+    comps = ", ".join(
+        f"ROUND(list_dot_product(v, [{', '.join(repr(c) for c in row)}]), 6)"
+        for row in signs
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), bq AS (
+            SELECT v AS qv FROM e WHERE vec_id = 0
+        ), bf AS (
+            SELECT vec_id,
+                   ROUND(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS s
+            FROM e, bq
+            ORDER BY s DESC, vec_id ASC LIMIT {int(k)}
+        ), p AS (
+            SELECT vec_id, v, [{comps}] AS rp FROM e
+        ), q AS (
+            SELECT v AS qv, rp AS qrp FROM p WHERE vec_id = 0
+        ), sl AS (
+            SELECT vec_id, v, qv FROM (
+                SELECT p.vec_id, p.v, q.qv,
+                       ROUND(list_dot_product(rp, qrp), 6) AS rp_dot
+                FROM p, q
+                ORDER BY rp_dot DESC, vec_id ASC LIMIT {int(shortlist)}
+            )
+        ), ap AS (
+            SELECT vec_id,
+                   ROUND(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS s
+            FROM sl
+            ORDER BY s DESC, vec_id ASC LIMIT {int(k)}
+        ), rt AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY s DESC, vec_id ASC)
+                       AS rt FROM bf
+        ), ra AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY s DESC, vec_id ASC)
+                       AS ra FROM ap
+        ), tb AS (
+            SELECT rt.rt, ra.ra FROM rt JOIN ra USING (vec_id)
+        )
+        SELECT k, CAST(SUM(CASE WHEN rt <= k AND ra <= k THEN 1 ELSE 0 END)
+                       AS BIGINT) AS hits,
+               ROUND(SUM(CASE WHEN rt <= k AND ra <= k THEN 1 ELSE 0 END)
+                     / CAST(k AS DOUBLE), 6) AS recall
+        FROM (SELECT UNNEST([1, 5, 10]) AS k), tb
+        GROUP BY k ORDER BY k
     """
 
 
@@ -7333,6 +7423,8 @@ def oracle_sql() -> dict[str, str]:
     # over exact BIGINTs (per-row micro-quantization BEFORE the hourly
     # sum; k by integer division on non-negative operands, where
     # Spark div == DuckDB //).
+    oracles["ann_recall_rp"] = _ann_recall_rp_oracle_sql()
+
     oracles["cusum_drift"] = r"""
         WITH q AS (
             SELECT event_type AS g, date_trunc('hour', ts) AS hour_ts,

@@ -1449,3 +1449,52 @@ def hard_negative_mining(
         .filter(F.col("rank") <= F.lit(int(k)))
         .orderBy("query_id", "rank")
     )
+
+
+def ann_recall_at_k(
+    truth: DataFrame,
+    approx: DataFrame,
+    ks: tuple[int, ...] = (1, 5, 10),
+    id_col: str = "vec_id",
+    order_col: str = "cosine_sim",
+) -> DataFrame:
+    """Recall@k between two ranked retrieval results — the evaluation
+    harness for every compressed-ANN path (int8 / PQ / IVF / RP),
+    promoted to a first-class, oracle-checkable operator so measured
+    recall is itself a certified number, not a test-log claim.
+
+    Both inputs are ranked relationally here (score DESC, id ASC — the
+    repo's shared tie discipline), joined on id, and counted per
+    requested k: ``recall@k = |truth_topk ∩ approx_topk| / k``. Returns
+    ``(k, hits, recall)``, one row per k, recall 6-dp. Inputs are
+    already top-N relations (bounded), so every stage is tiny; the
+    expensive part is the retrieval that produced them, not this."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be positive, got {ks}")
+    w = Window.orderBy(F.desc(order_col), F.asc(id_col))
+    t = truth.select(
+        F.col(id_col).alias("_id"), F.row_number().over(w).alias("rt")
+    )
+    a = approx.select(
+        F.col(id_col).alias("_id"), F.row_number().over(w).alias("ra")
+    )
+    both = t.join(a, "_id")
+    kdf = both.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
+    )
+    return (
+        kdf.crossJoin(F.broadcast(both))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                ((F.col("rt") <= F.col("k")) & (F.col("ra") <= F.col("k")))
+                .cast("bigint")
+            ).alias("hits")
+        )
+        .select(
+            "k",
+            "hits",
+            F.round(F.col("hits") / F.col("k"), 6).alias("recall"),
+        )
+        .orderBy("k")
+    )

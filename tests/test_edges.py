@@ -136,8 +136,8 @@ def _certification_ledger() -> tuple[dict[str, int], int]:
 def test_correctness_window_contains_priority_queries():
     """The driver certifies the FIRST 50 queries() keys each round. The
     round-11 window must hold (VERDICT r10 item 1) the 8 never-certified
-    r10 arrivals, the 21 queries new in r11, the 5 queries whose newest
-    driver row is r06, and the 15 stalest r07-certified rows — an
+    r10 arrivals, the 22 queries new in r11, the 5 queries whose newest
+    driver row is r06, and the 14 stalest r07-certified rows — an
     accidental insertion above them silently pushes the tail out of the
     window while the comments still claim coverage (r6 review finding:
     three queries drifted to positions 51-53; r9 repeat:
@@ -164,19 +164,19 @@ def test_correctness_window_contains_priority_queries():
         "lpa_communities", "weighted_length_quantiles", "embedding_ann_rp",
         "cms_heavy_hitters", "hard_negatives", "normalize_text",
         "tfidf_search", "cusum_drift", "attribution_linear",
+        "ann_recall_rp",
         # r9-fresh, but must sit ahead of bm25_search inside the window
         "index_build_text",
         # the 5 r06-stale queries — the oldest certificates alive
         "corpus_curation", "dup_clusters", "embedding_near_dups",
         "asof_click_purchase", "decontaminate",
-        # the 15 stalest r07-certified queries (the remaining 35 r07
+        # the 14 stalest r07-certified queries (the remaining 36 r07
         # rows lead the r12 window — the ledger invariant below forces
         # exactly that)
         "quality_rules", "class_centroids", "redact_pii",
         "chunk_documents", "media_features", "audio_features",
         "video_frames", "value_cdf", "category_counts", "token_budget",
         "corpus_split", "stratified_sample", "token_counts",
-        "rolling_fingerprint",
         "phrase_search",
     }
     assert len(priority) == 50, (

@@ -2596,3 +2596,31 @@ def test_tfidf_search_ranking(spark):
         tfidf_search(df, "   ")
     with _pt.raises(ValueError, match="top_k"):
         tfidf_search(df, "fast", top_k=0)
+
+
+def test_ann_recall_at_k_contract(spark):
+    """Recall@k eval contract: identical rankings score 1.0 at every k;
+    a half-overlapping top-10 scores the exact overlap fraction; ks
+    must be positive."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import ann_recall_at_k
+
+    truth = spark.createDataFrame(
+        [(i, 1.0 - i / 100.0) for i in range(10)], "vec_id bigint, cosine_sim double"
+    )
+    same = ann_recall_at_k(truth, truth, ks=(1, 5, 10)).collect()
+    assert [(r.k, r.hits, r.recall) for r in same] == [
+        (1, 1, 1.0), (5, 5, 1.0), (10, 10, 1.0)
+    ]
+    # approx finds ids 0,1,2,3,4 then 100..104 (misses 5..9)
+    approx = spark.createDataFrame(
+        [(i, 1.0 - i / 100.0) for i in range(5)]
+        + [(100 + i, 0.5 - i / 100.0) for i in range(5)],
+        "vec_id bigint, cosine_sim double",
+    )
+    half = {r.k: r for r in ann_recall_at_k(truth, approx, ks=(1, 5, 10)).collect()}
+    assert half[1].recall == 1.0 and half[5].recall == 1.0
+    assert half[10].hits == 5 and half[10].recall == 0.5
+    with _pt.raises(ValueError, match="ks"):
+        ann_recall_at_k(truth, approx, ks=(0,))
