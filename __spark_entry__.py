@@ -3570,16 +3570,76 @@ def queries() -> dict[str, Query]:
     return {
         # --- ORDER MATTERS: the driver's correctness run caps at 50
         # queries per round taken in dict order. (bench.py follows
-        # dict order too — index_build_text precedes phrase_search and
-        # bm25_search so their bench numbers are query-only — but
-        # quarantines the heavy Zipf exhibits at the end of its own
-        # suite.) Round-11 window (VERDICT r10 item 1), 50 = 31 + 5 + 14;
-        # the exact set is pinned by test_edges and, structurally, by the
-        # ledger-derived staleness invariant (VERDICT r10 item 2):
-        # (1) the 30 never-driver-certified arrivals (8 from r10 + 22
-        #     new r11 queries across three waves) plus index_build_text,
-        #     which must precede bm25_search in dict order (its store
-        #     feeds bm25/phrase):
+        # dict order too and quarantines the heavy Zipf exhibits at
+        # the end of its own suite.) Round-12 window (VERDICT r11
+        # item 1), 50 = 36 + 1 + 13; the exact set is pinned by
+        # test_edges and, structurally, by the ledger-derived
+        # staleness invariant (VERDICT r10 item 2):
+        # (1) the 36 r07-certified queries — ≥5 rounds stale the
+        #     moment CORRECTNESS_r11 landed; the ledger invariant
+        #     forces exactly this set to lead the r12 window:
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "session_duration": q_session_duration,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "profile_agg_day": q_profile_agg_day,
+        "profile_agg_minute": q_profile_agg_minute,
+        "grouped_percentiles": q_grouped_percentiles,
+        "histogram_equi_depth": q_histogram_equi_depth,
+        "weighted_sample": q_weighted_sample,
+        "ewma_user_value": q_ewma_user_value,
+        "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,
+        "pagerank_knn": q_pagerank_knn,
+        "fuzzy_match_parts": q_fuzzy_match_parts,
+        "source_divergence": q_source_divergence,
+        "scd2_user_state": q_scd2_user_state,
+        "nucleus_langs": q_nucleus_langs,
+        "length_buckets": q_length_buckets,
+        "interpolate_values": q_interpolate_values,
+        "cluster_hubs": q_cluster_hubs,
+        "knn_triangles": q_knn_triangles,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "collocations": q_collocations,
+        "source_overlap": q_source_overlap,
+        "clustering_knn": q_clustering_knn,
+        "fk_audit": q_fk_audit,
+        "event_transitions": q_event_transitions,
+        "ks_drift": q_ks_drift,
+        "pack_texts": q_pack_texts,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
+        "containment_pairs": q_containment_pairs,
+        "containment_pairs_prefix": q_containment_pairs_prefix,
+        "containment_plain_zipf": q_containment_plain_zipf,
+        "containment_prefix_zipf": q_containment_prefix_zipf,
+        # (2) time_extent — the lone r08 row, stale next round if
+        #     not rotated now:
+        "time_extent": q_time_extent,
+        # (3) 13 proactive r09 rotations (49 r09 rows all go stale
+        #     at r14; rotating a tranche now smooths the r13/r14
+        #     windows) — new r12 arrivals displace these fillers
+        #     from the window as they land (never-certified must be
+        #     in-window):
+        "seasonal_profile": q_seasonal_profile,
+        "name_resolution": q_name_resolution,
+        "revenue_by_nation": q_revenue_by_nation,
+        "revenue_monthly_yoy": q_revenue_monthly_yoy,
+        "rfm_segments": q_rfm_segments,
+        "basket_pairs": q_basket_pairs,
+        "pagerank_knn_weighted": q_pagerank_knn_weighted,
+        "ks_drift_quantized": q_ks_drift_quantized,
+        "ks_reference_drift": q_ks_reference_drift,
+        "data_quality_checks": q_data_quality_checks,
+        "quantile_normalize": q_quantile_normalize,
+        "merge_upsert": q_merge_upsert,
+        "approx_percentiles": q_approx_percentiles,
+        # --- outside the 50-query window. First the prior r11
+        # window — every entry's newest driver row is r10/r11, the
+        # freshest certificates alive (index_build_text stays ahead
+        # of bm25_search and phrase_search in dict order — their
+        # bench numbers must be query-only):
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "embedding_quantize": q_embedding_quantize,
@@ -3635,70 +3695,9 @@ def queries() -> dict[str, Query]:
         "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "phrase_search": q_phrase_search,
-        # --- outside the 50-query window. First the 36 r07
-        # remainder rows — they lead the r12 window (the ledger
-        # invariant in test_edges will force exactly that; nucleus_langs
-        # /length_buckets/interpolate_values/scd2_user_state/
-        # source_divergence/fuzzy_match_parts/pagerank_knn moved out as
-        # r11 arrivals claimed slots, knn_graph/knn_graph_ivf as the
-        # HLL pair arrived in the third wave, ewma_user_value as
-        # lpa_communities did, weighted_sample as
-        # weighted_length_quantiles did, histogram_equi_depth as
-        # embedding_ann_rp did, profile_agg_minute and
-        # grouped_percentiles as the fourth wave landed, lang_id and
-        # profile_agg_day as the fifth, session_duration and
-        # text_stats as the sixth, rolling_fingerprint as
-        # ann_recall_rp landed):
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "session_duration": q_session_duration,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "profile_agg_day": q_profile_agg_day,
-        "profile_agg_minute": q_profile_agg_minute,
-        "grouped_percentiles": q_grouped_percentiles,
-        "histogram_equi_depth": q_histogram_equi_depth,
-        "weighted_sample": q_weighted_sample,
-        "ewma_user_value": q_ewma_user_value,
-        "knn_graph": q_knn_graph,
-        "knn_graph_ivf": q_knn_graph_ivf,
-        "pagerank_knn": q_pagerank_knn,
-        "fuzzy_match_parts": q_fuzzy_match_parts,
-        "source_divergence": q_source_divergence,
-        "scd2_user_state": q_scd2_user_state,
-        "nucleus_langs": q_nucleus_langs,
-        "length_buckets": q_length_buckets,
-        "interpolate_values": q_interpolate_values,
-        "cluster_hubs": q_cluster_hubs,
-        "knn_triangles": q_knn_triangles,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "collocations": q_collocations,
-        "source_overlap": q_source_overlap,
-        "clustering_knn": q_clustering_knn,
-        "fk_audit": q_fk_audit,
-        "event_transitions": q_event_transitions,
-        "ks_drift": q_ks_drift,
-        "pack_texts": q_pack_texts,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
-        "containment_pairs": q_containment_pairs,
-        "containment_pairs_prefix": q_containment_pairs_prefix,
-        "containment_plain_zipf": q_containment_plain_zipf,
-        "containment_prefix_zipf": q_containment_prefix_zipf,
-        # then the r08/r09-certified block (2-3 rounds old):
-        "seasonal_profile": q_seasonal_profile,
-        "name_resolution": q_name_resolution,
-        "revenue_by_nation": q_revenue_by_nation,
-        "revenue_monthly_yoy": q_revenue_monthly_yoy,
-        "rfm_segments": q_rfm_segments,
-        "basket_pairs": q_basket_pairs,
-        "pagerank_knn_weighted": q_pagerank_knn_weighted,
-        "ks_drift_quantized": q_ks_drift_quantized,
-        "ks_reference_drift": q_ks_reference_drift,
-        "data_quality_checks": q_data_quality_checks,
-        "quantile_normalize": q_quantile_normalize,
-        "merge_upsert": q_merge_upsert,
-        "approx_percentiles": q_approx_percentiles,
+        # then the remaining r09-certified block (36 rows; stale at
+        # r14 — they lead the r13/r14 windows with the r09 tranche
+        # rotated above):
         "grouped_approx_percentiles": q_grouped_approx_percentiles,
         "bpe_merges": q_bpe_merges,
         "bpe_segments": q_bpe_segments,
@@ -3735,7 +3734,6 @@ def queries() -> dict[str, Query]:
         "time_bound_hourly": q_time_bound_hourly,
         "column_stats": q_column_stats,
         "availability": q_availability,
-        "time_extent": q_time_extent,
         # then the r09/r10-certified freshest block (the prior
         # round-10 window, plus embedding_ann_ivf_index whose
         # newest row is r10):

@@ -135,49 +135,49 @@ def _certification_ledger() -> tuple[dict[str, int], int]:
 
 def test_correctness_window_contains_priority_queries():
     """The driver certifies the FIRST 50 queries() keys each round. The
-    round-11 window must hold (VERDICT r10 item 1) the 8 never-certified
-    r10 arrivals, the 22 queries new in r11, the 5 queries whose newest
-    driver row is r06, and the 14 stalest r07-certified rows — an
-    accidental insertion above them silently pushes the tail out of the
-    window while the comments still claim coverage (r6 review finding:
-    three queries drifted to positions 51-53; r9 repeat:
-    boilerplate_remove pushed time_extent to position 51). The pin is
-    exactly window-sized: an insertion that grows it past 50 fails HERE,
-    at authoring time, not at judging time. Bench-order dependencies are
-    pinned too: index_build_text (also in-window — bm25_search needs it
-    earlier in dict order) must precede phrase_search and bm25_search so
-    their bench numbers are query-only."""
+    round-12 window must hold (VERDICT r11 item 1) the 36 r07-certified
+    queries whose certificates went ≥5 rounds stale when
+    CORRECTNESS_r11 landed, the lone r08 row (time_extent — stale next
+    round otherwise), and a tranche of proactive r09 rotations that new
+    r12 arrivals displace as they land — an accidental insertion above
+    them silently pushes the tail out of the window while the comments
+    still claim coverage (r6 review finding: three queries drifted to
+    positions 51-53; r9 repeat: boilerplate_remove pushed time_extent
+    to position 51). The pin is exactly window-sized: an insertion that
+    grows it past 50 fails HERE, at authoring time, not at judging
+    time. Bench-order dependencies are pinned too: index_build_text
+    (outside the window this round) must precede phrase_search and
+    bm25_search in dict order so their bench numbers are query-only."""
     import __spark_entry__ as m
 
     names = list(m.queries())
     window = names[:50]
     priority = {
-        # the 8 never-driver-certified r10 arrivals
-        "dsir_weights", "dsir_select", "embedding_quantize",
-        "embedding_ann_int8", "pq_encode", "embedding_ann_pq",
-        "embedding_ann_pq_rerank", "bm25_search",
-        # new in round 11 — arrivals certify in their arrival round
-        "embedding_ann_ivfpq", "trigram_logprob", "kn_logprob",
-        "quality_classifier", "kmv_distinct_users", "kmv_vocab_overlap",
-        "char_entropy", "cms_token_counts", "bloom_decontaminate",
-        "perplexity_buckets", "hll_distinct_users", "hll_daily_rollup",
-        "lpa_communities", "weighted_length_quantiles", "embedding_ann_rp",
-        "cms_heavy_hitters", "hard_negatives", "normalize_text",
-        "tfidf_search", "cusum_drift", "attribution_linear",
-        "ann_recall_rp",
-        # r9-fresh, but must sit ahead of bm25_search inside the window
-        "index_build_text",
-        # the 5 r06-stale queries — the oldest certificates alive
-        "corpus_curation", "dup_clusters", "embedding_near_dups",
-        "asof_click_purchase", "decontaminate",
-        # the 14 stalest r07-certified queries (the remaining 36 r07
-        # rows lead the r12 window — the ledger invariant below forces
-        # exactly that)
-        "quality_rules", "class_centroids", "redact_pii",
-        "chunk_documents", "media_features", "audio_features",
-        "video_frames", "value_cdf", "category_counts", "token_budget",
-        "corpus_split", "stratified_sample", "token_counts",
-        "phrase_search",
+        # the 36 r07-certified queries — ≥5 rounds stale, the ledger
+        # invariant below forces exactly this set to lead the window
+        "rolling_fingerprint", "session_duration", "text_stats",
+        "lang_id", "profile_agg_day", "profile_agg_minute",
+        "grouped_percentiles", "histogram_equi_depth", "weighted_sample",
+        "ewma_user_value", "knn_graph", "knn_graph_ivf", "pagerank_knn",
+        "fuzzy_match_parts", "source_divergence", "scd2_user_state",
+        "nucleus_langs", "length_buckets", "interpolate_values",
+        "cluster_hubs", "knn_triangles", "sorted_neighborhood",
+        "collocations", "source_overlap", "clustering_knn", "fk_audit",
+        "event_transitions", "ks_drift", "pack_texts",
+        "ngram_jaccard_pairs", "ngram_jaccard_prefix",
+        "ngram_jaccard_prefix_zipf", "containment_pairs",
+        "containment_pairs_prefix", "containment_plain_zipf",
+        "containment_prefix_zipf",
+        # the lone r08 row
+        "time_extent",
+        # proactive r09 rotations (49 r09 rows go stale at r14; this
+        # tranche smooths the r13/r14 windows). New r12 arrivals
+        # displace these fillers from the window as they land.
+        "seasonal_profile", "name_resolution", "revenue_by_nation",
+        "revenue_monthly_yoy", "rfm_segments", "basket_pairs",
+        "pagerank_knn_weighted", "ks_drift_quantized",
+        "ks_reference_drift", "data_quality_checks",
+        "quantile_normalize", "merge_upsert", "approx_percentiles",
     }
     assert len(priority) == 50, (
         f"priority pin must be exactly window-sized, got {len(priority)}"
