@@ -3315,14 +3315,21 @@ def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(merged, b=9, group_col="event_type")
     exact = (
         ev.filter(F.col("user_id").isNotNull())
-        .groupBy("event_type")
+        .groupBy(F.col("event_type").alias("_ge"))
         .agg(
             F.count_distinct("user_id").cast("bigint").alias(
                 "exact_distinct"
             )
         )
     )
-    return est.join(exact, "event_type").orderBy("event_type")
+    # null-safe on the GROUP key (ADVICE r11: the oracle joins with
+    # IS NOT DISTINCT FROM; a NULL event_type group must not silently
+    # drop on the Spark side — same discipline as hll_distinct)
+    return (
+        est.join(exact, F.col("event_type").eqNullSafe(F.col("_ge")))
+        .drop("_ge")
+        .orderBy("event_type")
+    )
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3994,13 +4001,19 @@ def _ann_recall_rp_oracle_sql(
                        AS ra FROM ap
         ), tb AS (
             SELECT rt.rt, ra.ra FROM rt JOIN ra USING (vec_id)
+        ), tn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS tn FROM bf
         )
-        SELECT k, CAST(SUM(CASE WHEN rt <= k AND ra <= k THEN 1 ELSE 0 END)
-                       AS BIGINT) AS hits,
-               ROUND(SUM(CASE WHEN rt <= k AND ra <= k THEN 1 ELSE 0 END)
-                     / CAST(k AS DOUBLE), 6) AS recall
-        FROM (SELECT UNNEST([1, 5, 10]) AS k), tb
-        GROUP BY k ORDER BY k
+        SELECT k, CAST(COUNT(tb.rt) AS BIGINT) AS hits,
+               CASE WHEN LEAST(CAST(k AS BIGINT), tn) > 0
+                    THEN ROUND(COUNT(tb.rt)
+                               / CAST(LEAST(CAST(k AS BIGINT), tn)
+                                      AS DOUBLE), 6)
+                    ELSE NULL END AS recall
+        FROM (SELECT UNNEST([1, 5, 10]) AS k) ks
+        CROSS JOIN tn
+        LEFT JOIN tb ON tb.rt <= ks.k AND tb.ra <= ks.k
+        GROUP BY k, tn ORDER BY k
     """
 
 
@@ -7434,11 +7447,17 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY g, hour_ts
         ),
         k AS (
+            -- explicit FLOOR division (sum minus non-negative pmod,
+            -- then exact integer division) — matches the Spark side
+            -- for negative-valued series too (ADVICE r11)
             SELECT g, hour_ts, x,
-                   CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT)
-                       // CAST(COUNT(x) OVER (PARTITION BY g) AS BIGINT)
-                       AS k
-            FROM h
+                   (s - ((s % n + n) % n)) // n AS k
+            FROM (
+                SELECT g, hour_ts, x,
+                       CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS s,
+                       CAST(COUNT(x) OVER (PARTITION BY g) AS BIGINT) AS n
+                FROM h
+            )
         ),
         p AS (
             SELECT g, hour_ts,
@@ -7534,23 +7553,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ),
         agg AS (
-            SELECT source, n_chars, SUM(w) AS w
+            -- micro-quantized BIGINT weights + cross-multiplied
+            -- threshold compare: no float enters any comparison
+            -- (matches operators/percentiles.py weighted_quantiles)
+            SELECT source, n_chars,
+                   CAST(SUM(CAST(ROUND(w * 1000000, 0) AS BIGINT))
+                        AS BIGINT) AS w
             FROM d WHERE n_chars IS NOT NULL AND w > 0
             GROUP BY source, n_chars
         ),
         cum AS (
             SELECT source, n_chars,
-                   SUM(w) OVER (PARTITION BY source ORDER BY n_chars
+                   CAST(SUM(w) OVER (PARTITION BY source ORDER BY n_chars
                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cw,
-                   SUM(w) OVER (PARTITION BY source) AS tw
+                                AND CURRENT ROW) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tw
             FROM agg
         )
         SELECT source,
-               MIN(CASE WHEN cw >= 0.25 * tw THEN n_chars END) AS wq_25,
-               MIN(CASE WHEN cw >= 0.5 * tw THEN n_chars END) AS wq_50,
-               MIN(CASE WHEN cw >= 0.75 * tw THEN n_chars END) AS wq_75,
-               MAX(tw) AS total_weight
+               MIN(CASE WHEN CAST(cw AS HUGEINT) * 1000000
+                             >= 250000 * CAST(tw AS HUGEINT)
+                        THEN n_chars END) AS wq_25,
+               MIN(CASE WHEN CAST(cw AS HUGEINT) * 1000000
+                             >= 500000 * CAST(tw AS HUGEINT)
+                        THEN n_chars END) AS wq_50,
+               MIN(CASE WHEN CAST(cw AS HUGEINT) * 1000000
+                             >= 750000 * CAST(tw AS HUGEINT)
+                        THEN n_chars END) AS wq_75,
+               ROUND(MAX(tw) / 1000000.0, 6) AS total_weight
         FROM cum GROUP BY source ORDER BY source
     """
 

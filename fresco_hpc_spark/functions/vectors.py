@@ -1465,10 +1465,15 @@ def ann_recall_at_k(
 
     Both inputs are ranked relationally here (score DESC, id ASC — the
     repo's shared tie discipline), joined on id, and counted per
-    requested k: ``recall@k = |truth_topk ∩ approx_topk| / k``. Returns
-    ``(k, hits, recall)``, one row per k, recall 6-dp. Inputs are
-    already top-N relations (bounded), so every stage is tiny; the
-    expensive part is the retrieval that produced them, not this."""
+    requested k: ``recall@k = |truth_topk ∩ approx_topk| /
+    least(k, |truth|)`` — the denominator caps at the truth size
+    (ADVICE r11: dividing by a k larger than the corpus makes 1.0
+    unreachable and understates quality). Returns ``(k, hits,
+    recall)``, ONE ROW PER REQUESTED k even when the id intersection
+    is empty (hits 0), recall 6-dp and NULL only in the vacuous
+    |truth| = 0 case. Inputs are already top-N relations (bounded), so
+    every stage is tiny; the expensive part is the retrieval that
+    produced them, not this."""
     if not ks or any(k < 1 for k in ks):
         raise ValueError(f"ks must be positive, got {ks}")
     w = Window.orderBy(F.desc(order_col), F.asc(id_col))
@@ -1479,22 +1484,26 @@ def ann_recall_at_k(
         F.col(id_col).alias("_id"), F.row_number().over(w).alias("ra")
     )
     both = t.join(a, "_id")
+    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("_tn"))
     kdf = both.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k")
     )
+    denom = F.least(F.col("k").cast("bigint"), F.col("_tn"))
     return (
-        kdf.crossJoin(F.broadcast(both))
-        .groupBy("k")
-        .agg(
-            F.sum(
-                ((F.col("rt") <= F.col("k")) & (F.col("ra") <= F.col("k")))
-                .cast("bigint")
-            ).alias("hits")
+        kdf.join(
+            F.broadcast(both),
+            (F.col("rt") <= F.col("k")) & (F.col("ra") <= F.col("k")),
+            "left",
         )
+        .groupBy("k")
+        .agg(F.count(F.col("_id")).cast("bigint").alias("hits"))
+        .crossJoin(F.broadcast(tn))
         .select(
             "k",
             "hits",
-            F.round(F.col("hits") / F.col("k"), 6).alias("recall"),
+            F.when(denom > 0, F.round(F.col("hits") / denom, 6))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("recall"),
         )
         .orderBy("k")
     )

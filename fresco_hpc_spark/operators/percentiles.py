@@ -1219,15 +1219,23 @@ def weighted_quantiles(
     quality mass — and asks "which document length covers half the
     TOKENS" (the packing cutoff), not half the documents.
 
-    Exactness across engines: weights are pre-aggregated per (group,
-    value) — collapsing duplicate values kills order-dependence at the
-    only place ties could occur — then ONE ordered running sum per group
-    (a sequential fold in ORDER BY value order, identical in Spark and
-    DuckDB) feeds a q*total threshold compare. No interpolation
-    arithmetic, so the selected values are bit-identical to the input.
-    Rows with NULL value or NULL/non-positive weight are excluded (a
-    zero-weight row cannot be selected by mass and a negative weight
-    has no quantile meaning).
+    Exactness across engines: weights micro-quantize to BIGINT
+    (round(w * 1e6) — the repo's standard fixed-point discipline;
+    ADVICE r11: a double running sum over arbitrary fractional weights
+    is accumulation-order-sensitive at threshold boundaries) and are
+    pre-aggregated per (group, value) — collapsing duplicate values
+    kills order-dependence at the only place ties could occur — then
+    ONE ordered INTEGER running sum per group feeds the threshold
+    compare, done exactly in cross-multiplied form: cw_micro * 1e6 >=
+    q_micro * tw_micro with DECIMAL(38,0) products (fractions
+    themselves quantize to 1e-6). No float enters any comparison, so
+    the selected values are engine- and partitioning-invariant.
+    ``total_weight`` is reported back in input units (micro / 1e6,
+    6-dp). Per-group micro-weight mass must stay under 2^63 (~9.2e12
+    weight units) — the documented fixed-point contract. Rows with
+    NULL value or NULL/non-positive weight are excluded (a zero-weight
+    row cannot be selected by mass and a negative weight has no
+    quantile meaning).
 
     Scale shape: the pre-aggregate shuffles (group, value) pairs with
     map-side combine — bounded by the distinct-value relation like
@@ -1238,11 +1246,12 @@ def weighted_quantiles(
     low-cardinality by construction)."""
     if not qs or any(not 0.0 < q <= 1.0 for q in qs):
         raise ValueError(f"fractions must be in (0, 1], got {qs}")
-    v, w, g = F.col(value_col), F.col(weight_col), F.col(group_col)
+    v, w = F.col(value_col), F.col(weight_col)
+    micro = F.round(w * 1_000_000, 0).cast("bigint")
     agg = (
         df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
         .groupBy(group_col, value_col)
-        .agg(F.sum(weight_col).cast("double").alias("_w"))
+        .agg(F.sum(micro).alias("_w"))
     )
     cum_w = (
         Window.partitionBy(group_col)
@@ -1256,14 +1265,25 @@ def weighted_quantiles(
         F.sum("_w").over(cum_w).alias("_cw"),
         F.sum("_w").over(tot_w).alias("_tw"),
     )
+    cw_dec = F.col("_cw").cast("decimal(38,0)")
+    tw_dec = F.col("_tw").cast("decimal(38,0)")
     picks = [
         F.min(
-            F.when(F.col("_cw") >= F.lit(q) * F.col("_tw"), F.col(value_col))
+            F.when(
+                cw_dec * F.lit(1_000_000)
+                >= F.lit(int(round(q * 1_000_000))) * tw_dec,
+                F.col(value_col),
+            )
         ).alias(f"wq_{int(round(q * 100)):02d}")
         for q in qs
     ]
     return (
         cum.groupBy(group_col)
-        .agg(*picks, F.max("_tw").alias("total_weight"))
+        .agg(
+            *picks,
+            F.round(F.max("_tw") / F.lit(1_000_000.0), 6).alias(
+                "total_weight"
+            ),
+        )
         .orderBy(group_col)
     )

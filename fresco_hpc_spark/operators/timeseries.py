@@ -973,8 +973,12 @@ def cusum_drift(
 
     Determinism (oracle rules 8-10): per-row values micro-quantize to
     BIGINT BEFORE the hourly sum; the drift allowance k is the group's
-    mean hourly micro-sum by INTEGER division (non-negative inputs, so
-    Spark div == DuckDB //); every window folds exact integers.
+    mean hourly micro-sum by explicit FLOOR division — sum minus its
+    pmod remainder, then exact integer division — so Spark and the
+    oracle agree for NEGATIVE-valued series too, not just non-negative
+    ones (ADVICE r11: bare `div`/`//` truncation toward zero is only
+    accidentally engine-consistent); every window folds exact
+    integers.
     Output: ``(group, hour_ts, cusum_micro, is_peak)`` where is_peak
     marks the hour(s) attaining the group's maximum statistic —
     "when did the drift crest"."""
@@ -998,7 +1002,13 @@ def cusum_drift(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_k = hourly.withColumn(
-        "k", F.expr("sum(x) over (partition by g) div count(x) over (partition by g)")
+        "k",
+        F.expr(
+            "(sum(x) over (partition by g)"
+            " - pmod(sum(x) over (partition by g),"
+            " count(x) over (partition by g)))"
+            " div count(x) over (partition by g)"
+        ),
     )
     p = F.sum(F.col("x") - F.col("k")).over(run)
     stat = with_k.withColumn("p", p).withColumn(

@@ -330,6 +330,12 @@ def test_cusum_drift_matches_recurrence(spark):
     # group b: constant
     for h in range(4):
         rows.append(("b", f"2024-01-01 {h:02d}:00:00", 5.0))
+    # group c: NEGATIVE-valued series whose mean is not integral —
+    # pins the explicit floor division for the allowance k (ADVICE
+    # r11: truncation toward zero would put k one micro-unit higher
+    # than the Python // replay below and shift every S_i)
+    for h, v in enumerate([-10.0, -11.0, -13.0]):
+        rows.append(("c", f"2024-01-01 {h:02d}:00:00", v))
     df = spark.createDataFrame(
         rows, "event_type string, ts_s string, value double"
     )
@@ -343,7 +349,7 @@ def test_cusum_drift_matches_recurrence(spark):
     for g, hs, v in [(r[0], r[1], r[2]) for r in rows]:
         key = (g, hs[:13])
         hourly[key] = hourly.get(key, 0) + round(v * 1_000_000)
-    for g in ("a", "b"):
+    for g in ("a", "b", "c"):
         xs = [v for (gg, _), v in sorted(hourly.items()) if gg == g]
         k = sum(xs) // len(xs)
         s, expect = 0, []

@@ -2622,5 +2622,23 @@ def test_ann_recall_at_k_contract(spark):
     half = {r.k: r for r in ann_recall_at_k(truth, approx, ks=(1, 5, 10)).collect()}
     assert half[1].recall == 1.0 and half[5].recall == 1.0
     assert half[10].hits == 5 and half[10].recall == 0.5
+    # ADVICE r11: the denominator caps at |truth| — a 3-row corpus can
+    # still score a perfect recall@10 (3/3, not 3/10) ...
+    tiny = spark.createDataFrame(
+        [(i, 1.0 - i / 100.0) for i in range(3)],
+        "vec_id bigint, cosine_sim double",
+    )
+    capped = {r.k: r for r in ann_recall_at_k(tiny, tiny, ks=(10,)).collect()}
+    assert capped[10].hits == 3 and capped[10].recall == 1.0
+    # ... and a fully-disjoint retrieval still emits one row per
+    # requested k, with zero hits, instead of an empty relation
+    disjoint = spark.createDataFrame(
+        [(100 + i, 1.0 - i / 100.0) for i in range(3)],
+        "vec_id bigint, cosine_sim double",
+    )
+    zero = ann_recall_at_k(tiny, disjoint, ks=(1, 5)).collect()
+    assert [(r.k, r.hits, r.recall) for r in zero] == [
+        (1, 0, 0.0), (5, 0, 0.0)
+    ]
     with _pt.raises(ValueError, match="ks"):
         ann_recall_at_k(truth, approx, ks=(0,))

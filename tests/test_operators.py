@@ -716,5 +716,30 @@ def test_weighted_quantiles_mass_selection(spark):
     )
     d = weighted_quantiles(dup, "v", "w", "g", qs=(0.5,)).first()
     assert d.wq_50 == 1.0 and d.total_weight == 2.0
+    # ADVICE r11: fractional weights micro-quantize to BIGINT, so the
+    # threshold compare is exact integer arithmetic — the same frame
+    # under wildly different partitionings picks identical values
+    # (a double running sum could flip a >= at a boundary)
+    import random as _random
+
+    rng = _random.Random(7)
+    frac_rows = [
+        ("f", float(v), rng.random() * 3.0 + 0.001)
+        for v in range(200)
+    ]
+    fdf = spark.createDataFrame(frac_rows, "g string, v double, w double")
+    base = weighted_quantiles(fdf.repartition(1), "v", "w", "g").collect()
+    shuffled = weighted_quantiles(
+        fdf.repartition(32, "v"), "v", "w", "g"
+    ).collect()
+    assert base == shuffled
+    # exactly-at-boundary mass: q*total lands exactly on a cumulative
+    # weight (0.25 * 4.0 == 1.0) — >= must pick the boundary value
+    edge = spark.createDataFrame(
+        [("e", 1.0, 1.0), ("e", 2.0, 1.0), ("e", 3.0, 1.0), ("e", 4.0, 1.0)],
+        "g string, v double, w double",
+    )
+    e = weighted_quantiles(edge, "v", "w", "g").first()
+    assert (e.wq_25, e.wq_50, e.wq_75) == (1.0, 2.0, 3.0)
     with _pt.raises(ValueError, match="fractions"):
         weighted_quantiles(df, "v", "w", "g", qs=(0.0,))
