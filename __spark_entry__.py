@@ -778,6 +778,100 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return cents
 
 
+#: session-lifetime k-means centroid memo (full-dimension L2, k=8,
+#: 2 Lloyd iterations), shared by the clustering-family queries —
+#: the _IVF_CB_CACHE pattern with the same content-fingerprint key;
+#: a distinct cache because the metric differs (L2 Lloyd here vs the
+#: IVF trainer's cosine assignment).
+_KMEANS_CB_CACHE: dict = {}
+
+
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """The clustering family's shared trained centroids (k=8, 2 Lloyd
+    iterations, uncapped training so the DuckDB oracle can replay every
+    training row at any sf), memoized on the embeddings content
+    fingerprint like every driver-held codebook."""
+    from fresco_hpc_spark.functions import kmeans_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    key = _emb_fingerprint(emb, sf_dir)
+    hit = _KMEANS_CB_CACHE.get(key)
+    if hit is not None:
+        return emb, hit
+    cents = kmeans_train(emb, k=8, iterations=2, max_train_rows=None)
+    _KMEANS_CB_CACHE[key] = cents
+    return emb, cents
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class k-means (functions/cluster.py kmeans_train +
+    kmeans_clusters; VERDICT r11 item 7): full-dimension L2 Lloyd —
+    the m=1 degenerate of the PQ trainer, so the oracle replays the
+    ENTIRE training as the same unrolled CTE chain — then the
+    per-cluster (size, exact-BIGINT inertia) objective. The
+    SemDeDup/coreset clustering step as a certified primitive instead
+    of ANN plumbing. Centroids driver-held, memoized on the corpus
+    content fingerprint."""
+    from fresco_hpc_spark.functions import kmeans_clusters
+
+    emb, cents = _kmeans_centroids(spark, sf_dir)
+    return kmeans_clusters(emb, cents)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector k-means assignment (functions/cluster.py
+    kmeans_assign): (vec_id, cluster, d2_micro) — squared-L2 argmin
+    with ties to the lowest cluster against literal centroids, one
+    map-only projection, zero shuffle. The micro-quantized distance is
+    the certified per-row quantity every downstream weight/filter
+    composes on."""
+    from fresco_hpc_spark.functions import kmeans_assign
+
+    emb, cents = _kmeans_centroids(spark, sf_dir)
+    return (
+        kmeans_assign(emb, cents)
+        .select("vec_id", "cluster", "d2_micro")
+        .orderBy("vec_id")
+    )
+
+
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (functions/cluster.py
+    kmeans_silhouette; Hruschka et al. 2004): s = (b-a)/b from the two
+    nearest CENTROID distances — linear in n where the classical
+    pairwise silhouette is Θ(n²), i.e. the only silhouette that runs
+    at corpus scale. Exact-BIGINT micro arithmetic end to end; the
+    oracle recomputes a and b from the replayed codebook via the same
+    (d ASC, cluster ASC) rank."""
+    from fresco_hpc_spark.functions import kmeans_silhouette
+
+    emb, cents = _kmeans_centroids(spark, sf_dir)
+    return kmeans_silhouette(emb, cents)
+
+
+def q_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight-coreset selection (functions/cluster.py
+    lightweight_coreset; Bachem et al. 2018): sampling mass = uniform
+    + distance-to-centroid — 50 vectors via the exact A-Res reservoir
+    on the md5 coin, weights 1 + inertia div n + d2_micro in exact
+    BIGINTs (drawn at unit scale — A-Res ranking is scale-invariant,
+    the 9-dp rounded key is not). The certified bridge from clustering
+    to the sampling family."""
+    from fresco_hpc_spark.functions import lightweight_coreset
+
+    emb, cents = _kmeans_centroids(spark, sf_dir)
+    return (
+        lightweight_coreset(emb, cents, n_sample=50)
+        .select(
+            "vec_id", "cluster", "d2_micro", "weight_micro",
+            "sample_key", "sample_rank",
+        )
+        .orderBy("sample_rank")
+    )
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (functions/vectors.py
     pq_train_codebooks + pq_encode): 8 independent L2 k-means codebooks
@@ -3624,9 +3718,16 @@ def queries() -> dict[str, Query]:
         # (2) time_extent — the lone r08 row, stale next round if
         #     not rotated now:
         "time_extent": q_time_extent,
-        # (3) 13 proactive r09 rotations (49 r09 rows all go stale
-        #     at r14; rotating a tranche now smooths the r13/r14
-        #     windows) — new r12 arrivals displace these fillers
+        # (3) the new r12 arrivals — never-certified, so in-window by
+        #     the ledger invariant (the clustering family, VERDICT r11
+        #     item 7):
+        "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_silhouette": q_kmeans_silhouette,
+        "coreset_sample": q_coreset_sample,
+        # (4) proactive r09 rotations (49 r09 rows all go stale at
+        #     r14; rotating a tranche now smooths the r13/r14
+        #     windows) — further r12 arrivals displace these fillers
         #     from the window as they land (never-certified must be
         #     in-window):
         "seasonal_profile": q_seasonal_profile,
@@ -3638,10 +3739,6 @@ def queries() -> dict[str, Query]:
         "pagerank_knn_weighted": q_pagerank_knn_weighted,
         "ks_drift_quantized": q_ks_drift_quantized,
         "ks_reference_drift": q_ks_reference_drift,
-        "data_quality_checks": q_data_quality_checks,
-        "quantile_normalize": q_quantile_normalize,
-        "merge_upsert": q_merge_upsert,
-        "approx_percentiles": q_approx_percentiles,
         # --- outside the 50-query window. First the prior r11
         # window — every entry's newest driver row is r10/r11, the
         # freshest certificates alive (index_build_text stays ahead
@@ -3702,9 +3799,13 @@ def queries() -> dict[str, Query]:
         "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "phrase_search": q_phrase_search,
-        # then the remaining r09-certified block (36 rows; stale at
-        # r14 — they lead the r13/r14 windows with the r09 tranche
-        # rotated above):
+        # then the remaining r09-certified block (stale at r14 — they
+        # lead the r13/r14 windows with the r09 tranche rotated
+        # above; the four displaced fillers rejoin here):
+        "data_quality_checks": q_data_quality_checks,
+        "quantile_normalize": q_quantile_normalize,
+        "merge_upsert": q_merge_upsert,
+        "approx_percentiles": q_approx_percentiles,
         "grouped_approx_percentiles": q_grouped_approx_percentiles,
         "bpe_merges": q_bpe_merges,
         "bpe_segments": q_bpe_segments,
@@ -4169,6 +4270,133 @@ def _pq_ctes(
                            ORDER BY {d} ASC, cb.code ASC) AS rn
                 FROM e{j} CROSS JOIN cbf{j} cb) WHERE rn = 1)""")
     return ",\n        ".join(parts)
+
+
+def _kmeans_asg_ctes(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
+    """The clustering-family replay root: full-dimension L2 k-means is
+    the m=1 degenerate of the PQ chain (:func:`_pq_ctes`), so the
+    training replays verbatim; ``asg`` adds the final assignment WITH
+    the micro-quantized winning distance — the exact ``(x·x − 2·x·c) +
+    c·c`` operand order and (d ASC, code ASC) tie rule of
+    functions/cluster.py kmeans_assign. Ends WITHOUT a trailing comma."""
+    d = (
+        "(list_dot_product(x, x) - 2*list_dot_product(x, cb.c))"
+        " + list_dot_product(cb.c, cb.c)"
+    )
+    return f"""{_pq_ctes(1, k, iterations, dim)},
+        asg AS (
+            SELECT vec_id, CAST(code AS INT) AS cluster,
+                   CAST(ROUND(d * 1000000, 0) AS BIGINT) AS d2_micro
+            FROM (
+                SELECT e0.vec_id, cb.code, {d} AS d,
+                       ROW_NUMBER() OVER (PARTITION BY e0.vec_id
+                           ORDER BY {d} ASC, cb.code ASC) AS rn
+                FROM e0 CROSS JOIN cbf0 cb
+            ) WHERE rn = 1
+        )"""
+
+
+def _kmeans_clusters_oracle_sql() -> str:
+    return f"""
+        WITH {_kmeans_asg_ctes()}
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+               CAST(SUM(d2_micro) AS BIGINT) AS inertia_micro
+        FROM asg GROUP BY cluster ORDER BY cluster
+    """
+
+
+def _kmeans_assign_oracle_sql() -> str:
+    return f"""
+        WITH {_kmeans_asg_ctes()}
+        SELECT vec_id, cluster, d2_micro FROM asg ORDER BY vec_id
+    """
+
+
+def _kmeans_silhouette_oracle_sql(
+    k: int = 8, iterations: int = 2, dim: int = 64
+) -> str:
+    """SQL twin of q_kmeans_silhouette: a and b are the rn=1 / rn=2
+    distances under the shared (d ASC, code ASC) rank — the relational
+    form of Spark's array_sort(dists)[0..1] — micro-quantized before
+    the one double ratio per row."""
+    d = (
+        "(list_dot_product(x, x) - 2*list_dot_product(x, cb.c))"
+        " + list_dot_product(cb.c, cb.c)"
+    )
+    return f"""
+        WITH {_pq_ctes(1, k, iterations, dim)},
+        two AS (
+            SELECT vec_id, code, d, rn FROM (
+                SELECT e0.vec_id, cb.code, {d} AS d,
+                       ROW_NUMBER() OVER (PARTITION BY e0.vec_id
+                           ORDER BY {d} ASC, cb.code ASC) AS rn
+                FROM e0 CROSS JOIN cbf0 cb
+            ) WHERE rn <= 2
+        ),
+        ab AS (
+            SELECT vec_id,
+                   CAST(MIN(CASE WHEN rn = 1 THEN code END) AS INT)
+                       AS cluster,
+                   CAST(ROUND(MIN(CASE WHEN rn = 1 THEN d END) * 1000000,
+                              0) AS BIGINT) AS am,
+                   CAST(ROUND(MIN(CASE WHEN rn = 2 THEN d END) * 1000000,
+                              0) AS BIGINT) AS bm
+            FROM two GROUP BY vec_id
+        ),
+        s AS (
+            SELECT cluster,
+                   CASE WHEN bm > 0
+                        THEN CAST(ROUND((bm - am) / CAST(bm AS DOUBLE)
+                                        * 1000000, 0) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS s
+            FROM ab
+        )
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS sum_s_micro,
+               ROUND(SUM(s) / COUNT(*) / 1000000.0, 6) AS mean_silhouette
+        FROM s GROUP BY cluster ORDER BY cluster
+    """
+
+
+def _coreset_sample_oracle_sql(n_sample: int = 50) -> str:
+    """SQL twin of q_coreset_sample: the replayed assignment feeds the
+    1-row (n, inertia) total, the exact BIGINT weight, and the A-Res
+    key on the md5 coin — drawn at unit scale (weight_micro / 1e6)
+    exactly like functions/cluster.py lightweight_coreset."""
+    return f"""
+        WITH {_kmeans_asg_ctes()},
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d2_micro) AS BIGINT) AS inertia
+            FROM asg
+        ),
+        wgt AS (
+            SELECT asg.vec_id, asg.cluster, asg.d2_micro,
+                   CAST(1 + inertia // n + asg.d2_micro AS BIGINT)
+                       AS weight_micro
+            FROM asg, tot
+        ),
+        keyed AS (
+            SELECT vec_id, cluster, d2_micro, weight_micro,
+                   ROUND(POW(
+                       (('0x' || substr(md5('ares|'
+                                             || CAST(vec_id AS VARCHAR)),
+                                        1, 15))::BIGINT
+                        / 1152921504606846976.0),
+                       1.0 / (weight_micro / 1000000.0)), 9) AS sample_key
+            FROM wgt
+        ),
+        r AS (
+            SELECT vec_id, cluster, d2_micro, weight_micro, sample_key,
+                   ROW_NUMBER() OVER (ORDER BY sample_key DESC, vec_id)
+                       AS sample_rank
+            FROM keyed
+        )
+        SELECT vec_id, cluster, d2_micro, weight_micro, sample_key,
+               sample_rank
+        FROM r WHERE sample_rank <= {int(n_sample)}
+        ORDER BY sample_rank
+    """
 
 
 def _pq_encode_oracle_sql(
@@ -8827,6 +9055,10 @@ def oracle_sql() -> dict[str, str]:
     # output — the only difference is reading the persisted inverted
     # lists instead of re-assigning the corpus.
     oracles["embedding_ann_ivf_index"] = _ivf_oracle_sql()
+    oracles["kmeans_clusters"] = _kmeans_clusters_oracle_sql()
+    oracles["kmeans_assign"] = _kmeans_assign_oracle_sql()
+    oracles["kmeans_silhouette"] = _kmeans_silhouette_oracle_sql()
+    oracles["coreset_sample"] = _coreset_sample_oracle_sql()
     oracles["pq_encode"] = _pq_encode_oracle_sql()
     oracles["embedding_ann_pq"] = _pq_adc_oracle_sql()
     oracles["embedding_ann_pq_rerank"] = _pq_rerank_oracle_sql()

@@ -1,0 +1,114 @@
+"""k-means clustering family (functions/cluster.py): training
+determinism, assignment/inertia contracts, simplified silhouette, and
+lightweight-coreset selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _blobs(spark):
+    """Two tight, well-separated 2-D blobs + one equidistant point."""
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+        (3, [10.0, 10.0]), (4, [10.1, 10.0]), (5, [10.0, 10.1]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+def test_kmeans_train_partition_invariance(spark):
+    """The trained codebook is bit-identical under wildly different
+    input partitionings — the determinism recipe (pmod seeding, 9-dp
+    means, lowest-cluster ties) holds for the m=1 degenerate case."""
+    from fresco_hpc_spark.functions import kmeans_train
+    from fresco_hpc_spark.sources.readers import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    a = kmeans_train(emb.repartition(1), k=4, iterations=2,
+                     max_train_rows=None)
+    b = kmeans_train(emb.repartition(32, "vec_id"), k=4, iterations=2,
+                     max_train_rows=None)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == 64
+    with pytest.raises(ValueError, match="k must"):
+        kmeans_train(emb, k=0)
+
+
+def test_kmeans_assign_and_clusters_contract(spark):
+    """Assignment picks the squared-L2 argmin with ties to the LOWEST
+    cluster; d2_micro is the HALF_UP micro-quantized winning distance;
+    sizes sum to n and inertia is the exact BIGINT sum."""
+    from fresco_hpc_spark.functions import kmeans_assign, kmeans_clusters
+
+    df = _blobs(spark)
+    cents = [[0.0, 0.0], [10.0, 10.0], [0.0, 0.0]]  # duplicate of 0
+    asg = {r.vec_id: r for r in kmeans_assign(df, cents).collect()}
+    assert [asg[i].cluster for i in range(6)] == [0, 0, 0, 1, 1, 1]
+    assert asg[0].d2_micro == 0
+    assert asg[1].d2_micro == 10_000  # 0.1^2 * 1e6 = 0.010000... * 1e6
+    assert asg[4].d2_micro == 10_000
+
+    cl = {r.cluster: r for r in kmeans_clusters(df, cents).collect()}
+    assert set(cl) == {0, 1}  # the duplicate centroid 2 wins nothing
+    assert cl[0]["size"] == 3 and cl[1]["size"] == 3
+    assert cl[0].inertia_micro == 0 + 10_000 + 10_000
+    assert cl[1].inertia_micro == 0 + 10_000 + 10_000
+    with pytest.raises(ValueError, match="centroids"):
+        kmeans_assign(df, [])
+
+
+def test_kmeans_silhouette_contract(spark):
+    """Well-separated blobs score near 1; a point exactly equidistant
+    from both centroids scores 0; k < 2 fails loudly."""
+    from fresco_hpc_spark.functions import kmeans_silhouette
+
+    extra = spark.createDataFrame(
+        [(6, [5.0, 5.0])], "vec_id bigint, embedding array<double>"
+    )
+    df = _blobs(spark).union(extra)
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    out = {r.cluster: r for r in kmeans_silhouette(df, cents).collect()}
+    # vec 6 is equidistant: a == b -> s = 0; it lands in cluster 0
+    # (lowest tie) making cluster 0's mean slightly below cluster 1's
+    assert out[0].n == 4 and out[1].n == 3
+    assert out[1].mean_silhouette > 0.99
+    assert 0.7 < out[0].mean_silhouette < out[1].mean_silhouette
+    # per-row replay: s_micro for vec 1 (a=0.01, b=196.02+...)
+    with pytest.raises(ValueError, match="silhouette"):
+        kmeans_silhouette(df, [[0.0, 0.0]])
+
+
+def test_lightweight_coreset_selection(spark):
+    """A-Res coreset: deterministic across partitionings, exactly
+    n_sample rows, weights follow 1 + inertia div n + d2 (so far
+    points carry more mass), and invalid sizes fail loudly."""
+    from fresco_hpc_spark.functions import (
+        kmeans_assign,
+        lightweight_coreset,
+    )
+    from fresco_hpc_spark.sources.readers import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    from fresco_hpc_spark.functions import kmeans_train
+
+    cents = kmeans_train(emb, k=4, iterations=1, max_train_rows=None)
+    a = lightweight_coreset(emb.repartition(1), cents, n_sample=20)
+    b = lightweight_coreset(emb.repartition(16, "vec_id"), cents, 20)
+    ra = [(r.vec_id, r.sample_rank) for r in a.orderBy("sample_rank").collect()]
+    rb = [(r.vec_id, r.sample_rank) for r in b.orderBy("sample_rank").collect()]
+    assert ra == rb and len(ra) == 20
+
+    # weight replay on one row
+    asg = kmeans_assign(emb, cents)
+    n, inertia = asg.agg(
+        F.count(F.lit(1)), F.sum("d2_micro")
+    ).first()
+    picked = a.first()
+    assert picked.weight_micro == 1 + inertia // n + picked.d2_micro
+    with pytest.raises(ValueError, match="n_sample"):
+        lightweight_coreset(emb, cents, n_sample=0)
