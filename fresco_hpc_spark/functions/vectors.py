@@ -1306,6 +1306,74 @@ def rp_sign_matrix(
     return rows
 
 
+def rr_perm_signs(
+    dim: int, seed: int = 41
+) -> tuple[list[int], list[float]]:
+    """Deterministic random-rotation transform as (permutation, ±1
+    signs): y_i = s_i · x_{p_i}, i.e. the orthogonal matrix D·P — the
+    cheapest EXACT isometry, FAISS's RandomRotation pre-transform in
+    its permutation form and the non-parametric cousin of OPQ's
+    learned rotation (Ge et al., CVPR 2013). Scrambling dimensions
+    decorrelates the contiguous-slice subspace split PQ uses, so
+    subspace energies balance without any data-dependent training —
+    which is exactly what keeps the transform inlinable as literals in
+    a DuckDB oracle (a LEARNED rotation would freeze data-dependent
+    geometry into the SQL, the one thing the replay discipline
+    forbids). Same LCG as :func:`rp_sign_matrix`; Fisher–Yates for the
+    permutation, one extra draw per component for the sign."""
+    if dim < 1:
+        raise ValueError(f"need dim >= 1, got {dim}")
+    x = seed
+    def nxt() -> int:
+        nonlocal x
+        x = (
+            x * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407
+        ) % (2**63)
+        return x >> 32
+    perm = list(range(dim))
+    for i in range(dim - 1, 0, -1):
+        j = nxt() % (i + 1)
+        perm[i], perm[j] = perm[j], perm[i]
+    signs = [1.0 if nxt() & 1 else -1.0 for _ in range(dim)]
+    return perm, signs
+
+
+def rotate_vectors(
+    df: DataFrame,
+    perm: list[int],
+    signs: list[float],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply the permutation+sign rotation to a vector column IN PLACE
+    (component i of the output is ``signs[i] * v[perm[i]]``): one
+    map-only projection, zero shuffle, every component a sign flip —
+    bit-exact in IEEE, so the rotated corpus carries the same
+    distances up to summation order and the DuckDB twin lands on
+    identical doubles."""
+    if len(perm) != len(signs):
+        raise ValueError("perm and signs must have equal length")
+    v = _as_double(F.col(vec_col))
+    comps = [
+        (v.getItem(p) if s > 0 else -v.getItem(p))
+        for p, s in zip(perm, signs)
+    ]
+    # a NULL vector stays NULL (F.array of null items would otherwise
+    # manufacture a non-null [null, ...] that defeats isNotNull gates)
+    return df.withColumn(
+        vec_col,
+        F.when(F.col(vec_col).isNotNull(), F.array(*comps)),
+    )
+
+
+def rotate_query(
+    query_vec: list[float], perm: list[int], signs: list[float]
+) -> list[float]:
+    """Driver-side twin of :func:`rotate_vectors` for the probe."""
+    return [
+        float(s) * float(query_vec[p]) for p, s in zip(perm, signs)
+    ]
+
+
 def rp_project(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2642,3 +2642,43 @@ def test_ann_recall_at_k_contract(spark):
     ]
     with _pt.raises(ValueError, match="ks"):
         ann_recall_at_k(truth, approx, ks=(0,))
+
+
+def test_rr_rotation_contract(spark):
+    """OPQ-lite rotation (rr_perm_signs / rotate_vectors): the
+    transform is an exact isometry (per-vector norm preserved to
+    summation-order noise), the permutation is a true permutation,
+    the driver-side rotate_query twin matches the distributed
+    rotation, and the certified recall of the rotated PQ chain stays
+    within one top-10 hit of plain PQ on this ~iid corpus (the
+    rotation's GAIN needs correlated dims; the pin is that it never
+    meaningfully degrades)."""
+    import __spark_entry__ as m
+    from fresco_hpc_spark.functions import (
+        rotate_query,
+        rotate_vectors,
+        rr_perm_signs,
+    )
+    from fresco_hpc_spark.sources.readers import table
+
+    perm, signs = rr_perm_signs(64, 41)
+    assert sorted(perm) == list(range(64))
+    assert set(signs) <= {1.0, -1.0} and -1.0 in signs
+    assert (perm, signs) == rr_perm_signs(64, 41)  # deterministic
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
+    orig = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+    rot = {r.vec_id: [float(x) for x in r.embedding]
+           for r in rotate_vectors(emb, perm, signs).collect()}
+    for vid, v in orig.items():
+        got = rot[vid]
+        assert got == rotate_query(v, perm, signs)
+        assert abs(sum(x * x for x in got) - sum(x * x for x in v)) < 1e-9
+
+    pq = {r.k: r.hits for r in
+          m.q_ann_recall_pq(spark, "/root/testdata/sf0.001").collect()}
+    opq = {r.k: r.hits for r in
+           m.q_ann_recall_opq(spark, "/root/testdata/sf0.001").collect()}
+    assert pq[1] == 1 and opq[1] == 1  # the true NN survives ADC
+    assert abs(pq[10] - opq[10]) <= 1
