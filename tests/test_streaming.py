@@ -1941,6 +1941,137 @@ def test_incremental_ivf_ingest_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(idx_dir).count() == 12
 
 
+def test_ivf_index_query_mid_ingest_serves_drained_prefix(spark, tmp_path):
+    """Serving-consistency contract (VERDICT r11 item 6): an
+    ivf_query_index over the store MID-INGEST — some batches landed,
+    later ones not yet — equals the batch query over exactly the
+    drained prefix, at every prefix, and a concurrent REPLAY of an
+    already-landed batch leaves the served result unchanged (the
+    dynamic-partition overwrite rewrites identical bytes). This is the
+    read-while-ingesting guarantee a production pipeline needs on top
+    of the drained==batch pin above."""
+    from fresco_hpc_spark.functions.vectors import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_train_centroids,
+    )
+    from fresco_hpc_spark.streaming import process_ivf_ingest_batch
+
+    def vec(i, dim=8):
+        return [float((i * 7 + d * 3) % 11) - 5.0 for d in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    centroids = ivf_train_centroids(corpus, n_cells=4, iterations=2)
+    idx_dir = str(tmp_path / "mididx")
+    query = vec(13)
+
+    def served():
+        return [
+            tuple(r)
+            for r in ivf_query_index(
+                spark.read.parquet(idx_dir), query, centroids,
+                k=5, nprobe=2,
+            ).collect()
+        ]
+
+    def batch_over(prefix_rows, tbl):
+        ivf_build_index(
+            spark.createDataFrame(
+                prefix_rows, "vec_id bigint, embedding array<double>"
+            ),
+            centroids,
+            tbl,
+        )
+        out = [
+            tuple(r)
+            for r in ivf_query_index(
+                spark.table(tbl), query, centroids, k=5, nprobe=2
+            ).collect()
+        ]
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        return out
+
+    chunks = [rows[:10], rows[10:20], rows[20:]]
+    for i, chunk in enumerate(chunks):
+        process_ivf_ingest_batch(
+            spark.createDataFrame(
+                chunk, "vec_id bigint, embedding array<double>"
+            ),
+            i,
+            index_dir=idx_dir,
+            centroids=centroids,
+        )
+        prefix = [r for c in chunks[: i + 1] for r in c]
+        assert served() == batch_over(prefix, f"t_mid_ivf_{i}"), (
+            f"mid-ingest serve diverged after batch {i}"
+        )
+        # a replay of the just-landed batch must not perturb readers
+        process_ivf_ingest_batch(
+            spark.createDataFrame(
+                chunk, "vec_id bigint, embedding array<double>"
+            ),
+            i,
+            index_dir=idx_dir,
+            centroids=centroids,
+        )
+        assert served() == batch_over(prefix, f"t_mid_ivf_r{i}")
+
+
+def test_text_index_query_mid_ingest_serves_drained_prefix(spark, tmp_path):
+    """The same read-while-ingesting guarantee for the text index:
+    phrase_search_index over the store after each landed batch equals
+    build_text_index + search over exactly that document prefix."""
+    from fresco_hpc_spark.functions import (
+        build_text_index,
+        phrase_search_index,
+    )
+    from fresco_hpc_spark.streaming import process_text_index_batch
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "cat sat cat sat cat"),
+        (3, "the dog sat"),
+        (4, "cat sat again and cat sat"),
+        (5, "nothing to see"),
+    ]
+    idx_dir = str(tmp_path / "midtxt")
+    chunks = [docs[:2], docs[2:4], docs[4:]]
+    for i, chunk in enumerate(chunks):
+        process_text_index_batch(
+            spark.createDataFrame(chunk, ["doc_id", "text"]),
+            i,
+            index_dir=idx_dir,
+            n_buckets=8,
+        )
+        streamed = sorted(
+            map(
+                tuple,
+                phrase_search_index(
+                    spark.read.parquet(idx_dir), "cat sat", n_buckets=8
+                ).collect(),
+            )
+        )
+        prefix = [d for c in chunks[: i + 1] for d in c]
+        build_text_index(
+            spark.createDataFrame(prefix, ["doc_id", "text"]),
+            "t_mid_txt_ref",
+            n_buckets=8,
+        )
+        batch = sorted(
+            map(
+                tuple,
+                phrase_search_index(
+                    spark.table("t_mid_txt_ref"), "cat sat", n_buckets=8
+                ).collect(),
+            )
+        )
+        spark.sql("DROP TABLE IF EXISTS t_mid_txt_ref")
+        assert streamed == batch, f"prefix {i} diverged"
+
+
 def test_incremental_kmv_ingest_matches_batch_sketch(spark, tmp_path):
     """Drained incremental KMV store == batch sketch over the union
     corpus (streaming/sketches.py): values arriving over three
