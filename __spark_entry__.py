@@ -2491,6 +2491,37 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (functions/search.py
+    reciprocal_rank_fusion; Cormack et al., SIGIR 2009): the lexical
+    TF-IDF top-20 (same 4-term query as tfidf_search) and the semantic
+    brute-force cosine top-20 for the shared probe (vec_id parallels
+    doc_id in the testdata — each document's embedding) fused by
+    summed micro-quantized 1/(60 + rank) credits — the standard
+    lexical+vector search combiner, exact BIGINT fusion keys, ties on
+    doc_id. Both inputs are bounded top-N relations; the fusion is a
+    40-row outer join + TakeOrderedAndProject."""
+    from fresco_hpc_spark.functions import (
+        brute_force_knn,
+        reciprocal_rank_fusion,
+        tfidf_search,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    lex = tfidf_search(docs, "fast table scan query", top_k=20)
+    sem = brute_force_knn(
+        table(spark, sf_dir, "embeddings"),
+        _query_vector(spark, sf_dir),
+        k=20,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return reciprocal_rank_fusion(
+        [(lex, "cosine_sim", "lex_rank"), (sem, "cosine_sim", "sem_rank")],
+        id_col="doc_id",
+        k_const=60,
+        top_k=10,
+    )
+
+
 def q_ann_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified recall@k (functions/vectors.py ann_recall_at_k): the
     RP two-stage retrieval evaluated against the exact brute-force
@@ -3861,6 +3892,7 @@ def queries() -> dict[str, Query]:
         "pq_encode_opq": q_pq_encode_opq,
         "ann_recall_pq": q_ann_recall_pq,
         "ann_recall_opq": q_ann_recall_opq,
+        "rank_fusion": q_rank_fusion,
         # (4) proactive r09 rotations (49 r09 rows all go stale at
         #     r14; rotating a tranche now smooths the r13/r14
         #     windows) — further r12 arrivals displace these fillers
@@ -3871,7 +3903,6 @@ def queries() -> dict[str, Query]:
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_monthly_yoy": q_revenue_monthly_yoy,
         "rfm_segments": q_rfm_segments,
-        "basket_pairs": q_basket_pairs,
         # --- outside the 50-query window. First the prior r11
         # window — every entry's newest driver row is r10/r11, the
         # freshest certificates alive (index_build_text stays ahead
@@ -3935,6 +3966,7 @@ def queries() -> dict[str, Query]:
         # then the remaining r09-certified block (stale at r14 — they
         # lead the r13/r14 windows with the r09 tranche rotated
         # above; the displaced fillers rejoin here):
+        "basket_pairs": q_basket_pairs,
         "pagerank_knn_weighted": q_pagerank_knn_weighted,
         "ks_drift_quantized": q_ks_drift_quantized,
         "ks_reference_drift": q_ks_reference_drift,
@@ -7833,8 +7865,9 @@ def oracle_sql() -> dict[str, str]:
     # contributions) — the bm25 determinism discipline applied to the
     # vector-space model; the query side derives relationally from the
     # same literal.
-    oracles["tfidf_search"] = r"""
-        WITH toks AS (
+    # the TF-IDF weighting chain (toks … qunit) is shared verbatim by
+    # the VSM retrieval oracle and the RRF fusion oracle below
+    _tfidf_ctes = r"""toks AS (
             SELECT doc_id AS doc, w AS token FROM (
                 SELECT doc_id,
                        UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -7884,7 +7917,9 @@ def oracle_sql() -> dict[str, str]:
         qunit AS (
             SELECT token, ROUND(qw / sqrt(qnorm2), 9) AS qwu
             FROM qwt CROSS JOIN qn
-        )
+        )"""
+    oracles["tfidf_search"] = f"""
+        WITH {_tfidf_ctes}
         SELECT doc AS doc_id,
                ROUND(SUM(CAST(ROUND(w * qwu * 1000000000000.0, 0) AS BIGINT))
                      / 1000000000000.0, 6) AS cosine_sim
@@ -7892,6 +7927,55 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY doc
         ORDER BY cosine_sim DESC, doc_id ASC
         LIMIT 20
+    """
+
+    oracles["rank_fusion"] = f"""
+        WITH {_tfidf_ctes},
+        lex AS (
+            SELECT doc AS doc_id,
+                   ROUND(SUM(CAST(ROUND(w * qwu * 1000000000000.0, 0)
+                                  AS BIGINT))
+                         / 1000000000000.0, 6) AS cosine_sim
+            FROM unit JOIN qunit ON unit.token = qunit.token
+            GROUP BY doc
+            ORDER BY cosine_sim DESC, doc_id ASC
+            LIMIT 20
+        ),
+        lexr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cosine_sim DESC,
+                        doc_id ASC) AS INT) AS lex_rank
+            FROM lex
+        ),
+        ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        bq AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+        sem AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS s
+            FROM ev, bq ORDER BY s DESC, doc_id ASC LIMIT 20
+        ),
+        semr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY s DESC,
+                        doc_id ASC) AS INT) AS sem_rank
+            FROM sem
+        ),
+        fused AS (
+            SELECT doc_id, lex_rank, sem_rank,
+                   COALESCE(CAST(ROUND(1000000.0 / (60 + lex_rank), 0)
+                                 AS BIGINT), 0)
+                   + COALESCE(CAST(ROUND(1000000.0 / (60 + sem_rank), 0)
+                                   AS BIGINT), 0) AS rrf_micro
+            FROM lexr FULL OUTER JOIN semr USING (doc_id)
+        )
+        SELECT doc_id, lex_rank, sem_rank,
+               CAST(rrf_micro AS BIGINT) AS rrf_micro
+        FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10
     """
 
     # CUSUM closed form: S_i = P_i − min(0, min_{j≤i} P_j) — windows

@@ -649,3 +649,66 @@ def bpe_segment(
     (units per doc, compression, the new unit vocabulary)."""
     _, units = _bpe_train(df, text_col, id_col, k, min_count)
     return units
+
+
+def reciprocal_rank_fusion(
+    ranked: list[tuple[DataFrame, str, str]],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) — the standard hybrid-retrieval combiner: each input list
+    contributes ``1/(k_const + rank)`` and documents are re-ranked by
+    the sum, so agreement between retrievers beats any single high
+    rank. ``ranked`` is a list of ``(df, score_col, rank_name)``:
+    each df a BOUNDED top-N relation (the output of tfidf_search /
+    brute_force_knn / bm25 — never a corpus-sized input), ranked here
+    by the shared (score DESC, id ASC) tie discipline.
+
+    Determinism: per-list contributions micro-quantize HALF_UP to
+    BIGINT (``round(1e6 / (k_const + rank))``) and the fusion key is
+    their exact integer sum — order-free and engine-identical; ties
+    break on id. Output: ``(id, <rank_name per list — NULL where the
+    document missed that list>, rrf_micro)``, top_k rows by
+    (rrf_micro DESC, id ASC).
+
+    Scale shape: every input is already top-N, so the full-outer join
+    chain and the final TakeOrderedAndProject run on at most
+    Σ N_i rows — the expensive part is the retrievals, never the
+    fusion."""
+    if len(ranked) < 2:
+        raise ValueError(f"need >= 2 ranked lists, got {len(ranked)}")
+    if k_const < 1 or top_k < 1:
+        raise ValueError(
+            f"k_const and top_k must be >= 1, got {k_const}, {top_k}"
+        )
+    fused = None
+    names = []
+    for df, score_col, rank_name in ranked:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        part = df.select(
+            F.col(id_col),
+            F.row_number().over(w).cast("int").alias(rank_name),
+        )
+        names.append(rank_name)
+        fused = part if fused is None else fused.join(
+            part, id_col, "full_outer"
+        )
+    contribs = [
+        F.coalesce(
+            F.round(
+                F.lit(1_000_000.0) / (F.lit(int(k_const)) + F.col(n)), 0
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+        for n in names
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        fused.select(id_col, *names, total.alias("rrf_micro"))
+        .orderBy(F.desc("rrf_micro"), F.asc(id_col))
+        .limit(int(top_k))
+    )

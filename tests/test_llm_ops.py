@@ -2644,6 +2644,44 @@ def test_ann_recall_at_k_contract(spark):
         ann_recall_at_k(truth, approx, ks=(0,))
 
 
+def test_reciprocal_rank_fusion_contract(spark):
+    """RRF contract (Cormack et al. 2009): a document in BOTH lists
+    outranks a single top-1 from either list alone once ranks are deep
+    enough; a document missing from one list carries a NULL rank there
+    and only one credit; exact micro credits replay; bad params fail
+    loudly."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import reciprocal_rank_fusion
+
+    lex = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id bigint, s double"
+    )
+    sem = spark.createDataFrame(
+        [(9, 0.99), (2, 0.5), (3, 0.4)], "doc_id bigint, s double"
+    )
+    out = reciprocal_rank_fusion(
+        [(lex, "s", "lex_rank"), (sem, "s", "sem_rank")],
+        id_col="doc_id", k_const=60, top_k=10,
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    # doc 2: lex rank 2 + sem rank 2 -> 2*round(1e6/62) = 32258
+    assert rows[2].rrf_micro == 2 * round(1_000_000.0 / 62)
+    # doc 1: only lex, rank 1 -> round(1e6/61); sem_rank NULL
+    assert rows[1].rrf_micro == round(1_000_000.0 / 61)
+    assert rows[1].sem_rank is None and rows[9].lex_rank is None
+    # agreement beats a single top-1: doc 2 (both lists) outranks 1 & 9
+    order = [r.doc_id for r in out]
+    assert order.index(2) < order.index(1)
+    assert order.index(2) < order.index(9)
+    with _pt.raises(ValueError, match="ranked"):
+        reciprocal_rank_fusion([(lex, "s", "r")])
+    with _pt.raises(ValueError, match="k_const"):
+        reciprocal_rank_fusion(
+            [(lex, "s", "a"), (sem, "s", "b")], k_const=0
+        )
+
+
 def test_rr_rotation_contract(spark):
     """OPQ-lite rotation (rr_perm_signs / rotate_vectors): the
     transform is an exact isometry (per-vector norm preserved to
