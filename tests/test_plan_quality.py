@@ -235,6 +235,13 @@ def test_lazy_default_keeps_plan_composable(spark):
         "weighted_length_quantiles", "embedding_ann_rp", "hard_negatives",
         "normalize_text", "tfidf_search", "cusum_drift",
         "attribution_linear",
+        # round 12 (the kmeans family trains via driver-collected
+        # Lloyd rounds like quality_classifier — the returned
+        # assignment/rollup/sampling plan is what this pin covers; the
+        # PQ-family queries stay out like pq_encode, their encode
+        # plans are pinned via the stored-index tests)
+        "kmeans_clusters", "kmeans_assign", "kmeans_silhouette",
+        "coreset_sample", "rank_fusion",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -698,3 +705,45 @@ def test_basket_pairs_joins_on_order_key(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """The k-means assignment is one narrow projection over literal
+    centroid arrays: no Exchange, no join, no Python — the shape that
+    lets a 100 TB corpus assign in a single scan."""
+    plan = plan_of(spark, "kmeans_assign")
+    # the final orderBy adds a range exchange for presentation; the
+    # assignment itself must add none beyond it (formatted explain
+    # mentions each node twice: tree + details)
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_clusters_is_single_partial_agg(spark):
+    """The per-cluster rollup is a k-row hash aggregate with map-side
+    combine over the map-only assignment — one shuffle of k rows per
+    task, nothing corpus-sized moves."""
+    plan = plan_of(spark, "kmeans_clusters")
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_coreset_total_is_broadcast(spark):
+    """lightweight_coreset's 1-row (n, inertia) total joins back via a
+    broadcast nested-loop (the percentile-bounds pattern) — never a
+    shuffled join against the corpus."""
+    plan = plan_of(spark, "coreset_sample")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rank_fusion_is_bounded_join_over_topk(spark):
+    """RRF fuses two ALREADY-bounded top-N relations: both retrieval
+    legs end in TakeOrderedAndProject / ordered limits, and the fusion
+    join shape is never cartesian against anything corpus-sized."""
+    plan = plan_of(spark, "rank_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
