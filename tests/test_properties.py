@@ -869,3 +869,84 @@ def test_grouped_approx_percentiles_certificate_per_group(spark, data, accuracy)
         assert lo <= r["fraction"] * n + budget
         assert hi >= r["fraction"] * n - budget
     assert seen == {(g, f) for g in by_group for f in fractions}
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),   # value
+            st.floats(min_value=0.001, max_value=50.0,
+                      allow_nan=False, allow_infinity=False,
+                      allow_subnormal=False),          # fractional weight
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    q=st.sampled_from([0.25, 0.5, 0.75, 0.9]),
+)
+@_settings
+def test_weighted_quantile_matches_python_reference(spark, data, q):
+    """ADVICE r11 hardening: for ARBITRARY fractional weights the lower
+    weighted quantile must equal a driver-side integer replay of the
+    micro-quantized fold — the pick is the smallest value whose
+    cumulative micro-weight reaches ceil-compared q-mass, regardless of
+    accumulation order (the operator quantizes before any sum, so float
+    associativity cannot flip a boundary)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from fresco_hpc_spark.operators import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(v), float(w)) for v, w in data],
+        "g string, v double, w double",
+    )
+    out = weighted_quantiles(
+        df.repartition(7), "v", "w", "g", qs=(q,)
+    ).first()
+
+    # integer replay: per-value micro weights, ordered fold
+    acc: dict[float, int] = {}
+    for v, w in data:
+        micro = int(
+            Decimal(repr(w * 1_000_000)).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+        acc[float(v)] = acc.get(float(v), 0) + micro
+    total = sum(acc.values())
+    q_micro = int(round(q * 1_000_000))
+    cum, pick = 0, None
+    for v in sorted(acc):
+        cum += acc[v]
+        if cum * 1_000_000 >= q_micro * total:
+            pick = v
+            break
+    col = f"wq_{int(round(q * 100)):02d}"
+    assert out[col] == pick, (data, q, out[col], pick)
+    assert abs(out["total_weight"] - total / 1e6) < 1e-6
+
+
+@given(
+    vals=st.lists(finite_doubles, min_size=2, max_size=20),
+    seed=st.integers(min_value=1, max_value=10_000),
+)
+@_settings
+def test_rotation_is_an_isometry_and_involutive_on_norms(spark, vals, seed):
+    """rr_perm_signs/rotate_vectors: for ANY vector and ANY seed the
+    rotated vector is a signed permutation of the input (same component
+    multiset up to sign) — the exact-isometry property the OPQ chain
+    rests on — and NULL vectors stay NULL."""
+    from fresco_hpc_spark.functions import rotate_vectors, rr_perm_signs
+
+    dim = len(vals)
+    perm, signs = rr_perm_signs(dim, seed)
+    df = spark.createDataFrame(
+        [(0, [float(v) for v in vals]), (1, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r.vec_id: r.embedding for r in
+            rotate_vectors(df, perm, signs).collect()}
+    got = rows[0]
+    assert sorted(abs(x) for x in got) == sorted(abs(v) for v in vals)
+    assert got == [signs[i] * vals[perm[i]] for i in range(dim)]
+    assert rows[1] is None
