@@ -2522,6 +2522,31 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (functions/vectors.py mmr_diversify;
+    Carbonell & Goldstein 1998): the brute-force cosine top-20 for the
+    shared probe greedily re-ranked to 5 results maximizing λ·rel −
+    (1−λ)·max-sim-to-selected (λ=0.7) — the anti-crowding step after
+    retrieval, completing the retrieval family next to rank_fusion.
+    Exact 64-bit integer objective (micro-quantized rel and pairwise
+    cosines), ties on vec_id; the oracle replays all unrolled greedy
+    steps verbatim. The candidate relation is k rows, checkpointed, so
+    the m steps never re-run the retrieval."""
+    from fresco_hpc_spark.functions import mmr_diversify
+    from fresco_hpc_spark.functions.vectors import cosine_similarity_col
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    sim = F.round(cosine_similarity_col(F.col("embedding"), q), 6)
+    cand = (
+        emb.select("vec_id", sim.alias("cosine_sim"), "embedding")
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+    return mmr_diversify(cand, m=5, lam=0.7)
+
+
 def q_ann_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified recall@k (functions/vectors.py ann_recall_at_k): the
     RP two-stage retrieval evaluated against the exact brute-force
@@ -3893,6 +3918,7 @@ def queries() -> dict[str, Query]:
         "ann_recall_pq": q_ann_recall_pq,
         "ann_recall_opq": q_ann_recall_opq,
         "rank_fusion": q_rank_fusion,
+        "mmr_rerank": q_mmr_rerank,
         # (4) proactive r09 rotations (49 r09 rows all go stale at
         #     r14; rotating a tranche now smooths the r13/r14
         #     windows) — further r12 arrivals displace these fillers
@@ -3902,7 +3928,6 @@ def queries() -> dict[str, Query]:
         "name_resolution": q_name_resolution,
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_monthly_yoy": q_revenue_monthly_yoy,
-        "rfm_segments": q_rfm_segments,
         # --- outside the 50-query window. First the prior r11
         # window — every entry's newest driver row is r10/r11, the
         # freshest certificates alive (index_build_text stays ahead
@@ -3966,6 +3991,7 @@ def queries() -> dict[str, Query]:
         # then the remaining r09-certified block (stale at r14 — they
         # lead the r13/r14 windows with the r09 tranche rotated
         # above; the displaced fillers rejoin here):
+        "rfm_segments": q_rfm_segments,
         "basket_pairs": q_basket_pairs,
         "pagerank_knn_weighted": q_pagerank_knn_weighted,
         "ks_drift_quantized": q_ks_drift_quantized,
@@ -4660,6 +4686,75 @@ def _rr_base_select(dim: int = 64, seed: int = 41) -> str:
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings WHERE embedding IS NOT NULL) r"
     )
+
+
+def _mmr_oracle_sql(k: int = 20, m: int = 5, lam: float = 0.7) -> str:
+    """SQL twin of q_mmr_rerank: the brute-force top-k candidate CTE,
+    then every greedy step unrolled — anti-membership against the
+    already-selected ids, MAX micro pairwise cosine against the
+    selected union, the exact integer objective, (score DESC, id ASC)
+    argmax — exactly functions/vectors.py mmr_diversify."""
+    lam_micro = int(round(lam * 1_000_000))
+    div_micro = 1_000_000 - lam_micro
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a},"
+            f" {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    parts = [
+        f"""e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS (
+            SELECT vec_id, ROUND({cos('v', 'qv')}, 6) AS cosine_sim, v
+            FROM e, bq ORDER BY cosine_sim DESC, vec_id ASC LIMIT {int(k)}
+        ),
+        c AS (
+            SELECT vec_id, cosine_sim,
+                   CAST(ROUND(cosine_sim * 1000000, 0) AS BIGINT) AS rel, v
+            FROM cand
+        ),
+        s1 AS (
+            SELECT vec_id, cosine_sim, rel, v, 1 AS mmr_rank,
+                   {lam_micro} * rel AS score
+            FROM c ORDER BY rel DESC, vec_id ASC LIMIT 1
+        )"""
+    ]
+    for step in range(2, m + 1):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, step)
+        )
+        prev_vs = " UNION ALL ".join(
+            f"SELECT v FROM s{j}" for j in range(1, step)
+        )
+        parts.append(f"""r{step} AS (
+            SELECT * FROM c WHERE vec_id NOT IN ({prev_ids})
+        ),
+        p{step} AS (
+            SELECT r.vec_id, r.cosine_sim, r.rel, r.v,
+                   MAX(CAST(ROUND(({cos('r.v', 's.v')}) * 1000000, 0)
+                            AS BIGINT)) AS ms
+            FROM r{step} r, ({prev_vs}) s
+            GROUP BY r.vec_id, r.cosine_sim, r.rel, r.v
+        ),
+        s{step} AS (
+            SELECT vec_id, cosine_sim, rel, v, {step} AS mmr_rank,
+                   {lam_micro} * rel - {div_micro} * ms AS score
+            FROM p{step} ORDER BY score DESC, vec_id ASC LIMIT 1
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, cosine_sim, mmr_rank, score FROM s{j}"
+        for j in range(1, m + 1)
+    )
+    return f"""
+        WITH {','.join(parts)}
+        SELECT vec_id, cosine_sim, CAST(mmr_rank AS INT) AS mmr_rank,
+               CAST(score AS BIGINT) AS mmr_score_micro
+        FROM ({union}) ORDER BY mmr_rank
+    """
 
 
 def _ann_recall_adc_oracle_sql(
@@ -9375,6 +9470,7 @@ def oracle_sql() -> dict[str, str]:
     # output — the only difference is reading the persisted inverted
     # lists instead of re-assigning the corpus.
     oracles["embedding_ann_ivf_index"] = _ivf_oracle_sql()
+    oracles["mmr_rerank"] = _mmr_oracle_sql()
     oracles["pq_encode_opq"] = _pq_encode_oracle_sql(
         base_select=_rr_base_select()
     )

@@ -1519,6 +1519,99 @@ def hard_negative_mining(
     )
 
 
+def mmr_diversify(
+    candidates: DataFrame,
+    m: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "cosine_sim",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the standard diversification step after retrieval:
+    greedily pick ``m`` results maximizing ``λ·rel(d) − (1−λ)·max_{s∈S}
+    sim(d, s)`` so near-duplicate hits don't crowd the result list.
+
+    ``candidates`` must be a BOUNDED top-k relation (the output of a
+    retrieval, never a corpus) carrying (id, relevance score in [−1,1],
+    embedding); it is eagerly localCheckpoint'ed here — k rows — so the
+    m unrolled greedy steps (each an anti-join + broadcast pair join +
+    argmax over ≤ k·m rows) do not re-run the retrieval subtree 2^m
+    times.
+
+    Determinism: relevance and pairwise cosines micro-quantize HALF_UP
+    to BIGINT; the greedy objective ``λ_micro·rel_micro − (1e6 −
+    λ_micro)·maxsim_micro`` is exact 64-bit integer arithmetic (|terms|
+    ≤ 1e12), ties break on id — so the selection is engine- and
+    partitioning-invariant and the oracle replays the unrolled steps
+    verbatim. Step 1's score carries no diversity term by definition.
+    Output: ``(id, rel, mmr_rank, mmr_score_micro)``, min(m, k) rows in
+    selection order."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    lam_micro = int(round(lam * 1_000_000))
+    div_micro = 1_000_000 - lam_micro
+    base = candidates.select(
+        F.col(id_col),
+        F.col(rel_col),
+        F.round(F.col(rel_col) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("_rel"),
+        F.col(vec_col),
+    ).localCheckpoint()
+    sel = (
+        base.orderBy(F.desc("_rel"), F.asc(id_col))
+        .limit(1)
+        .select(
+            "*",
+            F.lit(1).alias("mmr_rank"),
+            (F.lit(lam_micro) * F.col("_rel")).alias("mmr_score_micro"),
+        )
+    )
+    for step in range(2, m + 1):
+        sel_emb = sel.select(
+            F.col(id_col).alias("_sid"), F.col(vec_col).alias("_semb")
+        )
+        rest = base.join(sel.select(id_col), id_col, "left_anti")
+        pair_sim = (
+            F.round(
+                cosine_similarity_col(F.col(vec_col), F.col("_semb"))
+                * 1_000_000,
+                0,
+            )
+        ).cast("bigint")
+        ms = (
+            rest.crossJoin(F.broadcast(sel_emb))
+            .withColumn("_sim", pair_sim)
+            .groupBy(id_col)
+            .agg(F.max("_sim").alias("_ms"))
+        )
+        nxt = (
+            rest.join(ms, id_col)
+            .withColumn(
+                "_score",
+                F.lit(lam_micro) * F.col("_rel")
+                - F.lit(div_micro) * F.col("_ms"),
+            )
+            .orderBy(F.desc("_score"), F.asc(id_col))
+            .limit(1)
+            .select(
+                id_col,
+                rel_col,
+                "_rel",
+                vec_col,
+                F.lit(step).alias("mmr_rank"),
+                F.col("_score").alias("mmr_score_micro"),
+            )
+        )
+        sel = sel.unionByName(nxt)
+    return sel.select(
+        id_col, rel_col, "mmr_rank", "mmr_score_micro"
+    ).orderBy("mmr_rank")
+
+
 def ann_recall_at_k(
     truth: DataFrame,
     approx: DataFrame,

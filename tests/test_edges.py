@@ -173,12 +173,12 @@ def test_correctness_window_contains_priority_queries():
         # the r12 arrivals (never-certified -> in-window)
         "kmeans_clusters", "kmeans_assign", "kmeans_silhouette",
         "coreset_sample", "pq_encode_opq", "ann_recall_pq",
-        "ann_recall_opq", "rank_fusion",
+        "ann_recall_opq", "rank_fusion", "mmr_rerank",
         # proactive r09 rotations (49 r09 rows go stale at r14; this
         # tranche smooths the r13/r14 windows). Further r12 arrivals
         # displace these fillers from the window as they land.
         "seasonal_profile", "name_resolution", "revenue_by_nation",
-        "revenue_monthly_yoy", "rfm_segments",
+        "revenue_monthly_yoy",
     }
     assert len(priority) == 50, (
         f"priority pin must be exactly window-sized, got {len(priority)}"

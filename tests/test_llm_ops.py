@@ -2644,6 +2644,42 @@ def test_ann_recall_at_k_contract(spark):
         ann_recall_at_k(truth, approx, ks=(0,))
 
 
+def test_mmr_diversify_contract(spark):
+    """MMR contract: the first pick is the relevance argmax; a
+    near-duplicate of the first pick is PASSED OVER in favor of a
+    diverse lower-relevance candidate once the diversity term bites;
+    λ=1 degenerates to pure relevance order; k < m yields min(m, k)
+    rows; bad params fail loudly."""
+    import pytest as _pt
+
+    from fresco_hpc_spark.functions import mmr_diversify
+
+    rows = [
+        (1, 0.99, [1.0, 0.0, 0.0]),     # top relevance
+        (2, 0.98, [0.999, 0.01, 0.0]),  # near-dup of 1
+        (3, 0.50, [0.0, 1.0, 0.0]),     # diverse, lower relevance
+        (4, 0.40, [0.0, 0.0, 1.0]),     # diverse
+    ]
+    cand = spark.createDataFrame(
+        rows, "vec_id bigint, cosine_sim double, embedding array<double>"
+    )
+    out = [r.vec_id for r in mmr_diversify(cand, m=3, lam=0.5).collect()]
+    assert out[0] == 1          # relevance argmax first
+    assert out[1] in (3, 4)     # the near-dup 2 is passed over
+    assert 2 not in out[:2]
+
+    pure = [r.vec_id for r in mmr_diversify(cand, m=4, lam=1.0).collect()]
+    assert pure == [1, 2, 3, 4]  # λ=1: relevance order exactly
+
+    short = mmr_diversify(cand.limit(2), m=5, lam=0.7).collect()
+    assert len(short) == 2 and [r.mmr_rank for r in short] == [1, 2]
+
+    with _pt.raises(ValueError, match="m must"):
+        mmr_diversify(cand, m=0)
+    with _pt.raises(ValueError, match="lam"):
+        mmr_diversify(cand, lam=1.5)
+
+
 def test_reciprocal_rank_fusion_contract(spark):
     """RRF contract (Cormack et al. 2009): a document in BOTH lists
     outranks a single top-1 from either list alone once ranks are deep

@@ -241,7 +241,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         # PQ-family queries stay out like pq_encode, their encode
         # plans are pinned via the stored-index tests)
         "kmeans_clusters", "kmeans_assign", "kmeans_silhouette",
-        "coreset_sample", "rank_fusion",
+        "coreset_sample", "rank_fusion", "mmr_rerank",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
