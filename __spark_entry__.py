@@ -3862,7 +3862,7 @@ def queries() -> dict[str, Query]:
         # queries per round taken in dict order. (bench.py follows
         # dict order too and quarantines the heavy Zipf exhibits at
         # the end of its own suite.) Round-12 window (VERDICT r11
-        # item 1), 50 = 36 + 1 + 13; the exact set is pinned by
+        # item 1), 50 = 36 + 1 + 9 + 4; the exact set is pinned by
         # test_edges and, structurally, by the ledger-derived
         # staleness invariant (VERDICT r10 item 2):
         # (1) the 36 r07-certified queries — ≥5 rounds stale the
