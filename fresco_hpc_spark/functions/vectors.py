@@ -1526,6 +1526,7 @@ def mmr_diversify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rel_col: str = "cosine_sim",
+    max_candidates: int = 10_000,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
     SIGIR 1998) — the standard diversification step after retrieval:
@@ -1533,83 +1534,95 @@ def mmr_diversify(
     sim(d, s)`` so near-duplicate hits don't crowd the result list.
 
     ``candidates`` must be a BOUNDED top-k relation (the output of a
-    retrieval, never a corpus) carrying (id, relevance score in [−1,1],
-    embedding); it is eagerly localCheckpoint'ed here — k rows — so the
-    m unrolled greedy steps (each an anti-join + broadcast pair join +
-    argmax over ≤ k·m rows) do not re-run the retrieval subtree 2^m
-    times.
+    retrieval, never a corpus — enforced by ``max_candidates``, a
+    bounded existence probe that raises rather than collect a corpus).
+    The retrieval stays distributed; the O(k·m) greedy itself runs
+    DRIVER-SIDE on the collected k rows — the codebook pattern, and
+    deliberately so: k and m are constants at any corpus scale, while
+    the relational unrolled form (tried first) paid one Spark job per
+    step plus a per-step doubling lazy tree — ~11-23 s of pure
+    scheduling/codegen at m=5 for 20 rows of actual work.
 
-    Determinism: relevance and pairwise cosines micro-quantize HALF_UP
-    to BIGINT; the greedy objective ``λ_micro·rel_micro − (1e6 −
-    λ_micro)·maxsim_micro`` is exact 64-bit integer arithmetic (|terms|
-    ≤ 1e12), ties break on id — so the selection is engine- and
-    partitioning-invariant and the oracle replays the unrolled steps
-    verbatim. Step 1's score carries no diversity term by definition.
-    Output: ``(id, rel, mmr_rank, mmr_score_micro)``, min(m, k) rows in
-    selection order."""
+    Determinism: relevance and pairwise cosines micro-quantize
+    HALF_UP (``Decimal(repr(x*1e6))``, never Python's banker's round)
+    to 64-bit ints; the objective ``λ_micro·rel_micro − (1e6 −
+    λ_micro)·maxsim_micro`` is exact integer arithmetic (|terms| ≤
+    1e12), ties break on id. The Python dot/norm folds are sequential
+    left-to-right — the same IEEE op sequence as the JVM zip_with fold
+    and DuckDB's list_dot_product — so the SQL oracle replays the
+    greedy verbatim. Step 1's score carries no diversity term by
+    definition. Output: ``(id, rel, mmr_rank, mmr_score_micro)``,
+    min(m, k) rows in selection order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    rows = (
+        candidates.select(id_col, rel_col, vec_col)
+        .limit(max_candidates + 1)
+        .collect()
+    )
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"candidates exceed max_candidates={max_candidates} — "
+            "mmr_diversify re-ranks a bounded top-k, not a corpus"
+        )
+
+    def micro(x: float) -> int:
+        return int(
+            Decimal(repr(x * 1_000_000)).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+
     lam_micro = int(round(lam * 1_000_000))
     div_micro = 1_000_000 - lam_micro
-    base = candidates.select(
-        F.col(id_col),
-        F.col(rel_col),
-        F.round(F.col(rel_col) * 1_000_000, 0)
-        .cast("bigint")
-        .alias("_rel"),
-        F.col(vec_col),
-    ).localCheckpoint()
-    sel = (
-        base.orderBy(F.desc("_rel"), F.asc(id_col))
-        .limit(1)
-        .select(
-            "*",
-            F.lit(1).alias("mmr_rank"),
-            (F.lit(lam_micro) * F.col("_rel")).alias("mmr_score_micro"),
-        )
+    pool = [
+        (r[0], float(r[1]), [float(x) for x in r[2]], micro(float(r[1])))
+        for r in rows
+        if r[2] is not None
+    ]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = _dot_py(a, b)
+        na, nb = _dot_py(a, a) ** 0.5, _dot_py(b, b) ** 0.5
+        return dot / (na * nb)
+
+    selected: list[tuple] = []  # (id, rel, mmr_rank, score_micro)
+    chosen_vecs: list[list[float]] = []
+    remaining = list(pool)
+    while remaining and len(selected) < m:
+        best = None
+        for cid, rel, vec, rel_m in remaining:
+            if not chosen_vecs:
+                score = lam_micro * rel_m
+            else:
+                ms = max(micro(cos(vec, s)) for s in chosen_vecs)
+                score = lam_micro * rel_m - div_micro * ms
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, vec, score)
+        _, cid, rel, vec, score = best
+        selected.append((cid, rel, len(selected) + 1, score))
+        chosen_vecs.append(vec)
+        remaining = [c for c in remaining if c[0] != cid]
+
+    spark = candidates.sparkSession
+    from pyspark.sql import types as T
+
+    id_field = candidates.schema[id_col]
+    rel_field = candidates.schema[rel_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(rel_col, rel_field.dataType),
+            T.StructField("mmr_rank", T.IntegerType(), False),
+            T.StructField("mmr_score_micro", T.LongType(), False),
+        ]
     )
-    for step in range(2, m + 1):
-        sel_emb = sel.select(
-            F.col(id_col).alias("_sid"), F.col(vec_col).alias("_semb")
-        )
-        rest = base.join(sel.select(id_col), id_col, "left_anti")
-        pair_sim = (
-            F.round(
-                cosine_similarity_col(F.col(vec_col), F.col("_semb"))
-                * 1_000_000,
-                0,
-            )
-        ).cast("bigint")
-        ms = (
-            rest.crossJoin(F.broadcast(sel_emb))
-            .withColumn("_sim", pair_sim)
-            .groupBy(id_col)
-            .agg(F.max("_sim").alias("_ms"))
-        )
-        nxt = (
-            rest.join(ms, id_col)
-            .withColumn(
-                "_score",
-                F.lit(lam_micro) * F.col("_rel")
-                - F.lit(div_micro) * F.col("_ms"),
-            )
-            .orderBy(F.desc("_score"), F.asc(id_col))
-            .limit(1)
-            .select(
-                id_col,
-                rel_col,
-                "_rel",
-                vec_col,
-                F.lit(step).alias("mmr_rank"),
-                F.col("_score").alias("mmr_score_micro"),
-            )
-        )
-        sel = sel.unionByName(nxt)
-    return sel.select(
-        id_col, rel_col, "mmr_rank", "mmr_score_micro"
-    ).orderBy("mmr_rank")
+    return spark.createDataFrame(selected, schema).orderBy("mmr_rank")
 
 
 def ann_recall_at_k(
