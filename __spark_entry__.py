@@ -3864,136 +3864,13 @@ def queries() -> dict[str, Query]:
         # --- ORDER MATTERS: the driver's correctness run caps at 50
         # queries per round taken in dict order. (bench.py follows
         # dict order too and quarantines the heavy Zipf exhibits at
-        # the end of its own suite.) Round-12 window (VERDICT r11
-        # item 1), 50 = 36 + 1 + 9 + 4; the exact set is pinned by
-        # test_edges and, structurally, by the ledger-derived
-        # staleness invariant (VERDICT r10 item 2):
-        # (1) the 36 r07-certified queries — ≥5 rounds stale the
-        #     moment CORRECTNESS_r11 landed; the ledger invariant
-        #     forces exactly this set to lead the r12 window:
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "session_duration": q_session_duration,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "profile_agg_day": q_profile_agg_day,
-        "profile_agg_minute": q_profile_agg_minute,
-        "grouped_percentiles": q_grouped_percentiles,
-        "histogram_equi_depth": q_histogram_equi_depth,
-        "weighted_sample": q_weighted_sample,
-        "ewma_user_value": q_ewma_user_value,
-        "knn_graph": q_knn_graph,
-        "knn_graph_ivf": q_knn_graph_ivf,
-        "pagerank_knn": q_pagerank_knn,
-        "fuzzy_match_parts": q_fuzzy_match_parts,
-        "source_divergence": q_source_divergence,
-        "scd2_user_state": q_scd2_user_state,
-        "nucleus_langs": q_nucleus_langs,
-        "length_buckets": q_length_buckets,
-        "interpolate_values": q_interpolate_values,
-        "cluster_hubs": q_cluster_hubs,
-        "knn_triangles": q_knn_triangles,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "collocations": q_collocations,
-        "source_overlap": q_source_overlap,
-        "clustering_knn": q_clustering_knn,
-        "fk_audit": q_fk_audit,
-        "event_transitions": q_event_transitions,
-        "ks_drift": q_ks_drift,
-        "pack_texts": q_pack_texts,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
-        "containment_pairs": q_containment_pairs,
-        "containment_pairs_prefix": q_containment_pairs_prefix,
-        "containment_plain_zipf": q_containment_plain_zipf,
-        "containment_prefix_zipf": q_containment_prefix_zipf,
-        # (2) time_extent — the lone r08 row, stale next round if
-        #     not rotated now:
-        "time_extent": q_time_extent,
-        # (3) the new r12 arrivals — never-certified, so in-window by
-        #     the ledger invariant (the clustering family, VERDICT r11
-        #     item 7):
-        "kmeans_clusters": q_kmeans_clusters,
-        "kmeans_assign": q_kmeans_assign,
-        "kmeans_silhouette": q_kmeans_silhouette,
-        "coreset_sample": q_coreset_sample,
-        "pq_encode_opq": q_pq_encode_opq,
-        "ann_recall_pq": q_ann_recall_pq,
-        "ann_recall_opq": q_ann_recall_opq,
-        "rank_fusion": q_rank_fusion,
-        "mmr_rerank": q_mmr_rerank,
-        # (4) proactive r09 rotations (49 r09 rows all go stale at
-        #     r14; rotating a tranche now smooths the r13/r14
-        #     windows) — further r12 arrivals displace these fillers
-        #     from the window as they land (never-certified must be
-        #     in-window):
-        "seasonal_profile": q_seasonal_profile,
-        "name_resolution": q_name_resolution,
-        "revenue_by_nation": q_revenue_by_nation,
-        "revenue_monthly_yoy": q_revenue_monthly_yoy,
-        # --- outside the 50-query window. First the prior r11
-        # window — every entry's newest driver row is r10/r11, the
-        # freshest certificates alive (index_build_text stays ahead
-        # of bm25_search and phrase_search in dict order — their
-        # bench numbers must be query-only):
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_ann_int8": q_embedding_ann_int8,
-        "pq_encode": q_pq_encode,
-        "embedding_ann_pq": q_embedding_ann_pq,
-        "embedding_ann_pq_rerank": q_embedding_ann_pq_rerank,
-        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
-        "trigram_logprob": q_trigram_logprob,
-        "kn_logprob": q_kn_logprob,
-        "quality_classifier": q_quality_classifier,
-        "kmv_distinct_users": q_kmv_distinct_users,
-        "kmv_vocab_overlap": q_kmv_vocab_overlap,
-        "cms_token_counts": q_cms_token_counts,
-        "char_entropy": q_char_entropy,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "perplexity_buckets": q_perplexity_buckets,
-        "hll_distinct_users": q_hll_distinct_users,
-        "hll_daily_rollup": q_hll_daily_rollup,
-        "lpa_communities": q_lpa_communities,
-        "weighted_length_quantiles": q_weighted_length_quantiles,
-        "embedding_ann_rp": q_embedding_ann_rp,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "hard_negatives": q_hard_negatives,
-        "normalize_text": q_normalize_text,
-        "tfidf_search": q_tfidf_search,
-        "cusum_drift": q_cusum_drift,
-        "attribution_linear": q_attribution_linear,
-        "ann_recall_rp": q_ann_recall_rp,
-        "index_build_text": q_index_build_text,
-        "bm25_search": q_bm25_search,
-        # (2) the 5 queries whose newest driver row is r06 —
-        #     five rounds stale, the oldest certificates alive:
-        "corpus_curation": q_corpus_curation,
-        "dup_clusters": q_dup_clusters,
-        "embedding_near_dups": q_embedding_near_dups,
-        "asof_click_purchase": q_asof_click_purchase,
-        "decontaminate": q_decontaminate,
-        # (3) the 14 stalest r07-certified queries, prior
-        #     registry order (phrase_search last — its index is
-        #     built by index_build_text above):
-        "quality_rules": q_quality_rules,
-        "class_centroids": q_class_centroids,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-        "media_features": q_media_features,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "value_cdf": q_value_cdf,
-        "category_counts": q_category_counts,
-        "token_budget": q_token_budget,
-        "corpus_split": q_corpus_split,
-        "stratified_sample": q_stratified_sample,
-        "token_counts": q_token_counts,
-        "phrase_search": q_phrase_search,
-        # then the remaining r09-certified block (stale at r14 — they
-        # lead the r13/r14 windows with the r09 tranche rotated
-        # above; the displaced fillers rejoin here):
+        # the end of its own suite.) Round-13 window (VERDICT r12
+        # item 1), 50 = 45 + 5; the exact set is pinned by test_edges
+        # and, structurally, by the ledger-derived staleness invariant
+        # (VERDICT r10 item 2):
+        # (1) the 45 queries whose newest driver row is r09 — every
+        #     one goes >=5 rounds stale the moment CORRECTNESS_r13
+        #     lands, so this round clears the whole r09 tranche:
         "rfm_segments": q_rfm_segments,
         "basket_pairs": q_basket_pairs,
         "pagerank_knn_weighted": q_pagerank_knn_weighted,
@@ -4039,14 +3916,120 @@ def queries() -> dict[str, Query]:
         "time_bound_hourly": q_time_bound_hourly,
         "column_stats": q_column_stats,
         "availability": q_availability,
-        # then the r09/r10-certified freshest block (the prior
-        # round-10 window, plus embedding_ann_ivf_index whose
-        # newest row is r10):
+        # (2) proactive r10 rotations filling the remaining slots (50
+        #     r10 rows go stale at r15; rotating a tranche now smooths
+        #     the r14/r15 windows). New r13 arrivals displace these
+        #     fillers from the window as they land (never-certified
+        #     must be in-window):
         "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
         "mad_trim_agg": q_mad_trim_agg,
         "interval_join_clicks": q_interval_join_clicks,
+        # --- outside the 50-query window: newest driver row r10-r12
+        # for every entry below (index_build_text stays ahead of
+        # bm25_search and phrase_search in dict order — their bench
+        # numbers must be query-only):
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "session_duration": q_session_duration,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "profile_agg_day": q_profile_agg_day,
+        "profile_agg_minute": q_profile_agg_minute,
+        "grouped_percentiles": q_grouped_percentiles,
+        "histogram_equi_depth": q_histogram_equi_depth,
+        "weighted_sample": q_weighted_sample,
+        "ewma_user_value": q_ewma_user_value,
+        "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,
+        "pagerank_knn": q_pagerank_knn,
+        "fuzzy_match_parts": q_fuzzy_match_parts,
+        "source_divergence": q_source_divergence,
+        "scd2_user_state": q_scd2_user_state,
+        "nucleus_langs": q_nucleus_langs,
+        "length_buckets": q_length_buckets,
+        "interpolate_values": q_interpolate_values,
+        "cluster_hubs": q_cluster_hubs,
+        "knn_triangles": q_knn_triangles,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "collocations": q_collocations,
+        "source_overlap": q_source_overlap,
+        "clustering_knn": q_clustering_knn,
+        "fk_audit": q_fk_audit,
+        "event_transitions": q_event_transitions,
+        "ks_drift": q_ks_drift,
+        "pack_texts": q_pack_texts,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
+        "containment_pairs": q_containment_pairs,
+        "containment_pairs_prefix": q_containment_pairs_prefix,
+        "containment_plain_zipf": q_containment_plain_zipf,
+        "containment_prefix_zipf": q_containment_prefix_zipf,
+        "time_extent": q_time_extent,
+        "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_silhouette": q_kmeans_silhouette,
+        "coreset_sample": q_coreset_sample,
+        "pq_encode_opq": q_pq_encode_opq,
+        "ann_recall_pq": q_ann_recall_pq,
+        "ann_recall_opq": q_ann_recall_opq,
+        "rank_fusion": q_rank_fusion,
+        "mmr_rerank": q_mmr_rerank,
+        "seasonal_profile": q_seasonal_profile,
+        "name_resolution": q_name_resolution,
+        "revenue_by_nation": q_revenue_by_nation,
+        "revenue_monthly_yoy": q_revenue_monthly_yoy,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_ann_int8": q_embedding_ann_int8,
+        "pq_encode": q_pq_encode,
+        "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_pq_rerank": q_embedding_ann_pq_rerank,
+        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
+        "trigram_logprob": q_trigram_logprob,
+        "kn_logprob": q_kn_logprob,
+        "quality_classifier": q_quality_classifier,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "kmv_vocab_overlap": q_kmv_vocab_overlap,
+        "cms_token_counts": q_cms_token_counts,
+        "char_entropy": q_char_entropy,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "perplexity_buckets": q_perplexity_buckets,
+        "hll_distinct_users": q_hll_distinct_users,
+        "hll_daily_rollup": q_hll_daily_rollup,
+        "lpa_communities": q_lpa_communities,
+        "weighted_length_quantiles": q_weighted_length_quantiles,
+        "embedding_ann_rp": q_embedding_ann_rp,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hard_negatives": q_hard_negatives,
+        "normalize_text": q_normalize_text,
+        "tfidf_search": q_tfidf_search,
+        "cusum_drift": q_cusum_drift,
+        "attribution_linear": q_attribution_linear,
+        "ann_recall_rp": q_ann_recall_rp,
+        "index_build_text": q_index_build_text,
+        "bm25_search": q_bm25_search,
+        "corpus_curation": q_corpus_curation,
+        "dup_clusters": q_dup_clusters,
+        "embedding_near_dups": q_embedding_near_dups,
+        "asof_click_purchase": q_asof_click_purchase,
+        "decontaminate": q_decontaminate,
+        "quality_rules": q_quality_rules,
+        "class_centroids": q_class_centroids,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "value_cdf": q_value_cdf,
+        "category_counts": q_category_counts,
+        "token_budget": q_token_budget,
+        "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
+        "token_counts": q_token_counts,
+        "phrase_search": q_phrase_search,
         "time_weighted_avg": q_time_weighted_avg,
         "ohlc_hourly": q_ohlc_hourly,
         "rolling_zscore": q_rolling_zscore,
@@ -4093,7 +4076,6 @@ def queries() -> dict[str, Query]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "dedup_corpus": q_dedup_corpus,
     }
-
 
 # --- DuckDB oracles --------------------------------------------------------
 
@@ -4709,6 +4691,7 @@ def _mmr_oracle_sql(k: int = 20, m: int = 5, lam: float = 0.7) -> str:
     parts = [
         f"""e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE embedding IS NOT NULL
         ),
         bq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         cand AS (

@@ -105,7 +105,6 @@ def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid: the input columns
     plus ``cluster`` (squared-L2 argmin, ties to the lowest cluster)
@@ -128,7 +127,6 @@ def kmeans_clusters(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Per-cluster rollup: ``(cluster, size, inertia_micro)`` where
     inertia is the exact BIGINT sum of micro-quantized squared
@@ -137,7 +135,7 @@ def kmeans_clusters(
     clusters that win no vectors are absent (sizes are >= 1 by
     construction). Per-cluster micro-inertia must stay under 2^63 —
     the repo's documented fixed-point contract."""
-    asg = kmeans_assign(df, centroids, vec_col, id_col)
+    asg = kmeans_assign(df, centroids, vec_col)
     return (
         asg.groupBy("cluster")
         .agg(
@@ -152,7 +150,6 @@ def kmeans_silhouette(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Simplified silhouette per cluster (Hruschka et al. 2004):
     ``s(i) = (b - a) / max(a, b)`` with a = distance to the NEAREST
@@ -234,7 +231,7 @@ def lightweight_coreset(
 
     if n_sample < 1:
         raise ValueError(f"n_sample must be >= 1, got {n_sample}")
-    asg = kmeans_assign(df, centroids, vec_col, id_col)
+    asg = kmeans_assign(df, centroids, vec_col)
     tot = asg.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.sum("d2_micro").cast("bigint").alias("_inertia"),

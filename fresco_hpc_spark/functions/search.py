@@ -683,13 +683,28 @@ def reciprocal_rank_fusion(
         raise ValueError(
             f"k_const and top_k must be >= 1, got {k_const}, {top_k}"
         )
+    # repeated rank_name values would surface much later as an
+    # ambiguous-column error inside the join chain (ADVICE r12) —
+    # reject them here, at the API boundary, with a usable message
+    all_names = [rank_name for _, _, rank_name in ranked]
+    if len(set(all_names)) != len(all_names):
+        raise ValueError(f"rank_name values must be distinct: {all_names}")
+    if id_col in all_names:
+        raise ValueError(f"rank_name may not shadow id_col {id_col!r}")
     fused = None
     names = []
     for df, score_col, rank_name in ranked:
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))
-        part = df.select(
-            F.col(id_col),
-            F.row_number().over(w).cast("int").alias(rank_name),
+        # a duplicated id inside one list would fan out the full-outer
+        # join and double-count its credit (ADVICE r12); keep only the
+        # best-ranked row per id — a no-op for well-formed top-N inputs
+        part = (
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).cast("int").alias(rank_name),
+            )
+            .groupBy(id_col)
+            .agg(F.min(rank_name).alias(rank_name))
         )
         names.append(rank_name)
         fused = part if fused is None else fused.join(

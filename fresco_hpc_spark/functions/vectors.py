@@ -1579,15 +1579,23 @@ def mmr_diversify(
 
     lam_micro = int(round(lam * 1_000_000))
     div_micro = 1_000_000 - lam_micro
+    # NULL relevance (e.g. a NULL element inside the embedding array
+    # nulls the upstream cosine) and NULL embeddings both drop from the
+    # pool — mirroring what the SQL twin's non-null predicates produce
+    # (ADVICE r12: float(None) raised TypeError here before).
     pool = [
         (r[0], float(r[1]), [float(x) for x in r[2]], micro(float(r[1])))
         for r in rows
-        if r[2] is not None
+        if r[2] is not None and r[1] is not None
     ]
 
     def cos(a: list[float], b: list[float]) -> float:
         dot = _dot_py(a, b)
         na, nb = _dot_py(a, a) ** 0.5, _dot_py(b, b) ** 0.5
+        if na == 0.0 or nb == 0.0:
+            # zero-norm vector: SQL's x/0.0 yields NULL→treated as no
+            # similarity; Python float division would raise instead
+            return 0.0
         return dot / (na * nb)
 
     selected: list[tuple] = []  # (id, rel, mmr_rank, score_micro)
@@ -1597,11 +1605,21 @@ def mmr_diversify(
         best = None
         for cid, rel, vec, rel_m in remaining:
             if not chosen_vecs:
+                # step 1 is the relevance argmax BY DEFINITION (no
+                # diversity term exists yet) — selecting on rel_m
+                # directly, not lam_micro*rel_m, keeps the λ=0
+                # degenerate standard-MMR (ADVICE r12: a zero λ made
+                # every step-1 score 0 and picked the lowest id). For
+                # λ>0 the two orderings are identical (positive-constant
+                # scaling; same id tie-break), so certified hashes are
+                # unchanged. The REPORTED score stays λ·rel so the
+                # output column matches the objective for every step.
+                key = (-rel_m, cid)
                 score = lam_micro * rel_m
             else:
                 ms = max(micro(cos(vec, s)) for s in chosen_vecs)
                 score = lam_micro * rel_m - div_micro * ms
-            key = (-score, cid)
+                key = (-score, cid)
             if best is None or key < best[0]:
                 best = (key, cid, rel, vec, score)
         _, cid, rel, vec, score = best

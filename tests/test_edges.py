@@ -135,11 +135,11 @@ def _certification_ledger() -> tuple[dict[str, int], int]:
 
 def test_correctness_window_contains_priority_queries():
     """The driver certifies the FIRST 50 queries() keys each round. The
-    round-12 window must hold (VERDICT r11 item 1) the 36 r07-certified
-    queries whose certificates went ≥5 rounds stale when
-    CORRECTNESS_r11 landed, the lone r08 row (time_extent — stale next
-    round otherwise), and a tranche of proactive r09 rotations that new
-    r12 arrivals displace as they land — an accidental insertion above
+    round-13 window must hold (VERDICT r12 item 1) the 45 queries whose
+    newest driver row is r09 — all of them go >=5 rounds stale the
+    moment CORRECTNESS_r13 lands, and with 50 slots this is the round
+    to clear the whole tranche — plus proactive r10 rotations that new
+    r13 arrivals displace as they land. An accidental insertion above
     them silently pushes the tail out of the window while the comments
     still claim coverage (r6 review finding: three queries drifted to
     positions 51-53; r9 repeat: boilerplate_remove pushed time_extent
@@ -153,32 +153,29 @@ def test_correctness_window_contains_priority_queries():
     names = list(m.queries())
     window = names[:50]
     priority = {
-        # the 36 r07-certified queries — ≥5 rounds stale, the ledger
-        # invariant below forces exactly this set to lead the window
-        "rolling_fingerprint", "session_duration", "text_stats",
-        "lang_id", "profile_agg_day", "profile_agg_minute",
-        "grouped_percentiles", "histogram_equi_depth", "weighted_sample",
-        "ewma_user_value", "knn_graph", "knn_graph_ivf", "pagerank_knn",
-        "fuzzy_match_parts", "source_divergence", "scd2_user_state",
-        "nucleus_langs", "length_buckets", "interpolate_values",
-        "cluster_hubs", "knn_triangles", "sorted_neighborhood",
-        "collocations", "source_overlap", "clustering_knn", "fk_audit",
-        "event_transitions", "ks_drift", "pack_texts",
-        "ngram_jaccard_pairs", "ngram_jaccard_prefix",
-        "ngram_jaccard_prefix_zipf", "containment_pairs",
-        "containment_pairs_prefix", "containment_plain_zipf",
-        "containment_prefix_zipf",
-        # the lone r08 row
-        "time_extent",
-        # the r12 arrivals (never-certified -> in-window)
-        "kmeans_clusters", "kmeans_assign", "kmeans_silhouette",
-        "coreset_sample", "pq_encode_opq", "ann_recall_pq",
-        "ann_recall_opq", "rank_fusion", "mmr_rerank",
-        # proactive r09 rotations (49 r09 rows go stale at r14; this
-        # tranche smooths the r13/r14 windows). Further r12 arrivals
+        # the 45 r09-certified queries — >=5 rounds stale when
+        # CORRECTNESS_r13 lands; the ledger invariant below forces
+        # exactly this set to lead the window
+        "rfm_segments", "basket_pairs", "pagerank_knn_weighted",
+        "ks_drift_quantized", "ks_reference_drift", "data_quality_checks",
+        "quantile_normalize", "merge_upsert", "approx_percentiles",
+        "grouped_approx_percentiles", "bpe_merges", "bpe_segments",
+        "boilerplate_remove", "phash_dup_pairs", "paragraph_dedup",
+        "dup_ngram_spans", "hopping_window", "tfidf_top_terms",
+        "profile_columns", "corpus_curation_v2", "lead_quartile_events",
+        "pivot_wide", "unpivot_long", "synthetic_gen",
+        "wide_table_roundtrip", "rolling_hour_avg", "session_stats",
+        "daily_uniques", "topk_users_per_event", "set_ops_events",
+        "gap_fill_hourly", "monthly_rollup", "cast_double_view",
+        "scaled_view", "zero_fill", "join_broadcast_dim",
+        "join_large_sortmerge", "join_semi_anti", "join_salted_skew",
+        "rollup_monthly_events", "cube_user_bucket_events", "hourly_agg",
+        "time_bound_hourly", "column_stats", "availability",
+        # proactive r10 rotations (50 r10 rows go stale at r15; this
+        # tranche smooths the r14/r15 windows). New r13 arrivals
         # displace these fillers from the window as they land.
-        "seasonal_profile", "name_resolution", "revenue_by_nation",
-        "revenue_monthly_yoy",
+        "global_percentiles", "percentile_trimmed_hourly", "iqr_trim_agg",
+        "mad_trim_agg", "interval_join_clicks",
     }
     assert len(priority) == 50, (
         f"priority pin must be exactly window-sized, got {len(priority)}"

@@ -2680,6 +2680,36 @@ def test_mmr_diversify_contract(spark):
         mmr_diversify(cand, lam=1.5)
 
 
+def test_mmr_diversify_degenerate_candidates(spark):
+    """ADVICE r12 guards: a zero-norm embedding must not raise
+    ZeroDivisionError (its pairwise similarity is 0 — SQL's x/0.0 →
+    NULL semantics); a NULL relevance row drops from the pool like a
+    NULL embedding; λ=0 still picks the relevance argmax first
+    (standard MMR — step 1 has no diversity term by definition), then
+    pure-diversity picks for the rest."""
+    from fresco_hpc_spark.functions import mmr_diversify
+
+    rows = [
+        (1, 0.90, [1.0, 0.0]),
+        (2, 0.80, [0.0, 0.0]),   # zero-norm: sim vs anything = 0
+        (3, None, [0.0, 1.0]),   # NULL relevance: dropped from pool
+        (4, 0.70, [0.9, 0.1]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "vec_id bigint, cosine_sim double, embedding array<double>"
+    )
+    out = mmr_diversify(cand, m=4, lam=0.5).collect()
+    ids = [r.vec_id for r in out]
+    assert 3 not in ids and len(ids) == 3
+    assert ids[0] == 1           # relevance argmax
+    assert ids[1] == 2           # zero-norm: sim 0 -> most diverse
+
+    lam0 = mmr_diversify(cand, m=3, lam=0.0).collect()
+    assert lam0[0].vec_id == 1   # NOT the lowest id — the rel argmax
+    # λ=0 after step 1: pure diversity; 2 (sim 0 to everything) wins
+    assert lam0[1].vec_id == 2
+
+
 def test_reciprocal_rank_fusion_contract(spark):
     """RRF contract (Cormack et al. 2009): a document in BOTH lists
     outranks a single top-1 from either list alone once ranks are deep
@@ -2716,6 +2746,26 @@ def test_reciprocal_rank_fusion_contract(spark):
         reciprocal_rank_fusion(
             [(lex, "s", "a"), (sem, "s", "b")], k_const=0
         )
+    # ADVICE r12: repeated rank_name / shadowed id_col fail at the API
+    # boundary, not as a late ambiguous-column join error
+    with _pt.raises(ValueError, match="distinct"):
+        reciprocal_rank_fusion([(lex, "s", "r"), (sem, "s", "r")])
+    with _pt.raises(ValueError, match="shadow"):
+        reciprocal_rank_fusion(
+            [(lex, "s", "doc_id"), (sem, "s", "b")]
+        )
+    # a duplicated id inside one list keeps only its best rank — the
+    # full-outer join must not fan out and double-count the credit
+    dup = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (2, 0.7)], "doc_id bigint, s double"
+    )
+    fused = reciprocal_rank_fusion(
+        [(dup, "s", "lex_rank"), (sem, "s", "sem_rank")],
+        id_col="doc_id",
+    ).collect()
+    by_id = {r.doc_id: r for r in fused}
+    assert by_id[1].lex_rank == 1
+    assert by_id[1].rrf_micro == round(1_000_000.0 / 61)
 
 
 def test_rr_rotation_contract(spark):

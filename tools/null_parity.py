@@ -1,0 +1,79 @@
+"""Null-group ORACLE-PARITY gate (VERDICT r12 item 3).
+
+`tools/null_smoke.py` is execution-only: it proves no query CRASHES on
+null-bearing data, but a query that silently DROPS a NULL group its
+oracle keeps (the eqNullSafe bug class — 8 incidents over r6-r7, plus
+ADVICE r11's hll_daily_rollup find) sails through it. This gate closes
+that hole: it materializes a null-injected copy of the testdata (same
+deterministic ~5% injection specs as the smoke) and runs the FULL
+oracle comparison — row count + columns + values — for every query in
+NULL_PARITY_QUERIES, so a null-dropping join fails the sweep instead
+of waiting for a judge code-read.
+
+Queries belong on the list when their semantics are well-defined with
+NULL group keys / NULL metric values / NULL timestamps: the grouped
+operator families (sketches, grouped percentiles, KS, transitions,
+SCD2, category rollups) per VERDICT r12. Queries excluded have a
+documented null-free data contract (e.g. id-keyed indexes that treat
+ids as physical keys); the smoke still executes those.
+
+Usage: python tools/null_parity.py [src_sf_dir]    (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_parity import main as parity_main  # noqa: E402
+from tools.null_smoke import write_null_injected  # noqa: E402
+
+# Every query here must hold FULL oracle parity (rows+cols+values) on
+# the null-injected tables. Grouped families first — NULL group keys
+# are exactly what the injection produces on event_type / user_id /
+# lang / source — plus the value/ts-null-sensitive aggregations.
+NULL_PARITY_QUERIES = [
+    # sketches (grouped on day/event_type/lang — the ADVICE r11 class)
+    "hll_distinct_users",
+    "hll_daily_rollup",
+    "kmv_distinct_users",
+    "kmv_vocab_overlap",
+    "cms_token_counts",
+    # grouped order statistics / percentiles over a nullable metric
+    "grouped_percentiles",
+    "grouped_approx_percentiles",
+    "global_percentiles",
+    "approx_percentiles",
+    "weighted_length_quantiles",
+    # drift / distribution compare keyed on nullable source
+    "ks_drift",
+    "ks_drift_quantized",
+    "ks_reference_drift",
+    "source_divergence",
+    # sequence / state families over nullable user_id and ts
+    "event_transitions",
+    "scd2_user_state",
+    "session_duration",
+    # categorical rollups where NULL is a legitimate category
+    "category_counts",
+    "topn_others",
+    "nucleus_langs",
+    "length_buckets",
+    "daily_uniques",
+    "time_extent",
+    "column_stats",
+]
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = os.path.join(tempfile.gettempdir(), "fresco_null_parity")
+    write_null_injected(src, out)
+    return parity_main([out, *NULL_PARITY_QUERIES])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
