@@ -872,6 +872,35 @@ def q_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_CAPPED_CB_CACHE: dict = {}
+_KMEANS_CAP = 256
+
+
+def q_kmeans_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION k-means training path, certified (VERDICT r12
+    item 4): training bounded to ``max_train_rows=256`` by the shared
+    md5 coin (functions/vectors.py _train_coin — keep ids whose 60-bit
+    ``md5('train|'||id)`` hash falls under ``floor(256/n · 2^60)``),
+    assignment and the (size, inertia) rollup over the FULL corpus.
+    Every other registered codebook query trains uncapped solely so
+    its oracle replays every row; real 100 TB jobs run THIS path —
+    constant training cost, full-corpus assignment — and now its
+    subset predicate is itself SQL-replayable, so the whole chain is
+    oracle-certified, not just behaviorally tested. Centroids memoized
+    on the corpus fingerprint like every driver-held codebook."""
+    from fresco_hpc_spark.functions import kmeans_clusters, kmeans_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    key = _emb_fingerprint(emb, sf_dir)
+    cents = _KMEANS_CAPPED_CB_CACHE.get(key)
+    if cents is None:
+        cents = kmeans_train(
+            emb, k=8, iterations=2, max_train_rows=_KMEANS_CAP
+        )
+        _KMEANS_CAPPED_CB_CACHE[key] = cents
+    return kmeans_clusters(emb, cents)
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (functions/vectors.py
     pq_train_codebooks + pq_encode): 8 independent L2 k-means codebooks
@@ -900,6 +929,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: content-fingerprint key as _PQ_CB_CACHE; distinct cache because the
 #: codebooks are trained on the permuted/sign-flipped corpus.
 _PQ_RR_CB_CACHE: dict = {}
+_L2_TRUTH_CACHE: dict = {}
 
 _RR_DIM, _RR_SEED = 64, 41
 
@@ -967,17 +997,31 @@ def _l2_truth_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    qv = _query_vector(spark, sf_dir)
-    d = _pq_dists(_as_double(F.col("embedding")), *_cb_lits([qv])).getItem(0)
-    return (
-        emb.filter(F.col("embedding").isNotNull())
-        .select(
-            "vec_id",
-            (-F.round(d * 1_000_000, 0).cast("bigint")).alias("score"),
+    key = (_emb_fingerprint(emb, sf_dir), k)
+    rows = _L2_TRUTH_CACHE.get(key)
+    if rows is None:
+        qv = _query_vector(spark, sf_dir)
+        d = _pq_dists(
+            _as_double(F.col("embedding")), *_cb_lits([qv])
+        ).getItem(0)
+        rows = (
+            emb.filter(F.col("embedding").isNotNull())
+            .select(
+                "vec_id",
+                (-F.round(d * 1_000_000, 0).cast("bigint")).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(k)
+            .collect()
         )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(k)
-    )
+        _L2_TRUTH_CACHE[key] = rows
+    # k collected rows (bounded like every driver-held codebook) —
+    # the recall trio shares one truth scan per corpus fingerprint
+    # instead of re-deriving it per query (VERDICT r12 item 6)
+    return spark.createDataFrame(
+        [(r["vec_id"], r["score"]) for r in rows],
+        "vec_id bigint, score bigint",
+    ).repartition(1)
 
 
 def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,6 +2594,85 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diversify(cand, m=5, lam=0.7)
 
 
+_RETRIEVAL_IVF_BUILT: dict = {}
+
+
+def q_corpus_retrieval_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hybrid-retrieval SERVING pipeline (VERDICT r12
+    item 8) — the composed path every r12 retrieval piece exists for,
+    certified as ONE oracle like the curation pipelines:
+
+    normalize_text → ensure_text_index over the NORMALIZED corpus →
+    BM25 top-20 (reads only the query terms' bucket partitions +
+    docstats sidecar) ⊕ IVF-index-at-rest cosine top-20 (reads only
+    the nprobe probed cell directories) → reciprocal-rank fusion
+    (exact BIGINT 1/(60+rank) credits, top-10) → MMR diversification
+    (λ=0.7, 5 results, driver-side greedy on the bounded fused set).
+
+    Both retrieval legs are partition-pruned index reads (plan-pinned
+    in test_plan_quality for their standalone twins); the fusion and
+    re-rank stages touch at most 40 rows regardless of corpus size.
+    Index builds are fingerprint-guarded (text: TBLPROPERTY stamp;
+    IVF: module memo on the corpus fingerprint), so repeated
+    invocations measure serving cost, not build cost. Output:
+    ``(doc_id, rrf_score, mmr_rank, mmr_score_micro)``."""
+    from fresco_hpc_spark.functions import (
+        bm25_search_table,
+        ensure_text_index,
+        ivf_build_index,
+        ivf_query_index,
+        mmr_diversify,
+        normalize_text,
+        reciprocal_rank_fusion,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    norm = normalize_text(docs)
+    ensure_text_index(
+        norm,
+        "retrieval_v1_text_index",
+        text_col="norm_text",
+        n_buckets=32,
+        fingerprint=_docs_fingerprint(docs, sf_dir) + "|norm_v1",
+    )
+    lex = bm25_search_table(
+        spark, "retrieval_v1_text_index", "fast table scan query", top_k=20
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+    key = _emb_fingerprint(emb, sf_dir)
+    if _RETRIEVAL_IVF_BUILT.get(key) is None or not spark.catalog.tableExists(
+        "retrieval_v1_ivf_index"
+    ):
+        ivf_build_index(emb, centroids, "retrieval_v1_ivf_index")
+        _RETRIEVAL_IVF_BUILT[key] = True
+    sem = ivf_query_index(
+        spark.table("retrieval_v1_ivf_index"),
+        _query_vector(spark, sf_dir),
+        centroids,
+        k=20,
+        nprobe=4,
+    ).withColumnRenamed("vec_id", "doc_id")
+
+    fused = reciprocal_rank_fusion(
+        [(lex, "score_micro", "lex_rank"), (sem, "cosine_sim", "sem_rank")],
+        id_col="doc_id",
+        k_const=60,
+        top_k=10,
+    )
+    cand = fused.select(
+        "doc_id",
+        (F.col("rrf_micro") / F.lit(1_000_000.0)).alias("rrf_score"),
+    ).join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    return mmr_diversify(
+        cand, m=5, lam=0.7, id_col="doc_id",
+        vec_col="embedding", rel_col="rrf_score",
+    )
+
+
 def q_ann_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified recall@k (functions/vectors.py ann_recall_at_k): the
     RP two-stage retrieval evaluated against the exact brute-force
@@ -3924,12 +4047,20 @@ def queries() -> dict[str, Query]:
         "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
         "iqr_trim_agg": q_iqr_trim_agg,
+        # the r13 arrivals — never-certified, so in-window by the
+        # ledger invariant (each displaced one proactive filler):
+        # the PRODUCTION capped-training k-means path (VERDICT r12
+        # item 4) and the composed hybrid-retrieval serving pipeline
+        # (VERDICT r12 item 8):
+        "kmeans_clusters_capped": q_kmeans_clusters_capped,
+        "corpus_retrieval_v1": q_corpus_retrieval_v1,
+        # --- outside the 50-query window: newest driver row r10-r12
+        # for every entry below (the two displaced r10 fillers lead;
+        # index_build_text stays ahead of bm25_search and
+        # phrase_search in dict order — their bench numbers must be
+        # query-only):
         "mad_trim_agg": q_mad_trim_agg,
         "interval_join_clicks": q_interval_join_clicks,
-        # --- outside the 50-query window: newest driver row r10-r12
-        # for every entry below (index_build_text stays ahead of
-        # bm25_search and phrase_search in dict order — their bench
-        # numbers must be query-only):
         "rolling_fingerprint": q_rolling_fingerprint,
         "session_duration": q_session_duration,
         "text_stats": q_text_stats,
@@ -4494,6 +4625,49 @@ def _kmeans_clusters_oracle_sql() -> str:
     """
 
 
+def _kmeans_clusters_capped_oracle_sql(
+    k: int = 8, iterations: int = 2, dim: int = 64, cap: int = 256
+) -> str:
+    """SQL twin of q_kmeans_clusters_capped: the TRAINING chain roots
+    on the md5-coin subset (the exact functions/vectors.py _train_coin
+    predicate — ``floor((cap/n)·2^60)`` computed with the same float op
+    order, all-true when n <= cap exactly as the Spark side skips the
+    filter), the final assignment + rollup on the FULL corpus."""
+    capped = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL AND "
+        "('0x' || substr(md5('train|' || CAST(vec_id AS VARCHAR)), 1, 15))"
+        "::BIGINT < CAST(FLOOR("
+        f"({cap}.0 / (SELECT COUNT(*) FROM embeddings "
+        "WHERE embedding IS NOT NULL)) * 1152921504606846976.0"
+        ") AS BIGINT)"
+    )
+    d = (
+        "(list_dot_product(x, x) - 2*list_dot_product(x, cb.c))"
+        " + list_dot_product(cb.c, cb.c)"
+    )
+    return f"""
+        WITH {_pq_ctes(1, k, iterations, dim, base_select=capped)},
+        ef AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        asg AS (
+            SELECT vec_id, CAST(code AS INT) AS cluster,
+                   CAST(ROUND(d * 1000000, 0) AS BIGINT) AS d2_micro
+            FROM (
+                SELECT ef.vec_id, cb.code, {d} AS d,
+                       ROW_NUMBER() OVER (PARTITION BY ef.vec_id
+                           ORDER BY {d} ASC, cb.code ASC) AS rn
+                FROM ef CROSS JOIN cbf0 cb
+            ) WHERE rn = 1
+        )
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+               CAST(SUM(d2_micro) AS BIGINT) AS inertia_micro
+        FROM asg GROUP BY cluster ORDER BY cluster
+    """
+
+
 def _kmeans_assign_oracle_sql() -> str:
     return f"""
         WITH {_kmeans_asg_ctes()}
@@ -4738,6 +4912,169 @@ def _mmr_oracle_sql(k: int = 20, m: int = 5, lam: float = 0.7) -> str:
     return f"""
         WITH {','.join(parts)}
         SELECT vec_id, cosine_sim, CAST(mmr_rank AS INT) AS mmr_rank,
+               CAST(score AS BIGINT) AS mmr_score_micro
+        FROM ({union}) ORDER BY mmr_rank
+    """
+
+
+def _corpus_retrieval_v1_oracle_sql(m: int = 5, lam: float = 0.7) -> str:
+    """SQL twin of q_corpus_retrieval_v1 — the whole serving pipeline
+    as one composed oracle, reusing the proven fragment chains: the
+    normalize_text expression roots the BM25 chain (the bm25_search
+    oracle verbatim, reading ``nd`` instead of ``documents``), the IVF
+    leg replays training + probe via :func:`_ivf_training_ctes` (the
+    embedding_ann_ivf oracle's exact chain, LIMIT 20), fusion is the
+    rank_fusion oracle's FULL OUTER JOIN + exact BIGINT credits, and
+    the MMR greedy unrolls per step like :func:`_mmr_oracle_sql` with
+    relevance = the fused rrf score."""
+    lam_micro = int(round(lam * 1_000_000))
+    div_micro = 1_000_000 - lam_micro
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a},"
+            f" {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    norm = (
+        r"trim(regexp_replace(regexp_replace(translate(lower(text),"
+        r" 'àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ',"
+        r" 'aaaaaaceeeeiiiinoooooouuuuyy'),"
+        r" '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+    parts = [
+        f"nd AS MATERIALIZED (SELECT doc_id, {norm} AS text FROM documents)",
+        # --- BM25 leg over the normalized corpus (bm25_search oracle)
+        r"""t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+            FROM nd
+        ),
+        dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM t),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total
+            FROM dl
+        ),
+        toks AS (
+            SELECT doc_id, arr[i] AS token
+            FROM t, UNNEST(generate_series(1, len(arr))) AS s(i)
+            WHERE arr[i] IN ('fast', 'query', 'scan', 'table')
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, token
+        ),
+        dft AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY token
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(ROUND(
+                       ln((2 * (stats.n_docs + 1))
+                          / CAST(2 * dft.df + 1 AS DOUBLE))
+                       * ((tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + 0.75
+                              * ((dl.dl * stats.n_docs)
+                                 / CAST(stats.total AS DOUBLE)))))
+                       * 1000000, 0) AS BIGINT) AS u
+            FROM tf
+            JOIN dft USING (token)
+            JOIN dl USING (doc_id), stats
+        ),
+        agg AS (
+            SELECT doc_id, CAST(SUM(u) AS BIGINT) AS score_micro
+            FROM scored GROUP BY doc_id
+        ),
+        lex AS (
+            SELECT doc_id, score_micro FROM agg
+            ORDER BY score_micro DESC, doc_id LIMIT 20
+        ),
+        lexr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                        doc_id ASC) AS INT) AS lex_rank
+            FROM lex
+        )""",
+        # --- IVF leg: full training replay + probe (embedding_ann_ivf
+        #     oracle chain), top-20
+        _ivf_training_ctes(8, 2, 64),
+        f"""q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probe AS (
+            SELECT cell FROM nf, q
+            ORDER BY {cos('c', 'qv')} DESC, cell ASC
+            LIMIT 4
+        ),
+        sem AS (
+            SELECT af.vec_id AS doc_id,
+                   ROUND({cos('af.v', 'q.qv')}, 6) AS cosine_sim
+            FROM af, q
+            WHERE af.cell IN (SELECT cell FROM probe)
+            ORDER BY cosine_sim DESC, doc_id ASC
+            LIMIT 20
+        ),
+        semr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cosine_sim DESC,
+                        doc_id ASC) AS INT) AS sem_rank
+            FROM sem
+        ),
+        fused AS (
+            SELECT doc_id,
+                   COALESCE(CAST(ROUND(1000000.0 / (60 + lex_rank), 0)
+                                 AS BIGINT), 0)
+                   + COALESCE(CAST(ROUND(1000000.0 / (60 + sem_rank), 0)
+                                   AS BIGINT), 0) AS rrf_micro
+            FROM lexr FULL OUTER JOIN semr USING (doc_id)
+        ),
+        top10 AS (
+            SELECT doc_id, rrf_micro FROM fused
+            ORDER BY rrf_micro DESC, doc_id ASC LIMIT 10
+        ),
+        mc AS MATERIALIZED (
+            SELECT f.doc_id, f.rrf_micro / 1000000.0 AS rrf_score,
+                   CAST(ROUND((f.rrf_micro / 1000000.0) * 1000000, 0)
+                        AS BIGINT) AS rel,
+                   CAST(em.embedding AS DOUBLE[]) AS v
+            FROM top10 f JOIN embeddings em ON em.vec_id = f.doc_id
+            WHERE em.embedding IS NOT NULL
+        ),
+        ms1 AS (
+            SELECT doc_id, rrf_score, rel, v, 1 AS mmr_rank,
+                   {lam_micro} * rel AS score
+            FROM mc ORDER BY rel DESC, doc_id ASC LIMIT 1
+        )""",
+    ]
+    for step in range(2, m + 1):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT doc_id FROM ms{j}" for j in range(1, step)
+        )
+        prev_vs = " UNION ALL ".join(
+            f"SELECT v FROM ms{j}" for j in range(1, step)
+        )
+        parts.append(f"""mr{step} AS (
+            SELECT * FROM mc WHERE doc_id NOT IN ({prev_ids})
+        ),
+        mp{step} AS (
+            SELECT r.doc_id, r.rrf_score, r.rel, r.v,
+                   MAX(CAST(ROUND(({cos('r.v', 's.v')}) * 1000000, 0)
+                            AS BIGINT)) AS ms
+            FROM mr{step} r, ({prev_vs}) s
+            GROUP BY r.doc_id, r.rrf_score, r.rel, r.v
+        ),
+        ms{step} AS (
+            SELECT doc_id, rrf_score, rel, v, {step} AS mmr_rank,
+                   {lam_micro} * rel - {div_micro} * ms AS score
+            FROM mp{step} ORDER BY score DESC, doc_id ASC LIMIT 1
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, rrf_score, mmr_rank, score FROM ms{j}"
+        for j in range(1, m + 1)
+    )
+    return f"""
+        WITH {','.join(parts)}
+        SELECT doc_id, rrf_score, CAST(mmr_rank AS INT) AS mmr_rank,
                CAST(score AS BIGINT) AS mmr_score_micro
         FROM ({union}) ORDER BY mmr_rank
     """
@@ -9467,6 +9804,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["kmeans_clusters"] = _kmeans_clusters_oracle_sql()
     oracles["kmeans_assign"] = _kmeans_assign_oracle_sql()
     oracles["kmeans_silhouette"] = _kmeans_silhouette_oracle_sql()
+    oracles["kmeans_clusters_capped"] = _kmeans_clusters_capped_oracle_sql()
+    oracles["corpus_retrieval_v1"] = _corpus_retrieval_v1_oracle_sql()
     oracles["coreset_sample"] = _coreset_sample_oracle_sql()
     oracles["pq_encode"] = _pq_encode_oracle_sql()
     oracles["embedding_ann_pq"] = _pq_adc_oracle_sql()

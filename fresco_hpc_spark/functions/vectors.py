@@ -22,6 +22,23 @@ from pyspark.sql import functions as F
 _ROUND = 6
 
 
+def _train_coin(id_col: str, max_train_rows: int, n: int) -> Column:
+    """Deterministic training-subset predicate: keep ids whose shared
+    md5-derived 60-bit coin falls under ``max_train_rows / n`` — no RNG
+    state, stable across partitionings (unlike ``.sample`` on a
+    reshuffled input), and — unlike the xxhash64 form it replaced —
+    byte-identical in DuckDB (``('0x'||substr(md5('train|'||id),1,15))
+    ::BIGINT < bound``), so the PRODUCTION capped-training path is
+    oracle-replayable, not just the uncapped one (VERDICT r12 item 4).
+    ``bound`` is computed driver-side with the exact float sequence the
+    SQL twin uses: ``FLOOR((max/n) * 2^60)``."""
+    from fresco_hpc_spark.functions.dedup import _h60
+
+    bound = int((max_train_rows / n) * float(2**60))
+    coin = _h60(F.concat(F.lit("train|"), F.col(id_col).cast("string")))
+    return coin < F.lit(bound)
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -269,14 +286,7 @@ def ivf_train_centroids(
         n_probe = embeddings.limit(max_train_rows + 1).count()
         if n_probe > max_train_rows:
             n = embeddings.count()
-            # deterministic pseudo-random subset: keep ids whose 64-bit
-            # hash falls under the target fraction (no RNG state, stable
-            # across partitionings — unlike .sample on a reshuffled input)
-            frac = max_train_rows / n
-            bound = int((2**63 - 1) * frac)
-            train = embeddings.filter(
-                F.abs(F.xxhash64(F.col(id_col))) <= F.lit(bound)
-            )
+            train = embeddings.filter(_train_coin(id_col, max_train_rows, n))
     from pyspark.storagelevel import StorageLevel
 
     train = train.persist(StorageLevel.MEMORY_AND_DISK)
@@ -899,11 +909,7 @@ def pq_train_codebooks(
         n_probe = train.limit(max_train_rows + 1).count()
         if n_probe > max_train_rows:
             n = train.count()
-            frac = max_train_rows / n
-            bound = int((2**63 - 1) * frac)
-            train = train.filter(
-                F.abs(F.xxhash64(F.col(id_col))) <= F.lit(bound)
-            )
+            train = train.filter(_train_coin(id_col, max_train_rows, n))
     from pyspark.storagelevel import StorageLevel
 
     # ALL subspaces train together: one long-format (id, sub, x)

@@ -172,10 +172,14 @@ def test_correctness_window_contains_priority_queries():
         "rollup_monthly_events", "cube_user_bucket_events", "hourly_agg",
         "time_bound_hourly", "column_stats", "availability",
         # proactive r10 rotations (50 r10 rows go stale at r15; this
-        # tranche smooths the r14/r15 windows). New r13 arrivals
-        # displace these fillers from the window as they land.
+        # tranche smooths the r14/r15 windows). Two further fillers
+        # (mad_trim_agg, interval_join_clicks) were displaced by the
+        # r13 arrivals below.
         "global_percentiles", "percentile_trimmed_hourly", "iqr_trim_agg",
-        "mad_trim_agg", "interval_join_clicks",
+        # the r13 arrivals (never-certified -> in-window): the
+        # certified PRODUCTION capped-training k-means path and the
+        # composed hybrid-retrieval serving pipeline
+        "kmeans_clusters_capped", "corpus_retrieval_v1",
     }
     assert len(priority) == 50, (
         f"priority pin must be exactly window-sized, got {len(priority)}"
