@@ -97,3 +97,85 @@ def start_incremental_ivf_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def process_kmeans_assign_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of k-means cluster maintenance (VERDICT r12
+    item 7) — the clustering family's incremental twin, the exact
+    pattern of :func:`process_ivf_ingest_batch`: the codebook is FIXED
+    at ingest time (re-training is a batch rebuild — assignment must
+    be stable for the stored clusters to mean anything), so each batch
+    is one map-side squared-L2 argmin (functions/cluster.py
+    kmeans_assign: centroids as literal arrays, ties to the lowest
+    cluster, micro-quantized winning distance) and one partitioned
+    append. Rows land hive-partitioned on (``cluster``,
+    ``_ingest_batch``) with writer-scoped dynamic partition overwrite,
+    so a replayed batch rewrites its own partitions byte-identically
+    instead of appending duplicates, and per-cluster reads prune at
+    the top directory level. The per-cluster (size, inertia) rollup
+    over the store equals ``kmeans_clusters`` over exactly the
+    ingested prefix — d2_micro is exact BIGINT, so the sum is
+    order-free."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions.cluster import kmeans_assign
+
+    if not batch_df.head(1):
+        return
+    assigned = (
+        kmeans_assign(batch_df, centroids, vec_col)
+        .select(F.col("cluster"), F.col(id_col), F.col(vec_col), "d2_micro")
+        .withColumn("_ingest_batch", F.lit(int(batch_id)))
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster", "_ingest_batch")
+        .parquet(store_dir)
+    )
+
+
+def start_incremental_kmeans_assign(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = False,
+):
+    """Continuous k-means cluster maintenance: each arriving vector
+    batch is assigned against the fixed codebook and appended to the
+    cluster-partitioned store. A per-cluster rollup (or any
+    cluster-pruned read) over ``spark.read.parquet(store_dir)`` is
+    then exactly the batch ``kmeans_clusters``/``kmeans_assign``
+    result over every vector ingested so far (drained == batch and
+    mid-ingest prefix serving pinned in test_streaming, matching the
+    IVF/text index pins); the file-source checkpoint gives
+    exactly-once batches and the dynamic-partition overwrite makes
+    replays no-ops."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_kmeans_assign_batch(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            centroids=centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
