@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from fresco_hpc_spark.functions.vectors import (
     _as_double,
     _cb_lits,
+    _dot,
     _pq_dists,
     pq_train_codebooks,
 )
@@ -49,6 +50,8 @@ __all__ = [
     "kmeans_clusters",
     "kmeans_silhouette",
     "lightweight_coreset",
+    "semdedup_kmeans",
+    "unit_normalize",
 ]
 
 
@@ -255,3 +258,92 @@ def lightweight_coreset(
         group_col=None,
         salt=salt,
     ).drop("_w_units")
+
+
+def unit_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Project every vector onto the unit sphere: ``x / sqrt(x·x)``
+    per element, double-cast first. The spherical-k-means preparation
+    step — L2 clustering over unit vectors is cosine clustering, which
+    is what semantic grouping wants (SemDeDup normalizes embeddings
+    before clustering for exactly this reason: a scaled copy of a
+    vector must land in its original's cluster, and under raw L2 it
+    need not). Map-only projection; the elementwise division by an
+    exact power-of-two-cancelling norm makes a c·x copy's unit form
+    bit-identical to the original's when c is a power of two (the
+    planted-dup fixtures exploit this). Zero-norm vectors map to NULL
+    components (SQL x/0.0 semantics) and should be filtered upstream."""
+    vd = _as_double(F.col(vec_col))
+    nrm = F.sqrt(_dot(vd, vd))
+    unit = F.transform(vd, lambda x: x / nrm)
+    return df.withColumn(out_col or vec_col, unit)
+
+
+def semdedup_kmeans(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with its REAL architecture (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster-blocked semantic dedup — assign
+    every vector to a cluster of the (spherical) codebook, generate
+    near-duplicate candidate pairs ONLY within clusters, drop every
+    vector with a same-cluster smaller-id neighbor at cosine >=
+    threshold. The LSH-bucketed :func:`~fresco_hpc_spark.functions.
+    vectors.semantic_dedup` trades recall for speed via random
+    hyperplanes; THIS variant is the paper's: the learned cluster
+    structure is the blocking, so near-dups that LSH planes can split
+    stay comparable while the pair work drops from n² to Σ_c n_c² —
+    bounded by the cluster-count knob k at any corpus size.
+
+    ``centroids`` must be trained on UNIT-NORMALIZED vectors
+    (:func:`unit_normalize` + :func:`kmeans_train`); assignment here
+    normalizes identically, so a scaled copy shares its original's
+    cluster by construction. Pairwise cosine uses the shared
+    ``dot/(nrm·nrm)`` 6-dp convention of ``embedding_near_dup_pairs``
+    over the ORIGINAL vectors (cosine is scale-invariant — the
+    normalization is only for cluster routing). Returns the surviving
+    rows of ``df`` plus their ``cluster`` (greedy min-id-survivor
+    semantics, exactly :func:`semantic_dedup`'s drop rule).
+
+    Plan: one map-side assignment projection, one same-cluster
+    equi-join for pairs (never all-pairs), one distinct + left-anti.
+    """
+    vd = _as_double(F.col(vec_col))
+    nrm = F.sqrt(_dot(vd, vd))
+    unit = F.transform(vd, lambda x: x / nrm)
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        *df.columns, nrm.alias("_nrm"), unit.alias("_u")
+    )
+    _, cluster = _d2_sorted("_u", centroids)
+    asg = base.withColumn("cluster", cluster).drop("_u")
+    a = asg.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_id_a"),
+        _as_double(F.col(vec_col)).alias("_va"),
+        F.col("_nrm").alias("_nrm_a"),
+    )
+    b = asg.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_id_b"),
+        _as_double(F.col(vec_col)).alias("_vb"),
+        F.col("_nrm").alias("_nrm_b"),
+    )
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb"))
+        / (F.col("_nrm_a") * F.col("_nrm_b")),
+        6,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(sim >= F.lit(float(threshold)))
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return asg.drop("_nrm").join(dropped, id_col, "left_anti")

@@ -112,3 +112,53 @@ def test_lightweight_coreset_selection(spark):
     assert picked.weight_micro == 1 + inertia // n + picked.d2_micro
     with pytest.raises(ValueError, match="n_sample"):
         lightweight_coreset(emb, cents, n_sample=0)
+
+
+def test_unit_normalize_scaled_copy_is_bit_identical(spark):
+    """A power-of-two-scaled copy unit-normalizes to the EXACT same
+    doubles as its original (0.5x / (0.5·|x|) cancels exactly in
+    IEEE), which is what guarantees planted dups share their
+    original's spherical cluster."""
+    from fresco_hpc_spark.functions import unit_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.5]), (2, [1.5, 2.0, 0.25])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r.vec_id: r.embedding for r in unit_normalize(df).collect()}
+    assert rows[1] == rows[2]
+    norm = sum(x * x for x in rows[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-12
+
+
+def test_semdedup_kmeans_blocks_by_cluster(spark):
+    """The cluster structure IS the candidate filter: an exact
+    duplicate in the same cluster is dropped (min-id survives), while
+    two identical-direction vectors FORCED into different clusters by
+    the codebook are never compared — the documented recall trade of
+    blocking (the paper accepts it; k is the knob)."""
+    from fresco_hpc_spark.functions import semdedup_kmeans
+
+    # two well-separated directions as the codebook (unit vectors)
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [10.0, 0.0]),    # cluster 0
+            (2, [5.0, 0.0]),     # scaled copy of 1 -> cluster 0, dropped
+            (3, [0.0, 7.0]),     # cluster 1, survives
+            (4, [2.0, 9.0]),     # cluster 1, cos vs 3 ~0.976 < 0.999
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r.vec_id: r.cluster for r in semdedup_kmeans(
+        df, cents, threshold=0.999
+    ).collect()}
+    assert sorted(out) == [1, 3, 4]
+    assert out[1] == 0 and out[3] == 1 and out[4] == 1
+
+    # same data, one-cluster codebook: everything is comparable, the
+    # near-dup pair (1,2) still collapses, nothing else does
+    allone = {r.vec_id for r in semdedup_kmeans(
+        df, [[1.0, 1.0]], threshold=0.999
+    ).collect()}
+    assert allone == {1, 3, 4}

@@ -175,11 +175,13 @@ def test_correctness_window_contains_priority_queries():
         # tranche smooths the r14/r15 windows). Two further fillers
         # (mad_trim_agg, interval_join_clicks) were displaced by the
         # r13 arrivals below.
-        "global_percentiles", "percentile_trimmed_hourly", "iqr_trim_agg",
+        "global_percentiles", "percentile_trimmed_hourly",
         # the r13 arrivals (never-certified -> in-window): the
-        # certified PRODUCTION capped-training k-means path and the
-        # composed hybrid-retrieval serving pipeline
+        # certified PRODUCTION capped-training k-means path, the
+        # composed hybrid-retrieval serving pipeline, and the
+        # cluster-blocked SemDeDup
         "kmeans_clusters_capped", "corpus_retrieval_v1",
+        "semdedup_kmeans",
     }
     assert len(priority) == 50, (
         f"priority pin must be exactly window-sized, got {len(priority)}"
