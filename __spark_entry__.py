@@ -1445,7 +1445,8 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _SEMDEDUP_CB_CACHE[key] = cents
     survivors = semdedup_kmeans(
-        _embeddings_with_dups(spark, sf_dir), cents, threshold=0.999
+        _embeddings_with_dups(spark, sf_dir), cents, threshold=0.999,
+        materialize=True,
     )
     labels = emb.select("vec_id", "label")
     return (

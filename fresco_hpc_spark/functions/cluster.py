@@ -288,6 +288,7 @@ def semdedup_kmeans(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> DataFrame:
     """SemDeDup with its REAL architecture (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster-blocked semantic dedup — assign
@@ -311,9 +312,23 @@ def semdedup_kmeans(
     rows of ``df`` plus their ``cluster`` (greedy min-id-survivor
     semantics, exactly :func:`semantic_dedup`'s drop rule).
 
-    Plan: one map-side assignment projection, one same-cluster
-    equi-join for pairs (never all-pairs), one distinct + left-anti.
+    ``materialize=True`` persists the assigned relation before the
+    three downstream reads (both pair-join legs + the anti-join) and
+    eagerly checkpoints the result — REQUIRED beyond toy sizes: the
+    per-element unit-normalize lambda re-expands inside every one of
+    the k distance references when left lazy (Catalyst collapses the
+    projection; no common-subexpression elimination inside
+    higher-order functions), turning the one normalize pass into
+    k·dim² work per row — measured 23 min for 100k×64 at k=200 lazy
+    vs one linear pass persisted. ``materialize=False`` keeps the
+    plan fully lazy/composable for plan tests and tiny inputs.
+
+    Plan: one map-side assignment projection (persisted once under
+    ``materialize``), one same-cluster equi-join for pairs (never
+    all-pairs), one distinct + left-anti.
     """
+    from fresco_hpc_spark.functions.dedup import _finish_pairs
+
     vd = _as_double(F.col(vec_col))
     nrm = F.sqrt(_dot(vd, vd))
     unit = F.transform(vd, lambda x: x / nrm)
@@ -321,7 +336,11 @@ def semdedup_kmeans(
         *df.columns, nrm.alias("_nrm"), unit.alias("_u")
     )
     _, cluster = _d2_sorted("_u", centroids)
-    asg = base.withColumn("cluster", cluster).drop("_u")
+    asg = base.withColumn("cluster", cluster)
+    if materialize:
+        from pyspark.storagelevel import StorageLevel
+
+        asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
     a = asg.select(
         F.col("cluster"),
         F.col(id_col).alias("_id_a"),
@@ -346,4 +365,5 @@ def semdedup_kmeans(
         .select(F.col("_id_b").alias(id_col))
         .distinct()
     )
-    return asg.drop("_nrm").join(dropped, id_col, "left_anti")
+    result = asg.drop("_nrm", "_u").join(dropped, id_col, "left_anti")
+    return _finish_pairs(result, [asg], materialize)

@@ -65,6 +65,17 @@ def lazy_plan_of(spark, name: str) -> str:
             entrymod._incoming_batch(spark, SF_SMALL),
             threshold=0.5,
         ),
+        # lazy variant (the registered query materializes — eager
+        # checkpoint collapses the plan to ExistingRDD); centroid
+        # VALUES don't change the plan shape, so two cheap literals
+        # stand in for the trained spherical codebook
+        "semdedup_kmeans": lambda: __import__(
+            "fresco_hpc_spark.functions", fromlist=["semdedup_kmeans"]
+        ).semdedup_kmeans(
+            entrymod._embeddings_with_dups(spark, SF_SMALL),
+            [[1.0] + [0.0] * 63, [0.0] * 63 + [1.0]],
+            threshold=0.999,
+        ),
     }
     return _explain(spark, builders[name]())
 
@@ -260,6 +271,7 @@ def test_no_python_eval_in_sql_paths(spark, name):
         "ngram_jaccard_prefix",
         "cross_corpus_dedup",
         "containment_pairs_prefix",
+        "semdedup_kmeans",
     ):
         plan = lazy_plan_of(spark, name)
     else:
