@@ -7074,11 +7074,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_stats": """
             WITH o AS (
+                -- timestamp-less events cannot join any session (and
+                -- order differently across engines); the Spark side
+                -- filters identically in sessionize()
                 SELECT user_id, ts, value,
                        CAST(floor(epoch(ts)) AS BIGINT) AS s,
                        LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                            PARTITION BY user_id ORDER BY ts) AS prev_s
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ),
             f AS (
                 SELECT user_id, ts, value,
@@ -7666,7 +7669,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
                         END AS BIGINT) AS n_tokens
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT source, doc_id, n_tokens,
                CAST(floor(COALESCE(SUM(n_tokens) OVER (
@@ -9813,7 +9816,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
                         END AS BIGINT) AS n_tokens
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         b AS (
             SELECT source, doc_id, text, n_tokens,
@@ -10400,7 +10403,10 @@ def oracle_sql() -> dict[str, str]:
                           - k.k * 900) * INTERVAL '1 second' AS window_start,
                    value
             FROM events, UNNEST(generate_series(0, 3)) AS k(k)
-            WHERE value IS NOT NULL
+            -- a timestamp-less event belongs to no window: Spark's
+            -- F.window generates zero rows for NULL ts, so the
+            -- oracle must not emit a NULL bucket either
+            WHERE value IS NOT NULL AND ts IS NOT NULL
         )
         SELECT window_start,
                window_start + INTERVAL '1 hour' AS window_end,

@@ -390,7 +390,7 @@ def pack_sequences(
 
     from fresco_hpc_spark.functions.text import token_count
 
-    counts = df.select(
+    counts = df.filter(F.col(text_col).isNotNull()).select(
         F.col(strata_col),
         F.col(id_col),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
@@ -569,7 +569,10 @@ def pack_texts(
             "following offset would silently shift"
         )
 
-    base = df.select(
+    # a NULL-text doc cannot be packed: its NULL token count would
+    # poison the prefix sums and the offsets fold (r13 null-parity
+    # probe); pack_sequences filters identically so both binnings agree
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(strata_col),
         F.col(id_col),
         F.col(text_col),

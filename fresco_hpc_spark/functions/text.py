@@ -47,11 +47,20 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
+    """Whitespace token count; empty/blank text counts 0; NULL text
+    counts NULL — stated explicitly because the fall-through otherwise
+    lands on ``size(split(NULL))``, which is −1 under the legacy
+    sizeOfNull (ANSI off) and NULL under ANSI — an engine-mode
+    divergence that polluted percentile bounds on null-bearing corpora
+    (caught by the r13 null-parity probe: a −1 token count dragged
+    length_percentile_filter's p5 bound down). The explicit branch
+    makes every session mode agree with the SQL oracles' CASE form."""
     c = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(c)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+    return (
+        F.when(trimmed.isNull(), F.lit(None).cast("int"))
+        .when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
     )
 
 

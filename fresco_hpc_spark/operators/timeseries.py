@@ -160,6 +160,11 @@ def sessionize(
     """
     from pyspark.sql import Window
 
+    # an event without a timestamp cannot join any session — and left
+    # in, it ORDERS differently across engines (Spark windows sort
+    # NULLS FIRST, DuckDB NULLS LAST), silently shifting every session
+    # boundary in its partition (caught by the r13 null-parity probe)
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col)
     secs = F.col(ts_col).cast("long")
     prev = F.lag(secs).over(w)

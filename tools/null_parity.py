@@ -65,6 +65,42 @@ NULL_PARITY_QUERIES = [
     "daily_uniques",
     "time_extent",
     "column_stats",
+    # r13 second wave: every query below had (or was adjacent to) a
+    # latent null-semantics divergence the first probe surfaced —
+    # token_count's size(NULL)=-1 legacy trap, sessionize's
+    # NULLS FIRST/LAST window-order split, pack's poisoned prefix
+    # sums, F.window's dropped NULL buckets — all now pinned green
+    "session_stats",
+    "length_filter",
+    "source_quality",
+    "pack_texts",
+    "pack_sequences",
+    "token_budget",
+    "token_counts",
+    "text_stats",
+    "hopping_window",
+    "rolling_hour_avg",
+    "ohlc_hourly",
+    "time_weighted_avg",
+    "profile_agg_day",
+    "histogram_equi_depth",
+    "value_cdf",
+    "rfm_segments",
+    "seasonal_profile",
+    "gap_fill_hourly",
+    "unpivot_long",
+    "rollup_monthly_events",
+    "cube_user_bucket_events",
+    "set_ops_events",
+    "quantile_normalize",
+    "winsorize_values",
+    "standardize_values",
+    "vocab_stats",
+    "char_entropy",
+    "oov_rate",
+    "exact_dedup",
+    "hourly_agg",
+    "monthly_rollup",
 ]
 
 
