@@ -3813,8 +3813,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = table(spark, sf_dir, "documents")
+    # coalesce(false): a NULL source is NOT one of the target sources
+    # — the bare isin yields NULL there, which made the Spark label
+    # NULL where the oracle's CASE ... ELSE 0 said 0, shifting every
+    # trained weight on null-bearing corpora (r13 null-parity probe)
     docs = base.withColumn(
-        "y", F.col("source").isin("src0", "src1").cast("int")
+        "y",
+        F.coalesce(
+            F.col("source").isin("src0", "src1"), F.lit(False)
+        ).cast("int"),
     )
     key = _docs_fingerprint(base, sf_dir)
     w = _QCLS_CACHE.get(key)
@@ -5061,9 +5068,13 @@ def _corpus_retrieval_v1_oracle_sql(m: int = 5, lam: float = 0.7) -> str:
         r"""t AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(lower(text)), '\s+') AS arr
-            FROM nd
+            FROM nd WHERE text IS NOT NULL
         ),
-        dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM t),
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(arr, x -> x <> '')) AS BIGINT) AS dl
+            FROM t WHERE len(list_filter(arr, x -> x <> '')) > 0
+        ),
         stats AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(dl) AS BIGINT) AS total
@@ -5460,7 +5471,11 @@ _KNN_GRAPH_EDGE_CTES = """
                             * sqrt(list_dot_product(b.v, b.v))), 6)
                        AS cosine_sim
             FROM e a JOIN e b
-              ON a.label = b.label AND a.vec_id <> b.vec_id
+              -- IS NOT DISTINCT FROM: NULL-label vectors form their
+              -- OWN block, matching knn_graph_blocked's eqNullSafe
+              -- (ADVICE r6 semantics; bare = dropped them here)
+              ON a.label IS NOT DISTINCT FROM b.label
+                 AND a.vec_id <> b.vec_id
         ),
         ranked AS (
             SELECT *, ROW_NUMBER() OVER (
@@ -6559,7 +6574,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.label, a.n_members, a.centroid_norm,
                    CAST(p.dim - 1 AS INT) AS dim, p.m
-            FROM per_dim p JOIN asm a USING (label)
+            -- IS NOT DISTINCT FROM: the NULL-label class is a real
+            -- group on the Spark side (groupBy keeps it); USING
+            -- dropped its 64 centroid rows (r13 null-parity probe)
+            FROM per_dim p JOIN asm a ON p.label IS NOT DISTINCT FROM a.label
             ORDER BY p.label, dim
         """,
         "corpus_curation_v2": """
@@ -6716,7 +6734,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN score_en = GREATEST(score_en, score_es, score_fr, score_de) THEN 'en'
                         WHEN score_es = GREATEST(score_en, score_es, score_fr, score_de) THEN 'es'
                         WHEN score_fr = GREATEST(score_en, score_es, score_fr, score_de) THEN 'fr'
-                        ELSE 'de' END AS predicted_lang
+                        WHEN score_de = GREATEST(score_en, score_es, score_fr, score_de) THEN 'de'
+                        -- NULL text: every score is NULL, no WHEN fires
+                        -- (the bare ELSE 'de' mislabeled NULL docs)
+                        ELSE 'unknown' END AS predicted_lang
             FROM s
         """,
         "exact_dedup": f"""
@@ -6904,7 +6925,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM words
             )
             SELECT doc_id,
-                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   CAST(CASE WHEN text IS NULL THEN NULL
+                        WHEN length(trim(text)) = 0 THEN 0
                         ELSE list_reduce(v, (acc, x) ->
                              (acc * 1000003 + x) % 2147483647)
                         END AS BIGINT) AS fingerprint
@@ -7054,22 +7076,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_click_purchase": """
             WITH p AS (
+                -- NULL ts dropped on BOTH sides and the key null-safe:
+                -- asof_join's documented contract (a match at an
+                -- undefined time is meaningless; the NULL-user stream
+                -- is its own key group in the window form)
                 SELECT event_id, user_id, ts FROM events
-                WHERE event_type = 'purchase'
+                WHERE event_type = 'purchase' AND ts IS NOT NULL
             ),
             c AS (
-                SELECT user_id, ts FROM events WHERE event_type = 'click'
+                SELECT user_id, ts FROM events
+                WHERE event_type = 'click' AND ts IS NOT NULL
             ),
             m AS (
-                SELECT p.event_id, MAX(c.ts) AS click_ts
-                FROM p LEFT JOIN c
-                  ON c.user_id = p.user_id AND c.ts <= p.ts
-                GROUP BY p.event_id
+                -- correlated scalar MAX, one row PER PURCHASE ROW:
+                -- the old GROUP BY event_id silently merged NULL
+                -- event_ids into one group (r13 null-parity probe)
+                SELECT p.event_id, p.user_id, p.ts,
+                       (SELECT MAX(c.ts) FROM c
+                        WHERE c.user_id IS NOT DISTINCT FROM p.user_id
+                          AND c.ts <= p.ts) AS click_ts
+                FROM p
             )
-            SELECT p.event_id, p.user_id, p.ts, m.click_ts,
-                   CAST(floor(epoch(p.ts)) AS BIGINT)
-                       - CAST(floor(epoch(m.click_ts)) AS BIGINT) AS gap_seconds
-            FROM p JOIN m USING (event_id)
+            SELECT event_id, user_id, ts, click_ts,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(click_ts)) AS BIGINT) AS gap_seconds
+            FROM m
             ORDER BY event_id
         """,
         "session_stats": """
@@ -7448,16 +7479,22 @@ def oracle_sql() -> dict[str, str]:
     oracles["ewma_user_value"] = """
         WITH RECURSIVE t AS (
             SELECT user_id, ts, CAST(value AS DOUBLE) AS value,
+                   -- NULLS FIRST pins DuckDB's default NULLS-LAST
+                   -- ORDER BY to Spark's window sort order for
+                   -- NULL-ts rows (r13 null-parity probe)
                    ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY ts, value) AS rn
-            FROM events WHERE value IS NOT NULL
+                                      ORDER BY ts NULLS FIRST, value) AS rn
+            -- NULL-key rows excluded: a keyed recurrence needs a key
+            -- (operators/timeseries.py ewma routing note)
+            FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
         ),
         r AS (
             SELECT user_id, ts, rn, value AS ewma FROM t WHERE rn = 1
             UNION ALL
             SELECT t.user_id, t.ts, t.rn,
                    0.3 * t.value + (1.0 - 0.3) * r.ewma
-            FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+            FROM t JOIN r ON t.user_id IS NOT DISTINCT FROM r.user_id
+                           AND t.rn = r.rn + 1
         )
         SELECT user_id, ts, ROUND(ewma, 6) AS ewma
         FROM r ORDER BY user_id, ts
@@ -7475,10 +7512,19 @@ def oracle_sql() -> dict[str, str]:
             FROM w, tot
         )
         SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS sample_rate
-        FROM documents d JOIN rates r USING (source)
-        WHERE (('0x' || substr(md5(d.source || '|' || CAST(d.doc_id AS VARCHAR)),
-                               1, 15))::BIGINT
-               / 1152921504606846976.0) < r.rate
+        -- IS NOT DISTINCT FROM + the bare-key fallback coin: a NULL
+        -- stratum is its own group (the Spark side's eqNullSafe join
+        -- and COALESCE'd coin in temperature_mixture_sample)
+        FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+        WHERE COALESCE(
+                  (('0x' || substr(md5(d.source || '|'
+                                       || CAST(d.doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT
+                   / 1152921504606846976.0),
+                  (('0x' || substr(md5('|' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT
+                   / 1152921504606846976.0)
+              ) < r.rate
         ORDER BY d.doc_id
     """
 
@@ -7505,9 +7551,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["holt_forecast"] = """
         WITH RECURSIVE t AS (
             SELECT user_id, ts, CAST(value AS DOUBLE) AS value,
+                   -- NULLS FIRST pins DuckDB's default NULLS-LAST
+                   -- ORDER BY to Spark's window sort order for
+                   -- NULL-ts rows (r13 null-parity probe)
                    ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY ts, value) AS rn
-            FROM events WHERE value IS NOT NULL
+                                      ORDER BY ts NULLS FIRST, value) AS rn
+            -- NULL-key rows excluded: a keyed recurrence needs a key
+            -- (operators/timeseries.py ewma routing note)
+            FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
         ),
         r AS (
             SELECT user_id, ts, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
@@ -7517,7 +7568,8 @@ def oracle_sql() -> dict[str, str]:
                    0.3 * t.value + (1.0 - 0.3) * (r.l + r.b),
                    0.1 * ((0.3 * t.value + (1.0 - 0.3) * (r.l + r.b)) - r.l)
                        + (1.0 - 0.1) * r.b
-            FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+            FROM t JOIN r ON t.user_id IS NOT DISTINCT FROM r.user_id
+                           AND t.rn = r.rn + 1
         )
         SELECT user_id, ts, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
                ROUND(l + b, 6) AS forecast
@@ -8522,7 +8574,8 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS (
             SELECT event_type AS g, date_trunc('hour', ts) AS hour_ts,
                    CAST(ROUND(value * 1000000, 0) AS BIGINT) AS q
-            FROM events WHERE value IS NOT NULL
+            -- ts IS NOT NULL: matches cusum_drift's series contract
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
         ),
         h AS (
             SELECT g, hour_ts, CAST(SUM(q) AS BIGINT) AS x
@@ -8982,11 +9035,18 @@ def oracle_sql() -> dict[str, str]:
     # changes the hash.
     oracles["bm25_search"] = r"""
         WITH t AS (
+            -- the index holds only docs that PRODUCE tokens: NULL or
+            -- blank text never reaches the postings, so it is absent
+            -- from the docstats sidecar and the corpus averages too
             SELECT doc_id,
                    regexp_split_to_array(trim(lower(text)), '\s+') AS arr
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
-        dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM t),
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(arr, x -> x <> '')) AS BIGINT) AS dl
+            FROM t WHERE len(list_filter(arr, x -> x <> '')) > 0
+        ),
         stats AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(dl) AS BIGINT) AS total
@@ -9530,7 +9590,10 @@ def oracle_sql() -> dict[str, str]:
             FROM base WHERE event_id % 5 = 2
         ),
         final AS (
-            SELECT * FROM base WHERE event_id % 5 NOT IN (0, 1)
+            -- a NULL-key row matches no change and SURVIVES the merge
+            -- (bare NOT IN dropped it; r13 null-parity probe)
+            SELECT * FROM base
+            WHERE event_id IS NULL OR event_id % 5 NOT IN (0, 1)
             UNION ALL SELECT * FROM ups
             UNION ALL SELECT * FROM news
         )

@@ -252,7 +252,12 @@ def repetition_stats(
     ).otherwise(F.lit(None).cast("double"))
     return staged.select(
         F.col(id_col),
-        F.size("_w").alias("n_words"),
+        # explicit NULL for NULL text: the bare size() is the legacy
+        # size(NULL) = -1 under ANSI-off (the token_count trap — r13
+        # null-parity probe), NULL under ANSI — pin one semantics
+        F.when(F.col("_w").isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size("_w"))
+        .alias("n_words"),
         dup_shingle_frac.alias("dup_shingle_frac"),
         top_word_share.alias("top_word_share"),
     )
@@ -433,7 +438,10 @@ def chunk_documents(
             f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
         )
     stride = chunk_tokens - overlap
-    df = _fan_out(df)
+    # no text, no chunks — left in, size(NULL) = -1 under ANSI-off
+    # satisfies n <= chunk_tokens and fabricates one all-NULL chunk
+    # per textless doc (r13 null-parity probe)
+    df = _fan_out(df.filter(F.col(text_col).isNotNull()))
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(words)
     # last window start: the smallest s with s + chunk >= n, clamped >= 0

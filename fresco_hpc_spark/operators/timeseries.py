@@ -461,6 +461,11 @@ def ewma(
             value_col,
             F.when(~F.isnan(F.col(value_col)), F.col(value_col)),
         )
+    # a keyed recurrence needs a key: NULL-key rows are EXCLUDED (r13
+    # null-parity probe found the scan's NaN key-change compare and
+    # the fold's partition handling each invented a different series
+    # for them — neither was a semantics; now there is exactly one)
+    df = df.filter(F.col(key_col).isNotNull())
     if route == "scan":
         return ewma_scan(df, key_col, value_col, time_col, alpha, round_to)
     a = F.lit(float(alpha))
@@ -585,8 +590,11 @@ def ewma_scan(
                 }
             )
 
+    # NULL-key rows are excluded — a keyed recurrence needs a key
+    # (see ewma()'s routing note; the filter here covers direct calls)
     return (
-        df.select(key_col, time_col, value_col)
+        df.filter(F.col(key_col).isNotNull())
+        .select(key_col, time_col, value_col)
         .repartition(F.col(key_col))
         .sortWithinPartitions(key_col, time_col, value_col)
         .mapInPandas(scan, schema=out_schema)
@@ -675,8 +683,11 @@ def holt_scan(
                 }
             )
 
+    # NULL-key rows are excluded — a keyed recurrence needs a key
+    # (see ewma()'s routing note; the filter here covers direct calls)
     return (
-        df.select(key_col, time_col, value_col)
+        df.filter(F.col(key_col).isNotNull())
+        .select(key_col, time_col, value_col)
         .repartition(F.col(key_col))
         .sortWithinPartitions(key_col, time_col, value_col)
         .mapInPandas(scan, schema=out_schema)
@@ -990,8 +1001,13 @@ def cusum_drift(
     from pyspark.sql import Window
 
     micro = F.round(F.col(value_col) * 1_000_000, 0).cast("bigint")
+    # NULL timestamps excluded: an hourly series point without an hour
+    # isn't a point, and left in it ORDERS differently across engines
+    # (NULLS FIRST vs LAST), shifting every prefix fold after it
     hourly = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
+        )
         .select(
             F.col(group_col).alias("g"),
             F.date_trunc("hour", F.col(time_col)).alias("hour_ts"),

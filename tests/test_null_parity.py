@@ -27,3 +27,26 @@ def test_grouped_families_hold_null_parity():
         assert null_parity_main() == 0
     finally:
         sys.argv = old
+
+
+import pytest
+
+
+@pytest.mark.null_full_parity
+def test_entire_registry_holds_null_parity():
+    """The full-registry twin of the default gate: every queries()
+    entry holds rows+cols+values oracle parity on the null-injected
+    tables. As of r13 this is TRUE for all 198 queries — every latent
+    null-semantics divergence found by the classification runs was
+    given one defined semantics on both sides. Excluded from the
+    default run (runtime); select with `pytest -m null_full_parity`."""
+    import sys
+
+    from tools.null_parity import main as null_parity_main
+
+    old = sys.argv
+    sys.argv = ["null_parity", "--all"]
+    try:
+        assert null_parity_main() == 0
+    finally:
+        sys.argv = old

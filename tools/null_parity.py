@@ -17,7 +17,12 @@ SCD2, category rollups) per VERDICT r12. Queries excluded have a
 documented null-free data contract (e.g. id-keyed indexes that treat
 ids as physical keys); the smoke still executes those.
 
-Usage: python tools/null_parity.py [src_sf_dir]    (default sf0.001)
+As of r13 the ENTIRE registry holds null-fixture parity (the one
+WARN is quality_rules' tolerant-equal float repr); the curated list
+below is the default-suite subset (runtime budget), and
+`pytest -m null_full_parity` sweeps the full registry.
+
+Usage: python tools/null_parity.py [src_sf_dir] [--all]  (default sf0.001)
 """
 
 from __future__ import annotations
@@ -101,14 +106,47 @@ NULL_PARITY_QUERIES = [
     "exact_dedup",
     "hourly_agg",
     "monthly_rollup",
+    # r13 third wave: the remaining divergences the full-registry
+    # classification surfaced, each fixed with one defined semantics
+    # (see the commit log): keyed recurrences exclude NULL keys,
+    # series operators exclude NULL timestamps, MERGE keeps NULL-key
+    # rows, the knn family's oracle blocks null-safely, labels
+    # coalesce NULL sources to 0, and the lang_id/fingerprint oracles
+    # stop inventing values for NULL text
+    "ewma_user_value",
+    "ewma_scan",
+    "holt_forecast",
+    "cusum_drift",
+    "asof_click_purchase",
+    "merge_upsert",
+    "class_centroids",
+    "quality_classifier",
+    "chunk_documents",
+    "temperature_mixture",
+    "repetition_stats",
+    "lang_id",
+    "rolling_fingerprint",
+    "knn_graph",
+    "pagerank_knn",
+    "pagerank_knn_weighted",
+    "clustering_knn",
+    "lpa_communities",
+    "knn_triangles",
+    "cluster_hubs",
+    "kmeans_clusters",
+    "kmeans_clusters_capped",
+    "semdedup_kmeans",
 ]
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    src = args[0] if args else "/root/testdata/sf0.001"
     out = os.path.join(tempfile.gettempdir(), "fresco_null_parity")
     write_null_injected(src, out)
-    return parity_main([out, *NULL_PARITY_QUERIES])
+    names = [] if run_all else NULL_PARITY_QUERIES
+    return parity_main([out, *names])
 
 
 if __name__ == "__main__":
