@@ -50,6 +50,7 @@ __all__ = [
     "kmeans_clusters",
     "kmeans_silhouette",
     "lightweight_coreset",
+    "semdedup_assign",
     "semdedup_kmeans",
     "unit_normalize",
 ]
@@ -63,6 +64,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     max_train_rows: int | None = 100_000,
     mean_round: int = 9,
+    target_cluster_size: int | None = None,
 ) -> list[list[float]]:
     """Deterministic full-dimension L2 k-means (Lloyd). Returns the
     trained centroid list (k × dim floats, driver-held by design like
@@ -74,7 +76,26 @@ def kmeans_train(
     recipe (pmod seeding, squared-L2 assignment with ties to the
     lowest cluster, ``mean_round``-dp Lloyd means that kill
     partial-aggregate merge-order noise) and its unrolled-CTE oracle
-    replay for free."""
+    replay for free.
+
+    ``target_cluster_size`` (VERDICT r13 item 5) OVERRIDES ``k`` with
+    ``clamp(ceil(n / target_cluster_size), 2, n)`` — the SemDeDup
+    paper's regime, where the cluster COUNT grows with the corpus so
+    the cluster SIZE (and with it any Σ_c n_c² consumer's pair work)
+    stays bounded. The r13 ×50 stress measured why this must not be a
+    manual knob: a fixed k=8 cost 1580 s where the scaled k=200 cost
+    145 s at the same corpus. Costs one extra count() job over
+    ``embeddings``; the derived k counts the FULL corpus (assignment
+    spans it), not the ``max_train_rows``-capped training subset."""
+    if target_cluster_size is not None:
+        if target_cluster_size < 1:
+            raise ValueError(
+                f"target_cluster_size must be >= 1, got {target_cluster_size}"
+            )
+        n = embeddings.count()
+        if n < 1:
+            raise ValueError("cannot derive k from an empty corpus")
+        k = max(2, min(n, -(-n // target_cluster_size)))
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     return pq_train_codebooks(
@@ -115,7 +136,14 @@ def kmeans_assign(
     HALF_UP to BIGINT — the fixed-point form every downstream sum and
     compare stays exact in). Map-only: the centroids are literal
     arrays, so this is one narrow projection, no shuffle, pruning- and
-    codegen-friendly."""
+    codegen-friendly.
+
+    API note (ADVICE r13): r13 removed a dead trailing ``id_col``
+    parameter from kmeans_assign / kmeans_clusters / kmeans_silhouette
+    — a breaking signature change, accepted deliberately for this
+    pre-1.0 internal surface (all in-repo callers updated; the
+    parameter was never read, so any external caller passing it was
+    already getting id-independent behavior)."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
     sorted_d, cluster = _d2_sorted(vec_col, centroids)
@@ -264,6 +292,7 @@ def unit_normalize(
     df: DataFrame,
     vec_col: str = "embedding",
     out_col: str | None = None,
+    drop_zero_norm: bool = False,
 ) -> DataFrame:
     """Project every vector onto the unit sphere: ``x / sqrt(x·x)``
     per element, double-cast first. The spherical-k-means preparation
@@ -275,20 +304,52 @@ def unit_normalize(
     exact power-of-two-cancelling norm makes a c·x copy's unit form
     bit-identical to the original's when c is a power of two (the
     planted-dup fixtures exploit this). Zero-norm vectors map to NULL
-    components (SQL x/0.0 semantics) and should be filtered upstream."""
+    components (SQL x/0.0 semantics); pass ``drop_zero_norm=True`` to
+    exclude them (a zero vector has no direction, so it has no home on
+    the unit sphere — ADVICE r13 pinned one semantics on both engine
+    and oracle sides) or filter upstream."""
     vd = _as_double(F.col(vec_col))
     nrm = F.sqrt(_dot(vd, vd))
     unit = F.transform(vd, lambda x: x / nrm)
+    if drop_zero_norm:
+        df = df.filter(nrm > 0)
     return df.withColumn(out_col or vec_col, unit)
+
+
+def semdedup_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The spherical assignment kernel :func:`semdedup_kmeans` and its
+    streaming twin share: NULL-embedding and zero-norm rows filtered
+    out (the pinned contract — no direction, no home on the unit
+    sphere), unit-normalize, squared-L2 argmin against the literal
+    codebook. Returns the input columns plus ``_nrm`` (the original
+    vector's L2 norm, reused by the 6-dp pairwise-cosine convention)
+    and ``cluster``. Map-only — no shuffle."""
+    vd = _as_double(F.col(vec_col))
+    nrm = F.sqrt(_dot(vd, vd))
+    unit = F.transform(vd, lambda x: x / nrm)
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(*df.columns, nrm.alias("_nrm"), unit.alias("_u"))
+        .filter(F.col("_nrm") > 0)
+    )
+    _, cluster = _d2_sorted("_u", centroids)
+    return base.withColumn("cluster", cluster).drop("_u")
 
 
 def semdedup_kmeans(
     df: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    materialize: bool = False,
+    materialize: bool = True,
+    max_cluster_size: int | None = None,
+    target_cluster_size: int | None = None,
+    iterations: int = 2,
 ) -> DataFrame:
     """SemDeDup with its REAL architecture (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster-blocked semantic dedup — assign
@@ -305,38 +366,84 @@ def semdedup_kmeans(
     ``centroids`` must be trained on UNIT-NORMALIZED vectors
     (:func:`unit_normalize` + :func:`kmeans_train`); assignment here
     normalizes identically, so a scaled copy shares its original's
-    cluster by construction. Pairwise cosine uses the shared
+    cluster by construction. ``centroids=None`` (VERDICT r13 item 5:
+    the no-manual-knob path) trains the spherical codebook internally
+    — unit-normalize the NULL/zero-norm-filtered input, then
+    :func:`kmeans_train` with ``target_cluster_size`` (default 512
+    when unset), so k SCALES with the corpus (the r13 ×50 stress
+    measured fixed k=8 at 1580 s vs scaled k at 145 s; the knob that
+    must grow with n should not be the caller's job to remember).
+    Internal training defaults to capping the pair join at
+    ``2 × target_cluster_size`` too (natural-cluster skew is exactly
+    what the cap exists for) unless ``max_cluster_size`` is given. Pairwise cosine uses the shared
     ``dot/(nrm·nrm)`` 6-dp convention of ``embedding_near_dup_pairs``
     over the ORIGINAL vectors (cosine is scale-invariant — the
     normalization is only for cluster routing). Returns the surviving
     rows of ``df`` plus their ``cluster`` (greedy min-id-survivor
     semantics, exactly :func:`semantic_dedup`'s drop rule).
 
-    ``materialize=True`` persists the assigned relation before the
-    three downstream reads (both pair-join legs + the anti-join) and
-    eagerly checkpoints the result — REQUIRED beyond toy sizes: the
-    per-element unit-normalize lambda re-expands inside every one of
-    the k distance references when left lazy (Catalyst collapses the
-    projection; no common-subexpression elimination inside
-    higher-order functions), turning the one normalize pass into
-    k·dim² work per row — measured 23 min for 100k×64 at k=200 lazy
-    vs one linear pass persisted. ``materialize=False`` keeps the
-    plan fully lazy/composable for plan tests and tiny inputs.
+    NULL-embedding AND zero-norm rows are EXCLUDED from the output
+    (ADVICE r13: a zero vector has no direction — no cluster on the
+    unit sphere, cosine undefined — and the registered oracle applies
+    the identical two filters, so the contract is pinned rather than
+    engine-dependent x/0 behavior).
+
+    ``materialize=True`` (the DEFAULT since r14 — VERDICT r13 item 6)
+    persists the assigned relation before the downstream reads (both
+    pair-join legs + the anti-join) and eagerly checkpoints the result
+    — REQUIRED beyond toy sizes: the per-element unit-normalize lambda
+    re-expands inside every one of the k distance references when left
+    lazy (Catalyst collapses the projection; no common-subexpression
+    elimination inside higher-order functions), turning the one
+    normalize pass into k·dim² work per row — measured 23 min for
+    100k×64 at k=200 lazy vs one linear pass persisted. Pass
+    ``materialize=False`` for plan tests and tiny composable inputs;
+    it was a trap as the default (any caller who missed the docstring
+    got the quadratic-in-k plan).
+
+    ``max_cluster_size`` (VERDICT r13 item 2) bounds the per-TASK pair
+    work when natural cluster sizes skew (the r13 ×50 stress measured
+    a 23.9× straggler at k=200 from one oversized cluster): a cluster
+    of n_c > max_cluster_size is salted into g = ceil(n_c /
+    max_cluster_size) id-hash groups and the pair join runs on the
+    (cluster, group-pair) TRIANGLE key — both sides replicate g ways,
+    each (i<=j) group pair lands on its own join key, every pair
+    appears exactly ONCE, so the OUTPUT RELATION IS IDENTICAL (no
+    recall change, unlike sub-clustering) while the largest task falls
+    from n_c² to ~max_cluster_size² comparisons. Clusters at or under
+    the cap keep g=1 — zero replication, the exact unsalted shape.
+    The g fan-out join is a k-row broadcast.
 
     Plan: one map-side assignment projection (persisted once under
     ``materialize``), one same-cluster equi-join for pairs (never
-    all-pairs), one distinct + left-anti.
+    all-pairs; triangle-salted per cluster when capped), one distinct
+    + left-anti.
     """
     from fresco_hpc_spark.functions.dedup import _finish_pairs
 
-    vd = _as_double(F.col(vec_col))
-    nrm = F.sqrt(_dot(vd, vd))
-    unit = F.transform(vd, lambda x: x / nrm)
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        *df.columns, nrm.alias("_nrm"), unit.alias("_u")
-    )
-    _, cluster = _d2_sorted("_u", centroids)
-    asg = base.withColumn("cluster", cluster)
+    if centroids is None:
+        tcs = 512 if target_cluster_size is None else target_cluster_size
+        centroids = kmeans_train(
+            unit_normalize(
+                df.filter(F.col(vec_col).isNotNull()).select(
+                    id_col, vec_col
+                ),
+                vec_col,
+                drop_zero_norm=True,
+            ),
+            iterations=iterations,
+            vec_col=vec_col,
+            id_col=id_col,
+            target_cluster_size=tcs,
+        )
+        if max_cluster_size is None:
+            max_cluster_size = 2 * tcs
+    elif target_cluster_size is not None:
+        raise ValueError(
+            "target_cluster_size applies to internal training only — "
+            "pass centroids=None, or derive k via kmeans_train yourself"
+        )
+    asg = semdedup_assign(df, centroids, vec_col)
     if materialize:
         from pyspark.storagelevel import StorageLevel
 
@@ -353,17 +460,50 @@ def semdedup_kmeans(
         _as_double(F.col(vec_col)).alias("_vb"),
         F.col("_nrm").alias("_nrm_b"),
     )
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError(
+                f"max_cluster_size must be >= 1, got {max_cluster_size}"
+            )
+        # per-cluster fan-out g = ceil(n_c / cap): a bounded k-row
+        # relation, broadcast onto both pair legs
+        fan = F.broadcast(
+            asg.groupBy("cluster").agg(
+                F.ceil(
+                    F.count(F.lit(1)) / F.lit(int(max_cluster_size))
+                ).cast("int").alias("_g")
+            )
+        )
+        salt = lambda idc: F.pmod(F.xxhash64(F.col(idc)), F.col("_g")).cast("int")  # noqa: E731
+        # triangle keys: a row in id-hash group s joins key
+        # (min(s, t), max(s, t)) for every t in 0..g-1 — the one key
+        # both sides of a pair share is the sorted pair of their
+        # groups, so each pair meets exactly once
+        def triangle(side: DataFrame, idc: str) -> DataFrame:
+            s = side.join(fan, "cluster").withColumn("_s", salt(idc))
+            t = F.explode(F.sequence(F.lit(0), F.col("_g") - 1)).alias("_t")
+            return s.select(*s.columns, t).select(
+                *s.columns,
+                F.least("_s", "_t").alias("_gi"),
+                F.greatest("_s", "_t").alias("_gj"),
+            ).drop("_s", "_g")
+
+        a = triangle(a, "_id_a")
+        b = triangle(b, "_id_b")
+        pair_key = ["cluster", "_gi", "_gj"]
+    else:
+        pair_key = ["cluster"]
     sim = F.round(
         _dot(F.col("_va"), F.col("_vb"))
         / (F.col("_nrm_a") * F.col("_nrm_b")),
         6,
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, pair_key)
         .filter(F.col("_id_a") < F.col("_id_b"))
         .filter(sim >= F.lit(float(threshold)))
         .select(F.col("_id_b").alias(id_col))
         .distinct()
     )
-    result = asg.drop("_nrm", "_u").join(dropped, id_col, "left_anti")
+    result = asg.drop("_nrm").join(dropped, id_col, "left_anti")
     return _finish_pairs(result, [asg], materialize)

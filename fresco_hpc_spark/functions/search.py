@@ -696,15 +696,19 @@ def reciprocal_rank_fusion(
     for df, score_col, rank_name in ranked:
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))
         # a duplicated id inside one list would fan out the full-outer
-        # join and double-count its credit (ADVICE r12); keep only the
-        # best-ranked row per id — a no-op for well-formed top-N inputs
+        # join and double-count its credit (ADVICE r12); dedup to the
+        # best score per id BEFORE ranking (ADVICE r13: ranking the
+        # raw list and then min-ing left a rank GAP for every document
+        # after the duplicate — the next doc got rank 3, not 2,
+        # shifting its 1/(k+rank) credit). A no-op for well-formed
+        # top-N inputs; both steps stay on bounded relations.
         part = (
-            df.select(
+            df.groupBy(id_col)
+            .agg(F.max(score_col).alias(score_col))
+            .select(
                 F.col(id_col),
                 F.row_number().over(w).cast("int").alias(rank_name),
             )
-            .groupBy(id_col)
-            .agg(F.min(rank_name).alias(rank_name))
         )
         names.append(rank_name)
         fused = part if fused is None else fused.join(

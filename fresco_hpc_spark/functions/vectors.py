@@ -1234,6 +1234,50 @@ def ivfpq_query_index(
     )
 
 
+def ensure_ivf_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fingerprint: str | None = None,
+) -> bool:
+    """Build the plain IVF inverted-list store only when missing or
+    STALE — ``ensure_ivfpq_index``'s build/query cost split for the
+    uncompressed index (ADVICE r13: ``q_corpus_retrieval_v1`` guarded
+    the build with a module-level memo that never stamped the TABLE, so
+    one session alternating between two corpora found the first
+    fingerprint's memo True, saw the table existing, and served the
+    SECOND corpus's cells — stale results with no rebuild). Index
+    identity = the caller-supplied corpus ``fingerprint`` (stored as
+    the canonical sha256 TBLPROPERTY, exactly like the text index)
+    PLUS ``n_cells`` — the stored-parameters-live-with-the-index rule.
+    ``fingerprint=None`` always rebuilds. Returns True on build."""
+    from fresco_hpc_spark.functions.search import canonical_fingerprint
+
+    spark = embeddings.sparkSession
+    n_cells = len(centroids)
+    canon = (
+        canonical_fingerprint(fingerprint) if fingerprint is not None else None
+    )
+    if canon is not None and spark.catalog.tableExists(table_name):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+        }
+        if (
+            props.get("fresco.fingerprint") == canon
+            and props.get("fresco.n_cells") == str(n_cells)
+        ):
+            return False
+    ivf_build_index(embeddings, centroids, table_name, id_col, vec_col)
+    props = f"'fresco.n_cells' = '{n_cells}'"
+    if canon is not None:
+        props += f", 'fresco.fingerprint' = '{canon}'"
+    spark.sql(f"ALTER TABLE {table_name} SET TBLPROPERTIES ({props})")
+    return True
+
+
 def ensure_ivfpq_index(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -11,8 +11,10 @@ from fresco_hpc_spark.streaming.search import (  # noqa: F401
 from fresco_hpc_spark.streaming.vectors import (  # noqa: F401
     process_ivf_ingest_batch,
     process_kmeans_assign_batch,
+    process_semdedup_batch,
     start_incremental_ivf_ingest,
     start_incremental_kmeans_assign,
+    start_incremental_semdedup,
 )
 from fresco_hpc_spark.streaming.stateful import (  # noqa: F401
     streaming_counter_rates,

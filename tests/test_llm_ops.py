@@ -2766,6 +2766,10 @@ def test_reciprocal_rank_fusion_contract(spark):
     by_id = {r.doc_id: r for r in fused}
     assert by_id[1].lex_rank == 1
     assert by_id[1].rrf_micro == round(1_000_000.0 / 61)
+    # ADVICE r13: the dedup happens BEFORE ranking, so the document
+    # after the duplicate gets rank 2 (gap-free), not rank 3 — its
+    # 1/(k+rank) credit matches a dedup-first ranking
+    assert by_id[2].lex_rank == 2
 
 
 def test_rr_rotation_contract(spark):

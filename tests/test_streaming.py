@@ -2459,3 +2459,174 @@ def test_kmeans_store_mid_ingest_serves_drained_prefix(spark, tmp_path):
         assert served() == want, f"mid-ingest serve diverged after batch {i}"
         process_kmeans_assign_batch(cdf, i, store_dir=store, centroids=cents)
         assert served() == want
+
+
+def _semdedup_stream_corpus():
+    """Vectors with known SemDeDup structure: a cosine CHAIN a<b<c on
+    the x-axis family (cos(a,b) and cos(b,c) >= 0.99, cos(a,c) < 0.99
+    — batch drops BOTH b and c, so a survivors-only store would
+    resurrect c), a power-of-two scaled exact dup in the y-axis
+    cluster, and filler directions far from everything. Ids increase
+    in arrival order (the documented greedy-arrival contract under
+    which drained == batch bit-for-bit)."""
+    import math
+
+    def at(deg, scale=3.0, axis="x"):
+        r = math.radians(deg)
+        v = [math.cos(r) * scale, math.sin(r) * scale]
+        return v if axis == "x" else [v[1], v[0]]
+
+    return [
+        # batch 0: chain head + fillers
+        (0, at(0.0)),            # a — survives
+        (1, at(45.0)),           # far from everything, survives
+        (2, at(0.0, axis="y")),  # y-cluster head, survives
+        # batch 1: chain middle + y-cluster exact dup
+        (10, at(8.0)),           # b — cos(a,b)=cos 8deg≈.9903 -> dropped
+        (11, at(0.0, 6.0, "y")),  # 2x scaled copy of 2 -> dropped
+        (12, at(70.0, axis="y")),  # survives
+        # batch 2: chain tail
+        (20, at(16.0)),          # c — cos(b,c)≈.9903 drops it via the
+                                 # DROPPED b; cos(a,c)≈.9613 < .99
+        (21, at(30.0)),          # survives
+    ]
+
+
+def test_incremental_semdedup_matches_batch_including_chains(spark, tmp_path):
+    """Drained incremental SemDeDup == batch semdedup_kmeans
+    (streaming/vectors.py start_incremental_semdedup, VERDICT r13
+    item 7), including the a<b<c cosine chain that distinguishes a
+    store-all-flagged design from a survivors-only store: the batch
+    drop rule compares against every smaller id, dropped ones
+    included, so c must drop via the already-dropped b."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fresco_hpc_spark.functions.cluster import semdedup_kmeans
+    from fresco_hpc_spark.streaming import start_incremental_semdedup
+
+    rows = _semdedup_stream_corpus()
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+
+    src = tmp_path / "sdin"
+    src.mkdir()
+    batches = [rows[:3], rows[3:6], rows[6:]]
+    for i, chunk in enumerate(batches):
+        pd.DataFrame(
+            chunk, columns=["vec_id", "embedding"]
+        ).to_parquet(src / f"{i}.parquet", index=False)
+        os.utime(src / f"{i}.parquet", (1000000000 + i * 100,) * 2)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "sdstore")
+    q = start_incremental_semdedup(
+        stream, store, str(tmp_path / "sdckpt"), cents,
+        threshold=0.99, available_now=True,
+    )
+    q.awaitTermination(180)
+
+    stored = spark.read.parquet(store)
+    assert stored.count() == len(rows)  # dropped rows stay, flagged
+    streamed = sorted(
+        (r.vec_id, r.cluster)
+        for r in stored.filter("survivor").collect()
+    )
+    batch = sorted(
+        (r.vec_id, r.cluster)
+        for r in semdedup_kmeans(corpus, cents, threshold=0.99).collect()
+    )
+    assert streamed == batch
+    # the chain really exercised the dropped-row comparison: b and c
+    # both gone, a alive
+    alive = {v for v, _ in streamed}
+    assert 0 in alive and 10 not in alive and 20 not in alive
+    assert 11 not in alive and 2 in alive
+    assert any(d.startswith("cluster=") for d in os.listdir(store))
+
+
+def test_incremental_semdedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay contract for the SemDeDup store: re-running
+    a landed batch rewrites its own (cluster, batch) partitions with
+    identical rows AND identical survivor decisions (the prior-rows
+    filter excludes the replayed batch's own landed rows, so the
+    decision inputs replay exactly); an empty replay is a no-op."""
+    from fresco_hpc_spark.streaming import process_semdedup_batch
+
+    rows = _semdedup_stream_corpus()
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    store = str(tmp_path / "sdridx")
+    b0 = corpus.filter("vec_id < 10")
+    b1 = corpus.filter("vec_id >= 10 and vec_id < 20")
+    b2 = corpus.filter("vec_id >= 20")
+    for i, b in enumerate((b0, b1, b2)):
+        process_semdedup_batch(
+            b, i, store_dir=store, centroids=cents, threshold=0.99
+        )
+    snapshot = lambda: sorted(  # noqa: E731
+        (r.vec_id, r.cluster, r.survivor, r._ingest_batch)
+        for r in spark.read.parquet(store).collect()
+    )
+    baseline = snapshot()
+    assert len(baseline) == len(rows)
+    process_semdedup_batch(
+        b1, 1, store_dir=store, centroids=cents, threshold=0.99
+    )
+    assert snapshot() == baseline
+    process_semdedup_batch(
+        b2.limit(0), 2, store_dir=store, centroids=cents, threshold=0.99
+    )
+    assert snapshot() == baseline
+
+
+def test_semdedup_store_mid_ingest_serves_drained_prefix(spark, tmp_path):
+    """Read-while-ingesting guarantee for the SemDeDup store (matching
+    the k-means/IVF/text pins): filter("survivor") over the store
+    MID-INGEST equals batch semdedup_kmeans over exactly the drained
+    prefix, at every prefix."""
+    from fresco_hpc_spark.functions.cluster import semdedup_kmeans
+    from fresco_hpc_spark.streaming import process_semdedup_batch
+
+    rows = _semdedup_stream_corpus()
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    store = str(tmp_path / "sdpidx")
+    batches = [rows[:3], rows[3:6], rows[6:]]
+    seen = []
+    for i, chunk in enumerate(batches):
+        seen.extend(chunk)
+        process_semdedup_batch(
+            spark.createDataFrame(
+                chunk, "vec_id bigint, embedding array<double>"
+            ),
+            i, store_dir=store, centroids=cents, threshold=0.99,
+        )
+        served = sorted(
+            (r.vec_id, r.cluster)
+            for r in spark.read.parquet(store)
+            .filter("survivor").collect()
+        )
+        batch = sorted(
+            (r.vec_id, r.cluster)
+            for r in semdedup_kmeans(
+                spark.createDataFrame(
+                    seen, "vec_id bigint, embedding array<double>"
+                ),
+                cents, threshold=0.99,
+            ).collect()
+        )
+        assert served == batch, f"prefix {i}"

@@ -136,6 +136,7 @@ NULL_PARITY_QUERIES = [
     "kmeans_clusters",
     "kmeans_clusters_capped",
     "semdedup_kmeans",
+    "semdedup_kmeans_capped",
 ]
 
 
