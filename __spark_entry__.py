@@ -443,20 +443,14 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs_with_dups(spark, sf_dir))
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # word 3-gram shingles: near-unique on natural text, so candidate pairs
-    # stay linear in the number of true near-dups (unigrams on a small
-    # shared vocabulary would make nearly every pair a candidate).
-    # max_token_freq OPTS INTO the capped plain self-join (r7: the
-    # lossless prefix route became the no-cap default; this registered
-    # query deliberately keeps the bounded-df escape-hatch plan as the
-    # exhibit the prefix twin is benchmarked against — on this corpus
-    # df ≪ 1000, so the cap never truncates and the relation is exact)
-    return ngram_jaccard_pairs(
-        _docs_with_dups(spark, sf_dir), n=3, threshold=0.5,
-        max_token_freq=1000, materialize=True,
-    )
-
+# q_ngram_jaccard ("ngram_jaccard_pairs") was RETIRED from the registry
+# in r14 (VERDICT r13 item 3): the df-capped plain self-join was kept
+# registered only as the uniform-df benchmark foil for the prefix twin;
+# ngram_jaccard_prefix computes the IDENTICAL relation losslessly at any
+# scale and the Zipf exhibit pair already models the quadratic regime.
+# The plain generator stays in the package (functions/dedup.py
+# ngram_jaccard_pairs) with full behavioral tests and the
+# tools/stress_zipf_jaccard.py crossover probe.
 
 def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same relation as ngram_jaccard_pairs via PPJoin-style prefix
@@ -1411,6 +1405,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_CB_CACHE: dict = {}
 
 
+def _semdedup_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Spherical k=8 codebook for the SemDeDup pair, memoized on the
+    corpus content fingerprint like every driver-held codebook."""
+    from fresco_hpc_spark.functions import kmeans_train, unit_normalize
+
+    emb = table(spark, sf_dir, "embeddings")
+    key = _emb_fingerprint(emb, sf_dir)
+    cents = _SEMDEDUP_CB_CACHE.get(key)
+    if cents is None:
+        unitized = unit_normalize(
+            emb.filter(F.col("embedding").isNotNull()).select(
+                "vec_id", "embedding"
+            ),
+            # zero-norm vectors have no home on the unit sphere; the
+            # oracle's unit_root applies the identical filter
+            drop_zero_norm=True,
+        )
+        cents = kmeans_train(
+            unitized, k=8, iterations=2, max_train_rows=None
+        )
+        _SEMDEDUP_CB_CACHE[key] = cents
+    return cents
+
+
 def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's real architecture (functions/
     cluster.py semdedup_kmeans; Abbas et al. 2023): spherical k-means
@@ -1425,28 +1443,39 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalized root), the dup-corpus assignment, and the
     in-cluster pair sweep. Output: survivors (vec_id, cluster,
     label)."""
-    from fresco_hpc_spark.functions import (
-        kmeans_train,
-        semdedup_kmeans,
-        unit_normalize,
-    )
+    return _semdedup_query(spark, sf_dir, max_cluster_size=None)
+
+
+def q_semdedup_kmeans_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION skew-capped SemDeDup path (VERDICT r13 item 2),
+    certified end-to-end: same codebook, threshold, and drop rule as
+    semdedup_kmeans, but the in-cluster pair join runs TRIANGLE-SALTED
+    with max_cluster_size=64 — every cluster larger than the cap is
+    split into g = ceil(n_c/64) id-hash groups and each (i<=j) group
+    pair lands on its own join key, so the largest pair task is ~64²
+    comparisons regardless of natural cluster skew (the r13 ×50 stress
+    measured a 23.9× straggler without this). The salted join computes
+    the IDENTICAL relation (every pair meets exactly once — pinned in
+    test_cluster), so this query SHARES semdedup_kmeans's oracle
+    verbatim, the ngram_jaccard_prefix precedent: one oracle, two
+    certified physical strategies. At sf0.01 the natural ~70-row
+    clusters exceed the 64 cap, so the driver row certifies the salted
+    path actually salting, not a degenerate g=1."""
+    return _semdedup_query(spark, sf_dir, max_cluster_size=64)
+
+
+def _semdedup_query(
+    spark: SparkSession, sf_dir: str, max_cluster_size: int | None
+) -> DataFrame:
+    from fresco_hpc_spark.functions import semdedup_kmeans
 
     emb = table(spark, sf_dir, "embeddings")
-    key = _emb_fingerprint(emb, sf_dir)
-    cents = _SEMDEDUP_CB_CACHE.get(key)
-    if cents is None:
-        unitized = unit_normalize(
-            emb.filter(F.col("embedding").isNotNull()).select(
-                "vec_id", "embedding"
-            )
-        )
-        cents = kmeans_train(
-            unitized, k=8, iterations=2, max_train_rows=None
-        )
-        _SEMDEDUP_CB_CACHE[key] = cents
     survivors = semdedup_kmeans(
-        _embeddings_with_dups(spark, sf_dir), cents, threshold=0.999,
+        _embeddings_with_dups(spark, sf_dir),
+        _semdedup_centroids(spark, sf_dir),
+        threshold=0.999,
         materialize=True,
+        max_cluster_size=max_cluster_size,
     )
     labels = emb.select("vec_id", "label")
     return (
@@ -1465,42 +1494,12 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(_docs_with_dups(spark, sf_dir)).orderBy("doc_id")
 
 
-def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical training-data curation pipeline as ONE composed plan:
-    quality scoring → language filter → exact dedup → per-source rollup.
-    Each stage is an already-oracle-checked operator; this entry checks
-    their composition end-to-end. All Catalyst-native — the joins are on
-    doc_id (broadcast-able at sf, shuffle-partitioned at scale), dedup is
-    one fingerprint groupBy."""
-    docs = table(spark, sf_dir, "documents")
-    quality = text_stats(docs).select("doc_id", "quality_score")
-    langs = language_id(docs).select("doc_id", "predicted_lang")
-    keep = (
-        docs.join(quality, "doc_id")
-        .join(langs, "doc_id")
-        .filter(
-            (F.col("quality_score") >= 0.5) & (F.col("predicted_lang") == "en")
-        )
-        .select("doc_id", "text", "source", "quality_score")
-    )
-    canon = dedup_corpus(keep)
-    # avg over exact integer micro-units, not doubles: quality_score is a
-    # 6-dp decimal, so summing round(score·1e6) bigints is EXACT and
-    # independent of partial-aggregate merge order — a plain avg(double)
-    # can flip the 6th decimal run-to-run once the input is
-    # multi-partition (the _fan_out change surfaced exactly that flake).
-    micro = F.round(F.col("quality_score") * 1e6, 0).cast("bigint")
-    return (
-        canon.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum(micro) / (F.lit(1e6) * F.count(F.lit(1))), 6
-            ).alias("avg_quality"),
-        )
-        .orderBy("source")
-    )
-
+# q_corpus_curation was RETIRED from the registry in r14 (VERDICT r13
+# item 3: registry headroom): the v1 pipeline (quality -> lang filter ->
+# exact dedup -> per-source rollup) is a strict subset of
+# corpus_curation_v5's stage chain, and every stage it composed remains
+# an individually registered, oracle-checked operator (text_stats,
+# lang_id, exact_dedup, source_quality).
 
 def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The known duplicate-pair structure of _docs_with_dups: docs with
@@ -2058,42 +2057,11 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-3 curation pipeline end-to-end: C4-style rule gate →
-    eval-set decontamination (drop contaminated + the eval slice
-    itself) → exact dedup (canonical min-id per fingerprint) →
-    per-source rollup. Each stage is the already-oracle-checked
-    operator; this query proves they COMPOSE — the shape a real corpus
-    build runs nightly."""
-    from fresco_hpc_spark.functions import (
-        document_fingerprint,
-        ngram_decontaminate,
-        quality_rules,
-        token_count,
-    )
-
-    docs = table(spark, sf_dir, "documents")
-    kept = quality_rules(docs).filter("kept").select("doc_id")
-    ev = docs.filter(F.col("doc_id") % 41 == 0)
-    train = docs.filter(F.col("doc_id") % 41 != 0)
-    clean = ngram_decontaminate(train, ev, n=4).filter(~F.col("contaminated")).select("doc_id")
-    survivors = docs.join(kept, "doc_id").join(clean, "doc_id")
-    canon = (
-        document_fingerprint(survivors)
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    final = docs.join(canon, "doc_id")
-    return (
-        final.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
-        )
-        .orderBy("source")
-    )
-
+# q_corpus_curation_v2 was RETIRED from the registry in r14 (VERDICT r13
+# item 3): its stages (C4 rule gate, decontamination, exact dedup,
+# rollup) all remain registered operators (quality_rules, decontaminate,
+# exact_dedup, source_quality) and the composition pattern is kept by
+# corpus_curation_v5, the one retained end-to-end curation pipeline.
 
 def _segment_12(docs: DataFrame) -> DataFrame:
     """Inject 12-word paragraph boundaries (the testdata texts carry no
@@ -2168,39 +2136,11 @@ def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-5 curation pipeline end-to-end: paragraph-level boilerplate
-    removal (corpus-wide first occurrence wins) → drop hollowed-out
-    documents (≥2 surviving paragraphs) → exact substring-duplication
-    gate on the CLEANED text (≤50% of 8-gram positions shared with
-    another doc) → per-source rollup of documents, surviving
-    paragraphs, and clean tokens. Each stage is an already-oracle-
-    checked r5 operator; this query proves they compose — the
-    boilerplate-then-substring order is the standard corpus-build
-    sequence (paragraph dedup first, or shared boilerplate would count
-    as substring duplication everywhere)."""
-    from fresco_hpc_spark.functions import token_count
-
-    docs = table(spark, sf_dir, "documents")
-    cleaned = (
-        paragraph_dedup(_segment_12(docs.select("doc_id", "text")))
-        .filter(F.col("n_kept") >= 2)
-        .select("doc_id", F.col("clean_text").alias("text"), "n_kept")
-    )
-    spans = duplicate_ngram_spans(cleaned, n=8)
-    final = cleaned.join(
-        spans.filter(F.col("dup_frac") <= 0.5).select("doc_id"), "doc_id"
-    ).join(docs.select("doc_id", "source"), "doc_id")
-    return (
-        final.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_kept").cast("bigint").alias("kept_paras"),
-            F.sum(token_count(F.col("text")).cast("bigint")).alias("clean_tokens"),
-        )
-        .orderBy("source")
-    )
-
+# q_corpus_curation_v3 was RETIRED from the registry in r14 (VERDICT r13
+# item 3): boilerplate removal, the paragraph gate, and the 8-gram
+# substring gate remain registered operators (boilerplate_remove,
+# paragraph_dedup, dup_ngram_spans/remove_dup_spans); v5 keeps the
+# composed-pipeline certification.
 
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication profile (functions/text.py
@@ -2245,46 +2185,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(table(spark, sf_dir, "documents"), budget_tokens=512)
 
 
-def q_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-6 curation pipeline end-to-end, composing this round's
-    operators in the standard corpus-build order: per-source domain cap
-    (60 smallest content-stable coins) → corpus [p5, p95] length trim →
-    asymmetric-prefix CONTAINMENT dedup (either direction ≥ 0.9 drops
-    the contained side: fewer words loses, ties drop the larger id) →
-    pack survivors into 512-token training bins with doc-boundary
-    offsets. Every stage is an individually oracle-checked operator;
-    this query proves the composition. Scale: cap = two-phase rank,
-    length = broadcast bounds, containment = prefix·full equi-join,
-    pack = one stratum shuffle — nothing in the chain is corpus²."""
-    from fresco_hpc_spark.functions import (
-        cap_per_group,
-        length_percentile_filter,
-        ngram_containment_pairs_prefix,
-        pack_texts,
-    )
-
-    docs = table(spark, sf_dir, "documents")
-    capped = cap_per_group(docs, n=60).drop("cap_rank")
-    kept = length_percentile_filter(capped, p_low=0.05, p_high=0.95)
-    pairs = ngram_containment_pairs_prefix(
-        kept, n=3, threshold=0.9, materialize=True
-    )
-    na = kept.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("_nwa"))
-    nb = kept.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("_nwb"))
-    dropped = (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            F.when(F.col("_nwa") < F.col("_nwb"), F.col("doc_a"))
-            .when(F.col("_nwb") < F.col("_nwa"), F.col("doc_b"))
-            .otherwise(F.greatest("doc_a", "doc_b"))
-            .alias("doc_id")
-        )
-        .distinct()
-    )
-    survivors = kept.join(dropped, "doc_id", "left_anti").drop("n_words")
-    return pack_texts(survivors, budget_tokens=512)
-
+# q_corpus_curation_v4 was RETIRED from the registry in r14 (VERDICT r13
+# item 3): domain cap, length trim, containment-prefix dedup, and
+# pack_sequences remain registered operators (domain_cap, length_filter,
+# containment_pairs_prefix, pack_sequences); v5 keeps the composed-
+# pipeline certification.
 
 def _v5_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture for the v5 curation pipeline: documents ∪ exact copies
@@ -2647,9 +2552,6 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diversify(cand, m=5, lam=0.7)
 
 
-_RETRIEVAL_IVF_BUILT: dict = {}
-
-
 def q_corpus_retrieval_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end hybrid-retrieval SERVING pipeline (VERDICT r12
     item 8) — the composed path every r12 retrieval piece exists for,
@@ -2665,14 +2567,17 @@ def q_corpus_retrieval_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both retrieval legs are partition-pruned index reads (plan-pinned
     in test_plan_quality for their standalone twins); the fusion and
     re-rank stages touch at most 40 rows regardless of corpus size.
-    Index builds are fingerprint-guarded (text: TBLPROPERTY stamp;
-    IVF: module memo on the corpus fingerprint), so repeated
+    Both index builds are fingerprint-guarded by a TBLPROPERTY stamp
+    on the table itself (ensure_text_index / ensure_ivf_index — ADVICE
+    r13 killed the module-memo variant: a memo keyed on the corpus
+    fingerprint but never written to the table served stale cells when
+    one session alternated between two corpora), so repeated
     invocations measure serving cost, not build cost. Output:
     ``(doc_id, rrf_score, mmr_rank, mmr_score_micro)``."""
     from fresco_hpc_spark.functions import (
         bm25_search_table,
+        ensure_ivf_index,
         ensure_text_index,
-        ivf_build_index,
         ivf_query_index,
         mmr_diversify,
         normalize_text,
@@ -2694,12 +2599,12 @@ def q_corpus_retrieval_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     centroids = _ivf_centroids(spark, sf_dir)
-    key = _emb_fingerprint(emb, sf_dir)
-    if _RETRIEVAL_IVF_BUILT.get(key) is None or not spark.catalog.tableExists(
-        "retrieval_v1_ivf_index"
-    ):
-        ivf_build_index(emb, centroids, "retrieval_v1_ivf_index")
-        _RETRIEVAL_IVF_BUILT[key] = True
+    ensure_ivf_index(
+        emb,
+        centroids,
+        "retrieval_v1_ivf_index",
+        fingerprint="|".join(str(x) for x in _emb_fingerprint(emb, sf_dir)),
+    )
     sem = ivf_query_index(
         spark.table("retrieval_v1_ivf_index"),
         _query_vector(spark, sf_dir),
@@ -3873,22 +3778,12 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dup pairs (functions/dedup.py
-    ngram_containment_pairs): the subdocument/quote signal Jaccard
-    misses — every base document is fully contained (containment 1.0)
-    in its appended-suffix near copy, while the pair's Jaccard can sit
-    below any symmetric threshold."""
-    from fresco_hpc_spark.functions import ngram_containment_pairs
-
-    # explicit max_token_freq keeps this the capped plain-self-join
-    # exhibit (r7: the lossless prefix route is the no-cap default);
-    # df ≪ 1000 on this corpus, so the relation is exact
-    return ngram_containment_pairs(
-        _docs_with_dups(spark, sf_dir), n=3, threshold=0.9,
-        max_token_freq=1000, materialize=True,
-    )
-
+# q_containment_pairs was RETIRED from the registry in r14 (VERDICT r13
+# item 3), mirroring ngram_jaccard_pairs: containment_pairs_prefix is
+# the exact, scale-safe production shape and the Zipf containment
+# exhibits model the plain quadratic regime. The plain generator stays
+# in the package (functions/dedup.py ngram_containment_pairs) with
+# behavioral tests and tools/stress_zipf_containment.py.
 
 def q_containment_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe exact containment (functions/dedup.py
@@ -4047,13 +3942,79 @@ def queries() -> dict[str, Query]:
         # --- ORDER MATTERS: the driver's correctness run caps at 50
         # queries per round taken in dict order. (bench.py follows
         # dict order too and quarantines the heavy Zipf exhibits at
-        # the end of its own suite.) Round-13 window (VERDICT r12
-        # item 1), 50 = 45 + 5; the exact set is pinned by test_edges
+        # the end of its own suite.) Round-14 window (VERDICT r13
+        # item 1), 50 = 46 + 4; the exact set is pinned by test_edges
         # and, structurally, by the ledger-derived staleness invariant
         # (VERDICT r10 item 2):
-        # (1) the 45 queries whose newest driver row is r09 — every
-        #     one goes >=5 rounds stale the moment CORRECTNESS_r13
-        #     lands, so this round clears the whole r09 tranche:
+        # (1) the 46 queries whose newest driver row is r10 — every
+        #     one goes >=5 rounds stale the moment CORRECTNESS_r14
+        #     lands, so this round clears the whole remaining r10
+        #     tranche (the r14 retirement of corpus_curation_v3/v4
+        #     shrank it from 48; COVERAGE.md 'R14 retirements'):
+        "iqr_trim_agg": q_iqr_trim_agg,
+        "mad_trim_agg": q_mad_trim_agg,
+        "interval_join_clicks": q_interval_join_clicks,
+        "time_weighted_avg": q_time_weighted_avg,
+        "ohlc_hourly": q_ohlc_hourly,
+        "rolling_zscore": q_rolling_zscore,
+        "linear_trend": q_linear_trend,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "histogram2d": q_histogram2d,
+        "corpus_curation_v5": q_corpus_curation_v5,
+        "remove_dup_spans": q_remove_dup_spans,
+        "oov_rate": q_oov_rate,
+        "length_filter": q_length_filter,
+        "cluster_split": q_cluster_split,
+        "bigram_logprob": q_bigram_logprob,
+        "winsorize_values": q_winsorize,
+        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
+        "standardize_values": q_standardize_values,
+        "source_quality": q_source_quality,
+        "pack_sequences": q_pack_sequences,
+        "domain_cap": q_domain_cap,
+        "ewma_scan": q_ewma_scan,
+        "holt_forecast": q_holt_forecast,
+        "unigram_logprob": q_unigram_logprob,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "vocab_stats": q_vocab_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "temperature_mixture": q_temperature_mixture,
+        "weighted_repeat": q_weighted_repeat,
+        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
+        "topn_others": q_topn_others,
+        "histogram_bin_index": q_histogram_bin_index,
+        "histogram_range_join": q_histogram_range_join,
+        "etl_block_rates": q_etl_block,
+        "etl_cpu_percent": q_etl_cpu,
+        "etl_mem_metrics": q_etl_mem,
+        "etl_nfs_rates": q_etl_nfs,
+        "exact_dedup": q_exact_dedup,
+        "repetition_stats": q_repetition_stats,
+        "minhash_dup_pairs": q_minhash_dups,
+        "simhash_dup_pairs": q_simhash_dups,
+        "embedding_knn": q_embedding_knn,
+        "embedding_ann_lsh": q_embedding_ann,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "dedup_corpus": q_dedup_corpus,
+        # (2) proactive r11 rotations filling the remaining slots
+        #     (49 r11 rows go stale at r15; rotating a tranche now
+        #     smooths the r15 window to 45 + arrivals). New r14
+        #     arrivals displace these fillers from the window as
+        #     they land (never-certified must be in-window):
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "embedding_quantize": q_embedding_quantize,
+        # the r14 arrival (never-certified -> in-window; displaced the
+        # embedding_ann_int8 filler): the PRODUCTION triangle-salted
+        # SemDeDup path — identical relation, skew-bounded tasks
+        "semdedup_kmeans_capped": q_semdedup_kmeans_capped,
+        # --- outside the 50-query window: newest driver row r11-r13
+        # for every entry below (the displaced r11 filler leads, then
+        # the r11 tranche — it leads the r15 rotation; index_build_text
+        # stays ahead of bm25_search and phrase_search in dict order —
+        # their bench numbers must be query-only):
+        "embedding_ann_int8": q_embedding_ann_int8,
         "rfm_segments": q_rfm_segments,
         "basket_pairs": q_basket_pairs,
         "pagerank_knn_weighted": q_pagerank_knn_weighted,
@@ -4073,7 +4034,6 @@ def queries() -> dict[str, Query]:
         "hopping_window": q_hopping_window,
         "tfidf_top_terms": q_tfidf_top_terms,
         "profile_columns": q_profile_columns,
-        "corpus_curation_v2": q_corpus_curation_v2,
         "lead_quartile_events": q_lead_quartile_events,
         "pivot_wide": q_pivot_wide,
         "unpivot_long": q_unpivot_long,
@@ -4099,29 +4059,11 @@ def queries() -> dict[str, Query]:
         "time_bound_hourly": q_time_bound_hourly,
         "column_stats": q_column_stats,
         "availability": q_availability,
-        # (2) proactive r10 rotations filling the remaining slots (50
-        #     r10 rows go stale at r15; rotating a tranche now smooths
-        #     the r14/r15 windows). New r13 arrivals displace these
-        #     fillers from the window as they land (never-certified
-        #     must be in-window):
         "global_percentiles": q_global_percentiles,
         "percentile_trimmed_hourly": q_percentile_trimmed_hourly,
-        # the r13 arrivals — never-certified, so in-window by the
-        # ledger invariant (each displaced one proactive filler):
-        # the PRODUCTION capped-training k-means path (VERDICT r12
-        # item 4) and the composed hybrid-retrieval serving pipeline
-        # (VERDICT r12 item 8):
         "kmeans_clusters_capped": q_kmeans_clusters_capped,
         "corpus_retrieval_v1": q_corpus_retrieval_v1,
         "semdedup_kmeans": q_semdedup_kmeans,
-        # --- outside the 50-query window: newest driver row r10-r12
-        # for every entry below (the two displaced r10 fillers lead;
-        # index_build_text stays ahead of bm25_search and
-        # phrase_search in dict order — their bench numbers must be
-        # query-only):
-        "iqr_trim_agg": q_iqr_trim_agg,
-        "mad_trim_agg": q_mad_trim_agg,
-        "interval_join_clicks": q_interval_join_clicks,
         "rolling_fingerprint": q_rolling_fingerprint,
         "session_duration": q_session_duration,
         "text_stats": q_text_stats,
@@ -4151,10 +4093,8 @@ def queries() -> dict[str, Query]:
         "event_transitions": q_event_transitions,
         "ks_drift": q_ks_drift,
         "pack_texts": q_pack_texts,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "ngram_jaccard_prefix_zipf": q_ngram_jaccard_prefix_zipf,
-        "containment_pairs": q_containment_pairs,
         "containment_pairs_prefix": q_containment_pairs_prefix,
         "containment_plain_zipf": q_containment_plain_zipf,
         "containment_prefix_zipf": q_containment_prefix_zipf,
@@ -4172,10 +4112,6 @@ def queries() -> dict[str, Query]:
         "name_resolution": q_name_resolution,
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_monthly_yoy": q_revenue_monthly_yoy,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "embedding_quantize": q_embedding_quantize,
-        "embedding_ann_int8": q_embedding_ann_int8,
         "pq_encode": q_pq_encode,
         "embedding_ann_pq": q_embedding_ann_pq,
         "embedding_ann_pq_rerank": q_embedding_ann_pq_rerank,
@@ -4203,7 +4139,6 @@ def queries() -> dict[str, Query]:
         "ann_recall_rp": q_ann_recall_rp,
         "index_build_text": q_index_build_text,
         "bm25_search": q_bm25_search,
-        "corpus_curation": q_corpus_curation,
         "dup_clusters": q_dup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "asof_click_purchase": q_asof_click_purchase,
@@ -4222,51 +4157,6 @@ def queries() -> dict[str, Query]:
         "stratified_sample": q_stratified_sample,
         "token_counts": q_token_counts,
         "phrase_search": q_phrase_search,
-        "time_weighted_avg": q_time_weighted_avg,
-        "ohlc_hourly": q_ohlc_hourly,
-        "rolling_zscore": q_rolling_zscore,
-        "linear_trend": q_linear_trend,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "histogram2d": q_histogram2d,
-        "corpus_curation_v5": q_corpus_curation_v5,
-        "corpus_curation_v3": q_corpus_curation_v3,
-        "remove_dup_spans": q_remove_dup_spans,
-        "oov_rate": q_oov_rate,
-        "length_filter": q_length_filter,
-        "cluster_split": q_cluster_split,
-        "bigram_logprob": q_bigram_logprob,
-        "winsorize_values": q_winsorize,
-        "embedding_ann_ivf_index": q_embedding_ann_ivf_index,
-        "standardize_values": q_standardize_values,
-        "source_quality": q_source_quality,
-        "pack_sequences": q_pack_sequences,
-        "domain_cap": q_domain_cap,
-        "corpus_curation_v4": q_corpus_curation_v4,
-        "ewma_scan": q_ewma_scan,
-        "holt_forecast": q_holt_forecast,
-        "unigram_logprob": q_unigram_logprob,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "vocab_stats": q_vocab_stats,
-        "semantic_dedup": q_semantic_dedup,
-        "temperature_mixture": q_temperature_mixture,
-        "weighted_repeat": q_weighted_repeat,
-        "ngram_jaccard_plain_zipf": q_ngram_jaccard_plain_zipf,
-        "topn_others": q_topn_others,
-        "histogram_bin_index": q_histogram_bin_index,
-        "histogram_range_join": q_histogram_range_join,
-        "etl_block_rates": q_etl_block,
-        "etl_cpu_percent": q_etl_cpu,
-        "etl_mem_metrics": q_etl_mem,
-        "etl_nfs_rates": q_etl_nfs,
-        "exact_dedup": q_exact_dedup,
-        "repetition_stats": q_repetition_stats,
-        "minhash_dup_pairs": q_minhash_dups,
-        "simhash_dup_pairs": q_simhash_dups,
-        "embedding_knn": q_embedding_knn,
-        "embedding_ann_lsh": q_embedding_ann,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "dedup_corpus": q_dedup_corpus,
     }
 
 # --- DuckDB oracles --------------------------------------------------------
@@ -4993,7 +4883,7 @@ def _semdedup_kmeans_oracle_sql(
         "SELECT vec_id, list_transform(v, x -> x / "
         "sqrt(list_dot_product(v, v))) AS v FROM ("
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
-        "WHERE embedding IS NOT NULL)"
+        "WHERE embedding IS NOT NULL) WHERE list_dot_product(v, v) > 0"
     )
     d = (
         "(list_dot_product(dcu.u, dcu.u)"
@@ -5002,18 +4892,23 @@ def _semdedup_kmeans_oracle_sql(
     )
     return f"""
         WITH {_pq_ctes(1, k, iterations, dim, base_select=unit_root)},
+        -- NULL-embedding rows are excluded HERE and zero-norm rows in
+        -- dcu below — the exact two filters semdedup_kmeans applies
+        -- (ADVICE r13: the operator's documented contract, not
+        -- engine-dependent x/0 behavior, decides who deduplicates)
         dc AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE embedding IS NOT NULL
             UNION ALL
             SELECT vec_id + 100000,
                    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
-            FROM embeddings WHERE vec_id % 10 = 0
+            FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
         ),
         dcu AS MATERIALIZED (
             SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                    list_transform(v, x -> x
                        / sqrt(list_dot_product(v, v))) AS u
-            FROM dc
+            FROM dc WHERE list_dot_product(v, v) > 0
         ),
         dasg AS MATERIALIZED (
             SELECT vec_id, v, nrm, CAST(code AS INT) AS cluster FROM (
@@ -6580,67 +6475,6 @@ def oracle_sql() -> dict[str, str]:
             FROM per_dim p JOIN asm a ON p.label IS NOT DISTINCT FROM a.label
             ORDER BY p.label, dim
         """,
-        "corpus_curation_v2": """
-            WITH q AS (
-                SELECT doc_id,
-                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                            END AS BIGINT) AS n_words,
-                       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_ws,
-                       CAST(len(regexp_extract_all(lower(text),
-                            '\\b(the|a|of|to|and|is|in|that|it|for|on|with|as|at|by)\\b'))
-                            AS BIGINT) AS stop,
-                       lang
-                FROM documents
-            ),
-            kept AS (
-                SELECT doc_id FROM q
-                WHERE n_words >= 20
-                  AND (non_ws / CAST(GREATEST(n_words, 1) AS DOUBLE)) BETWEEN 2.5 AND 12.0
-                  AND stop > 0 AND lang = 'en'
-            ),
-            words AS (
-                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-                FROM documents
-            ),
-            toks AS (
-                SELECT DISTINCT doc, token FROM (
-                    SELECT doc_id AS doc,
-                           unnest(list_transform(generate_series(1, len(w) - 3),
-                                  i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS token
-                    FROM words
-                )
-            ),
-            ev AS (SELECT DISTINCT token FROM toks WHERE doc % 41 = 0),
-            contaminated AS (
-                SELECT DISTINCT t.doc FROM toks t JOIN ev USING (token)
-                WHERE t.doc % 41 <> 0
-            ),
-            clean AS (
-                SELECT doc_id FROM documents
-                WHERE doc_id % 41 <> 0
-                  AND doc_id NOT IN (SELECT doc FROM contaminated)
-            ),
-            survivors AS (
-                SELECT d.doc_id, d.text, d.source FROM documents d
-                JOIN kept USING (doc_id) JOIN clean USING (doc_id)
-            ),
-            canon AS (
-                SELECT MIN(doc_id) AS doc_id
-                FROM (
-                    SELECT doc_id,
-                           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-                    FROM survivors
-                ) GROUP BY f
-            )
-            SELECT d.source,
-                   COUNT(*) AS n_docs,
-                   CAST(SUM(CASE WHEN length(trim(d.text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
-                        END) AS BIGINT) AS total_tokens
-            FROM documents d JOIN canon USING (doc_id)
-            GROUP BY d.source ORDER BY d.source
-        """,
         "chunk_documents": """
             WITH words AS (
                 SELECT doc_id,
@@ -6751,7 +6585,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM fp GROUP BY fingerprint ORDER BY canonical_id
         """,
-        "ngram_jaccard_pairs": f"""
+        "ngram_jaccard_prefix": f"""
             WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
             words AS (
                 SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -6809,71 +6643,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
             FROM fp GROUP BY f ORDER BY doc_id
-        """,
-        "corpus_curation": """
-            WITH s AS (
-                SELECT doc_id,
-                       CAST(length(text) AS BIGINT) AS n_chars,
-                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                            END AS BIGINT) AS n_words,
-                       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_count,
-                       CAST(len(regexp_extract_all(lower(text),
-                            '\\b(the|a|of|to|and|is|in|that|it|for|on|with|as|at|by)\\b'))
-                            AS BIGINT) AS stop
-                FROM documents
-            ),
-            q AS (
-                SELECT doc_id,
-                       ROUND(0.4 * LEAST(n_words / 50.0, 1.0)
-                           + 0.3 * (1.0 - LEAST(punct_count / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 10, 1.0))
-                           + 0.3 * LEAST(stop / CAST(GREATEST(n_words, 1) AS DOUBLE) * 5, 1.0),
-                           6) AS quality_score
-                FROM s
-            ),
-            lg AS (
-                SELECT doc_id,
-                       CAST(len(regexp_extract_all(lower(text),
-                            '\\b(the|a|of|to|and|is|in|that|it|for)\\b')) AS BIGINT) AS score_en,
-                       CAST(len(regexp_extract_all(lower(text),
-                            '\\b(el|la|de|que|y|en|un|una|por|con)\\b')) AS BIGINT) AS score_es,
-                       CAST(len(regexp_extract_all(lower(text),
-                            '\\b(le|la|de|et|les|des|un|une|dans|pour)\\b')) AS BIGINT) AS score_fr,
-                       CAST(len(regexp_extract_all(lower(text),
-                            '\\b(der|die|das|und|ist|von|mit|den|für|auf)\\b')) AS BIGINT) AS score_de
-                FROM documents
-            ),
-            l AS (
-                SELECT doc_id,
-                       CASE WHEN GREATEST(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
-                            WHEN score_en = GREATEST(score_en, score_es, score_fr, score_de) THEN 'en'
-                            WHEN score_es = GREATEST(score_en, score_es, score_fr, score_de) THEN 'es'
-                            WHEN score_fr = GREATEST(score_en, score_es, score_fr, score_de) THEN 'fr'
-                            ELSE 'de' END AS predicted_lang
-                FROM lg
-            ),
-            keep AS (
-                SELECT d.doc_id, d.text, d.source, q.quality_score
-                FROM documents d
-                JOIN q USING (doc_id) JOIN l USING (doc_id)
-                WHERE q.quality_score >= 0.5 AND l.predicted_lang = 'en'
-            ),
-            fp AS (
-                SELECT doc_id, source, quality_score,
-                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-                FROM keep
-            ),
-            canon AS (
-                SELECT MIN(doc_id) AS doc_id,
-                       min_by(source, doc_id) AS source,
-                       min_by(quality_score, doc_id) AS quality_score
-                FROM fp GROUP BY f
-            )
-            SELECT source, COUNT(*) AS n_docs,
-                   -- exact integer micro-unit mean (see q_corpus_curation)
-                   ROUND(SUM(CAST(ROUND(quality_score * 1e6, 0) AS BIGINT))
-                         / (1e6 * COUNT(*)), 6) AS avg_quality
-            FROM canon GROUP BY source ORDER BY source
         """,
         "dup_clusters": """
             WITH pairs AS (
@@ -7268,9 +7037,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
     }
-    # the prefix-filtered variant computes the IDENTICAL relation (prefix
-    # filtering is lossless for Jaccard >= t), so it shares the oracle
-    oracles["ngram_jaccard_prefix"] = oracles["ngram_jaccard_pairs"]
+    # (the retired plain variant "ngram_jaccard_pairs" shared this oracle
+    # until r14 — prefix filtering is lossless for Jaccard >= t, so both
+    # computed the identical relation)
 
     # Zipf-corpus Jaccard crossover pair: the corpus itself is generated
     # inside the oracle — the md5-derived uniform draw is byte-identical
@@ -7731,97 +7500,6 @@ def oracle_sql() -> dict[str, str]:
         FROM c ORDER BY source, doc_id
     """
 
-    # v4 pipeline: every fragment below is the proven oracle of its
-    # stage (cap coin, PERCENTILE_CONT trim, distinct-shingle
-    # containment, prefix-sum packing), composed in order.
-    oracles["corpus_curation_v4"] = r"""
-        WITH c0 AS (
-            SELECT doc_id, text, source,
-                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-                       (('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
-                                        1, 15))::BIGINT
-                        / 1152921504606846976.0), doc_id) AS rk
-            FROM documents
-        ),
-        capped AS (SELECT doc_id, text, source FROM c0 WHERE rk <= 60),
-        w AS (
-            SELECT *, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
-                           END AS BIGINT) AS n_words
-            FROM capped
-        ),
-        b AS (
-            SELECT ROUND(PERCENTILE_CONT(0.05)
-                         WITHIN GROUP (ORDER BY n_words), 6) AS lo,
-                   ROUND(PERCENTILE_CONT(0.95)
-                         WITHIN GROUP (ORDER BY n_words), 6) AS hi
-            FROM w
-        ),
-        kept AS (
-            SELECT w.* FROM w, b WHERE n_words >= lo AND n_words <= hi
-        ),
-        words AS (
-            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-            FROM kept
-        ),
-        toks AS (
-            SELECT DISTINCT doc, token FROM (
-                SELECT doc_id AS doc,
-                       unnest(list_transform(generate_series(1, len(ws) - 2),
-                              i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS token
-                FROM words
-            )
-        ),
-        sizes AS (SELECT doc, COUNT(*) AS n FROM toks GROUP BY doc),
-        inter AS (
-            SELECT a.doc AS da, b.doc AS db, COUNT(*) AS nc
-            FROM toks a JOIN toks b ON a.token = b.token AND a.doc < b.doc
-            GROUP BY 1, 2
-        ),
-        pairs AS (
-            SELECT da, db FROM inter
-            JOIN sizes sa ON sa.doc = da JOIN sizes sb ON sb.doc = db
-            WHERE ROUND(nc / CAST(sa.n AS DOUBLE), 6) >= 0.9
-               OR ROUND(nc / CAST(sb.n AS DOUBLE), 6) >= 0.9
-        ),
-        contained AS (
-            SELECT DISTINCT CASE
-                       WHEN ka.n_words < kb.n_words THEN p.da
-                       WHEN kb.n_words < ka.n_words THEN p.db
-                       ELSE greatest(p.da, p.db) END AS doc_id
-            FROM pairs p
-            JOIN kept ka ON ka.doc_id = p.da
-            JOIN kept kb ON kb.doc_id = p.db
-        ),
-        surv AS (
-            SELECT k.* FROM kept k
-            LEFT JOIN contained d USING (doc_id) WHERE d.doc_id IS NULL
-        ),
-        pb AS (
-            SELECT source, doc_id, text, n_words,
-                   CAST(floor(COALESCE(SUM(n_words) OVER (
-                            PARTITION BY source ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                        ), 0) / 512.0) AS BIGINT) AS bin_id
-            FROM surv
-        ),
-        po AS (
-            SELECT *, COALESCE(SUM(n_words) OVER (
-                        PARTITION BY source, bin_id ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                    ), 0) AS off
-            FROM pb
-        )
-        SELECT source, bin_id,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
-               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
-               string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets,
-               string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
-                   AS packed_text
-        FROM po GROUP BY source, bin_id
-        ORDER BY source, bin_id
-    """
 
     # v5 pipeline: chrome-wrapped dup corpus → the boilerplate oracle's
     # frequency CTEs → the remove_dup_spans oracle's surgery CTEs → the
@@ -9986,6 +9664,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["kmeans_clusters_capped"] = _kmeans_clusters_capped_oracle_sql()
     oracles["corpus_retrieval_v1"] = _corpus_retrieval_v1_oracle_sql()
     oracles["semdedup_kmeans"] = _semdedup_kmeans_oracle_sql()
+    # the capped variant computes the IDENTICAL relation (triangle
+    # salting is exact — every pair meets exactly once), so it shares
+    # the oracle verbatim, the ngram_jaccard_prefix precedent
+    oracles["semdedup_kmeans_capped"] = oracles["semdedup_kmeans"]
     oracles["coreset_sample"] = _coreset_sample_oracle_sql()
     oracles["pq_encode"] = _pq_encode_oracle_sql()
     oracles["embedding_ann_pq"] = _pq_adc_oracle_sql()
@@ -10203,44 +9885,6 @@ def oracle_sql() -> dict[str, str]:
         FROM labeled ORDER BY doc_id
     """
 
-    oracles["containment_pairs"] = f"""
-        WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
-        words AS (
-            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-            FROM docs
-        ),
-        toks AS (
-            SELECT DISTINCT doc, token FROM (
-                SELECT doc_id AS doc,
-                       unnest(list_transform(generate_series(1, len(w) - 2),
-                              i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS token
-                FROM words
-            )
-        ),
-        sizes AS (SELECT doc, COUNT(*) AS n FROM toks GROUP BY doc),
-        freq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
-        rare AS (
-            SELECT t.doc, t.token FROM toks t
-            JOIN freq f ON t.token = f.token WHERE f.df <= 1000
-        ),
-        inter AS (
-            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
-            FROM rare a JOIN rare b
-              ON a.token = b.token AND a.doc < b.doc
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
-               ROUND(n_common / CAST(sa.n AS DOUBLE), 6) AS containment_a,
-               ROUND(n_common / CAST(sb.n AS DOUBLE), 6) AS containment_b,
-               ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
-                   AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc = doc_a
-        JOIN sizes sb ON sb.doc = doc_b
-        WHERE ROUND(n_common / CAST(sa.n AS DOUBLE), 6) >= 0.9
-           OR ROUND(n_common / CAST(sb.n AS DOUBLE), 6) >= 0.9
-        ORDER BY doc_a, doc_b
-    """
 
     # Same relation as containment_pairs but with NO frequency cap —
     # the prefix variant is exact over all tokens (the cap exists only
@@ -10384,77 +10028,6 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY t.doc_id
     """
 
-    # v3 curation: the paragraph-dedup CTEs feed the substring gate on
-    # the CLEANED text, then a per-source rollup — each stage the exact
-    # SQL of its standalone oracle.
-    oracles["corpus_curation_v3"] = r"""
-        WITH src AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-            FROM documents WHERE trim(text) <> ''
-        ),
-        paras AS (
-            SELECT doc_id, t.c AS idx,
-                   array_to_string(ws[(t.c*12 + 1):(t.c*12 + 12)], ' ') AS para
-            FROM src,
-                 UNNEST(generate_series(
-                     0, CAST(ceil(array_length(ws) / 12.0) AS BIGINT) - 1
-                 )) AS t(c)
-        ),
-        norm AS (
-            SELECT doc_id, idx, para,
-                   trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS fp
-            FROM paras
-            WHERE trim(regexp_replace(lower(para), '\s+', ' ', 'g')) <> ''
-        ),
-        ranked AS (
-            SELECT doc_id, idx, para,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY fp ORDER BY doc_id, idx
-                   ) AS rn
-            FROM norm
-        ),
-        cleaned AS (
-            SELECT doc_id, COUNT(*) AS n_kept,
-                   string_agg(para, chr(10) ORDER BY idx) AS text
-            FROM ranked WHERE rn = 1 GROUP BY doc_id
-            HAVING COUNT(*) >= 2
-        ),
-        ws2 AS (
-            SELECT doc_id,
-                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
-            FROM cleaned
-        ),
-        grams AS (
-            SELECT doc_id, md5(array_to_string(w[t.i:(t.i + 7)], ' ')) AS g
-            FROM ws2,
-                 UNNEST(generate_series(1, array_length(w) - 7)) AS t(i)
-            WHERE array_length(w) >= 8
-        ),
-        gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
-        tot2 AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
-        dup2 AS (
-            SELECT grams.doc_id, COUNT(*) AS n_dup
-            FROM grams JOIN gd USING (g) WHERE gd.nd >= 2
-            GROUP BY grams.doc_id
-        ),
-        gate AS (
-            SELECT c.doc_id FROM cleaned c
-            LEFT JOIN tot2 t USING (doc_id)
-            LEFT JOIN dup2 d USING (doc_id)
-            WHERE ROUND(COALESCE(d.n_dup, 0)
-                        / CAST(GREATEST(COALESCE(t.n_grams, 0), 1) AS DOUBLE),
-                        6) <= 0.5
-        )
-        SELECT d.source,
-               COUNT(*) AS n_docs,
-               CAST(SUM(c.n_kept) AS BIGINT) AS kept_paras,
-               CAST(SUM(len(regexp_split_to_array(trim(c.text), '\s+')))
-                    AS BIGINT) AS clean_tokens
-        FROM cleaned c
-        JOIN gate USING (doc_id)
-        JOIN documents d USING (doc_id)
-        GROUP BY d.source ORDER BY d.source
-    """
 
     # Hopping windows: each event lands in the 4 windows starting at
     # floor15(ts) - k*15min, k=0..3 (epoch-aligned, matching F.window).

@@ -57,20 +57,21 @@ EXHIBIT_QUERIES = {
 #: text — prefix wins) and the driver corpus's near-uniform df (no head
 #: to prune — plain wins). Cells name registered queries; bench_out.json
 #: carries their {sec, shuffle_bytes, tasks, gc_ms} under ``exhibits``.
-#: Both semantics (Jaccard + containment) cover both geometries as of
-#: r7; tools/stress_zipf_containment.py remains the larger-corpus
-#: crossover probe behind the SCALE.md analysis.
+#: r14: the uniform_plain cells ("ngram_jaccard_pairs",
+#: "containment_pairs") were retired from the registry (VERDICT r13
+#: item 3) — the Zipf exhibits model the plain/quadratic regime and
+#: tools/stress_zipf_{jaccard,containment}.py remain the larger-corpus
+#: crossover probes behind the SCALE.md analysis, so those cells now
+#: drop out of the grid (the ``if q in timings`` guard below).
 EXHIBIT_GRID = {
     "jaccard": {
         "zipf_plain": "ngram_jaccard_plain_zipf",
         "zipf_prefix": "ngram_jaccard_prefix_zipf",
-        "uniform_plain": "ngram_jaccard_pairs",
         "uniform_prefix": "ngram_jaccard_prefix",
     },
     "containment": {
         "zipf_plain": "containment_plain_zipf",
         "zipf_prefix": "containment_prefix_zipf",
-        "uniform_plain": "containment_pairs",
         "uniform_prefix": "containment_pairs_prefix",
     },
 }

@@ -135,53 +135,54 @@ def _certification_ledger() -> tuple[dict[str, int], int]:
 
 def test_correctness_window_contains_priority_queries():
     """The driver certifies the FIRST 50 queries() keys each round. The
-    round-13 window must hold (VERDICT r12 item 1) the 45 queries whose
-    newest driver row is r09 — all of them go >=5 rounds stale the
-    moment CORRECTNESS_r13 lands, and with 50 slots this is the round
-    to clear the whole tranche — plus proactive r10 rotations that new
-    r13 arrivals displace as they land. An accidental insertion above
-    them silently pushes the tail out of the window while the comments
-    still claim coverage (r6 review finding: three queries drifted to
-    positions 51-53; r9 repeat: boilerplate_remove pushed time_extent
-    to position 51). The pin is exactly window-sized: an insertion that
-    grows it past 50 fails HERE, at authoring time, not at judging
-    time. Bench-order dependencies are pinned too: index_build_text
-    (outside the window this round) must precede phrase_search and
-    bm25_search in dict order so their bench numbers are query-only."""
+    round-14 window must hold (VERDICT r13 item 1) the 46 queries whose
+    newest driver row is r10 — all of them go >=5 rounds stale the
+    moment CORRECTNESS_r14 lands, and with 50 slots this is the round
+    to clear the whole tranche (the r14 retirements of
+    corpus_curation_v3/v4 shrank it from 48) — plus proactive r11
+    rotations that new r14 arrivals displace as they land. An
+    accidental insertion above them silently pushes the tail out of the
+    window while the comments still claim coverage (r6 review finding:
+    three queries drifted to positions 51-53; r9 repeat:
+    boilerplate_remove pushed time_extent to position 51). The pin is
+    exactly window-sized: an insertion that grows it past 50 fails
+    HERE, at authoring time, not at judging time. Bench-order
+    dependencies are pinned too: index_build_text (outside the window
+    this round) must precede phrase_search and bm25_search in dict
+    order so their bench numbers are query-only."""
     import __spark_entry__ as m
 
     names = list(m.queries())
     window = names[:50]
     priority = {
-        # the 45 r09-certified queries — >=5 rounds stale when
-        # CORRECTNESS_r13 lands; the ledger invariant below forces
+        # the 46 r10-certified queries — >=5 rounds stale when
+        # CORRECTNESS_r14 lands; the ledger invariant below forces
         # exactly this set to lead the window
-        "rfm_segments", "basket_pairs", "pagerank_knn_weighted",
-        "ks_drift_quantized", "ks_reference_drift", "data_quality_checks",
-        "quantile_normalize", "merge_upsert", "approx_percentiles",
-        "grouped_approx_percentiles", "bpe_merges", "bpe_segments",
-        "boilerplate_remove", "phash_dup_pairs", "paragraph_dedup",
-        "dup_ngram_spans", "hopping_window", "tfidf_top_terms",
-        "profile_columns", "corpus_curation_v2", "lead_quartile_events",
-        "pivot_wide", "unpivot_long", "synthetic_gen",
-        "wide_table_roundtrip", "rolling_hour_avg", "session_stats",
-        "daily_uniques", "topk_users_per_event", "set_ops_events",
-        "gap_fill_hourly", "monthly_rollup", "cast_double_view",
-        "scaled_view", "zero_fill", "join_broadcast_dim",
-        "join_large_sortmerge", "join_semi_anti", "join_salted_skew",
-        "rollup_monthly_events", "cube_user_bucket_events", "hourly_agg",
-        "time_bound_hourly", "column_stats", "availability",
-        # proactive r10 rotations (50 r10 rows go stale at r15; this
-        # tranche smooths the r14/r15 windows). Two further fillers
-        # (mad_trim_agg, interval_join_clicks) were displaced by the
-        # r13 arrivals below.
-        "global_percentiles", "percentile_trimmed_hourly",
-        # the r13 arrivals (never-certified -> in-window): the
-        # certified PRODUCTION capped-training k-means path, the
-        # composed hybrid-retrieval serving pipeline, and the
-        # cluster-blocked SemDeDup
-        "kmeans_clusters_capped", "corpus_retrieval_v1",
-        "semdedup_kmeans",
+        "iqr_trim_agg", "mad_trim_agg", "interval_join_clicks",
+        "time_weighted_avg", "ohlc_hourly", "rolling_zscore",
+        "linear_trend", "funnel", "cohort_retention", "histogram2d",
+        "corpus_curation_v5", "remove_dup_spans", "oov_rate",
+        "length_filter", "cluster_split", "bigram_logprob",
+        "winsorize_values", "embedding_ann_ivf_index",
+        "standardize_values", "source_quality", "pack_sequences",
+        "domain_cap", "ewma_scan", "holt_forecast", "unigram_logprob",
+        "cross_corpus_dedup", "vocab_stats", "semantic_dedup",
+        "temperature_mixture", "weighted_repeat",
+        "ngram_jaccard_plain_zipf", "topn_others", "histogram_bin_index",
+        "histogram_range_join", "etl_block_rates", "etl_cpu_percent",
+        "etl_mem_metrics", "etl_nfs_rates", "exact_dedup",
+        "repetition_stats", "minhash_dup_pairs", "simhash_dup_pairs",
+        "embedding_knn", "embedding_ann_lsh", "embedding_ann_ivf",
+        "dedup_corpus",
+        # proactive r11 rotations (49 r11 rows go stale at r15; this
+        # tranche smooths the r15 window to 45 + arrivals). New r14
+        # arrivals displace these fillers as they land.
+        "dsir_weights", "dsir_select", "embedding_quantize",
+        # the r14 arrival (never-certified -> in-window; displaced the
+        # embedding_ann_int8 filler): the PRODUCTION triangle-salted
+        # SemDeDup path, identical relation to semdedup_kmeans with
+        # skew-bounded pair tasks
+        "semdedup_kmeans_capped",
     }
     assert len(priority) == 50, (
         f"priority pin must be exactly window-sized, got {len(priority)}"

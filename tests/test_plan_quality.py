@@ -65,16 +65,29 @@ def lazy_plan_of(spark, name: str) -> str:
             entrymod._incoming_batch(spark, SF_SMALL),
             threshold=0.5,
         ),
-        # lazy variant (the registered query materializes — eager
-        # checkpoint collapses the plan to ExistingRDD); centroid
-        # VALUES don't change the plan shape, so two cheap literals
-        # stand in for the trained spherical codebook
+        # lazy variant (materialize defaults to True since r14 —
+        # VERDICT r13 item 6 — and an eager checkpoint collapses the
+        # plan to ExistingRDD); centroid VALUES don't change the plan
+        # shape, so two cheap literals stand in for the trained
+        # spherical codebook
         "semdedup_kmeans": lambda: __import__(
             "fresco_hpc_spark.functions", fromlist=["semdedup_kmeans"]
         ).semdedup_kmeans(
             entrymod._embeddings_with_dups(spark, SF_SMALL),
             [[1.0] + [0.0] * 63, [0.0] * 63 + [1.0]],
             threshold=0.999,
+            materialize=False,
+        ),
+        # capped variant with a cap tiny enough that the triangle
+        # salting is actually IN the probed plan (g > 1)
+        "semdedup_kmeans_capped": lambda: __import__(
+            "fresco_hpc_spark.functions", fromlist=["semdedup_kmeans"]
+        ).semdedup_kmeans(
+            entrymod._embeddings_with_dups(spark, SF_SMALL),
+            [[1.0] + [0.0] * 63, [0.0] * 63 + [1.0]],
+            threshold=0.999,
+            materialize=False,
+            max_cluster_size=2,
         ),
     }
     return _explain(spark, builders[name]())
@@ -195,7 +208,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "text_stats", "lang_id", "exact_dedup", "minhash_dup_pairs",
         "token_counts", "rolling_fingerprint", "embedding_knn",
         "asof_click_purchase", "session_stats", "gap_fill_hourly",
-        "corpus_curation", "rolling_hour_avg", "topk_users_per_event",
+        "rolling_hour_avg", "topk_users_per_event",
         "daily_uniques", "join_salted_skew", "rollup_monthly_events",
         "set_ops_events",
         # round 2
@@ -206,7 +219,7 @@ def test_lazy_default_keeps_plan_composable(spark):
         "funnel", "cohort_retention",
         # round 3
         "decontaminate", "quality_rules", "class_centroids", "redact_pii",
-        "chunk_documents", "corpus_curation_v2",
+        "chunk_documents",
         # round 4 (ewma_user_value moved to the Python-by-design set in
         # r7: ewma's default route is now the linear recurrence scan)
         "tfidf_top_terms", "unigram_logprob", "cross_corpus_dedup",
@@ -215,12 +228,11 @@ def test_lazy_default_keeps_plan_composable(spark):
         # round 5 (ewma_scan and phash_dup_pairs are Python-path by
         # design: the recurrence scan and the pixel decode)
         "paragraph_dedup", "dup_ngram_spans", "hopping_window",
-        "corpus_curation_v3", "remove_dup_spans", "oov_rate", "length_filter",
-        "containment_pairs", "cluster_split", "bigram_logprob", "winsorize_values",
+        "remove_dup_spans", "oov_rate", "length_filter",
+        "cluster_split", "bigram_logprob", "winsorize_values",
         "standardize_values", "source_quality", "pack_sequences",
         # round 6
         "containment_pairs_prefix", "pack_texts", "domain_cap", "knn_graph",
-        "corpus_curation_v4",
         # round 7
         "grouped_percentiles", "weighted_sample", "histogram_equi_depth",
         "pagerank_knn", "fuzzy_match_parts", "source_divergence",
@@ -259,6 +271,9 @@ def test_lazy_default_keeps_plan_composable(spark):
         # collects a bounded top-10 — the retrieval legs it composes
         # are pinned below and by their standalone twins)
         "kmeans_clusters_capped", "semdedup_kmeans",
+        # round 14 (the salted pair join is pure SQL: broadcast k-row
+        # fan-out + explode + equi-join on the triangle key)
+        "semdedup_kmeans_capped",
     ],
 )
 def test_no_python_eval_in_sql_paths(spark, name):
@@ -272,6 +287,7 @@ def test_no_python_eval_in_sql_paths(spark, name):
         "cross_corpus_dedup",
         "containment_pairs_prefix",
         "semdedup_kmeans",
+        "semdedup_kmeans_capped",
     ):
         plan = lazy_plan_of(spark, name)
     else:
@@ -343,7 +359,9 @@ def test_gap_fill_grid_join_is_equi(spark):
 
 
 def test_corpus_curation_no_cartesian(spark):
-    plan = plan_of(spark, "corpus_curation")
+    # corpus_curation v1-v4 were retired from the registry in r14
+    # (VERDICT r13 item 3); v5 is the one retained end-to-end pipeline
+    plan = plan_of(spark, "corpus_curation_v5")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
