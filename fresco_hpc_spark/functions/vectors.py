@@ -43,6 +43,80 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _sql_double(v: float) -> str:
+    """One double literal for an expr string. ``repr`` emits the
+    shortest decimal that round-trips to the same IEEE double, and the
+    SQL CAST parses correctly-rounded, so the literal is bit-identical
+    to ``F.lit(v)`` (verified over randoms + subnormals + -0.0)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def lit_doubles(vals) -> Column:
+    """1-D double-array literal built as ONE ``F.expr`` call. The
+    per-element ``F.lit`` form costs one py4j round-trip per element —
+    ~1.9 s per PQ query for the m×n_codes×dim codebook tensors
+    (measured r14); one parsed expr string is ~20 ms. Values are
+    bit-identical (see :func:`_sql_double`)."""
+    return F.expr(
+        "array(" + ",".join(_sql_double(float(v)) for v in vals) + ")"
+    )
+
+
+def lit_doubles_2d(rows) -> Column:
+    """2-D double-array literal as one expr call (see
+    :func:`lit_doubles`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(float(v)) for v in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
+def lit_doubles_3d(cubes) -> Column:
+    """3-D double-array literal as one expr call (see
+    :func:`lit_doubles`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_sql_double(float(v)) for v in r) + ")"
+                for r in rows
+            )
+            + ")"
+            for rows in cubes
+        )
+        + ")"
+    )
+
+
+def lit_bigints(vals) -> Column:
+    """1-D bigint-array literal as one expr call (``L`` suffix =
+    LongType literal; see :func:`lit_doubles`)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def bind_once(col: Column, f) -> Column:
+    """Evaluate ``col`` ONCE and feed the bound value to ``f`` — the
+    higher-order-function analogue of a local variable:
+    ``element_at(transform(array(col), f), 1)``.
+
+    Spark's higher-order functions run interpreted (CodegenFallback),
+    with no common-subexpression elimination across the duplicated
+    subtrees an expression like ``array_position(d, array_min(d))``
+    creates — each textual reference re-evaluates the whole subtree.
+    Binding through a lambda variable makes the engine evaluate the
+    subtree once and reference the VALUE thereafter. Values are
+    bit-identical (same arithmetic, same operand order — only the
+    evaluation COUNT changes), so oracle parity is untouched; the PQ
+    encode kernel measured 3.2 s → 0.37 s at sf0.1 from this alone
+    (guide §4.1/§4.2: per-task expression work)."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with deterministic left-to-right accumulation."""
     return F.aggregate(
@@ -53,9 +127,18 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array columns (cast to double)."""
-    da, db = _as_double(a), _as_double(b)
-    return _dot(da, db) / (F.sqrt(_dot(da, da)) * F.sqrt(_dot(db, db)))
+    """Cosine similarity between two array columns (cast to double).
+    Both operands are bound once (:func:`bind_once`): the naive form
+    re-evaluates the double-cast of ``a`` three times and of ``b``
+    twice per row — identical values, 2-3× less per-row work."""
+    return bind_once(
+        _as_double(a),
+        lambda da: bind_once(
+            _as_double(b),
+            lambda db: _dot(da, db)
+            / (F.sqrt(_dot(da, da)) * F.sqrt(_dot(db, db))),
+        ),
+    )
 
 
 def brute_force_knn(
@@ -72,7 +155,7 @@ def brute_force_knn(
     is rounded before ranking so rank boundaries are stable across
     engines/summation strategies; ties break on id.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(query_vec)
     sim = F.round(cosine_similarity_col(F.col(vec_col), q), _ROUND)
     scored = embeddings.select(F.col(id_col), sim.alias("cosine_sim"))
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
@@ -189,15 +272,19 @@ def _plane_constants(num_planes: int, dim: int, seed: int = 11) -> list[list[flo
 
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Bucket id = integer from sign bits of plane dot products."""
-    v = _as_double(vec_col)
-    sig = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(c) for c in plane])
-        bit = F.when(_dot(v, p) >= 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = sig + F.shiftleft(bit, i)
-    return sig
+    def _sig(vv):
+        sig = F.lit(0).cast("bigint")
+        for i, plane in enumerate(planes):
+            p = lit_doubles(plane)
+            bit = F.when(_dot(vv, p) >= 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            sig = sig + F.shiftleft(bit, i)
+        return sig
+
+    # bind the cast vector once: the unrolled form re-ran the cast
+    # transform under every plane's dot product (num_planes× per row)
+    return bind_once(_as_double(vec_col), _sig)
 
 
 def ivf_assign(
@@ -220,18 +307,22 @@ def ivf_assign(
     order) lands on bit-identical centroid literals — same convention as
     the 6-dp output rounding, applied where the discrete argmax decision
     is made."""
-    v = _as_double(F.col(vec_col))
     cnorm = []
     for c in centroids:
         n = sum(x * x for x in c) ** 0.5
         cnorm.append([round(float(x) / n, 12) if n else 0.0 for x in c])
-    cmat = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cnorm])
-    dots = F.transform(
-        cmat,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # one nested literal + the cast vector bound once (r14): the
+    # unrolled form re-ran the cast transform inside every cell's dot
+    cmat = lit_doubles_2d(cnorm)
+    dots = bind_once(
+        _as_double(F.col(vec_col)),
+        lambda vv: F.transform(
+            cmat,
+            lambda c: F.aggregate(
+                F.zip_with(vv, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         ),
     )
     return (
@@ -354,7 +445,7 @@ def ivf_ann_topk(
         )[:nprobe]
     ]
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(query_vec)
     sim = F.round(cosine_similarity_col(F.col(vec_col), q), _ROUND)
     return (
         assigned.filter(F.col("_cell").isin(probe_cells))
@@ -524,7 +615,7 @@ def lsh_ann_topk(
         frontier = {s ^ (1 << i) for s in frontier for i in range(num_planes)}
         probes |= frontier
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(query_vec)
     sim = F.round(cosine_similarity_col(F.col(vec_col), q), _ROUND)
     return (
         bucketed.filter(F.col("_bucket").isin(list(probes)))
@@ -723,7 +814,7 @@ def ivf_query_index(
             enumerate(centroids), key=lambda t: -cos(t[1], query_vec)
         )[:nprobe]
     ]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_doubles(query_vec)
     sim = F.round(cosine_similarity_col(F.col(vec_col), q), _ROUND)
     return (
         index_df.filter(F.col("_cell").isin(probe_cells))
@@ -754,17 +845,40 @@ def quantize_embeddings_int8(
     (no defined code); the zero vector gets all-zero codes and
     scale 0.0 (and is excluded from cosine search downstream, which
     has no semantics for it). Map-only: one projection, no shuffle.
-    """
-    v = _as_double(F.col(vec_col))
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    codes = F.transform(v, lambda x: F.round(x * 127.0 / mx, 0).cast("byte"))
-    zero = F.transform(v, lambda x: F.lit(0).cast("byte"))
-    return df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        F.when(mx > 0, codes).otherwise(zero).alias("codes"),
-        F.when(mx > 0, F.round(mx / 127.0, 9))
-        .otherwise(F.lit(0.0))
-        .alias("scale"),
+
+    r14: the cast vector and its absmax are BOUND once via
+    :func:`bind_once` — the naive form re-evaluated ``max|x|`` (a full
+    array scan) inside the per-element code lambda, O(dim²) per row;
+    codes+scale emerge as one struct materialized in its own projection
+    so the shared subtree is computed once per row, not once per output
+    column. Values are bit-identical."""
+
+    def _quant(vv):
+        def _with_mx(mxv):
+            codes = F.transform(
+                vv, lambda x: F.round(x * 127.0 / mxv, 0).cast("byte")
+            )
+            zero = F.transform(vv, lambda x: F.lit(0).cast("byte"))
+            return F.struct(
+                F.when(mxv > 0, codes).otherwise(zero).alias("codes"),
+                F.when(mxv > 0, F.round(mxv / 127.0, 9))
+                .otherwise(F.lit(0.0))
+                .alias("scale"),
+            )
+
+        return bind_once(
+            F.array_max(F.transform(vv, lambda x: F.abs(x))), _with_mx
+        )
+
+    q = bind_once(_as_double(F.col(vec_col)), _quant)
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), q.alias("_q"))
+        .select(
+            F.col(id_col),
+            F.col("_q.codes").alias("codes"),
+            F.col("_q.scale").alias("scale"),
+        )
     )
 
 
@@ -784,7 +898,7 @@ def ann_topk_int8(
     ranking, ties break on id, top-k is an ordered limit — the same
     contract as :func:`brute_force_knn`, at 1/4-1/8 the scan bytes.
     Zero-norm codes are excluded (cosine undefined)."""
-    q = F.array(*[F.lit(int(x)).cast("bigint") for x in query_codes])
+    q = lit_bigints(query_codes)
     nq = sum(int(x) * int(x) for x in query_codes)
     if nq == 0:
         raise ValueError("query_codes must have a nonzero norm")
@@ -833,42 +947,60 @@ def _pq_dists(x, cb2d, cc):
     the codebook rather than n_codes unrolled fold expressions: the
     values are identical, the generated code is ~n_codes× smaller
     (unrolled, each of the 24 training jobs paid ~1 s of codegen —
-    the whole PQ bench cost was plan compilation, not data)."""
-    xx = F.aggregate(
-        F.transform(x, lambda p: p * p), F.lit(0.0), lambda a, t: a + t
-    )
-    return F.zip_with(
-        cb2d,
-        cc,
-        lambda c, k: (
-            xx
-            - F.lit(2.0)
-            * F.aggregate(
-                F.zip_with(x, c, lambda p, q: p * q),
-                F.lit(0.0),
-                lambda a, t: a + t,
-            )
+    the whole PQ bench cost was plan compilation, not data).
+
+    r14: the subvector ``x`` and its ``x·x`` fold are BOUND once via
+    :func:`bind_once` instead of being re-evaluated inside every
+    centroid's lambda body (n_codes× per subspace) — identical doubles,
+    ~n_codes× fewer subtree evaluations."""
+
+    def _with_x(xv):
+        xx = F.aggregate(
+            F.transform(xv, lambda p: p * p), F.lit(0.0), lambda a, t: a + t
         )
-        + k,
-    )
+        return bind_once(
+            xx,
+            lambda xxv: F.zip_with(
+                cb2d,
+                cc,
+                lambda c, k: (
+                    xxv
+                    - F.lit(2.0)
+                    * F.aggregate(
+                        F.zip_with(xv, c, lambda p, q: p * q),
+                        F.lit(0.0),
+                        lambda a, t: a + t,
+                    )
+                )
+                + k,
+            ),
+        )
+
+    return bind_once(x, _with_x)
 
 
 def _cb_lits(codebook: list[list[float]]):
     """(2-D centroid literal array, c·c constants array) for one
-    subspace codebook."""
-    cb2d = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in codebook]
-    )
-    cc = F.array(*[F.lit(_dot_py(c, c)) for c in codebook])
+    subspace codebook — each as ONE nested-list literal (`F.lit`
+    accepts nested sequences), not n_codes×dim child `lit` calls: the
+    py4j round-trips of the unrolled form cost ~1.9 s per PQ query at
+    m=8, n_codes=16, dim=64 (measured r14); the folded literal is one
+    call and the values are identical."""
+    cb2d = lit_doubles_2d(codebook)
+    cc = lit_doubles([_dot_py(c, c) for c in codebook])
     return cb2d, cc
 
 
 def _pq_argmin(x, codebook: list[list[float]]):
     """Code of the nearest centroid (squared L2, ties to the LOWEST
     code — array_position returns the first match, the twin of the
-    oracle's ROW_NUMBER ORDER BY d ASC, code ASC)."""
+    oracle's ROW_NUMBER ORDER BY d ASC, code ASC). The distance array
+    is bound once (:func:`bind_once`) so the ``array_position``/
+    ``array_min`` pair reads one evaluation instead of two."""
     dists = _pq_dists(x, *_cb_lits(codebook))
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return bind_once(
+        dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    )
 
 
 def pq_train_codebooks(
@@ -958,16 +1090,21 @@ def pq_train_codebooks(
             [seeds[(j, b)] for b in range(n_codes)] for j in range(m)
         ]
         for _ in range(iterations):
-            cb3 = F.array(*[_cb_lits(cb)[0] for cb in codebooks])
-            cc3 = F.array(*[_cb_lits(cb)[1] for cb in codebooks])
+            cb3 = lit_doubles_3d(codebooks)
+            cc3 = lit_doubles_2d(
+                [[_dot_py(c, c) for c in cb] for cb in codebooks]
+            )
             dists = _pq_dists(
                 F.col("x"),
                 F.element_at(cb3, F.col("sub") + 1),
                 F.element_at(cc3, F.col("sub") + 1),
             )
-            code = (
-                F.array_position(dists, F.array_min(dists)) - 1
-            ).cast("int")
+            code = bind_once(
+                dists,
+                lambda d: (F.array_position(d, F.array_min(d)) - 1).cast(
+                    "int"
+                ),
+            )
             means = (
                 subs.withColumn("_code", code)
                 .groupBy("sub", "_code")
@@ -1003,10 +1140,12 @@ def pq_codes_col(v: Column, codebooks: list[list[list[float]]]) -> Column:
     :func:`pq_encode` and :func:`ivfpq_build_index` (which adds the IVF
     cell in the same projection). One transform LOOP over subspaces
     (j is a lambda variable), not m unrolled argmin expressions — same
-    values, ~m× less codegen."""
+    values, ~m× less codegen. The 3-D codebook tensor and 2-D c·c
+    constants are each ONE nested literal (the _cb_lits py4j rationale,
+    r14)."""
     m, sd = len(codebooks), len(codebooks[0][0])
-    cb3 = F.array(*[_cb_lits(cb)[0] for cb in codebooks])
-    cc3 = F.array(*[_cb_lits(cb)[1] for cb in codebooks])
+    cb3 = lit_doubles_3d(codebooks)
+    cc3 = lit_doubles_2d([[_dot_py(c, c) for c in cb] for cb in codebooks])
 
     def code_of(j):
         d = _pq_dists(
@@ -1014,7 +1153,9 @@ def pq_codes_col(v: Column, codebooks: list[list[list[float]]]) -> Column:
             F.element_at(cb3, j + 1),
             F.element_at(cc3, j + 1),
         )
-        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        return bind_once(
+            d, lambda dd: (F.array_position(dd, F.array_min(dd)) - 1).cast("int")
+        )
 
     return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_of)
 
@@ -1074,7 +1215,7 @@ def pq_adc_topk(
     dist = None
     for j, lut in enumerate(luts):
         term = F.element_at(
-            F.array(*[F.lit(int(u)).cast("bigint") for u in lut]),
+            lit_bigints(lut),
             F.col(codes_col).getItem(j) + 1,
         )
         dist = term if dist is None else dist + term
@@ -1113,19 +1254,24 @@ def pq_adc_rerank_topk(
         id_col=id_col, codes_col=codes_col,
     ).select(id_col)
     q = [float(x) for x in query_vec]
-    qlit = F.array(*[F.lit(x) for x in q])
-    v = _as_double(F.col(vec_col))
+    qlit = lit_doubles(q)
+
     # the dot-identity form, same operand order as _l2_sq_to_lit and
-    # the oracle replay — both engines feed libm identical doubles
-    vv = F.aggregate(
-        F.transform(v, lambda p: p * p), F.lit(0.0), lambda a, t: a + t
-    )
-    vq = F.aggregate(
-        F.zip_with(v, qlit, lambda p, r: p * r),
-        F.lit(0.0),
-        lambda a, t: a + t,
-    )
-    d2 = (vv - F.lit(2.0) * vq) + F.lit(_dot_py(q, q))
+    # the oracle replay — both engines feed libm identical doubles;
+    # the cast vector is bound once (r14) instead of re-evaluating the
+    # cast transform under both folds
+    def _d2(vx):
+        vv = F.aggregate(
+            F.transform(vx, lambda p: p * p), F.lit(0.0), lambda a, t: a + t
+        )
+        vq = F.aggregate(
+            F.zip_with(vx, qlit, lambda p, r: p * r),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        return (vv - F.lit(2.0) * vq) + F.lit(_dot_py(q, q))
+
+    d2 = bind_once(_as_double(F.col(vec_col)), _d2)
     return (
         embeddings_df.join(F.broadcast(cand), id_col)
         .select(
@@ -1402,16 +1548,26 @@ def rotate_vectors(
     identical doubles."""
     if len(perm) != len(signs):
         raise ValueError("perm and signs must have equal length")
-    v = _as_double(F.col(vec_col))
-    comps = [
-        (v.getItem(p) if s > 0 else -v.getItem(p))
-        for p, s in zip(perm, signs)
-    ]
+
+    # the cast vector is BOUND once (r14): the unrolled form re-ran the
+    # double-cast transform under every one of the dim getItem
+    # references — O(dim²) per row; bound, it is one cast + dim lookups
+    def _rot(vv):
+        return F.array(
+            *[
+                (vv.getItem(p) if s > 0 else -vv.getItem(p))
+                for p, s in zip(perm, signs)
+            ]
+        )
+
     # a NULL vector stays NULL (F.array of null items would otherwise
     # manufacture a non-null [null, ...] that defeats isNotNull gates)
     return df.withColumn(
         vec_col,
-        F.when(F.col(vec_col).isNotNull(), F.array(*comps)),
+        F.when(
+            F.col(vec_col).isNotNull(),
+            bind_once(_as_double(F.col(vec_col)), _rot),
+        ),
     )
 
 
@@ -1453,7 +1609,7 @@ def rp_project(
     # small — the unrolled form spent ~4 s per call compiling codegen
     # for 40 aggregate chains (measured at sf0.1; the transform form is
     # 5.5x faster end to end on the same data).
-    m2d = F.lit(signs)  # ONE ArrayType literal node, not 2560 children
+    m2d = lit_doubles_2d(signs)  # ONE parsed literal, not 2560 py4j lit calls
     rp = F.transform(
         m2d,
         lambda row: F.round(
