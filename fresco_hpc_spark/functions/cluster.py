@@ -41,6 +41,7 @@ from fresco_hpc_spark.functions.vectors import (
     _cb_lits,
     _dot,
     _pq_dists,
+    bind_once,
     pq_train_codebooks,
 )
 
@@ -114,11 +115,18 @@ def _d2_sorted(vec_col: str, centroids: list[list[float]]):
     """(ascending squared-L2 distance array, argmin cluster) column
     pair against literal centroids — the shared assignment kernel.
     Distances use the exact ``(x·x − 2·x·c) + c·c`` operand order of
-    ``_pq_dists`` so the DuckDB twin lands on identical doubles."""
+    ``_pq_dists`` so the DuckDB twin lands on identical doubles.
+    Each returned column binds the k-distance array once (bind_once,
+    r14) instead of re-running the whole distance computation under
+    every reference (array_sort + argmin's two refs = 3× before)."""
     x = _as_double(F.col(vec_col))
     dists = _pq_dists(x, *_cb_lits(centroids))
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return F.array_sort(dists), cluster
+    sorted_d = bind_once(dists, lambda d: F.array_sort(d))
+    cluster = bind_once(
+        dists,
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+    )
+    return sorted_d, cluster
 
 
 def _micro(col):
@@ -203,9 +211,18 @@ def kmeans_silhouette(
             f"silhouette needs >= 2 centroids, got {len(centroids)}"
         )
     sorted_d, cluster = _d2_sorted(vec_col, centroids)
-    a_m, b_m = _micro(sorted_d.getItem(0)), _micro(sorted_d.getItem(1))
-    s_micro = F.when(b_m > 0, F.round((b_m - a_m) / b_m * 1_000_000, 0))
-    s_micro = s_micro.otherwise(F.lit(0)).cast("bigint")
+
+    def _s_of(sd):
+        a_m, b_m = _micro(sd.getItem(0)), _micro(sd.getItem(1))
+        return (
+            F.when(b_m > 0, F.round((b_m - a_m) / b_m * 1_000_000, 0))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+
+    # bind the sorted-distance array once: the unbound form re-ran the
+    # whole distance+sort under each of its four references (r14)
+    s_micro = bind_once(sorted_d, _s_of)
     per_row = df.filter(F.col(vec_col).isNotNull()).select(
         cluster.alias("cluster"), s_micro.alias("_s")
     )
@@ -307,11 +324,21 @@ def unit_normalize(
     components (SQL x/0.0 semantics); pass ``drop_zero_norm=True`` to
     exclude them (a zero vector has no direction, so it has no home on
     the unit sphere — ADVICE r13 pinned one semantics on both engine
-    and oracle sides) or filter upstream."""
+    and oracle sides) or filter upstream.
+
+    r14: the cast vector and its norm are BOUND once (bind_once) — the
+    naive form re-ran the O(dim) norm fold inside every element's
+    division lambda, O(dim²) per row. Values are bit-identical."""
     vd = _as_double(F.col(vec_col))
-    nrm = F.sqrt(_dot(vd, vd))
-    unit = F.transform(vd, lambda x: x / nrm)
+    unit = bind_once(
+        vd,
+        lambda vv: bind_once(
+            F.sqrt(_dot(vv, vv)),
+            lambda nr: F.transform(vv, lambda x: x / nr),
+        ),
+    )
     if drop_zero_norm:
+        nrm = F.sqrt(_dot(vd, vd))
         df = df.filter(nrm > 0)
     return df.withColumn(out_col or vec_col, unit)
 
@@ -327,10 +354,18 @@ def semdedup_assign(
     sphere), unit-normalize, squared-L2 argmin against the literal
     codebook. Returns the input columns plus ``_nrm`` (the original
     vector's L2 norm, reused by the 6-dp pairwise-cosine convention)
-    and ``cluster``. Map-only — no shuffle."""
+    and ``cluster``. Map-only — no shuffle. The cast vector and its
+    norm are bound once (bind_once, r14 — the unit_normalize
+    rationale: the unbound form was O(dim²) per row)."""
     vd = _as_double(F.col(vec_col))
     nrm = F.sqrt(_dot(vd, vd))
-    unit = F.transform(vd, lambda x: x / nrm)
+    unit = bind_once(
+        vd,
+        lambda vv: bind_once(
+            F.sqrt(_dot(vv, vv)),
+            lambda nr: F.transform(vv, lambda x: x / nr),
+        ),
+    )
     base = (
         df.filter(F.col(vec_col).isNotNull())
         .select(*df.columns, nrm.alias("_nrm"), unit.alias("_u"))
@@ -493,6 +528,17 @@ def semdedup_kmeans(
         pair_key = ["cluster", "_gi", "_gj"]
     else:
         pair_key = ["cluster"]
+    # spread the pair compute (r14): both legs are tiny in BYTES at
+    # bench scale, so AQE broadcast-joins them and the O(Σ n_c²) cosine
+    # work inherits the probe's scan partitioning (measured: a 2-task
+    # 3.6 s stage doing the whole pair sweep on a 32-core host). An
+    # explicit by-key repartition to default parallelism is
+    # AQE-coalesce-proof, gives the broadcast probe ≥ min(#keys, cores)
+    # busy tasks, and at corpus scale is exactly the exchange a
+    # shuffle join needs anyway (reused, not added).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(n_parts, *pair_key)
+    b = b.repartition(n_parts, *pair_key)
     sim = F.round(
         _dot(F.col("_va"), F.col("_vb"))
         / (F.col("_nrm_a") * F.col("_nrm_b")),
