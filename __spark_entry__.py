@@ -86,6 +86,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- query implementations -------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan widening for COMPUTE-heavy projections
+    (optimization guide §2.5/§6): each bench table is a single-row-group
+    parquet file, so its scan is exactly ONE task and per-row expression
+    work (interpreted higher-order functions: entropy sorts, sketch
+    hashing, per-token loops) serializes on a 32-core local master.
+    Round-robin repartition up to default parallelism ONLY when the
+    scan is narrower — at real corpus scale a table spans thousands of
+    files, the partition count already exceeds core count, and this is
+    a no-op (no constant tuned to either environment). Results are
+    unchanged: applied only ahead of per-row projections feeding
+    order-free aggregations or explicitly ordered outputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def q_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.hourly_agg(table(spark, sf_dir, "events"), "value", time_col="ts")
 
@@ -2437,7 +2455,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fresco_hpc_spark.functions import cms_heavy_hitters
 
     toks = (
-        table(spark, sf_dir, "documents")
+        _spread(table(spark, sf_dir, "documents"))
         .select(
             F.explode(
                 F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -3557,7 +3575,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 41 == 0)
-    train = docs.filter(F.col("doc_id") % 41 != 0)
+    train = _spread(docs.filter(F.col("doc_id") % 41 != 0))
     return bloom_decontaminate(train, ev, n=4, m_words=1024, k=4)
 
 
@@ -3571,7 +3589,7 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB via the shared md5 row hashes."""
     from fresco_hpc_spark.functions import cms_estimate, cms_sketch
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _spread(table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -3603,7 +3621,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is byte-identical."""
     from fresco_hpc_spark.functions import char_entropy
 
-    return char_entropy(table(spark, sf_dir, "documents"))
+    return char_entropy(_spread(table(spark, sf_dir, "documents")))
 
 
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

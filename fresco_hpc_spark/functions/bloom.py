@@ -122,19 +122,46 @@ def bloom_decontaminate(
     eval_grams = toks(eval_df).select("token").distinct()
     bitmap = bloom_build(eval_grams, "token", m_words, k, salt)
 
-    probes = toks(train).select(
-        "doc", "token", _positions(F.col("token"), m_words, k, salt)
-    )
-    hit = F.expr(
-        "shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit) % 2"
-    )
-    cand = (
-        probes.join(F.broadcast(bitmap), "word", "left")
-        .groupBy("doc", "token")
-        .agg(F.min(hit).alias("_all_set"))
-        .filter(F.col("_all_set") == 1)
-        .select("doc", "token")
-    )
+    # r14: the bitmap is ≤ m_words BIGINTs (4 KB at the default sizing)
+    # — small enough for the driver-held-codebook pattern, so collect
+    # it once and inline it as ONE literal array. The membership test
+    # then runs ENTIRELY map-side on the training stream: k bound
+    # positions, k array lookups, k bit tests — no k-way position
+    # explode, no join, no (doc, token) shuffle+groupBy (the prior
+    # shape shuffled k× the gram stream — 23 MB at sf0.1 — to compute
+    # what is a per-row conjunction). Positions/bits are the identical
+    # integer ops, so the candidate SET is unchanged; downstream
+    # countDistinct aggregation absorbs duplicate (doc, gram) rows the
+    # old distinct-groupBy used to fold.
+    from fresco_hpc_spark.functions.vectors import bind_once, lit_bigints
+
+    words = [0] * int(m_words)
+    for r in bitmap.collect():  # bounded: ≤ m_words rows
+        words[int(r["word"])] = int(r["bits"])
+    lut = lit_bigints(words)
+    powers = lit_bigints([1 << b for b in range(_WORD_BITS)])
+
+    def _hit(i: int):
+        pos = F.pmod(
+            _h60(F.concat(F.lit(f"{salt}{i}|"), F.col("token"))),
+            F.lit(int(m_words) * _WORD_BITS),
+        )
+
+        def _test(p):
+            word_bits = F.element_at(
+                lut, F.shiftright(p, 5).cast("int") + 1
+            )
+            mask = F.element_at(
+                powers, F.pmod(p, F.lit(_WORD_BITS)).cast("int") + 1
+            )
+            return word_bits.bitwiseAND(mask) != 0
+
+        return bind_once(pos, _test)
+
+    allset = _hit(0)
+    for i in range(1, k):
+        allset = allset & _hit(i)
+    cand = toks(train).filter(allset)
     verified = cand.join(F.broadcast(eval_grams), "token")
     per_doc = cand.groupBy("doc").agg(
         F.countDistinct("token").alias("n_bloom_candidates")
