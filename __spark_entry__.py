@@ -3328,7 +3328,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("time"), "event_id", "user_id", "event_type", "value"
         )
     )
-    write_partitioned_store(base, store)
+    # cluster the seed write by hour: the day<=2 slice of a bench table
+    # scans as ONE task, so the dynamic-partition write of 48 hour dirs
+    # would serialize on a single core (and at corpus scale a clustered
+    # write is one file per hour instead of tasks x hours fragments)
+    write_partitioned_store(
+        base.repartition(
+            F.year("time"), F.month("time"), F.dayofmonth("time"), F.hour("time")
+        ),
+        store,
+    )
     upd = (
         base.filter(F.col("event_id") % 5 == 1)
         .withColumn("value", F.col("value") * 2)

@@ -88,13 +88,22 @@ def _tokens(
         return out.distinct() if distinct else out
     # n-gram shingles: join n consecutive words via transform over 1-based
     # indices; guarded so short documents yield an empty list (sequence()
-    # would otherwise produce a DESCENDING range when size < n).
-    words_expr = f"split(trim(lower({text_col})), '\\\\s+')"
-    ngrams = F.expr(
-        f"CASE WHEN size({words_expr}) >= {n} THEN "
-        f"transform(sequence(1, size({words_expr}) - {n} + 1), "
-        f"i -> concat_ws(' ', slice({words_expr}, i, {n}))) "
-        f"ELSE CAST(array() AS array<string>) END"
+    # would otherwise produce a DESCENDING range when size < n). The word
+    # array is BOUND ONCE (bind_once): higher-order functions run
+    # interpreted with no CSE, so the old expr-string form re-ran the
+    # regex split for every shingle index — O(tokens²) regex work per
+    # document (r14; same trap d1b9ae2 fixed in the vector kernels).
+    from fresco_hpc_spark.functions.vectors import bind_once
+
+    ngrams = bind_once(
+        words,
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     out = df.select(
         F.col(id_col).alias("doc"), F.explode(ngrams).alias("token")
@@ -201,9 +210,21 @@ def _tokens_with_stats(
     from pyspark.sql import Window
 
     toks = _tokens(df, text_col, id_col, n)
-    return toks.withColumn(
-        "n_tokens", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    # df via partial-agg + join-back instead of a window over
+    # partitionBy(token): the window shuffles the FULL token relation by
+    # token; the groupBy ships only per-token partial counts (distinct
+    # tokens, map-side combined) and the join back broadcasts when the
+    # vocabulary is small — and degrades to exactly the window's
+    # by-token exchange when it isn't. n_tokens stays a window, but its
+    # by-doc exchange is the same clustering the callers' rank window
+    # needs, so Catalyst reuses ONE exchange for both (3 full shuffles
+    # of the token relation -> 1, measured in the r14 plan diff).
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "token")
+        .withColumn("n_tokens", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+        .select("doc", "token", "n_tokens", "df")
+    )
 
 
 #: Half-ulp of the engine-wide 6-decimal emit rounding: pair generators

@@ -521,16 +521,30 @@ def _bpe_train(
     per-document windows over the CANDIDATE rows (bounded by document
     length, the same per-doc window contract as every text operator).
 
-    Scale shape per iteration: one equi-join of the units relation
-    with itself on (doc, pos + span) — stream size ≤ tokens, the
-    shifted-position trick of phrase_search/collocation_pmi — one
-    partial-agg pair count, a 1-row driver collect of the winner
-    (bounded, k of them total: the same bounded-driver-stat contract
-    as distributed_exact_percentiles), and a merge projection whose
-    windows run over candidate rows only. The units relation is
-    localCheckpointed each round: it feeds the pair count, the merge,
-    and the next round, and k rounds of uncheckpointed lineage would
-    re-run the tokenize k times (the ivf_train persist rationale).
+    Scale shape per iteration (r14): the units relation is a PARTITION
+    of each document's token sequence, so "the following unit" is the
+    next row in per-doc position order — adjacency is ``lead()`` over
+    one (doc, pos) window, NOT a self-join (the r13 shape shuffled both
+    join legs plus an anti-join per round, ~19 MB/iteration at sf0.1;
+    the window shape pays ONE hash-by-doc exchange for the whole
+    trainer and reuses it every round, since the checkpoint preserves
+    partitioning and ordering). A lead row is adjacent iff its pos
+    equals pos+span (gaps left by filtered empty tokens break
+    adjacency exactly like the join's missed key did). The greedy
+    merge is window arithmetic in the SAME frame: candidate chains are
+    maximal runs of consecutive candidate ROWS (a preceding candidate
+    row always overlaps — its b-unit IS this row; a non-adjacent
+    preceding candidate can never satisfy pos = prev_pos + prev_span
+    because positions strictly increase), odd chain offsets are the
+    sequential-greedy picks, and the consumed-b-row flag is
+    ``lag(selected)``. Per round that leaves one partial-agg pair
+    count + a 1-row driver collect of the winner (bounded, k of them
+    total: the same bounded-driver-stat contract as
+    distributed_exact_percentiles) and zero other shuffles. The units
+    relation is localCheckpointed each round: it feeds the pair count,
+    the merge, and the next round, and k rounds of uncheckpointed
+    lineage would re-run the tokenize k times (the ivf_train persist
+    rationale).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -546,22 +560,34 @@ def _bpe_train(
             F.col("token").alias("unit"),
             F.lit(1).cast("bigint").alias("span"),
         )
+        # pay the per-doc hash exchange ONCE, before the first
+        # checkpoint: every window below clusters by doc_id, and the
+        # checkpointed relations inherit this layout round over round
+        # (also spreads the bench's single-row-group scan across cores)
+        .repartition("doc_id")
     )
     out_schema = "step int, unit_a string, unit_b string, pair_count bigint"
     merges: list[tuple[int, str, str, int]] = []
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    wcum = wdoc.rowsBetween(Window.unboundedPreceding, 0)
     for step in range(1, int(k) + 1):
-        units = units.localCheckpoint(eager=True)
-        nxt = units.select(
+        # checkpoint AFTER the lead window, not before: the winner
+        # collect below then reads materialized rows instead of
+        # re-sorting the relation per round (the pair-count job and the
+        # merge projection share one physical pass per round this way)
+        paired = units.select(
             "doc_id",
-            F.col("pos").alias("_bpos"),
-            F.col("unit").alias("_bunit"),
-            F.col("span").alias("_bspan"),
-        )
-        adj = units.withColumn("_bpos", F.col("pos") + F.col("span")).join(
-            nxt, ["doc_id", "_bpos"]
-        )
+            "pos",
+            "unit",
+            "span",
+            F.lead("pos").over(wdoc).alias("_bpos"),
+            F.lead("unit").over(wdoc).alias("_bunit"),
+            F.lead("span").over(wdoc).alias("_bspan"),
+        ).localCheckpoint(eager=True)
+        adjacent = F.col("_bpos") == F.col("pos") + F.col("span")
         top = (
-            adj.groupBy("unit", "_bunit")
+            paired.filter(adjacent)
+            .groupBy("unit", "_bunit")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= F.lit(int(min_count)))
             .orderBy(F.desc("c"), "unit", "_bunit")
@@ -572,44 +598,40 @@ def _bpe_train(
             break
         a, b, c = top[0]["unit"], top[0]["_bunit"], int(top[0]["c"])
         merges.append((step, a, b, c))
-        cand = adj.filter(
-            (F.col("unit") == F.lit(a)) & (F.col("_bunit") == F.lit(b))
-        ).select("doc_id", "pos", "span", "_bpos", "_bspan")
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        brk = F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") != F.lag("pos").over(w) + F.lag("span").over(w)),
+        # greedy left-to-right merge of the winning pair, all in the
+        # same per-doc window frame (see docstring): chain-offset
+        # parity picks the 1st/3rd/5th… of each run of consecutive
+        # candidate rows — the sequential-greedy result.
+        cand = F.when(
+            adjacent
+            & (F.col("unit") == F.lit(a))
+            & (F.col("_bunit") == F.lit(b)),
             1,
         ).otherwise(0)
-        chained = cand.withColumn("_brk", brk).withColumn(
-            "_grp",
-            F.sum("_brk").over(
-                Window.partitionBy("doc_id")
-                .orderBy("pos")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
+        staged = (
+            paired.withColumn("_cand", cand)
+            .withColumn("_prev_cand", F.lag("_cand", 1, 0).over(wdoc))
+            .withColumn("_cum", F.sum("_cand").over(wcum))
         )
-        sel = (
-            chained.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("doc_id", "_grp").orderBy("pos")
-                ),
-            )
-            .filter(F.col("_rn") % 2 == 1)
-            .select("doc_id", "pos", "span", "_bpos", "_bspan")
+        chain_start = (F.col("_cand") == 1) & (F.col("_prev_cand") == 0)
+        staged = staged.withColumn(
+            "_chain_base", F.max(F.when(chain_start, F.col("_cum"))).over(wcum)
         )
-        consumed = sel.select(
-            "doc_id", F.explode(F.array("pos", "_bpos")).alias("pos")
+        selected = (F.col("_cand") == 1) & (
+            (F.col("_cum") - F.col("_chain_base")) % 2 == 0
         )
-        merged_rows = sel.select(
+        staged = staged.withColumn("_sel", selected.cast("int")).withColumn(
+            "_consumed", F.lag("_sel", 1, 0).over(wdoc)
+        )
+        units = staged.filter(F.col("_consumed") == 0).select(
             "doc_id",
             "pos",
-            F.lit(a + " " + b).alias("unit"),
-            (F.col("span") + F.col("_bspan")).alias("span"),
-        )
-        units = units.join(consumed, ["doc_id", "pos"], "left_anti").unionByName(
-            merged_rows
+            F.when(F.col("_sel") == 1, F.lit(a + " " + b))
+            .otherwise(F.col("unit"))
+            .alias("unit"),
+            F.when(F.col("_sel") == 1, F.col("span") + F.col("_bspan"))
+            .otherwise(F.col("span"))
+            .alias("span"),
         )
     return spark.createDataFrame(merges, out_schema), units
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fresco_hpc_spark.functions.vectors import bind_once
+
 _ROUND = 6
 
 # Marker-word inventories for the n-gram/stopword language heuristic.
@@ -290,14 +292,19 @@ def ngram_decontaminate(
     def toks(df: DataFrame) -> DataFrame:
         words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         # guard: docs shorter than n words contribute no n-grams (an
-        # unguarded sequence(0, size-n) would DESCEND for negative stops)
-        grams = F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # unguarded sequence(0, size-n) would DESCEND for negative
+        # stops); words bound once — the unbound form re-split the
+        # text per shingle index (r14)
+        grams = bind_once(
+            words,
+            lambda w: F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
         return df.select(
             F.col(id_col).alias("doc"), F.explode(grams).alias("token")
         )
@@ -443,19 +450,25 @@ def chunk_documents(
     # per textless doc (r13 null-parity probe)
     df = _fan_out(df.filter(F.col(text_col).isNotNull()))
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n = F.size(words)
-    # last window start: the smallest s with s + chunk >= n, clamped >= 0
-    n_chunks = F.when(
-        n <= chunk_tokens, F.lit(1)
-    ).otherwise(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1)
-    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / stride).cast("int").alias("idx"),
-            F.slice(words, s + 1, chunk_tokens).alias("toks"),
-        ),
-    )
+
+    # last window start: the smallest s with s + chunk >= n, clamped
+    # >= 0. The word array is bound once (bind_once) — the unbound form
+    # re-split the text per chunk and per size() reference (r14).
+    def _chunks_of(w: Column) -> Column:
+        n = F.size(w)
+        n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+        )
+        starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("idx"),
+                F.slice(w, s + 1, chunk_tokens).alias("toks"),
+            ),
+        )
+
+    chunks = bind_once(words, _chunks_of)
     ex = df.select(F.col(id_col), F.explode(chunks).alias("c"))
     return ex.select(
         id_col,
@@ -687,17 +700,23 @@ def duplicate_ngram_spans(
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     # guard: F.sequence(1, m) steps DOWNWARD when m < 1 — emit no
     # positions for docs shorter than n instead of a reversed range
-    npos = F.size(words) - F.lit(n - 1)
-    starts = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-        F.array().cast("array<int>")
+    # guard unchanged (no positions for docs shorter than n); the word
+    # array is BOUND ONCE (bind_once) — the unbound form re-ran the
+    # regex split for every shingle start, O(tokens²) regex work per
+    # document (r14; the d1b9ae2 vector-kernel trap, text edition)
+    gram_fps = bind_once(
+        words,
+        lambda w: F.transform(
+            F.when(
+                F.size(w) - F.lit(n - 1) >= 1,
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda s: F.md5(F.array_join(F.slice(w, s, n), " ")),
+        ),
     )
     grams = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                starts, lambda s: F.md5(F.array_join(F.slice(words, s, n), " "))
-            )
-        ).alias("gram_fp"),
+        F.explode(gram_fps).alias("gram_fp"),
     )
     gram_df = (
         grams.select("doc", "gram_fp")
@@ -766,23 +785,24 @@ def remove_duplicate_ngram_spans(
         F.col(id_col).alias("doc"),
         F.posexplode(words).alias("pos", "word"),
     ).filter(F.col("word") != "")
-    npos = F.size(words) - F.lit(n - 1)
-    starts = F.when(npos >= 1, F.sequence(F.lit(0), npos - 1)).otherwise(
-        F.array().cast("array<int>")
+    # same bind-once rewrite as duplicate_ngram_spans: the unbound form
+    # re-split the text per shingle start (O(tokens²) per doc)
+    gram_structs = bind_once(
+        words,
+        lambda w: F.transform(
+            F.when(
+                F.size(w) - F.lit(n - 1) >= 1,
+                F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda s: F.struct(
+                s.alias("pos"),
+                F.md5(F.array_join(F.slice(w, s + 1, n), " ")).alias("fp"),
+            ),
+        ),
     )
     grams = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                starts,
-                lambda s: F.struct(
-                    s.alias("pos"),
-                    F.md5(F.array_join(F.slice(words, s + 1, n), " ")).alias(
-                        "fp"
-                    ),
-                ),
-            )
-        ).alias("g"),
+        F.explode(gram_structs).alias("g"),
     ).select("doc", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
     winner = grams.groupBy("fp").agg(F.min(F.struct("doc", "pos")).alias("w"))
     nd = (

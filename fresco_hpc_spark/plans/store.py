@@ -432,37 +432,57 @@ def merge_into_store(
         fs = _wrap_fs(fs)
     _heal_crashed_swaps(fs, _jp, path)
 
-    bad_ops = changes.filter(~F.col(op_col).isin("upsert", "delete")).count()
-    if bad_ops:
-        raise ValueError(
-            f"merge_into_store: {bad_ops} change rows have {op_col} outside "
-            "{'upsert', 'delete'}"
-        )
-    if changes.filter(F.col(time_col).isNull()).count():
-        raise ValueError(
-            f"merge_into_store: NULL {time_col} rows cannot be routed to an "
-            "hour partition; fix the batch upstream"
-        )
     # Partition columns FIRST: row identity is (key, hour), so both the
     # ambiguity check and the last-writer-wins window must see the hour.
     # Deduping per key alone would collapse a cross-hour move
     # (delete@old-hour + upsert@new-hour) into just the upsert, silently
     # stranding the stale row in the old partition.
+    #
+    # The batch is materialized ONCE (localCheckpoint): validations, the
+    # ambiguity check, the touched-hour listing and the staging write are
+    # all separate Spark jobs, and without the checkpoint each re-runs
+    # the caller's full change-derivation lineage (a CDC extractor is
+    # typically a multi-source union — measured 5 redundant re-derivations
+    # per merge). A CDC batch is bounded by contract (the touched-hour
+    # list is already collected driver-side below), so the checkpoint is
+    # bounded executor storage (same contract as the BPE trainer's
+    # per-round checkpoint).
     changes = (
         changes.withColumn("year", F.year(time_col))
         .withColumn("month", F.month(time_col))
         .withColumn("day", F.dayofmonth(time_col))
         .withColumn("hour", F.hour(time_col))
-    )
+    ).localCheckpoint(eager=True)
+    checks = changes.agg(
+        F.sum(
+            (~F.col(op_col).isin("upsert", "delete")).cast("long")
+        ).alias("_bad_ops"),
+        F.sum(F.col(time_col).isNull().cast("long")).alias("_null_ts"),
+    ).collect()[0]
+    if checks["_bad_ops"]:
+        raise ValueError(
+            f"merge_into_store: {checks['_bad_ops']} change rows have "
+            f"{op_col} outside {{'upsert', 'delete'}}"
+        )
+    if checks["_null_ts"]:
+        raise ValueError(
+            f"merge_into_store: NULL {time_col} rows cannot be routed to an "
+            "hour partition; fix the batch upstream"
+        )
     dup_keys = [*key_cols, *PARTITION_COLS] + ([seq_col] if seq_col else [])
-    dups = (
+    # one job yields BOTH the ambiguity verdict and the touched-hour
+    # list: per-(key,hour[,seq]) counts roll up to per-hour max counts —
+    # a row per touched hour (bounded), max > 1 anywhere = ambiguous.
+    # (winners keeps >=1 row per (key, hour) group, so the touched-hour
+    # set of `changes` and of `winners` is identical by construction.)
+    per_hour = (
         changes.groupBy(*[F.col(c) for c in dup_keys])
         .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .limit(1)
-        .count()
+        .groupBy(*PARTITION_COLS)
+        .agg(F.max("_c").alias("_maxc"))
+        .collect()
     )
-    if dups:
+    if any(r["_maxc"] > 1 for r in per_hour):
         raise ValueError(
             "merge_into_store: ambiguous batch — duplicate "
             f"({', '.join(dup_keys)}) rows; provide a distinct {seq_col or 'seq'} "
@@ -482,10 +502,7 @@ def merge_into_store(
     data_cols = [
         c for c in winners.columns if c != op_col and c not in PARTITION_COLS
     ]
-    touched = [
-        tuple(r[c] for c in PARTITION_COLS)
-        for r in winners.select(*PARTITION_COLS).distinct().collect()
-    ]
+    touched = [tuple(r[c] for c in PARTITION_COLS) for r in per_hour]
     if not touched:
         return []
     hour_pred = reduce(
@@ -515,6 +532,18 @@ def merge_into_store(
         *data_cols, *PARTITION_COLS
     )
     merged = upserts if survivors is None else survivors.unionByName(upserts)
+    if not zorder_cols:
+        # cluster by hour before the dynamic-partition write: without it
+        # every write task holds rows of MANY hours (one file per
+        # task x hour — small-file fragmentation, and the partition-sort
+        # the file writer inserts runs per task over all hours), and at
+        # bench scale the whole staging write inherits the anti-join's
+        # coalesced 1-2 task layout. The exchange spreads touched hours
+        # across the session's shuffle partitions (AQE coalesces the
+        # small ones), giving parallel writers and ~one file per hour.
+        # The z-order branch below already establishes its own range
+        # partitioning on (hour, zkey).
+        merged = merged.repartition(*PARTITION_COLS)
     if zorder_cols:
         # range-partition on (hour, zkey) BEFORE the within-task sort —
         # sortWithinPartitions alone leaves every write task spanning
