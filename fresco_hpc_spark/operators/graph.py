@@ -174,6 +174,7 @@ def triangle_enumerate(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Enumerate every triangle of the UNDIRECTED graph underlying an
     edge relation — the clustering-structure primitive (local clustering
@@ -196,7 +197,35 @@ def triangle_enumerate(
     The OUTPUT is orientation-independent (a triangle is found exactly
     once whichever admissible orientation is used), so correctness
     cross-checks can replay the simple id-ordered formulation.
+
+    ``materialize=True`` (the default) eagerly localCheckpoints the two
+    bounded working sets (the canonical edge list and the oriented
+    list) — see :func:`_canonical_und`; ``materialize=False`` keeps the
+    plan lazy/composable for plan inspection (the family's standard
+    flag, same contract as ``semdedup_kmeans``).
     """
+    und = _canonical_und(edges, src_col, dst_col, materialize)
+    return _triangles_of(und, materialize).orderBy("id_a", "id_b", "id_c")
+
+
+def _canonical_und(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    materialize: bool = True,
+) -> DataFrame:
+    """Canonical distinct undirected edge list (_a < _b), MATERIALIZED
+    (eager localCheckpoint) unless ``materialize=False`` (plan
+    inspection). Every triangle/coefficient consumer
+    references the edge relation many times (degrees, orientation,
+    wedge legs, closing check): left lazy, each reference re-expands
+    the caller's full edge-derivation lineage — over a kNN graph that
+    re-ran the embeddings self-join + rank window up to 47 times in one
+    plan (188 parquet scans in clustering_knn's r14 before-plan). The
+    edge list is the algorithm's own working set (|E| rows, far smaller
+    than the corpus that produced it), so one bounded materialization
+    is the r14 fix; Exchange reuse cannot help because each consumer
+    aggregates a DIFFERENT projection before its first shuffle."""
     lo = F.least(F.col(src_col), F.col(dst_col))
     hi = F.greatest(F.col(src_col), F.col(dst_col))
     und = (
@@ -204,9 +233,19 @@ def triangle_enumerate(
         .select(lo.alias("_a"), hi.alias("_b"))
         .distinct()
     )
+    return und.localCheckpoint(eager=True) if materialize else und
+
+
+def _triangles_of(und: DataFrame, materialize: bool = True) -> DataFrame:
+    """Canonical (id_a < id_b < id_c) triangles of a MATERIALIZED
+    canonical undirected edge list — the shared degree-oriented core of
+    :func:`triangle_enumerate` and
+    :func:`local_clustering_coefficient`. The oriented list is
+    localCheckpointed too (when ``materialize``): its three consumers
+    (both wedge legs and the closing check) would otherwise each re-run
+    the degree join."""
     deg = (
-        und.select(F.col("_a").alias("_v"))
-        .unionAll(und.select(F.col("_b").alias("_v")))
+        und.select(F.explode(F.array("_a", "_b")).alias("_v"))
         .groupBy("_v")
         .agg(F.count(F.lit(1)).alias("_d"))
     )
@@ -223,6 +262,8 @@ def triangle_enumerate(
         F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("_w"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dw"),
     )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
     o1 = oriented.select(
         F.col("_u"), F.col("_w").alias("_v1"), F.col("_dw").alias("_dv1")
     )
@@ -250,13 +291,14 @@ def triangle_enumerate(
             F.least("_v1", "_v2"),
         ).alias("id_b"),
         F.greatest("_u", "_v1", "_v2").alias("id_c"),
-    ).orderBy("id_a", "id_b", "id_c")
+    )
 
 
 def local_clustering_coefficient(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-vertex local clustering coefficient of the undirected graph:
     ``c(v) = 2·t(v) / (d(v)·(d(v)−1))`` where ``t(v)`` counts triangles
@@ -269,32 +311,30 @@ def local_clustering_coefficient(
     Composition: the canonical triangle relation (degree-oriented
     generation, see :func:`triangle_enumerate`) explodes to its three
     member vertices for per-vertex counts; degrees come from the same
-    canonicalized edge set. Vertices in no triangle report 0; vertices
-    with degree < 2 report coefficient 0 by convention (the ratio is
-    undefined). The ratio divides two exact BIGINTs, so 6 dp rounding
-    is engine-stable.
+    canonicalized edge set — literally the SAME materialized
+    :func:`_canonical_und` the triangle pass consumes (r14: the
+    coefficient previously re-derived its own lazy copy, and its three
+    per-vertex union branches re-ran the whole wedge join; one explode
+    over :func:`_triangles_of` consumes the triangle relation once).
+    Vertices in no triangle report 0; vertices with degree < 2 report
+    coefficient 0 by convention (the ratio is undefined). The ratio
+    divides two exact BIGINTs, so 6 dp rounding is engine-stable.
 
     Scale: everything the triangle pass pays, plus one explode (3 rows
-    per triangle) and two vertex-sized aggregations.
+    per triangle) and two vertex-sized aggregations. ``materialize``:
+    same contract as :func:`triangle_enumerate`.
     """
-    lo = F.least(F.col(src_col), F.col(dst_col))
-    hi = F.greatest(F.col(src_col), F.col(dst_col))
-    und = (
-        edges.filter(F.col(src_col) != F.col(dst_col))
-        .select(lo.alias("_a"), hi.alias("_b"))
-        .distinct()
-    )
+    und = _canonical_und(edges, src_col, dst_col, materialize)
     deg = (
-        und.select(F.col("_a").alias("id"))
-        .unionAll(und.select(F.col("_b").alias("id")))
+        und.select(F.explode(F.array("_a", "_b")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_enumerate(edges, src_col, dst_col)
+    tri = _triangles_of(und, materialize)
     per_vertex = (
-        tri.select(F.col("id_a").alias("id"))
-        .unionAll(tri.select(F.col("id_b").alias("id")))
-        .unionAll(tri.select(F.col("id_c").alias("id")))
+        tri.select(
+            F.explode(F.array("id_a", "id_b", "id_c")).alias("id")
+        )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

@@ -89,8 +89,32 @@ def lazy_plan_of(spark, name: str) -> str:
             materialize=False,
             max_cluster_size=2,
         ),
+        # graph wrappers (materialize defaults to True since r14: the
+        # canonical/oriented edge lists are the algorithm's bounded
+        # working set and every consumer re-expanded the kNN-graph
+        # lineage — 188 parquet scans in clustering_knn's before-plan)
+        "knn_triangles": lambda: _knn_graph_lazy(
+            spark, "triangle_enumerate"
+        ),
+        "clustering_knn": lambda: _knn_graph_lazy(
+            spark, "local_clustering_coefficient"
+        ),
     }
     return _explain(spark, builders[name]())
+
+
+def _knn_graph_lazy(spark, fn_name: str):
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark import operators as ops
+    from fresco_hpc_spark.functions import knn_graph_blocked
+
+    edges = knn_graph_blocked(
+        entrymod.table(spark, SF_SMALL, "embeddings"), k=5
+    ).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return getattr(ops, fn_name)(edges, materialize=False)
 
 
 def test_time_bound_scan_is_pruned(spark):
@@ -288,6 +312,8 @@ def test_no_python_eval_in_sql_paths(spark, name):
         "containment_pairs_prefix",
         "semdedup_kmeans",
         "semdedup_kmeans_capped",
+        "knn_triangles",
+        "clustering_knn",
     ):
         plan = lazy_plan_of(spark, name)
     else:
