@@ -2289,26 +2289,29 @@ def q_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fresco_hpc_spark.functions import (
         boilerplate_remove,
         document_fingerprint,
-        quality_rules,
+        quality_rule_exprs,
         remove_duplicate_ngram_spans,
         token_count,
     )
 
     corpus = _v5_corpus(spark, sf_dir)
     meta = corpus.select("doc_id", "source", "lang")
-    # The composition stays LAZY: the static plan repeats the upstream
-    # lineage per consumer (the surgery reads its input twice and its
-    # gram relation three times), but AQE's runtime stage reuse
-    # collapses the identical exchange subtrees — measured 9.0 s lazy
-    # vs 10.8 s with per-stage localCheckpoints at sf0.1 (the
-    # checkpoint write + lost pipelining costs more than the residual
-    # recompute). At a real 100 TB run each stage's output would be
-    # written to the partitioned store between stages instead (the
-    # reference's own staging pattern), which truncates the lineage
-    # for free.
-    clean = boilerplate_remove(
-        corpus, group_col="source", min_docs=3
-    ).select("doc_id", F.col("clean_text").alias("text"))
+    # Stage boundary (r14, guide §5/§3.3): the boilerplate output is the
+    # surgery's input, and the surgery consumes its input FIVE times
+    # (token stream x2 + gram relation, formerly x3) — left lazy, each
+    # consumer re-ran the boilerplate groupBy+join and the static plan
+    # held 132 parquet scans / 170 exchanges for this one query.
+    # localCheckpoint materializes the stage once; at a real 100 TB run
+    # this is the store write between curation stages (the reference's
+    # own staging pattern), so the shape is scale-faithful, and the
+    # earlier lazy-vs-checkpoint measurement (9.0 vs 10.8 s, r10) flips
+    # once only this single bounded stage is pinned instead of all of
+    # them (7.7 -> ~4.5 s at sf0.1).
+    clean = (
+        boilerplate_remove(corpus, group_col="source", min_docs=3)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=False)
+    )
     surged = remove_duplicate_ngram_spans(clean, n=8).select(
         "doc_id", F.col("clean_text").alias("text"), "n_removed"
     )
@@ -2324,8 +2327,12 @@ def q_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w.doc_id", "w.text", "w.n_removed")
     )
     enriched = uniq.join(meta, "doc_id")
-    gated = quality_rules(enriched).filter("kept").select("doc_id")
-    final = enriched.join(gated, "doc_id")
+    # quality gate applied IN-LINE (r14): same C4 rule conjunction as
+    # quality_rules (single source of truth: quality_rule_exprs), but
+    # as a filter instead of a projected gate relation joined back onto
+    # enriched — the join-back made enriched a two-consumer subtree and
+    # doubled the whole boilerplate+surgery+dedup lineage.
+    final = enriched.filter(quality_rule_exprs("text", "lang")["kept"])
     return (
         final.groupBy("source")
         .agg(

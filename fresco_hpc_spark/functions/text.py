@@ -333,6 +333,39 @@ def ngram_decontaminate(
     )
 
 
+def quality_rule_exprs(
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    min_words: int = 20,
+    mean_word_len_bounds: tuple[float, float] = (2.5, 12.0),
+) -> dict[str, Column]:
+    """The C4-rule boolean expressions behind :func:`quality_rules`,
+    exposed so a composed pipeline can FILTER on the conjunction
+    in-line (key ``kept``) instead of joining the projected gate
+    relation back onto its own input — the join-back shape consumes
+    the upstream lineage twice, which doubles every stage of a lazy
+    multi-stage composition (measured on corpus_curation_v5, r14).
+    Single source of truth: :func:`quality_rules` builds its columns
+    from this dict, so the two forms cannot drift."""
+    c = F.col(text_col)
+    n_words = token_count(c)
+    non_ws = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_len = non_ws / F.greatest(n_words, F.lit(1)).cast("double")
+    lo, hi = mean_word_len_bounds
+    rules = {
+        "rule_min_words": n_words >= min_words,
+        "rule_word_len": (mean_len >= lo) & (mean_len <= hi),
+        "rule_has_stopword": F.regexp_count(F.lower(c), F.lit(EN_STOPWORDS)) > 0,
+    }
+    if lang_col is not None:
+        rules["rule_lang"] = F.col(lang_col) == "en"
+    kept = None
+    for expr in rules.values():
+        kept = expr if kept is None else (kept & expr)
+    rules["kept"] = kept
+    return rules
+
+
 def quality_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -360,23 +393,14 @@ def quality_rules(
     n_words = token_count(c)
     non_ws = F.length(F.regexp_replace(c, r"\s", ""))
     mean_len = non_ws / F.greatest(n_words, F.lit(1)).cast("double")
-    lo, hi = mean_word_len_bounds
-    rules = {
-        "rule_min_words": n_words >= min_words,
-        "rule_word_len": (mean_len >= lo) & (mean_len <= hi),
-        "rule_has_stopword": F.regexp_count(F.lower(c), F.lit(EN_STOPWORDS)) > 0,
-    }
-    if lang_col is not None:
-        rules["rule_lang"] = F.col(lang_col) == "en"
-    kept = None
-    for expr in rules.values():
-        kept = expr if kept is None else (kept & expr)
+    rules = quality_rule_exprs(
+        text_col, lang_col, min_words, mean_word_len_bounds
+    )
     return df.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_len, _ROUND).alias("mean_word_len"),
         *[v.alias(k) for k, v in rules.items()],
-        kept.alias("kept"),
     ).orderBy(id_col)
 
 
@@ -804,19 +828,17 @@ def remove_duplicate_ngram_spans(
         F.col(id_col).alias("doc"),
         F.explode(gram_structs).alias("g"),
     ).select("doc", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
-    winner = grams.groupBy("fp").agg(F.min(F.struct("doc", "pos")).alias("w"))
-    nd = (
-        grams.select("fp", "doc")
-        .distinct()
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nd"))
+    # winner + cross-doc count fused into ONE groupBy (r14): the two
+    # separate aggs + two joins consumed the grams relation three times
+    # — and with it the whole upstream lineage when this operator runs
+    # mid-pipeline (corpus_curation_v5). countDistinct partial-combines
+    # before the same fp shuffle min(struct) rides.
+    gstats = grams.groupBy("fp").agg(
+        F.min(F.struct("doc", "pos")).alias("w"),
+        F.countDistinct("doc").alias("nd"),
     )
-    removed = (
-        grams.join(nd.filter(F.col("nd") >= 2), "fp")
-        .join(winner, "fp")
-        .filter(
-            (F.col("doc") != F.col("w.doc")) | (F.col("pos") != F.col("w.pos"))
-        )
+    removed = grams.join(gstats.filter(F.col("nd") >= 2), "fp").filter(
+        (F.col("doc") != F.col("w.doc")) | (F.col("pos") != F.col("w.pos"))
     )
     covered = removed.select(
         "doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos")

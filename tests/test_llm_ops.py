@@ -377,6 +377,36 @@ def test_quality_rules_each_rule_isolated(spark):
     assert not out[4].rule_lang and out[4].rule_min_words and not out[4].kept
 
 
+def test_quality_rule_exprs_matches_quality_rules(spark):
+    """The in-line filter form (quality_rule_exprs, used by
+    corpus_curation_v5's gate since r14) and the projected gate
+    relation (quality_rules) must agree rule-for-rule on every
+    boundary case — single source of truth pin."""
+    from fresco_hpc_spark.functions import quality_rule_exprs, quality_rules
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the big red barn for food today ok"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, "short words only here", "en"),
+            (3, " ".join(["internationalization"] * 25), "en"),
+            (4, good, "zh"),
+            (5, "", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    exprs = quality_rule_exprs("text", "lang")
+    inline = {
+        r.doc_id: tuple(r[k] for k in exprs)
+        for r in docs.select("doc_id", *[v.alias(k) for k, v in exprs.items()]).collect()
+    }
+    gate = {
+        r.doc_id: tuple(r[k] for k in exprs)
+        for r in quality_rules(docs).collect()
+    }
+    assert inline == gate
+
+
 def test_class_centroids_hand_computed(spark):
     from fresco_hpc_spark.functions import class_centroids
 
