@@ -384,7 +384,14 @@ def rolling_zscore(
     """
     from pyspark.sql import Window
 
+    from fresco_hpc_spark.session import widen_exchange
+
     df = df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+    # widen_exchange (r14): the window's implicit exchange coalesced to
+    # ~5 tasks under AQE's byte target, serializing the per-row
+    # mean/stddev frame work; the window REUSES this explicit exchange
+    # (same key), so no shuffle is added — only its width is pinned.
+    df = widen_exchange(df, key_col)
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.col(time_col), F.col(tiebreak_col))
@@ -592,10 +599,17 @@ def ewma_scan(
 
     # NULL-key rows are excluded — a keyed recurrence needs a key
     # (see ewma()'s routing note; the filter here covers direct calls)
+    # widen_exchange (r14): the keyless-count repartition let AQE
+    # coalesce the Python state scan to 2-5 tasks on small-in-bytes data
+    from fresco_hpc_spark.session import widen_exchange
+
     return (
-        df.filter(F.col(key_col).isNotNull())
-        .select(key_col, time_col, value_col)
-        .repartition(F.col(key_col))
+        widen_exchange(
+            df.filter(F.col(key_col).isNotNull()).select(
+                key_col, time_col, value_col
+            ),
+            key_col,
+        )
         .sortWithinPartitions(key_col, time_col, value_col)
         .mapInPandas(scan, schema=out_schema)
         .select(
@@ -685,10 +699,16 @@ def holt_scan(
 
     # NULL-key rows are excluded — a keyed recurrence needs a key
     # (see ewma()'s routing note; the filter here covers direct calls)
+    # widen_exchange (r14): same rationale as ewma_scan
+    from fresco_hpc_spark.session import widen_exchange
+
     return (
-        df.filter(F.col(key_col).isNotNull())
-        .select(key_col, time_col, value_col)
-        .repartition(F.col(key_col))
+        widen_exchange(
+            df.filter(F.col(key_col).isNotNull()).select(
+                key_col, time_col, value_col
+            ),
+            key_col,
+        )
         .sortWithinPartitions(key_col, time_col, value_col)
         .mapInPandas(scan, schema=out_schema)
         .select(
@@ -787,6 +807,11 @@ def interpolate_linear(
     """
     from pyspark.sql import Window
 
+    from fresco_hpc_spark.session import widen_exchange
+
+    # widen_exchange (r14): same rationale as rolling_zscore — both
+    # ignore-nulls windows reuse this one pinned-width exchange.
+    df = widen_exchange(df, key_col)
     tie_cols = tie_cols or []
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tie_cols]
     back = (

@@ -113,6 +113,42 @@ def tune_shuffle_partitions(
     return n
 
 
+def widen_exchange(df, *key_cols):
+    """Hash-repartition ``df`` by ``key_cols`` with an EXPLICIT partition
+    count — ``max(defaultParallelism, spark.sql.shuffle.partitions)`` —
+    so AQE's partition coalescing cannot shrink the exchange below the
+    core count (r14, guide §2.6).
+
+    Why: AQE coalesces post-shuffle partitions toward a BYTE target
+    (``advisoryPartitionSizeInBytes`` / ``minPartitionSize``), which is
+    the right economics for I/O-bound stages but serializes CPU-bound
+    per-row work over small-in-bytes data — a keyed window or a
+    ``mapInPandas`` state scan over a few MB coalesces to 2–5 tasks on
+    a 32-core host (measured: interpolate_values 1.8 s → 1.0,
+    rolling_zscore 1.6 → 0.9, holt_forecast 1.4 → 0.9 at sf0.1).
+
+    Scale behavior: the consumer (window / scan keyed the same way)
+    REUSES this exchange, so no shuffle is added at any scale; the only
+    change is pinning its width. At 100 TB the configured
+    ``shuffle.partitions`` (sized by :func:`tune_shuffle_partitions` or
+    the cluster conf) dominates the ``max``, so the pinned width equals
+    what the planner would have used before coalescing — i.e. this is
+    the identity decision at scale, exactly like ``_fan_out`` for scans.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — non-integer / missing conf
+        conf_parts = cores
+    n = max(cores, conf_parts)
+    return df.repartition(
+        n, *[F.col(c) if isinstance(c, str) else c for c in key_cols]
+    )
+
+
 def input_bytes_of(paths: str | list[str]) -> int:
     """Total on-disk bytes under the given local file/dir paths — the
     cheap local-FS estimator :func:`tune_shuffle_partitions` pairs with
