@@ -599,17 +599,16 @@ def ewma_scan(
 
     # NULL-key rows are excluded — a keyed recurrence needs a key
     # (see ewma()'s routing note; the filter here covers direct calls)
-    # widen_exchange (r14): the keyless-count repartition let AQE
-    # coalesce the Python state scan to 2-5 tasks on small-in-bytes data
-    from fresco_hpc_spark.session import widen_exchange
-
+    # NOT widened (r14): unlike the JVM window operators, each
+    # mapInPandas task pays an Arrow-worker round trip, so pinning the
+    # exchange at core count LOST to AQE's byte-targeted coalescing on
+    # MB-scale inputs (isolated min-of-3: 1.19 s coalesced vs 1.51 s
+    # at 32 tasks). At 100 TB the byte target itself yields thousands
+    # of tasks, so the coalesced form is already scale-adaptive.
     return (
-        widen_exchange(
-            df.filter(F.col(key_col).isNotNull()).select(
-                key_col, time_col, value_col
-            ),
-            key_col,
-        )
+        df.filter(F.col(key_col).isNotNull())
+        .select(key_col, time_col, value_col)
+        .repartition(F.col(key_col))
         .sortWithinPartitions(key_col, time_col, value_col)
         .mapInPandas(scan, schema=out_schema)
         .select(
@@ -699,16 +698,12 @@ def holt_scan(
 
     # NULL-key rows are excluded — a keyed recurrence needs a key
     # (see ewma()'s routing note; the filter here covers direct calls)
-    # widen_exchange (r14): same rationale as ewma_scan
-    from fresco_hpc_spark.session import widen_exchange
-
+    # NOT widened (r14): same Arrow-worker economics as ewma_scan —
+    # see the note there.
     return (
-        widen_exchange(
-            df.filter(F.col(key_col).isNotNull()).select(
-                key_col, time_col, value_col
-            ),
-            key_col,
-        )
+        df.filter(F.col(key_col).isNotNull())
+        .select(key_col, time_col, value_col)
+        .repartition(F.col(key_col))
         .sortWithinPartitions(key_col, time_col, value_col)
         .mapInPandas(scan, schema=out_schema)
         .select(

@@ -122,10 +122,14 @@ def widen_exchange(df, *key_cols):
     Why: AQE coalesces post-shuffle partitions toward a BYTE target
     (``advisoryPartitionSizeInBytes`` / ``minPartitionSize``), which is
     the right economics for I/O-bound stages but serializes CPU-bound
-    per-row work over small-in-bytes data — a keyed window or a
-    ``mapInPandas`` state scan over a few MB coalesces to 2–5 tasks on
-    a 32-core host (measured: interpolate_values 1.8 s → 1.0,
-    rolling_zscore 1.6 → 0.9, holt_forecast 1.4 → 0.9 at sf0.1).
+    per-row work over small-in-bytes data — a keyed window over a few
+    MB coalesces to 2–5 tasks on a 32-core host (isolated min-of-3 at
+    sf0.1: interpolate_values 1.63 s → 0.84, rolling_zscore
+    1.37 → 1.01). Use it for JVM-side consumers ONLY: a ``mapInPandas``
+    consumer pays an Arrow-worker round trip per task, and pinning its
+    exchange at core count measured SLOWER than the coalesced form
+    (ewma_scan 1.19 → 1.51 at 32 tasks) — leave scans on the
+    byte-target default, which is itself scale-adaptive.
 
     Scale behavior: the consumer (window / scan keyed the same way)
     REUSES this exchange, so no shuffle is added at any scale; the only
