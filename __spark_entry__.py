@@ -2221,7 +2221,7 @@ def _v5_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     while their novel reversed tail SURVIVES the quality gate — so the
     surgery stage shows up in the final n_removed_tokens, not only as
     vanished documents."""
-    docs = (
+    docs = _spread(
         table(spark, sf_dir, "documents")
         .filter(F.trim("text") != "")
         .select("doc_id", "text", "source", "lang")
@@ -2307,10 +2307,16 @@ def q_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # earlier lazy-vs-checkpoint measurement (9.0 vs 10.8 s, r10) flips
     # once only this single bounded stage is pinned instead of all of
     # them (7.7 -> ~4.5 s at sf0.1).
-    clean = (
+    # eager so the materialized partition count is KNOWN, then _spread:
+    # AQE coalesces the tiny boilerplate output to ONE partition, which
+    # serialized the surgery's per-row gram work on a 2 s single-task
+    # critical-path stage (×2 consumers) — at corpus scale the
+    # checkpoint is already ≥ core-count partitions and _spread is the
+    # identity (guide §2.5/§2.6).
+    clean = _spread(
         boilerplate_remove(corpus, group_col="source", min_docs=3)
         .select("doc_id", F.col("clean_text").alias("text"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     surged = remove_duplicate_ngram_spans(clean, n=8).select(
         "doc_id", F.col("clean_text").alias("text"), "n_removed"
