@@ -3562,25 +3562,42 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-free micro-unit mean. Bucket 1 = lowest log-prob =
     highest perplexity = the tail a CCNet pipeline drops or
     downweights."""
+    from pyspark.storagelevel import StorageLevel
+
     from fresco_hpc_spark.functions import kn_logprob_score
     from fresco_hpc_spark.operators.percentiles import quantile_bucket
 
-    scores = kn_logprob_score(table(spark, sf_dir, "documents"))
-    labeled = quantile_bucket(scores, "mean_logprob", [1 / 3, 2 / 3])
-    u = F.round(F.col("mean_logprob") * 1_000_000, 0).cast("bigint")
-    return (
-        labeled.select("bucket", "mean_logprob", u.alias("u"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(F.min("mean_logprob"), 6).alias("min_logprob"),
-            F.round(F.max("mean_logprob"), 6).alias("max_logprob"),
-            F.round(
-                F.sum("u") / (F.lit(1_000_000.0) * F.count(F.lit(1))), 6
-            ).alias("avg_logprob"),
-        )
-        .orderBy("bucket")
+    # The per-doc score relation is consumed TWICE — quantile_bucket's
+    # eager percentile probe (bounds) and the final bucket agg — and
+    # its lineage is the whole KN trigram pipeline; left lazy the
+    # scoring ran twice per call (r14 stage profile: the probe's three
+    # heavy stages repeated verbatim for the save). Persist it for the
+    # duration of the call (per-doc rows — corpus-small, distributed,
+    # recomputed from parquet every invocation), eagerly checkpoint the
+    # 3-row result, release the cache (the jaccard-prefix
+    # materialize=True pattern).
+    scores = kn_logprob_score(table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        labeled = quantile_bucket(scores, "mean_logprob", [1 / 3, 2 / 3])
+        u = F.round(F.col("mean_logprob") * 1_000_000, 0).cast("bigint")
+        return (
+            labeled.select("bucket", "mean_logprob", u.alias("u"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.round(F.min("mean_logprob"), 6).alias("min_logprob"),
+                F.round(F.max("mean_logprob"), 6).alias("max_logprob"),
+                F.round(
+                    F.sum("u") / (F.lit(1_000_000.0) * F.count(F.lit(1))), 6
+                ).alias("avg_logprob"),
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        scores.unpersist()
 
 
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
