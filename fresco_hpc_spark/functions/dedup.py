@@ -1009,26 +1009,29 @@ def simhash_signatures(
     toks = _tokens(df, text_col, id_col, n=1)
     # hash each token once; the 64 per-bit aggregates share the column
     toks = toks.select("doc", _h60(F.col("token")).alias("_h"))
-    h = F.col("_h")
+    # ONE parsed expr string per aggregate/chunk (r14, guide §4 — the
+    # lit_doubles lesson from the vector kernels): the Column-builder
+    # form issued ~1000 py4j round trips and cost ~1.2 s of DRIVER time
+    # per call; the parsed forms are the same expressions
+    # (shiftright(h,i)&1 / if > 0 / shiftleft) verbatim.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"bit_{i}")
+        F.expr(f"sum(if((shiftright(_h, {i}) & 1) = 1, 1, -1))").alias(
+            f"bit_{i}"
+        )
         for i in range(64)
     ]
     agg = toks.groupBy("doc").agg(*bit_sums)
     # reassemble as four 16-bit chunks (used directly for LSH banding;
     # avoids signed-overflow on bit 63)
-    chunks = []
-    for c in range(4):
-        expr = F.lit(0).cast("bigint")
-        for j in range(16):
-            i = c * 16 + j
-            bit = F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
+    chunks = [
+        F.expr(
+            " + ".join(
+                f"shiftleft(if(bit_{c * 16 + j} > 0, 1L, 0L), {j})"
+                for j in range(16)
             )
-            expr = expr + F.shiftleft(bit, j)
-        chunks.append(expr.alias(f"chunk_{c}"))
+        ).alias(f"chunk_{c}")
+        for c in range(4)
+    ]
     return agg.select("doc", *chunks)
 
 
