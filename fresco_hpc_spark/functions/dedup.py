@@ -714,13 +714,20 @@ def minhash_signatures(
     # materialized ONCE as a column so the k permutation aggregates share
     # it instead of each re-hashing the shingle string
     toks = toks.select("doc", F.pmod(_h60(F.col("token")), F.lit(_P)).alias("_h"))
+    # ONE parsed expr string per permutation aggregate (r14, guide §4 —
+    # the simhash/lit_doubles lesson): the Column-builder form issued
+    # ~450 py4j round trips (~1.0 s of driver time per call); `{a}L`
+    # literals are the same LongType constants, pmod/min verbatim.
     aggs = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        F.expr(f"min(pmod(_h * {a}L + {b}L, {_P}L))").alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes))
     ]
     wide = toks.groupBy(F.col("doc")).agg(*aggs)
     return wide.select(
-        "doc", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+        "doc",
+        F.expr(
+            f"array({','.join(f'mh_{i}' for i in range(num_hashes))})"
+        ).alias("sig"),
     )
 
 
