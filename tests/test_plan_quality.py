@@ -843,3 +843,23 @@ def test_rank_fusion_is_bounded_join_over_topk(spark):
     plan = plan_of(spark, "rank_fusion")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keyed_window_exchange_width_is_pinned(spark):
+    """The r14 widen_exchange contract: rolling_zscore and
+    interpolate_values repartition by their key with an EXPLICIT
+    partition count (REPARTITION_BY_NUM), so AQE's byte-target
+    coalescing cannot serialize the CPU-bound window frames on
+    small-in-bytes data; the window REUSES that single exchange (no
+    second hashpartitioning of the events relation). The mapInPandas
+    state scans (ewma_scan, holt_forecast) deliberately keep the
+    UNPINNED keyed repartition — pinning them measured SLOWER (each
+    Arrow task pays a Python-worker round trip)."""
+    for name in ("rolling_zscore", "interpolate_values"):
+        plan = plan_of(spark, name)
+        assert "REPARTITION_BY_NUM" in plan, name
+        assert plan.count("hashpartitioning(") == 1, name
+    for name in ("ewma_scan", "holt_forecast"):
+        plan = plan_of(spark, name)
+        assert "REPARTITION_BY_NUM" not in plan, name
+        assert "REPARTITION_BY_COL" in plan, name
