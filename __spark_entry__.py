@@ -97,9 +97,36 @@ def _spread(df: DataFrame) -> DataFrame:
     files, the partition count already exceeds core count, and this is
     a no-op (no constant tuned to either environment). Results are
     unchanged: applied only ahead of per-row projections feeding
-    order-free aggregations or explicitly ordered outputs."""
+    order-free aggregations or explicitly ordered outputs.
+
+    The width probe is METADATA-ONLY for file sources (VERDICT r14
+    item 8): ``inputFiles()`` + local file sizes against the 128 MB
+    default split target, so one huge file still counts as many scan
+    tasks and a wide plan never pays a plan→RDD translation at
+    construction time. Non-file feeds (the eager localCheckpoint in
+    corpus_curation_v5) fall back to ``rdd.getNumPartitions()``, which
+    is O(1) there — the RDD already exists."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plan shapes
+        files = []
+    if files:
+        import math
+        import os
+        from urllib.parse import urlparse
+
+        split_bytes = 128 * 1024 * 1024
+        width = 0
+        for f in files:
+            try:
+                size = os.path.getsize(urlparse(f).path)
+                width += max(1, math.ceil(size / split_bytes))
+            except OSError:  # non-local storage: count the file itself
+                width += 1
+    else:
+        width = df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)
 
@@ -2306,7 +2333,14 @@ def q_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # own staging pattern), so the shape is scale-faithful, and the
     # earlier lazy-vs-checkpoint measurement (9.0 vs 10.8 s, r10) flips
     # once only this single bounded stage is pinned instead of all of
-    # them (7.7 -> ~4.5 s at sf0.1).
+    # them (7.7 -> ~4.5 s at sf0.1). Two caveats (ADVICE r14): the
+    # checkpoint lives on NON-RELIABLE executor-local storage, so an
+    # executor loss mid-query fails the query instead of recomputing
+    # lineage (a cluster run would write the stage to the store and
+    # read it back — reliable by construction); and eagerness makes
+    # query CONSTRUCTION execute the upstream stage, so an explain-only
+    # caller pays the stage (acceptable: the bench times construction +
+    # execution together and there is no explain-only mode).
     # eager so the materialized partition count is KNOWN, then _spread:
     # AQE coalesces the tiny boilerplate output to ONE partition, which
     # serialized the surgery's per-row gram work on a 2 s single-task
@@ -3575,7 +3609,11 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duration of the call (per-doc rows — corpus-small, distributed,
     # recomputed from parquet every invocation), eagerly checkpoint the
     # 3-row result, release the cache (the jaccard-prefix
-    # materialize=True pattern).
+    # materialize=True pattern). Caveats as for corpus_curation_v5's
+    # checkpoint (ADVICE r14): executor-local storage is non-reliable
+    # (executor loss fails the call instead of recomputing), and the
+    # eager checkpoint makes query CONSTRUCTION run the aggregation —
+    # fine here (3 rows, bench times construction + execution).
     scores = kn_logprob_score(table(spark, sf_dir, "documents")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -3999,15 +4037,76 @@ def queries() -> dict[str, Query]:
         # --- ORDER MATTERS: the driver's correctness run caps at 50
         # queries per round taken in dict order. (bench.py follows
         # dict order too and quarantines the heavy Zipf exhibits at
-        # the end of its own suite.) Round-14 window (VERDICT r13
-        # item 1), 50 = 46 + 4; the exact set is pinned by test_edges
+        # the end of its own suite.) Round-15 window (VERDICT r14
+        # item 9), 50 = 46 + 4; the exact set is pinned by test_edges
         # and, structurally, by the ledger-derived staleness invariant
         # (VERDICT r10 item 2):
-        # (1) the 46 queries whose newest driver row is r10 — every
-        #     one goes >=5 rounds stale the moment CORRECTNESS_r14
-        #     lands, so this round clears the whole remaining r10
-        #     tranche (the r14 retirement of corpus_curation_v3/v4
-        #     shrank it from 48; COVERAGE.md 'R14 retirements'):
+        # (1) the 46 queries whose newest driver row is r11 — every
+        #     one goes >=5 rounds stale the moment CORRECTNESS_r15
+        #     lands, so this round clears the whole r11 tranche
+        #     (embedding_ann_int8, the filler displaced from the r14
+        #     window by the semdedup_kmeans_capped arrival, leads;
+        #     index_build_text stays ahead of bm25_search and
+        #     phrase_search in dict order — their bench numbers must
+        #     be query-only):
+        "embedding_ann_int8": q_embedding_ann_int8,
+        "pq_encode": q_pq_encode,
+        "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_pq_rerank": q_embedding_ann_pq_rerank,
+        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
+        "trigram_logprob": q_trigram_logprob,
+        "kn_logprob": q_kn_logprob,
+        "quality_classifier": q_quality_classifier,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "kmv_vocab_overlap": q_kmv_vocab_overlap,
+        "cms_token_counts": q_cms_token_counts,
+        "char_entropy": q_char_entropy,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "perplexity_buckets": q_perplexity_buckets,
+        "hll_distinct_users": q_hll_distinct_users,
+        "hll_daily_rollup": q_hll_daily_rollup,
+        "lpa_communities": q_lpa_communities,
+        "weighted_length_quantiles": q_weighted_length_quantiles,
+        "embedding_ann_rp": q_embedding_ann_rp,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hard_negatives": q_hard_negatives,
+        "normalize_text": q_normalize_text,
+        "tfidf_search": q_tfidf_search,
+        "cusum_drift": q_cusum_drift,
+        "attribution_linear": q_attribution_linear,
+        "ann_recall_rp": q_ann_recall_rp,
+        "index_build_text": q_index_build_text,
+        "bm25_search": q_bm25_search,
+        "dup_clusters": q_dup_clusters,
+        "embedding_near_dups": q_embedding_near_dups,
+        "asof_click_purchase": q_asof_click_purchase,
+        "decontaminate": q_decontaminate,
+        "quality_rules": q_quality_rules,
+        "class_centroids": q_class_centroids,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "value_cdf": q_value_cdf,
+        "category_counts": q_category_counts,
+        "token_budget": q_token_budget,
+        "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
+        "token_counts": q_token_counts,
+        "phrase_search": q_phrase_search,
+        # (2) proactive r12 rotations filling the remaining slots
+        #     (48 r12 rows go stale at r16; rotating a tranche now
+        #     smooths the r16 window to 44 + arrivals). New r15
+        #     arrivals would displace these fillers from the window
+        #     as they land (never-certified must be in-window):
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "session_duration": q_session_duration,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        # --- outside the 50-query window: newest driver row r12-r14
+        # for every entry below (the r12 tranche leads the r16
+        # rotation):
         "iqr_trim_agg": q_iqr_trim_agg,
         "mad_trim_agg": q_mad_trim_agg,
         "interval_join_clicks": q_interval_join_clicks,
@@ -4054,24 +4153,10 @@ def queries() -> dict[str, Query]:
         "embedding_ann_lsh": q_embedding_ann,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "dedup_corpus": q_dedup_corpus,
-        # (2) proactive r11 rotations filling the remaining slots
-        #     (49 r11 rows go stale at r15; rotating a tranche now
-        #     smooths the r15 window to 45 + arrivals). New r14
-        #     arrivals displace these fillers from the window as
-        #     they land (never-certified must be in-window):
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "embedding_quantize": q_embedding_quantize,
-        # the r14 arrival (never-certified -> in-window; displaced the
-        # embedding_ann_int8 filler): the PRODUCTION triangle-salted
-        # SemDeDup path — identical relation, skew-bounded tasks
         "semdedup_kmeans_capped": q_semdedup_kmeans_capped,
-        # --- outside the 50-query window: newest driver row r11-r13
-        # for every entry below (the displaced r11 filler leads, then
-        # the r11 tranche — it leads the r15 rotation; index_build_text
-        # stays ahead of bm25_search and phrase_search in dict order —
-        # their bench numbers must be query-only):
-        "embedding_ann_int8": q_embedding_ann_int8,
         "rfm_segments": q_rfm_segments,
         "basket_pairs": q_basket_pairs,
         "pagerank_knn_weighted": q_pagerank_knn_weighted,
@@ -4121,10 +4206,6 @@ def queries() -> dict[str, Query]:
         "kmeans_clusters_capped": q_kmeans_clusters_capped,
         "corpus_retrieval_v1": q_corpus_retrieval_v1,
         "semdedup_kmeans": q_semdedup_kmeans,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "session_duration": q_session_duration,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
         "profile_agg_day": q_profile_agg_day,
         "profile_agg_minute": q_profile_agg_minute,
         "grouped_percentiles": q_grouped_percentiles,
@@ -4169,51 +4250,6 @@ def queries() -> dict[str, Query]:
         "name_resolution": q_name_resolution,
         "revenue_by_nation": q_revenue_by_nation,
         "revenue_monthly_yoy": q_revenue_monthly_yoy,
-        "pq_encode": q_pq_encode,
-        "embedding_ann_pq": q_embedding_ann_pq,
-        "embedding_ann_pq_rerank": q_embedding_ann_pq_rerank,
-        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
-        "trigram_logprob": q_trigram_logprob,
-        "kn_logprob": q_kn_logprob,
-        "quality_classifier": q_quality_classifier,
-        "kmv_distinct_users": q_kmv_distinct_users,
-        "kmv_vocab_overlap": q_kmv_vocab_overlap,
-        "cms_token_counts": q_cms_token_counts,
-        "char_entropy": q_char_entropy,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "perplexity_buckets": q_perplexity_buckets,
-        "hll_distinct_users": q_hll_distinct_users,
-        "hll_daily_rollup": q_hll_daily_rollup,
-        "lpa_communities": q_lpa_communities,
-        "weighted_length_quantiles": q_weighted_length_quantiles,
-        "embedding_ann_rp": q_embedding_ann_rp,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "hard_negatives": q_hard_negatives,
-        "normalize_text": q_normalize_text,
-        "tfidf_search": q_tfidf_search,
-        "cusum_drift": q_cusum_drift,
-        "attribution_linear": q_attribution_linear,
-        "ann_recall_rp": q_ann_recall_rp,
-        "index_build_text": q_index_build_text,
-        "bm25_search": q_bm25_search,
-        "dup_clusters": q_dup_clusters,
-        "embedding_near_dups": q_embedding_near_dups,
-        "asof_click_purchase": q_asof_click_purchase,
-        "decontaminate": q_decontaminate,
-        "quality_rules": q_quality_rules,
-        "class_centroids": q_class_centroids,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-        "media_features": q_media_features,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "value_cdf": q_value_cdf,
-        "category_counts": q_category_counts,
-        "token_budget": q_token_budget,
-        "corpus_split": q_corpus_split,
-        "stratified_sample": q_stratified_sample,
-        "token_counts": q_token_counts,
-        "phrase_search": q_phrase_search,
     }
 
 # --- DuckDB oracles --------------------------------------------------------

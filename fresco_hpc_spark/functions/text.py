@@ -796,12 +796,13 @@ def remove_duplicate_ngram_spans(
     ``clean_text`` ('' when everything was duplicated elsewhere first).
 
     Scale shape (100 TB): tokenize + gram fingerprints are map-only
-    (md5, 16 B each); the winner per gram is a partial-aggregatable
-    ``min(struct(doc,pos))`` and the cross-doc count a distinct+count
-    pair — both partial-combine before their fingerprint shuffle (no
-    windows, so a boilerplate gram in 10⁶ docs never sorts on one
-    task); covered positions explode map-side from removed occurrences;
-    the final anti-join and per-doc rebuild are equi-key operations.
+    (md5, 16 B each); the winner ``min(struct(doc,pos))`` and the
+    cross-doc ``countDistinct(doc)`` are FUSED into one groupBy (r14),
+    so both partial-combine before a single fingerprint shuffle and one
+    join back attaches them (no windows, so a boilerplate gram in 10⁶
+    docs never sorts on one task); covered positions explode map-side
+    from removed occurrences; the final anti-join and per-doc rebuild
+    are equi-key operations.
     """
     df = _fan_out(df)
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")

@@ -144,8 +144,18 @@ def widen_exchange(df, *key_cols):
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     try:
-        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:  # noqa: BLE001 — non-integer / missing conf
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", str(cores)))
+    except (ValueError, TypeError):
+        # non-integer conf (e.g. 'auto' under an external AQE manager):
+        # fall back to core count, but say so — a silent fallback loses
+        # the configured width with no signal (ADVICE r14)
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "widen_exchange: spark.sql.shuffle.partitions is not an "
+            "integer; falling back to defaultParallelism=%d",
+            cores,
+        )
         conf_parts = cores
     n = max(cores, conf_parts)
     return df.repartition(
