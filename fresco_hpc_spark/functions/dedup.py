@@ -227,6 +227,106 @@ def _tokens_with_stats(
     )
 
 
+#: Token→id hash for the BIGINT-keyed fast path of the pair generators
+#: (VERDICT r14 item 1). Module-level so tests can monkeypatch a
+#: deliberately colliding hash (e.g. ``pmod(xxhash64(c), 16)``) to
+#: exercise the collision audit and the exact string fallback.
+_TOKEN_ID_EXPR = F.xxhash64
+
+
+def _tokens_with_stats_hashed(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """The BIGINT-keyed twin of :func:`_tokens_with_stats`:
+    ``(doc, tid, n_tokens, df, _collided)`` with ``tid =
+    xxhash64(token)`` — the token STRING is dropped before any join, so
+    the df join-back here and the candidate/verify joins downstream all
+    shuffle, hash, and compare 8-byte keys instead of word-shingle
+    strings (guide §2.3 "narrower types", §3: compact join keys;
+    VERDICT r14 item 1 — the string keys were the last ~50 s-CPU join
+    stage pair at sf0.1).
+
+    Exactness is NOT assumed from the hash. ``_collided`` is true on
+    every row of a tid carried by ≥2 distinct tokens anywhere in the
+    corpus — detected as ``min(token) ≠ max(token)`` INSIDE the same
+    per-tid aggregate that computes df (min/max partial-combine
+    map-side, so the audit adds no pass and the shuffle carries two
+    bounded string partials per tid per map task, not the token
+    stream). Callers audit the materialized relation and fall back to
+    the exact string-keyed path when any collision exists, so a 64-bit
+    collision can only ever cost a recompute, never a wrong pair. df is
+    per-tid, which equals per-token df exactly when the audit passes.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(df, text_col, id_col, n)
+    hashed = toks.select(
+        "doc", _TOKEN_ID_EXPR(F.col("token")).alias("tid"), "token"
+    )
+    by_tid = hashed.groupBy("tid").agg(
+        F.count(F.lit(1)).alias("df"),
+        (F.min("token") != F.max("token")).alias("_collided"),
+    )
+    return (
+        hashed.select("doc", "tid")
+        .join(by_tid, "tid")
+        .withColumn(
+            "n_tokens", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        )
+        .select("doc", "tid", "n_tokens", "df", "_collided")
+    )
+
+
+def _audited(persisted: DataFrame) -> bool:
+    """Run the collision audit on a persisted hashed-stats relation.
+    The ``isEmpty`` action doubles as the cache warm-up — the first
+    consumer was going to materialize the persist anyway, so a clean
+    audit costs no extra pass. On a collision (false) the cache is
+    released; the caller falls back to the exact string path."""
+    clean = persisted.filter(F.col("_collided")).isEmpty()
+    if not clean:
+        persisted.unpersist()
+    return clean
+
+
+def _hashed_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> tuple[DataFrame, bool]:
+    """Persisted bigint-keyed token stats + audit verdict, for the
+    PLAIN pair generators' materialize fast path. Persisted BEFORE the
+    df-cap filter: the audit must see every token (a collision merges
+    two tokens' df and could move either across the cap), and the zipf
+    exhibits run with the cap disabled anyway."""
+    stats = _tokens_with_stats_hashed(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return stats, _audited(stats)
+
+
+def _hashed_ranked(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> tuple[DataFrame, bool]:
+    """Persisted ``(doc, tid, n_tokens, df, rk)`` relation + audit
+    verdict for the PREFIX pair generators' materialize fast path. The
+    rarity rank orders by ``(df, tid)`` — a valid GLOBAL total order on
+    tokens exactly when the audit passes (tid is then injective on the
+    corpus vocabulary), which is all prefix filtering needs: candidate
+    sets under different total orders differ, but each is a superset of
+    the true pairs (the pigeonhole/positional lemmas are order-agnostic)
+    and the exact verify makes the emitted output identical."""
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("tid").asc())
+    )
+    ranked = (
+        _tokens_with_stats_hashed(df, text_col, id_col, n)
+        .withColumn("rk", rk)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return ranked, _audited(ranked)
+
+
 #: Half-ulp of the engine-wide 6-decimal emit rounding: pair generators
 #: FILTER on round(ratio, 6) ≥ t, so candidate-generation bounds widen
 #: by this much to stay at least as permissive as the emit filter
@@ -296,6 +396,20 @@ def ngram_jaccard_pairs(
         return ngram_jaccard_pairs_prefix(
             df, text_col, id_col, n, threshold, materialize
         )
+    if materialize:
+        # BIGINT fast path (VERDICT r14 item 1): self-join + pair counts
+        # keyed on xxhash64(token), exact under the collision audit; a
+        # collision falls through to the string path below. The persist
+        # additionally keeps the self-join from computing its input
+        # twice (build and probe share no exchange).
+        stats, clean = _hashed_stats(df, text_col, id_col, n)
+        if clean:
+            rare = stats.filter(F.col("df") <= max_token_freq).select(
+                "doc", "tid", "n_tokens"
+            )
+            return _finish_pairs(
+                _plain_jaccard_pairs(rare, "tid", threshold), [stats], True
+            )
     toks = _tokens_with_stats(df, text_col, id_col, n)
     # The DF-pruning filter never broadcasts the token table — the
     # vocabulary grows with the corpus and is unbounded at 100 TB.
@@ -307,10 +421,25 @@ def ngram_jaccard_pairs(
         # side and the probe side share no exchange), which doubles the
         # tokenize + window work. Disk-backed, LRU-evicted.
         rare = rare.persist(StorageLevel.MEMORY_AND_DISK)
+    result = _plain_jaccard_pairs(rare, "token", threshold)
+    return _finish_pairs(result, [rare], materialize)
+
+
+def _plain_jaccard_pairs(
+    rare: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """Shared plain-variant body: token self-join + pair-count Jaccard
+    over a ``(doc, <key>, n_tokens)`` relation. ``key`` is ``token``
+    (exact strings) or ``tid`` (audited bigint ids — identical output,
+    8-byte join keys)."""
     a = rare.alias("a")
     b = rare.alias("b")
     inter = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -319,7 +448,7 @@ def ngram_jaccard_pairs(
         )
     )
     jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    result = (
+    return (
         inter.select(
             "doc_a",
             "doc_b",
@@ -328,7 +457,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
-    return _finish_pairs(result, [rare], materialize)
 
 
 def ngram_containment_pairs(
@@ -366,17 +494,40 @@ def ngram_containment_pairs(
         return ngram_containment_pairs_prefix(
             df, text_col, id_col, n, threshold, materialize
         )
+    if materialize:
+        # BIGINT fast path — see ngram_jaccard_pairs; identical output
+        # under the collision audit, string fallback otherwise.
+        stats, clean = _hashed_stats(df, text_col, id_col, n)
+        if clean:
+            rare = stats.filter(F.col("df") <= max_token_freq).select(
+                "doc", "tid", "n_tokens"
+            )
+            return _finish_pairs(
+                _plain_containment_pairs(rare, "tid", threshold),
+                [stats],
+                True,
+            )
     toks = _tokens_with_stats(df, text_col, id_col, n)
     rare = toks.filter(F.col("df") <= max_token_freq).select(
         "doc", "token", "n_tokens"
     )
     if materialize:
         rare = rare.persist(StorageLevel.MEMORY_AND_DISK)
+    result = _plain_containment_pairs(rare, "token", threshold)
+    return _finish_pairs(result, [rare], materialize)
+
+
+def _plain_containment_pairs(
+    rare: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """Shared plain-variant body: token self-join + bidirectional
+    containment over a ``(doc, <key>, n_tokens)`` relation; ``key`` is
+    ``token`` or the audited bigint ``tid`` (identical output)."""
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
@@ -393,7 +544,7 @@ def ngram_containment_pairs(
         / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         6,
     )
-    result = (
+    return (
         inter.select(
             "doc_a",
             "doc_b",
@@ -408,18 +559,21 @@ def ngram_containment_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
-    return _finish_pairs(result, [rare], materialize)
 
 
-def _join_verify(cands: DataFrame, ranked: DataFrame) -> DataFrame:
+def _join_verify(
+    cands: DataFrame, ranked: DataFrame, key: str = "token"
+) -> DataFrame:
     """Exact (n_common, size_a, size_b) per candidate pair via equi-joins
     on the DISTINCT (doc, token) relation — the shared verify tail of
     both prefix-filtered pair generators. ``n_common`` counts tokens
     present in both docs; sizes come from a per-doc aggregate. Every
     join is an equi-join (token/doc keys, never cartesian — the family
-    plan audit covers it), every row constant-size."""
-    ta = ranked.select(F.col("doc").alias("_da"), F.col("token").alias("_t"))
-    tb = ranked.select(F.col("doc").alias("_db"), F.col("token").alias("_t"))
+    plan audit covers it), every row constant-size. ``key`` is
+    ``token`` (exact strings) or ``tid`` (audited bigint ids — the
+    audit guarantees tid-matches are exactly token-matches)."""
+    ta = ranked.select(F.col("doc").alias("_da"), F.col(key).alias("_t"))
+    tb = ranked.select(F.col("doc").alias("_db"), F.col(key).alias("_t"))
     common = (
         cands.join(ta, F.col("doc_a") == F.col("_da"))
         .join(tb, (F.col("doc_b") == F.col("_db")) & (ta["_t"] == tb["_t"]))
@@ -478,6 +632,19 @@ def ngram_jaccard_pairs_prefix(
     """
     from pyspark.sql import Window
 
+    if materialize:
+        # BIGINT fast path (VERDICT r14 item 1): the whole candidate +
+        # verify pipeline keyed on xxhash64(token) under the collision
+        # audit — exact, with the string path below as the fallback a
+        # real collision would take (at 64 bits, never observed; the
+        # forced-collision test exercises it).
+        hranked, clean = _hashed_ranked(df, text_col, id_col, n)
+        if clean:
+            return _finish_pairs(
+                _prefix_jaccard_pairs(hranked, "tid", threshold),
+                [hranked],
+                True,
+            )
     toks = _tokens_with_stats(df, text_col, id_col, n)
     # global rarity order; (df, token) is a total order shared by all docs
     rk = F.row_number().over(
@@ -491,6 +658,17 @@ def ngram_jaccard_pairs_prefix(
         # recomputing the window lineage per consumer (three reads here,
         # not two — the lazy default recomputes it per consumer).
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    result = _prefix_jaccard_pairs(ranked, "token", threshold)
+    return _finish_pairs(result, [ranked], materialize)
+
+
+def _prefix_jaccard_pairs(
+    ranked: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """Shared prefix-variant body over a ``(doc, <key>, n_tokens, df,
+    rk)`` relation; ``key`` is ``token`` (exact strings) or ``tid``
+    (audited bigint ids — identical output, 8-byte join keys). See
+    :func:`ngram_jaccard_pairs_prefix` for the algorithm."""
     # Candidate bounds use threshold MINUS the 6-dp rounding half-ulp
     # (r6 review): the emit filter accepts round(J, 6) ≥ t, so a pair at
     # J = t − 4e-7 that ROUNDS UP to t must still be generated — the
@@ -507,7 +685,7 @@ def ngram_jaccard_pairs_prefix(
         + 1
     )
     prefix = ranked.filter(F.col("rk") <= prefix_len).select(
-        "doc", "token", "n_tokens", "rk"
+        "doc", key, "n_tokens", "rk"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # POSITIONAL filter (PPJoin, Xiao et al. ICDE'08, lossless): J ≥ t
@@ -531,7 +709,7 @@ def ngram_jaccard_pairs_prefix(
     cands = (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
             & (F.col("a.doc") < F.col("b.doc"))
             # length filter: |b| in [t·|a|, |a|/t] is necessary for J ≥ t;
             # the 1e-9 slack keeps a float product that rounds above the
@@ -558,16 +736,15 @@ def ngram_jaccard_pairs_prefix(
     # no per-doc token ARRAY rows (a giant document made an array row of
     # megabytes; the join streams constant-size (pair, token) rows
     # through partial-aggregated counts).
-    joined = _join_verify(cands, ranked)
+    joined = _join_verify(cands, ranked, key)
     jacc = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    result = (
+    # the r02 always-eager checkpoint is now opt-in (ADVICE r03): lazy
+    # callers keep composability + pushdown and pay the recompute instead
+    return (
         joined.select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
-    # the r02 always-eager checkpoint is now opt-in (ADVICE r03): lazy
-    # callers keep composability + pushdown and pay the recompute instead
-    return _finish_pairs(result, [ranked], materialize)
 
 
 def ngram_containment_pairs_prefix(
@@ -615,6 +792,16 @@ def ngram_containment_pairs_prefix(
     """
     from pyspark.sql import Window
 
+    if materialize:
+        # BIGINT fast path (VERDICT r14 item 1) — see the jaccard twin:
+        # exact under the collision audit, string fallback otherwise.
+        hranked, clean = _hashed_ranked(df, text_col, id_col, n)
+        if clean:
+            return _finish_pairs(
+                _prefix_containment_pairs(hranked, "tid", threshold),
+                [hranked],
+                True,
+            )
     toks = _tokens_with_stats(df, text_col, id_col, n)
     rk = F.row_number().over(
         Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("token").asc())
@@ -624,6 +811,17 @@ def ngram_containment_pairs_prefix(
         # one persist feeds the prefix side, the full side, and the
         # verify-set aggregation (tokenize + both window passes paid once)
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    result = _prefix_containment_pairs(ranked, "token", threshold)
+    return _finish_pairs(result, [ranked], materialize)
+
+
+def _prefix_containment_pairs(
+    ranked: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """Shared asymmetric-prefix body over a ``(doc, <key>, n_tokens,
+    df, rk)`` relation; ``key`` is ``token`` (exact strings) or ``tid``
+    (audited bigint ids — identical output, 8-byte join keys). See
+    :func:`ngram_containment_pairs_prefix` for the algorithm."""
     # Candidate bounds use threshold MINUS the 6-dp rounding half-ulp
     # (r6 review): the emit filter accepts round(C, 6) ≥ t, so a pair
     # whose exact overlap is ⌈t·|A|⌉ − 1 but whose ratio ROUNDS UP to t
@@ -642,10 +840,10 @@ def ngram_containment_pairs_prefix(
         + 1
     )
     prefix = ranked.filter(F.col("rk") <= prefix_len).select(
-        "doc", "token", "n_tokens", "rk"
+        "doc", key, "n_tokens", "rk"
     )
     a = prefix.alias("a")  # the (potentially) contained, smaller side
-    b = ranked.select("doc", "token", "n_tokens", "rk").alias("b")  # full side
+    b = ranked.select("doc", key, "n_tokens", "rk").alias("b")  # full side
     alpha = F.ceil(F.lit(tc) * F.col("a.n_tokens") - F.lit(1e-9))
     ubound = 1 + F.least(
         F.col("a.n_tokens") - F.col("a.rk"), F.col("b.n_tokens") - F.col("b.rk")
@@ -657,7 +855,7 @@ def ngram_containment_pairs_prefix(
     cands = (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
             & smaller_first
             & (ubound >= alpha),
         )
@@ -670,7 +868,7 @@ def ngram_containment_pairs_prefix(
     # join-based exact verify (r7, see _join_verify / the jaccard twin:
     # measured ~1.7× faster than the collect_set/array_intersect verify
     # on the uniform-df corpus, identical output, no per-doc array rows)
-    joined = _join_verify(cands, ranked)
+    joined = _join_verify(cands, ranked, key)
     c_a = F.round(F.col("n_common") / F.col("size_a"), 6)
     c_b = F.round(F.col("n_common") / F.col("size_b"), 6)
     jacc = F.round(
@@ -678,7 +876,7 @@ def ngram_containment_pairs_prefix(
         / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         6,
     )
-    result = (
+    return (
         joined.select(
             "doc_a",
             "doc_b",
@@ -693,7 +891,6 @@ def ngram_containment_pairs_prefix(
         )
         .orderBy("doc_a", "doc_b")
     )
-    return _finish_pairs(result, [ranked], materialize)
 
 
 def minhash_signatures(

@@ -2840,3 +2840,75 @@ def test_rr_rotation_contract(spark):
            m.q_ann_recall_opq(spark, "/root/testdata/sf0.001").collect()}
     assert pq[1] == 1 and opq[1] == 1  # the true NN survives ADC
     assert abs(pq[10] - opq[10]) <= 1
+
+
+def test_token_id_fast_path_equals_string_path(spark, docs_with_dups):
+    """The bigint token-id fast path (materialize=True; VERDICT r14
+    item 1) must return byte-identical pair relations to the lazy
+    string-keyed path for all four pair generators — the collision
+    audit passed, so tid-equality IS token-equality."""
+    from fresco_hpc_spark.functions import (
+        ngram_containment_pairs,
+        ngram_containment_pairs_prefix,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    cases = [
+        lambda m: ngram_jaccard_pairs_prefix(
+            docs_with_dups, n=3, threshold=0.5, materialize=m
+        ),
+        lambda m: ngram_containment_pairs_prefix(
+            docs_with_dups, n=3, threshold=0.8, materialize=m
+        ),
+        lambda m: ngram_jaccard_pairs(
+            docs_with_dups, n=1, threshold=0.5, max_token_freq=10**9,
+            materialize=m,
+        ),
+        lambda m: ngram_containment_pairs(
+            docs_with_dups, n=1, threshold=0.8, max_token_freq=10**9,
+            materialize=m,
+        ),
+    ]
+    for build in cases:
+        fast = [tuple(r) for r in build(True).collect()]
+        exact = [tuple(r) for r in build(False).collect()]
+        assert fast == exact and len(exact) > 0
+
+
+def test_token_id_collision_falls_back_to_exact(spark, docs_with_dups, monkeypatch):
+    """A colliding token-id hash must trip the audit and fall back to
+    the exact string path: identical output, and the collided hashed
+    cache is released (no storage leak on the fallback route)."""
+    from pyspark.sql import functions as F
+
+    from fresco_hpc_spark.functions import dedup as d
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    expected = [
+        tuple(r)
+        for r in d.ngram_jaccard_pairs_prefix(
+            docs_with_dups, n=3, threshold=0.5
+        ).collect()
+    ]
+    assert expected
+    docs_with_dups.count()
+    base = n_persisted()
+    # 8 buckets over a many-thousand-shingle vocabulary: guaranteed
+    # collisions, so the audit MUST reject the fast path
+    monkeypatch.setattr(
+        d, "_TOKEN_ID_EXPR", lambda c: F.pmod(F.xxhash64(c), F.lit(8))
+    )
+    got = [
+        tuple(r)
+        for r in d.ngram_jaccard_pairs_prefix(
+            docs_with_dups, n=3, threshold=0.5, materialize=True
+        ).collect()
+    ]
+    assert got == expected
+    # the fallback still checkpoints its result (<=1 live block) but the
+    # rejected hashed cache must not linger; allow slack for the async
+    # ContextCleaner racing this count
+    assert n_persisted() - base <= 2

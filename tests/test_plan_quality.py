@@ -863,3 +863,37 @@ def test_keyed_window_exchange_width_is_pinned(spark):
         plan = plan_of(spark, name)
         assert "REPARTITION_BY_NUM" not in plan, name
         assert "REPARTITION_BY_COL" in plan, name
+
+
+def test_pair_fast_path_joins_on_bigint_ids(spark):
+    """VERDICT r14 item 1 'done' criterion: the materialize fast path's
+    candidate + verify joins key on the xxhash64 BIGINT id — no token
+    STRING column survives past the audited cached relation (the cache
+    itself carries (doc, tid, n_tokens, df, _collided, rk) only)."""
+    from fresco_hpc_spark.functions import dedup as d
+
+    docs = entrymod._docs_with_dups(spark, SF_SMALL)
+    ranked, clean = d._hashed_ranked(docs, "text", "doc_id", 3)
+    try:
+        assert clean, "audit must pass on the real 64-bit hash"
+        assert "token" not in ranked.columns
+        for body in (
+            d._prefix_jaccard_pairs(ranked, "tid", 0.5),
+            d._prefix_containment_pairs(ranked, "tid", 0.8),
+        ):
+            plan = _explain(spark, body)
+            # token strings legitimately exist UPSTREAM of the audited
+            # cache (the tokenize lineage the InMemoryRelation detail
+            # embeds); the contract is that no join above the cache
+            # keys on them — every equi-join key line must be
+            # tid/doc-derived bigints, never token#
+            key_lines = [
+                ln for ln in plan.splitlines() if "keys [" in ln
+            ]
+            assert key_lines, "expected equi-join key lines in the plan"
+            assert all("token#" not in ln for ln in key_lines), key_lines
+            assert any("tid#" in ln or "_t#" in ln for ln in key_lines), (
+                key_lines
+            )
+    finally:
+        ranked.unpersist()
