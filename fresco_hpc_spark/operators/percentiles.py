@@ -311,6 +311,32 @@ def grouped_exact_percentiles(
     percentile over an empty group).
     """
     cume = grouped_cume_counts(df, group_cols, value_col)
+    return _percentile_extract(cume, group_cols, fractions)
+
+
+def grouped_exact_percentiles_from_counts(
+    dv: DataFrame, group_cols: list[str], fractions: list[float]
+) -> DataFrame:
+    """:func:`grouped_exact_percentiles` for callers that already hold
+    the tie-collapsed ``(group…, _v, _cnt)`` relation (the KS operators'
+    counts hub): skips re-aggregating the raw rows, so the tie-collapse
+    is computed once per call and shared by lineage, not merely by
+    AQE stage reuse. Identical output and interpolation arithmetic."""
+    return _percentile_extract(
+        grouped_cume_from_counts(dv, group_cols), group_cols, fractions
+    )
+
+
+def _percentile_extract(
+    cume: DataFrame, group_cols: list[str], fractions: list[float]
+) -> DataFrame:
+    """Shared PERCENTILE_CONT extraction over a grouped cume relation
+    (``group…, _v, _cnt, _cume, _n``): each distinct value covers the
+    0-indexed sorted positions ``[_cume − _cnt, _cume)``; keep rows
+    covering ⌊f·(n−1)⌋ / ⌈f·(n−1)⌉ and interpolate with the same IEEE
+    op order as Spark's ``percentile`` and DuckDB's PERCENTILE_CONT.
+    Zero-count rows cover the empty interval, so a probe-densified cume
+    relation extracts the same percentiles as the plain one."""
     frac = F.explode(F.array(*[F.lit(float(f)) for f in fractions])).alias(
         "fraction"
     )
@@ -728,12 +754,11 @@ def ks_vs_rest_quantized(
     doubles) are engine-stable, same as the exact operator.
 
     Scale shape: one tie-collapse shuffle, the grouped distributed
-    order-statistics machinery twice (group edges; probe cumes), a
-    constant-group pass for the pooled CDF at the global probe set
-    (≤ G·bins + bins values), and G·bins-sized equi-joins — no window
-    over more than a range partition, no driver collect beyond the
-    ``bins`` pooled literals (bounded by the parameter, same contract
-    as ``quantile_bucket``).
+    order-statistics machinery for the per-group edges (fed the
+    tie-collapsed counts hub directly), group cumes, and pooled cumes,
+    and G·bins-sized equi-joins — no window over more than a range
+    partition, no driver collect beyond the ``bins`` pooled literals
+    (bounded by the parameter, same contract as ``quantile_bucket``).
 
     Output: ``group_col, n_group, ks_d, ks_at, ks_err_bound`` — the
     exact operator's schema plus the per-group bound. Groups that are
@@ -748,19 +773,34 @@ def ks_vs_rest_quantized(
     nn = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
     ).filter(F.col("_v").isNotNull())
-    pooled = distributed_exact_percentiles(nn, "_v", fractions)
+    gtype = df.schema[group_col].dataType
     schema = (
-        f"`{group_col}` {df.schema[group_col].dataType.simpleString()}, "
+        f"`{group_col}` {gtype.simpleString()}, "
         "n_group bigint, ks_d double, ks_at double, ks_err_bound double"
     )
-    if pooled[0] is None:
-        return df.sparkSession.createDataFrame([], schema)
-    pooled_edges = sorted({float(v) for v in pooled})
     counts = nn.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    pooled_counts = counts.groupBy("_v").agg(F.sum("_cnt").alias("_cnt"))
+    # Pooled equi-depth edges, collected as driver literals (bounded by
+    # ``bins`` — the documented two-phase contract, as quantile_bucket).
+    # ONE job through the grouped machinery under a constant group
+    # (identical interpolation arithmetic, see _percentile_extract)
+    # instead of distributed_exact_percentiles' persist + two collects
+    # (r15: the operator was 65 stages of scheduling latency at sf0.1 —
+    # fewer jobs/driver syncs, same relations).
+    pooled = grouped_exact_percentiles_from_counts(
+        pooled_counts.select(F.lit(1).alias("_all"), "_v", "_cnt"),
+        ["_all"],
+        fractions,
+    ).collect()
+    if not pooled:
+        return df.sparkSession.createDataFrame([], schema)
+    pooled_edges = sorted({float(r["value"]) for r in pooled})
     groups = counts.select("_g").distinct()
-    gedges = grouped_exact_percentiles(nn, ["_g"], "_v", fractions).select(
-        "_g", F.col("value").alias("_v")
-    )
+    # group edges from the SAME tie-collapsed counts hub the rest of the
+    # plan consumes (no second raw-row aggregation)
+    gedges = grouped_exact_percentiles_from_counts(
+        counts, ["_g"], fractions
+    ).select("_g", F.col("value").alias("_v"))
     pedges = groups.select(
         "_g",
         F.explode(
@@ -791,6 +831,12 @@ def ks_vs_rest_quantized(
         .groupBy("_g", "_v")
         .agg(F.sum("_cnt").alias("_cnt"))
     )
+    # The two CDF passes stay SEPARATE machinery invocations on purpose
+    # (r15 measured experiment): fusing them into one tagged pass cut
+    # the stage count 65→61 but SERIALIZED two independent chains that
+    # AQE otherwise schedules concurrently — 5.5→6.6 s at sf0.1. In the
+    # driver-latency-bound regime, parallel independent chains beat a
+    # shorter fused serial path.
     gcume = (
         grouped_cume_from_counts(combined, ["_g"])
         .join(
@@ -803,9 +849,9 @@ def ks_vs_rest_quantized(
     # under a constant group; _n here is the corpus total
     gv = probes.select("_v").distinct()
     pooled_combined = (
-        counts.groupBy("_v")
-        .agg(F.sum("_cnt").alias("_cnt"))
-        .unionByName(gv.select("_v", F.lit(0).cast("long").alias("_cnt")))
+        pooled_counts.unionByName(
+            gv.select("_v", F.lit(0).cast("long").alias("_cnt"))
+        )
         .groupBy("_v")
         .agg(F.sum("_cnt").alias("_cnt"))
         .select(F.lit(1).alias("_all"), "_v", "_cnt")
@@ -830,6 +876,17 @@ def ks_vs_rest_quantized(
             ).alias("_d"),
         )
     )
+    # The argmax tail stays the broadcast-join shape here (r15 measured
+    # experiment): rewriting it as a single max(struct(_d, -_v))
+    # aggregate + left join SILENTLY CORRUPTED this operator — the
+    # restructured consumer changed how DeduplicateRelations aliased
+    # the two copies of the machinery's range exchange, their canonical
+    # forms stopped matching, ReuseExchange did not fire, and each copy
+    # sampled its own partition boundaries (the r8 offsets-corruption
+    # class; big-group ks_d varied run to run and OVERSHOT the exact
+    # statistic). The exact ks_vs_rest tolerates the same rewrite (its
+    # executed plan provably reuses the exchange — pinned in
+    # test_plan_quality); this operator does not.
     dmax = diffs.groupBy("_g", "_ng", "_nt").agg(F.max("_d").alias("_dmax"))
     located = (
         diffs.join(
@@ -1127,6 +1184,10 @@ def ks_vs_rest(
             "_g", "_v", F.coalesce(F.col("_cnt"), F.lit(0)).alias("_cnt")
         )
     )
+    # The two CDF passes stay SEPARATE machinery invocations on purpose
+    # (r15 measured experiment, see ks_vs_rest_quantized): a fused
+    # tagged pass serialized two chains AQE schedules concurrently and
+    # measured SLOWER (4.1→4.6 s at sf0.1).
     gcdf = grouped_cume_from_counts(dense, ["_g"])
     glob = (
         grouped_cume_from_counts(
@@ -1155,51 +1216,34 @@ def ks_vs_rest(
             ).alias("_d"),
         )
     )
-    dmax = diffs.groupBy("_g", "_n").agg(F.max("_d").alias("_dmax"))
-    # every group-keyed join below is NULL-SAFE: a NULL group is a real
-    # group (the grouped machinery and both groupBys keep it) and a
-    # plain equi/anti join on _g would silently misroute it — the
-    # recurring null-group bug class
-    located = (
-        diffs.join(
-            F.broadcast(
-                dmax.select(F.col("_g").alias("_gm"), "_dmax")
-            ),
-            F.col("_g").eqNullSafe(F.col("_gm")),
-        )
-        .filter(F.col("_d") == F.col("_dmax"))
-        .groupBy("_g")
-        .agg(F.min("_v").alias("_at"))
+    # max + argmax + whole-corpus fallback in ONE aggregation and ONE
+    # null-safe join (r15, guide §1.2 — see ks_vs_rest_quantized): the
+    # struct max picks the largest _d and, on exact-double ties, the
+    # SMALLEST _v (max of −_v) — identical tie-break to the old
+    # filter(_d == _dmax) + min(_v) broadcast-join argmax. Groups that
+    # ARE the whole corpus never enter diffs (its _nt > _n filter keeps
+    # every division non-zero), so the left join from the per-group
+    # sizes relation restores them with NULL statistics — the old
+    # anti-join branch's exact output. The join stays NULL-SAFE: a NULL
+    # group is a real group.
+    best = diffs.groupBy("_g", "_n").agg(
+        F.max(F.struct(F.col("_d"), (-F.col("_v")).alias("_nv"))).alias("_s")
     )
-    out = (
-        dmax.join(
-            located.select(F.col("_g").alias("_gl"), "_at"),
-            F.col("_g").eqNullSafe(F.col("_gl")),
+    sizes = counts.groupBy("_g").agg(F.sum("_cnt").alias("_n"))
+    return (
+        sizes.join(
+            best.select(F.col("_g").alias("_gb"), "_s"),
+            F.col("_g").eqNullSafe(F.col("_gb")),
+            "left",
         )
         .select(
             F.col("_g").alias(group_col),
             F.col("_n").cast("bigint").alias("n_group"),
-            F.round(F.col("_dmax"), round_to).alias("ks_d"),
-            F.round(F.col("_at"), round_to).alias("ks_at"),
+            F.round(F.col("_s._d"), round_to).alias("ks_d"),
+            F.round(-F.col("_s._nv"), round_to).alias("ks_at"),
         )
+        .orderBy(group_col)
     )
-    # groups that ARE the whole corpus: no rest-sample, NULL statistic
-    whole = (
-        counts.groupBy("_g")
-        .agg(F.sum("_cnt").alias("_n"))
-        .join(
-            dmax.select(F.col("_g").alias("_gd")),
-            F.col("_g").eqNullSafe(F.col("_gd")),
-            "left_anti",
-        )
-        .select(
-            F.col("_g").alias(group_col),
-            F.col("_n").cast("bigint").alias("n_group"),
-            F.lit(None).cast("double").alias("ks_d"),
-            F.lit(None).cast("double").alias("ks_at"),
-        )
-    )
-    return out.unionByName(whole).orderBy(group_col)
 
 
 def weighted_quantiles(

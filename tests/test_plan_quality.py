@@ -897,3 +897,70 @@ def test_pair_fast_path_joins_on_bigint_ids(spark):
             )
     finally:
         ranked.unpersist()
+
+
+def test_ks_machinery_range_exchanges_materialize_once(spark):
+    """r15 regression guard for the r8 offsets-corruption class, found
+    live this round: restructuring ks_vs_rest's argmax tail changed how
+    DeduplicateRelations aliased the two copies of the grouped-order-
+    statistics range exchange; their canonical forms stopped matching,
+    ReuseExchange silently did not fire, and each copy sampled its own
+    partition boundaries — nondeterministic, OVERSHOOTING ks_d. For
+    ks_drift, pin the structural invariant: every REPARTITION_BY_NUM
+    range exchange in the EXECUTED plan materializes once and all other
+    occurrences are ReusedExchange references. (ks_drift_quantized
+    legitimately carries two UNREUSED machinery copies whose _off/_cume
+    outputs are column-pruned — only the pid-independent _n survives,
+    so split pairing is harmless there; it is covered by the
+    determinism probe below instead.)"""
+    import re
+
+    df = entrymod.queries()["ks_drift"](spark, SF_SMALL)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    mat, reused = set(), set()
+    for line in final.splitlines():
+        m = re.search(
+            r"Exchange rangepartitioning\([^)]*\), REPARTITION_BY_NUM,"
+            r" \[plan_id=(\d+)\]",
+            line,
+        )
+        if not m:
+            continue
+        (reused if "ReusedExchange" in line else mat).add(m.group(1))
+    assert mat and not (mat - reused), (sorted(mat), sorted(reused))
+
+
+def test_ks_quantized_is_deterministic_across_rebuilds(spark):
+    """The r8/r15 offsets corruption manifests as RUN-TO-RUN variance
+    (each fresh build samples new range boundaries), with big groups'
+    ks_d drifting and overshooting the exact statistic. Three fresh
+    builds over skewed multi-partition data must agree exactly — a
+    single-run parity check can get lucky; this cannot."""
+    import random
+
+    from fresco_hpc_spark.operators.percentiles import ks_vs_rest_quantized
+
+    rng = random.Random(8)
+    rows = [("big_a", rng.gauss(50.0, 10.0)) for _ in range(900)]
+    rows += [("big_b", rng.gauss(55.0, 12.0)) for _ in range(700)]
+    rows += [(None, rng.uniform(0.0, 100.0)) for _ in range(150)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    runs = [
+        sorted(
+            (
+                (r["g"], r["ks_d"], r["ks_at"], r["ks_err_bound"])
+                for r in ks_vs_rest_quantized(
+                    df, "g", "v", bins=16, round_to=9
+                ).collect()
+            ),
+            key=str,
+        )
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2], runs
