@@ -706,7 +706,13 @@ def _dsir_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     inlining the split into per-element lambdas re-evaluates it per
     reference, turning a linear explode into O(len²) per doc; measured
     8 s -> 0.6 s at sf0.1), then bigrams as a zip of the two
-    one-shifted slices — two O(n) slices, never element_at in a loop."""
+    one-shifted slices — two O(n) slices, never element_at in a loop.
+    Fanned out before the CPU-bound split/zip work (r15: the raw-corpus
+    explode ran as ONE ~1.8 s task per consumer because the documents
+    table is a single file; identity on any ≥cores-files layout)."""
+    from fresco_hpc_spark.functions.text import _fan_out
+
+    df = _fan_out(df)
     ws_expr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("doc"), ws_expr.alias("ws"))
     w = F.col("ws")

@@ -500,9 +500,15 @@ def cms_heavy_hitters(
     # each counter row inlines as ONE dense ArrayType literal (w
     # BIGINTs, absent cells 0) — a create_map of w entries is 2w
     # expression-tree children and the codegen compile dominated the
-    # query's runtime at w=1024
+    # query's runtime at w=1024. Built as ONE parsed expr per row
+    # (lit_bigints, the r14 vector-kernel lesson): F.lit(list) builds w
+    # Column children over py4j, which cost ~2 s of driver time per
+    # call at d=4, w=1024 (r15 stage profile: a 2.05 s gap between the
+    # pass-1 collect and the first pass-2 stage).
+    from fresco_hpc_spark.functions.vectors import lit_bigints
+
     rows = [
-        F.lit([cells.get((i, c), 0) for c in range(int(w))])
+        lit_bigints([cells.get((i, c), 0) for c in range(int(w))])
         for i in range(int(d))
     ]
     probe_cols = [
